@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place that builds the engine's SparkSession with the
+  * configuration contract every entrypoint (Verify, Bench, tests)
+  * shares. Keeping this centralized means a scale-tuning change (AQE,
+  * shuffle partitions, partition-overwrite mode) applies everywhere.
+  */
+object Engine {
+
+  /** Engine defaults, applied on top of any master/cores choice.
+    *
+    *  - non-ANSI: the reference's SAFE_CAST / pandas-coercion semantics
+    *    (reference runner.py:171, api.py:109-127) are permissive.
+    *  - AQE on: runtime coalescing + skew-join splitting is the 100 TB
+    *    answer to skewed keys (SURVEY.md §4).
+    *  - dynamic partition overwrite: the MERGE rewrite path
+    *    ([[operators.Upsert.applyToPartitionedParquet]]) must replace only
+    *    the partitions it touched.
+    *  - nanosAsLong: the fixture `events` table carries parquet
+    *    TIMESTAMP(NANOS), which Spark's reader otherwise rejects
+    *    (PARQUET_TYPE_ILLEGAL); we read the raw int64 and convert in
+    *    [[Tables.table]].
+    */
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Standard local session: `local[cpus]` with one shuffle partition per
+    * core (local mode has no reason to over-partition; a cluster deploy
+    * sets `spark.sql.shuffle.partitions` to ~2-3× total cores instead).
+    */
+  def local(cpus: Int): SparkSession = {
+    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every implemented operator from SURVEY.md §2 registers a [[QueryDef]]
+  * in one of the `graft.queries.*` modules; this object is just the
+  * aggregation point the driver calls.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def allDefs: Seq[QueryDef] =
+    queries_relational ++ queries_extensions
+
+  private def queries_relational: Seq[QueryDef] = graft.queries.Relational.defs
+  private def queries_extensions: Seq[QueryDef] =
+    graft.queries.TextOps.defs ++ graft.queries.DedupOps.defs ++
+      graft.queries.SimilarityOps.defs ++ graft.queries.MultimodalOps.defs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The A1-analog aggregate over a broadcast-joined dimension — the
+    * "calls" CTE shape of the reference's reporting MERGE
+    * (reference runner.py:608-637).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    graft.queries.Relational.defs.head.fn(spark, dir)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(d => d.name -> d.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops →
+    * driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    allDefs.flatMap(d => d.oracle.map(o => d.name -> o.trim)).toMap
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table loading helpers for the driver-generated parquet fixtures
+  * (see /root/repo/TESTDATA.md). All queries receive a scale-factor
+  * directory and address tables by name.
+  */
+object Tables {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.LongType
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS); with
+    // spark.sql.legacy.parquet.nanosAsLong (set in Engine.builder) it
+    // arrives as raw int64 nanos — surface it as a proper TIMESTAMP
+    // (micros precision; integer division, no float detour).
+    if (name == "events" && df.schema.fieldNames.contains("ts") &&
+        df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+}
+
+/** One registered engine capability: a Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query the
+  * driver hash-compares against. Oracle-less entries get a weaker rows-only
+  * check per the harness contract.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis column library for large-scale training-data pipelines:
+  * tokenization, shingling, quality stats, fingerprints. Pure built-in
+  * higher-order functions — everything stays inside whole-stage codegen,
+  * no UDFs, so the hot path vectorizes at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace word list. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(words(text))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single non-space
+    * symbols each count as one token (the usual pre-tokenizer split).
+    */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+
+  /** Ordered word n-grams ("shingles") of width `n` (1-based positions,
+    * empty when the doc has fewer than n words). Guarded so short docs
+    * yield an empty array instead of a negative `sequence` range (which
+    * would also trip ANSI-mode element_at bounds checks).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      transform(
+        sequence(lit(1), size(w) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** One MinHash value: the minimum over shingles of a seeded md5, kept as
+    * a 16-hex-char string (lexicographic min of fixed-width hex ==
+    * numeric min, which keeps the whole signature engine-portable).
+    */
+  def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles,
+      g => substring(md5(concat(lit(s"$seed:"), g)), 1, 16)))
+
+  /** Normalized fingerprint text: lowercase, strip non-alphanumerics,
+    * collapse whitespace (document fingerprinting pre-pass).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Count of words belonging to `set` (stopword-ratio building block). */
+  def wordHits(text: Column, set: Seq[String]): Column =
+    size(filter(words(text), w => w.isin(set.map(x => x: Any): _*)))
+}

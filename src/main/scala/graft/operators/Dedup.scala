@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup is one hash-shuffle on a 16-byte digest, never on the
+  *    document body; map-side partial aggregation collapses duplicates
+  *    before the exchange.
+  *  - MinHash signatures are computed map-side (explode→groupBy(doc) is a
+  *    shuffle keyed by doc_id; with documents already unique per row the
+  *    whole signature can instead be computed per-row with higher-order
+  *    functions — which is what [[minhashSignatures]] does: ZERO shuffle).
+  *  - LSH banding turns the quadratic all-pairs problem into equality
+  *    joins on band keys: candidates = self-join on (band, key), which
+  *    Spark executes as a shuffle hash join whose cost is the sum of
+  *    bucket sizes, not n². Band keys are md5 strings → uniformly
+  *    distributed → no skew; a pathological hot bucket (e.g. boilerplate
+  *    docs) is handled by AQE skew-join splitting.
+  *  - SimHash is a per-row computation (no shuffle); Hamming-adjacent
+  *    lookup joins on rotated bit-block keys.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical (minimum) id per identical body digest. */
+  def exactGroups(docs: DataFrame, id: String, body: String): DataFrame =
+    docs.groupBy(md5(col(body)).as("digest"))
+      .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-row MinHash signature columns h0..h(k-1) over word `n`-gram
+    * shingles. Computed entirely with higher-order functions on the row —
+    * no explode, no shuffle. Values are 16-hex-char strings (lexicographic
+    * min == numeric min) so signatures are portable across engines.
+    */
+  def minhashSignatures(docs: DataFrame, body: String, k: Int, n: Int): DataFrame = {
+    val sh = wordShingles(col(body), n)
+    (0 until k).foldLeft(docs)((d, i) =>
+      d.withColumn(s"h$i", minhash(sh, i)))
+  }
+
+  /** LSH banding: one row per (doc, band) with the band key = md5 of the
+    * concatenated signature slice. `bandWidth` signatures per band.
+    */
+  def lshBands(sig: DataFrame, id: String, k: Int, bandWidth: Int): DataFrame = {
+    val bands = (0 until k / bandWidth).map { b =>
+      val slice = (b * bandWidth until (b + 1) * bandWidth).map(i => col(s"h$i"))
+      sig.select(col(id), lit(b).as("band_id"),
+        md5(concat(slice: _*)).as("band_key"))
+    }
+    bands.reduce(_ unionByName _)
+  }
+
+  /** Candidate near-dup pairs: docs sharing at least one LSH band bucket.
+    * Equality self-join on (band_id, band_key); output pairs id1 < id2.
+    */
+  def lshCandidatePairs(docs: DataFrame, id: String, body: String,
+      k: Int = 4, n: Int = 3, bandWidth: Int = 2): DataFrame = {
+    val sig = minhashSignatures(docs.select(col(id), col(body)), body, k, n)
+    val bands = lshBands(sig, id, k, bandWidth)
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
+      .distinct()
+  }
+
+  /** Per-row 16-bit SimHash over whitespace words, as a '0'/'1' bitstring.
+    * Bit j is the sign of the term-frequency-weighted sum of md5(word)'s
+    * j-th nibble high bit. Pure per-row HOF computation — no shuffle.
+    */
+  def simhash16(body: Column): Column = {
+    val w = words(body)
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val bits = (0 until 16).map { j =>
+      val contrib = aggregate(
+        transform(w, x =>
+          when(substring(md5(x), j + 1, 1).isin(highHex: _*), 1).otherwise(-1)),
+        lit(0), (acc, v) => acc + v)
+      when(contrib > 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** Exact n-gram Jaccard similarity for all intersecting pairs within
+    * `docs` (use after LSH candidate pruning at scale; here exposed
+    * directly for verification). Join is on the shingle value — a string
+    * key shuffle with uniform distribution.
+    */
+  def ngramJaccardPairs(docs: DataFrame, id: String, body: String, n: Int): DataFrame = {
+    val grams = docs
+      .select(col(id), explode(array_distinct(wordShingles(col(body), n))).as("g"))
+    val sizes = grams.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val a = grams.alias("ga")
+    val b = grams.alias("gb")
+    val inter = a.join(b,
+        col("ga.g") === col("gb.g") && col(s"ga.$id") < col(s"gb.$id"))
+      .groupBy(col(s"ga.$id").as("id1"), col(s"gb.$id").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+    val s1 = sizes.select(col(id).as("id1"), col("sz").as("sz1"))
+    val s2 = sizes.select(col(id).as("id2"), col("sz").as("sz2"))
+    inter.join(s1, "id1").join(s2, "id2")
+      .select(col("id1"), col("id2"),
+        (col("n_inter").cast("double") /
+          (col("sz1") + col("sz2") - col("n_inter")).cast("double")).as("jaccard"))
+  }
+}

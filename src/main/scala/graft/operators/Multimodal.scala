@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns next to a typed metadata struct; decode /
+  * feature-extract / frame-sample run as partition-local batch transforms.
+  *
+  * The actual media decoding is STUBBED (this container has no
+  * image/audio libraries): [[StubDecoder]] produces deterministic fake
+  * features from the bytes. The Spark-side contract — schema, batch
+  * iteration shape, partitioning behavior — is real and tested; swapping
+  * in a true decoder is replacing one [[Decoder]] instance.
+  *
+  * Scale notes: decode is embarrassingly parallel (mapPartitions, no
+  * shuffle); the binary column should be written to parquet with a
+  * generous `spark.sql.files.maxPartitionBytes` *down*-adjustment, since
+  * a 128 MB split of 5 MB media blobs is only ~25 rows — partition count,
+  * not row count, is the parallelism lever for media tables.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside every media payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),     // image|audio|video
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** Feature schema produced by decoders. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("feature", ArrayType(FloatType), nullable = false)))
+
+  /** Batch decoder contract: one call per partition, iterator-to-iterator
+    * (never materializes a partition), mirroring the Pandas-UDF /
+    * mapInPandas batch shape.
+    */
+  trait Decoder extends Serializable {
+    /** bytes → fixed-width feature vector. */
+    def decode(payload: Array[Byte]): Array[Float]
+    def dim: Int
+  }
+
+  /** STUB decoder — deterministic fake: features are md5-derived floats.
+    * A real deployment replaces this with JNI/javacpp bindings to an
+    * image/audio codec; nothing else in the pipeline changes.
+    */
+  final class StubDecoder(val dim: Int = 8) extends Decoder {
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      Array.tabulate(dim)(i => ((d(i % d.length) & 0xff).toFloat) / 255.0f)
+    }
+  }
+
+  /** Wrap a text/binary source table as a media table: payload bytes +
+    * populated metadata struct (deterministic fake dims for the stub).
+    */
+  def asMediaTable(df: DataFrame, idCol: String, payloadCol: String,
+      kind: String): DataFrame = {
+    val bin = col(payloadCol).cast(BinaryType)
+    df.select(
+      col(idCol).as("media_id"),
+      bin.as("payload"),
+      struct(
+        lit(kind).as("kind"),
+        lit(s"application/x-$kind").as("mime"),
+        when(lit(kind) === "image", pmod(length(bin), lit(1024)) + 32)
+          .otherwise(lit(null).cast(IntegerType)).as("width"),
+        when(lit(kind) === "image", pmod(length(bin), lit(768)) + 32)
+          .otherwise(lit(null).cast(IntegerType)).as("height"),
+        when(lit(kind) === "audio", lit(16000))
+          .otherwise(lit(null).cast(IntegerType)).as("sample_rate"),
+        when(lit(kind) =!= "image", length(bin).cast(LongType) * 10)
+          .otherwise(lit(null).cast(LongType)).as("duration_ms"),
+        length(bin).cast(LongType).as("n_bytes")).as("meta"))
+  }
+
+  /** Partition-local batch decode: media table → (media_id, feature).
+    * Iterator-to-iterator mapPartitions, the Scala analogue of
+    * mapInPandas batches.
+    */
+  def decodeFeatures(media: DataFrame, decoder: Decoder): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("feature", ArrayType(FloatType))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id").cast(LongType), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          org.apache.spark.sql.Row(id, decoder.decode(bytes).toSeq)
+        }
+      }(enc)
+  }
+
+  /** Frame sampling: slice the payload into fixed-size "frames" at a
+    * stride, as an array<binary> column — pure built-ins (substring on
+    * binary), no UDF, codegen-friendly.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int,
+      maxFrames: Int): DataFrame = {
+    val nFrames = least(
+      greatest(ceil((length(col("payload")) - lit(frameBytes) + 1)
+        .cast(DoubleType) / stride).cast(IntegerType), lit(0)),
+      lit(maxFrames))
+    media.withColumn("frames",
+      when(nFrames > 0,
+        transform(sequence(lit(0), nFrames - 1),
+          i => col("payload").substr(i * lit(stride) + 1, lit(frameBytes))))
+        .otherwise(array().cast(ArrayType(BinaryType))))
+  }
+}

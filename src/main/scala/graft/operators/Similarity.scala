@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor / similarity-search operators over an
+  * embedding column (`array<float>`).
+  *
+  * Two tiers, mirroring how a 100 TB pipeline actually runs ANN:
+  *  - [[bruteForceTopK]]: exact cosine against every row — the baseline
+  *    and the in-bucket ranker. One map-side pass + a top-k
+  *    (TakeOrderedAndProject — no global sort).
+  *  - [[signLshBuckets]] / [[annTopK]]: a deterministic sign-bit LSH
+  *    coarse quantizer; search prunes to the query's bucket before exact
+  *    ranking. Bucket assignment is per-row (no shuffle); search is a
+  *    bucket-key equality lookup, i.e. partition-prunable if the table is
+  *    written partitioned by bucket — the IVF layout.
+  *
+  * Numeric determinism: dot products fold in fixed array order via
+  * `aggregate` in double; the oracle-facing variants in
+  * [[graft.queries.SimilarityOps]] use exact decimal accumulation so
+  * results hash-match across engines and across shuffle re-orders.
+  */
+object Similarity {
+
+  /** Fixed-order fold dot product of two array<float> columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two embedding columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k of `query` (an array<float> literal/column) over
+    * `vecs(idCol, vecCol)`. Executes as map-side score + global top-k.
+    */
+  def bruteForceTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      query: Column, k: Int): DataFrame =
+    vecs.select(col(idCol), cosine(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic sign-bit LSH bucket: bit i compares the values at two
+    * fixed positions (a data-independent random-ish hyperplane that needs
+    * no model state, so bucketing is reproducible everywhere). `pairs`
+    * are 1-based (i, j) index pairs, one per bit.
+    */
+  def signBucket(vec: Column, pairs: Seq[(Int, Int)]): Column =
+    concat(pairs.map { case (i, j) =>
+      when(element_at(vec, i) > element_at(vec, j), "1").otherwise("0")
+    }: _*)
+
+  val defaultPairs: Seq[(Int, Int)] = Seq((1, 2), (3, 4), (5, 6), (7, 8))
+
+  /** Bucket assignment for the whole table (write `partitionBy(bucket)`
+    * for an IVF-style layout where search touches one partition).
+    */
+  def signLshBuckets(vecs: DataFrame, vecCol: String,
+      pairs: Seq[(Int, Int)] = defaultPairs): DataFrame =
+    vecs.withColumn("bucket", signBucket(col(vecCol), pairs))
+
+  /** ANN top-k: prune to the query's sign-bucket, then exact cosine rank
+    * within the bucket.
+    */
+  def annTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      query: Column, k: Int,
+      pairs: Seq[(Int, Int)] = defaultPairs): DataFrame = {
+    val bucketed = signLshBuckets(vecs, vecCol, pairs)
+    val qBucket = signBucket(query, pairs)
+    bruteForceTopK(
+      bucketed.filter(col("bucket") === qBucket).drop("bucket"),
+      idCol, vecCol, query, k)
+  }
+}

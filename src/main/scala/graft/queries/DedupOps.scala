@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication battery over `documents`: exact, MinHash signature,
+  * LSH candidate pairs, SimHash, n-gram Jaccard. Oracles restate the
+  * identical md5-seeded hash constructions in DuckDB, so signatures and
+  * pair sets hash-match exactly.
+  */
+object DedupOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** Shared DuckDB CTE: 4 trigram-shingle minhashes per doc. */
+  private val sigCte = """
+    sig AS (
+      SELECT doc_id,
+        min(substr(md5('0:'||g),1,16)) AS h0, min(substr(md5('1:'||g),1,16)) AS h1,
+        min(substr(md5('2:'||g),1,16)) AS h2, min(substr(md5('3:'||g),1,16)) AS h3
+      FROM (SELECT doc_id,
+              unnest(list_transform(range(1, len(l)-1),
+                     i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
+            FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))
+      GROUP BY 1)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup: hash-groupBy on body digest -----------------------
+    QueryDef("q30_dedup_exact",
+      (s, dir) => {
+        Dedup.exactGroups(docs(s, dir), "doc_id", "text").orderBy("digest")
+      },
+      Some("""
+        SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // ---- MinHash signatures (k=4 over word trigrams), zero-shuffle ------
+    QueryDef("q31_minhash_sig",
+      (s, dir) => {
+        Dedup.minhashSignatures(
+            docs(s, dir).select("doc_id", "text"), "text", k = 4, n = 3)
+          .filter(size(split(col("text"), " ")) >= 3)
+          .select("doc_id", "h0", "h1", "h2", "h3")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $sigCte
+        SELECT doc_id, h0, h1, h2, h3 FROM sig ORDER BY doc_id""")),
+
+    // ---- LSH banding: candidate near-dup pairs (2 bands × width 2) ------
+    QueryDef("q32_lsh_pairs",
+      (s, dir) => {
+        Dedup.lshCandidatePairs(docs(s, dir), "doc_id", "text",
+            k = 4, n = 3, bandWidth = 2)
+          .orderBy("id1", "id2")
+      },
+      Some(s"""
+        WITH $sigCte,
+        bands AS (
+          SELECT doc_id, 0 AS band_id, md5(h0||h1) AS band_key FROM sig
+          UNION ALL SELECT doc_id, 1, md5(h2||h3) FROM sig)
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        ORDER BY 1, 2""")),
+
+    // ---- SimHash: 16-bit per-row signature ------------------------------
+    QueryDef("q33_simhash",
+      (s, dir) => {
+        docs(s, dir)
+          .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val bits = (0 until 16).map { j =>
+          s"""CASE WHEN SUM(CASE WHEN substr(md5(w),${j + 1},1) IN
+             |('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0
+             |THEN '1' ELSE '0' END""".stripMargin.replace("\n", " ")
+        }.mkString(" || ")
+        s"""
+        SELECT doc_id, $bits AS simhash
+        FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
+    // ---- n-gram Jaccard on a capped id range (verification tier) --------
+    // At scale this runs on LSH candidates only; the cap keeps the
+    // all-pairs verification query scale-independent.
+    QueryDef("q34_jaccard_pairs",
+      (s, dir) => {
+        Dedup.ngramJaccardPairs(
+            docs(s, dir).filter(col("doc_id") < 80), "doc_id", "text", n = 3)
+          .orderBy("id1", "id2")
+      },
+      Some("""
+        WITH grams AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+              unnest(list_transform(range(1, len(l)-1),
+                     i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
+            FROM (SELECT doc_id, string_split(text,' ') AS l
+                  FROM documents WHERE doc_id < 80))),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id1, id2,
+               CAST(n_inter AS DOUBLE) / CAST(s1.sz + s2.sz - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        ORDER BY 1, 2""")))
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity-search battery over `embeddings` (array<float>, 64-dim).
+  *
+  * Oracle-parity numeric strategy: per-element products are computed in
+  * double (float→double widening is exact, one IEEE multiply is
+  * bit-identical everywhere), then accumulated in DECIMAL(38,18) — exact
+  * and order-insensitive, so Spark's shuffle order and DuckDB's scan order
+  * produce identical bits; the final cosine is a double division of
+  * identical inputs. The fast float path (fold-order `aggregate`) lives in
+  * [[graft.operators.Similarity]] and is what a latency-sensitive caller
+  * uses; these queries take the portable-exact path.
+  */
+object SimilarityOps {
+
+  private val D = DecimalType(38, 18)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+
+  /** Exact (decimal-accumulated) cosine of every vector vs `vec_id = 0`,
+    * over an optional candidate subset.
+    */
+  private def exactCosine(vecs: DataFrame): DataFrame = {
+    val e = vecs
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("vec_id"), col("pos"), col("vf").cast(DoubleType).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("pos"), col("v").as("qv"))
+    val d = e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), "pos")
+      .groupBy("vec_id")
+      .agg(
+        sum((col("v") * col("qv")).cast(D)).as("dot_d"),
+        sum((col("v") * col("v")).cast(D)).as("na_d"))
+    val nq = q.agg(sum((col("qv") * col("qv")).cast(D)).as("nq_d"))
+    // Final cosine is rounded to a 1e-9 grid: the decimal→double
+    // conversion of the (identical) exact sums can differ by an ulp
+    // between engines, and both Spark's BigDecimal round and DuckDB's
+    // round(x,9) land on the same double for any value on that grid.
+    d.crossJoin(broadcast(nq))
+      .select(col("vec_id"),
+        round(col("dot_d").cast(DoubleType) /
+          (sqrt(col("na_d").cast(DoubleType)) * sqrt(col("nq_d").cast(DoubleType))),
+          9).as("cosine"))
+  }
+
+  /** Shared DuckDB CTEs: element-exploded embeddings + query vector. */
+  private val expandCte = """
+    e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings),
+    q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 0),
+    nq AS (SELECT CAST(SUM(CAST(qv*qv AS DECIMAL(38,18))) AS DOUBLE) AS nqv FROM q)"""
+
+  private val cosineCte = s"""
+    $expandCte,
+    d AS (SELECT e.vec_id,
+                 CAST(SUM(CAST(e.v*q.qv AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+                 CAST(SUM(CAST(e.v*e.v AS DECIMAL(38,18))) AS DOUBLE) AS na
+          FROM e JOIN q USING (pos) WHERE e.vec_id <> 0 GROUP BY 1),
+    cos AS (SELECT vec_id, round(dot/(sqrt(na)*sqrt(nqv)), 9) AS cosine FROM d, nq)"""
+
+  private def bucketSql(tbl: String): String =
+    Similarity.defaultPairs.map { case (i, j) =>
+      s"CASE WHEN $tbl.embedding[$i] > $tbl.embedding[$j] THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- brute-force exact cosine top-k (the ANN baseline) --------------
+    QueryDef("q40_cosine_topk",
+      (s, dir) => {
+        exactCosine(emb(s, dir))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH $cosineCte
+        SELECT vec_id, cosine FROM cos
+        ORDER BY cosine DESC, vec_id LIMIT 20""")),
+
+    // ---- LSH-bucketed ANN: sign-bit coarse quantizer + in-bucket rank ---
+    // The scale path: bucket assignment is per-row; written
+    // partitionBy(bucket), a query scans ONE partition (IVF layout).
+    QueryDef("q41_ann_lsh",
+      (s, dir) => {
+        val vecs = emb(s, dir)
+        val bucketed = Similarity.signLshBuckets(vecs, "embedding")
+        val qBucket = bucketed.filter(col("vec_id") === 0)
+          .select(col("bucket").as("qb"))
+        // The query vector matches its own bucket, so `cands` always
+        // contains vec_id 0 and exactCosine can extract it.
+        val cands = bucketed.join(broadcast(qBucket),
+            col("bucket") === col("qb"))
+          .select("vec_id", "embedding")
+        exactCosine(cands)
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""
+        WITH b AS (SELECT vec_id, ${bucketSql("embeddings")} AS bucket
+                   FROM embeddings),
+        qb AS (SELECT bucket AS qbk FROM b WHERE vec_id = 0),
+        cand AS (SELECT b.vec_id FROM b, qb WHERE b.bucket = qb.qbk),
+        $expandCte,
+        d AS (SELECT e.vec_id,
+                     CAST(SUM(CAST(e.v*q.qv AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+                     CAST(SUM(CAST(e.v*e.v AS DECIMAL(38,18))) AS DOUBLE) AS na
+              FROM e JOIN q USING (pos)
+              WHERE e.vec_id <> 0 AND e.vec_id IN (SELECT vec_id FROM cand)
+              GROUP BY 1)
+        SELECT vec_id, round(dot/(sqrt(na)*sqrt(nqv)), 9) AS cosine FROM d, nq
+        ORDER BY cosine DESC, vec_id LIMIT 10""")),
+
+    // ---- per-label centroids (the IVF coarse-centroid building block) ---
+    QueryDef("q42_label_centroids",
+      (s, dir) => {
+        emb(s, dir)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+          .select(col("label"), (col("pos") + 1).as("pos"),
+            col("vf").cast(DoubleType).as("v"))
+          .groupBy("label", "pos")
+          .agg(round(sum(col("v").cast(D)).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType), 9).as("centroid"),
+            count(lit(1)).as("n"))
+          .orderBy("label", "pos")
+      },
+      Some("""
+        SELECT label, pos,
+               round(CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 9) AS centroid,
+               count(*) AS n
+        FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+        GROUP BY 1, 2 ORDER BY 1, 2""")))
+}

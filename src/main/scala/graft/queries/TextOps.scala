@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis battery over the `documents` table: token counting,
+  * quality scoring, language-ID heuristics, fingerprinting — the
+  * text-statistics layer of a training-data pipeline. All per-document
+  * map-side work: no shuffle at all except the final presentation sort,
+  * so it scales linearly with input splits.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  private val stopwords = Seq("the", "a")
+  private val codeWords = Seq("spark", "hash", "vector", "query")
+  private val bizWords = Seq("customer", "order", "value", "line")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- token counting: whitespace + BPE-ish regex pre-tokenizer ------
+    QueryDef("q20_token_count",
+      (s, dir) => {
+        docs(s, dir).select(
+            col("doc_id"),
+            tokenCountWs(col("text")).as("n_ws_tokens"),
+            tokenCountBpe(col("text")).as("n_bpe_tokens"),
+            length(col("text")).as("n_chars_actual"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+               length(text) AS n_chars_actual
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- quality scoring: length / punctuation / stopword ratios --------
+    QueryDef("q21_quality_score",
+      (s, dir) => {
+        val nWords = tokenCountWs(col("text"))
+        val nStop = wordHits(col("text"), stopwords)
+        val d = docs(s, dir).select(
+          col("doc_id"),
+          nWords.as("n_words"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double") /
+            nWords.cast("double")).as("avg_word_len"),
+          (nStop.cast("double") / nWords.cast("double")).as("stop_ratio"),
+          regexp_count(col("text"), lit("[^a-z0-9 ]")).as("n_punct"))
+        d.withColumn("keep",
+            when(col("n_words").between(20, 1000) && col("stop_ratio") < 0.3, 1)
+              .otherwise(0))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, n_words, avg_word_len, stop_ratio, n_punct,
+               CASE WHEN n_words BETWEEN 20 AND 1000 AND stop_ratio < 0.3
+                    THEN 1 ELSE 0 END AS keep
+        FROM (
+          SELECT doc_id,
+                 len(string_split(text,' ')) AS n_words,
+                 CAST(length(replace(text,' ','')) AS DOUBLE)
+                   / CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_word_len,
+                 CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS DOUBLE)
+                   / CAST(len(string_split(text,' ')) AS DOUBLE) AS stop_ratio,
+                 len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct
+          FROM documents)
+        ORDER BY doc_id""")),
+
+    // ---- language ID: n-gram/keyword-hit heuristic ----------------------
+    // Scores per signal vocabulary, deterministic argmax with fixed
+    // tie-break order. (On the synthetic corpus every class is reachable;
+    // the point is the operator shape: portable scoring + argmax.)
+    QueryDef("q22_lang_id",
+      (s, dir) => {
+        val sStop = wordHits(col("text"), stopwords)
+        val sCode = wordHits(col("text"), codeWords)
+        val sBiz = wordHits(col("text"), bizWords)
+        docs(s, dir).select(col("doc_id"),
+            sStop.as("s_stop"), sCode.as("s_code"), sBiz.as("s_biz"))
+          .withColumn("predicted",
+            when(col("s_code") >= col("s_biz") && col("s_code") >= col("s_stop"), "code")
+              .when(col("s_biz") >= col("s_stop"), "business")
+              .otherwise("prose"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, s_stop, s_code, s_biz,
+               CASE WHEN s_code >= s_biz AND s_code >= s_stop THEN 'code'
+                    WHEN s_biz >= s_stop THEN 'business'
+                    ELSE 'prose' END AS predicted
+        FROM (
+          SELECT doc_id,
+                 len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS s_stop,
+                 len(list_filter(string_split(text,' '), w -> w IN ('spark','hash','vector','query'))) AS s_code,
+                 len(list_filter(string_split(text,' '), w -> w IN ('customer','order','value','line'))) AS s_biz
+          FROM documents)
+        ORDER BY doc_id""")),
+
+    // ---- document fingerprinting ----------------------------------------
+    // md5 over normalized text (full-doc fingerprint) plus a 64-char-prefix
+    // fingerprint (cheap pre-filter for clustering).
+    QueryDef("q23_fingerprint",
+      (s, dir) => {
+        docs(s, dir).select(
+            col("doc_id"),
+            md5(normalizeText(col("text"))).as("fp_full"),
+            md5(substring(normalizeText(col("text")), 1, 64)).as("fp_prefix"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, md5(norm) AS fp_full, md5(substr(norm,1,64)) AS fp_prefix
+        FROM (SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]','','g'),
+                                    ' +',' ','g')) AS norm
+              FROM documents)
+        ORDER BY doc_id""")))
+}
