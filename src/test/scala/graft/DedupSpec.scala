@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Dedup
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = df("doc_id BIGINT, text STRING",
+    Row(Long.box(1), "the quick brown fox jumps over the lazy dog"),
+    Row(Long.box(2), "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    Row(Long.box(3), "completely different words entirely here now"),
+    Row(Long.box(4), "the quick brown fox jumps over the lazy dog")) // exact dup of 1
+
+  test("exactGroups collapses identical bodies to the minimum id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(g == Map(1L -> 2L, 2L -> 1L, 3L -> 1L)) // canonical -> n_copies
+  }
+
+  test("wordShingles produces ordered n-grams; short docs yield empty") {
+    val sh = df("t STRING", Row("a b c d"), Row("a b"))
+      .select(wordShingles(col("t"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq.empty)
+  }
+
+  test("minhash signatures: identical docs share all values; near-dups share some") {
+    val sig = Dedup.minhashSignatures(docs, "text", k = 4, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (2 to 5).map(r.getString)).toMap
+    assert(sig(1L) == sig(4L), "exact dups must have identical signatures")
+    assert(sig(1L) != sig(3L), "unrelated docs must differ")
+    val shared = sig(1L).zip(sig(2L)).count { case (a, b) => a == b }
+    assert(shared >= 1, s"near-dups should collide on some minhash (got $shared)")
+  }
+
+  test("lshCandidatePairs surfaces exact and near dups, id1 < id2") {
+    val pairs = rowSet(Dedup.lshCandidatePairs(docs, "doc_id", "text",
+      k = 4, n = 3, bandWidth = 2))
+    assert(pairs.contains(Seq(1L, 4L)), "exact dup must be a candidate")
+    assert(pairs.forall(p => p(0).asInstanceOf[Long] < p(1).asInstanceOf[Long]))
+    assert(!pairs.exists(p => p.contains(3L)), "unrelated doc must not pair")
+  }
+
+  test("simhash16: deterministic, equal for dups, Hamming-near for near-dups") {
+    val h = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h(1L) == h(4L))
+    assert(h.values.forall(v => v.length == 16 && v.forall("01".contains(_))))
+    val hamming = h(1L).zip(h(2L)).count { case (a, b) => a != b }
+    assert(hamming <= 8, s"near-dups should be Hamming-close (got $hamming)")
+  }
+
+  test("ngramJaccardPairs: exact dup scores 1.0, near-dup in (0,1)") {
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 4L)) == 1.0)
+    val nd = j((1L, 2L))
+    assert(nd > 0.0 && nd < 1.0)
+    assert(!j.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private def base = df("id BIGINT, payload STRING",
+    Row(Long.box(1), "abcdefghij"), Row(Long.box(2), "xy"))
+
+  test("asMediaTable: binary payload + populated metadata struct") {
+    val m = Multimodal.asMediaTable(base, "id", "payload", "image")
+    val r = m.filter(col("media_id") === 1).head()
+    val meta = r.getStruct(2)
+    assert(new String(r.getAs[Array[Byte]](1)) == "abcdefghij")
+    assert(meta.getAs[String]("kind") == "image")
+    assert(meta.getAs[Long]("n_bytes") == 10L)
+    assert(meta.getAs[Int]("width") == 42) // 10 % 1024 + 32
+  }
+
+  test("decodeFeatures: deterministic stub features of the declared dim") {
+    val m = Multimodal.asMediaTable(base, "id", "payload", "image")
+    val dec = new Multimodal.StubDecoder(8)
+    val f1 = Multimodal.decodeFeatures(m, dec)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val f2 = Multimodal.decodeFeatures(m, dec)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1 == f2, "decode must be deterministic")
+    assert(f1(1L).size == 8)
+    assert(f1(1L) != f1(2L))
+    assert(f1.values.flatten.forall(v => v >= 0.0f && v <= 1.0f))
+  }
+
+  test("frameSample slices payload at stride with cap; short payload yields none") {
+    val m = Multimodal.asMediaTable(base, "id", "payload", "video")
+    val out = Multimodal.frameSample(m, frameBytes = 4, stride = 2, maxFrames = 3)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Array[Byte]](3).map(new String(_))).toMap
+    assert(out(1L) == Seq("abcd", "cdef", "efgh")) // capped at 3 frames
+    assert(out(2L) == Seq.empty)                    // 2 bytes < frame size
+  }
+}

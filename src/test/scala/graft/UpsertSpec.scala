@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.Upsert
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class UpsertSpec extends SparkSpec {
+
+  private def target = df("k BIGINT, v STRING, t BIGINT",
+    Row(Long.box(1), "t1", Long.box(10)),
+    Row(Long.box(2), "t2", Long.box(10)),
+    Row(Long.box(3), "t3", Long.box(10)))
+
+  test("matched rows update, unmatched source rows insert, untouched rows survive") {
+    val source = df("k BIGINT, v STRING, t BIGINT",
+      Row(Long.box(2), "s2", Long.box(20)),
+      Row(Long.box(9), "s9", Long.box(20)))
+    val out = Upsert.upsert(target, source, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "t1", 2L -> "s2", 3L -> "t3", 9L -> "s9"))
+  }
+
+  test("updateCond guards the update (hash/recency guard semantics)") {
+    val source = df("k BIGINT, v STRING, t BIGINT",
+      Row(Long.box(1), "stale", Long.box(5)),   // older than target
+      Row(Long.box(2), "fresh", Long.box(20)))  // newer
+    val out = Upsert.upsert(target, source, Seq("k"),
+        updateCond = Some("s.t >= t.t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "t1", 2L -> "fresh", 3L -> "t3"))
+  }
+
+  test("partial-column update keeps unlisted columns from the target") {
+    val source = df("k BIGINT, v STRING, t BIGINT",
+      Row(Long.box(1), "sv", Long.box(99)))
+    val out = Upsert.upsert(target, source, Seq("k"),
+        updateExprs = Map("t" -> "s.t"))   // update t only, keep v
+      .filter(col("k") === 1).head()
+    assert(out.getString(1) == "t1" && out.getLong(2) == 99L)
+  }
+
+  test("source key duplicates collapse latest-wins under sourceOrder") {
+    val source = df("k BIGINT, v STRING, t BIGINT",
+      Row(Long.box(1), "older", Long.box(11)),
+      Row(Long.box(1), "newest", Long.box(12)))
+    val out = Upsert.upsert(target, source, Seq("k"),
+        sourceOrder = Seq(col("t").desc))
+      .filter(col("k") === 1).head()
+    assert(out.getString(1) == "newest")
+  }
+
+  test("targetPrune passes out-of-scope target rows through untouched") {
+    val source = df("k BIGINT, v STRING, t BIGINT",
+      Row(Long.box(3), "hit", Long.box(20)))
+    // Prune scope k >= 3: row 3 merges; rows 1,2 bypass the join entirely.
+    val out = Upsert.upsert(target, source, Seq("k"),
+        targetPrune = Some(col("k") >= 3))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "t1", 2L -> "t2", 3L -> "hit"))
+  }
+
+  test("upsert is idempotent: applying the same source twice equals once") {
+    val source = df("k BIGINT, v STRING, t BIGINT",
+      Row(Long.box(2), "s2", Long.box(20)),
+      Row(Long.box(9), "s9", Long.box(20)))
+    val once = Upsert.upsert(target, source, Seq("k"))
+    val twice = Upsert.upsert(once, source, Seq("k"))
+    assert(rowSet(once) == rowSet(twice))
+  }
+
+  test("upsertAuto: row_hash guard skips no-op updates, recency wins") {
+    val tgt = df("k BIGINT, v STRING, row_hash STRING, updateTime BIGINT",
+      Row(Long.box(1), "a", "h1", Long.box(10)))
+    val samePayload = df("k BIGINT, v STRING, row_hash STRING, updateTime BIGINT",
+      Row(Long.box(1), "a-updated", "h1", Long.box(5)))
+    // same hash AND older timestamp → no update
+    val kept = Upsert.upsertAuto(tgt, samePayload, Seq("k")).head()
+    assert(kept.getString(1) == "a")
+    val newer = df("k BIGINT, v STRING, row_hash STRING, updateTime BIGINT",
+      Row(Long.box(1), "b", "h2", Long.box(20)))
+    assert(Upsert.upsertAuto(tgt, newer, Seq("k")).head().getString(1) == "b")
+  }
+
+  test("applyToPartitionedParquet rewrites only the touched partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_pq").toString
+    val init = df("k BIGINT, v STRING, d STRING",
+      Row(Long.box(1), "a", "2024-01-01"),
+      Row(Long.box(2), "b", "2024-01-02"),
+      Row(Long.box(3), "c", "2024-01-03"))
+    init.write.mode("overwrite").partitionBy("d").parquet(dir)
+    val before = new java.io.File(s"$dir/d=2024-01-01").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val source = df("k BIGINT, v STRING, d STRING",
+      Row(Long.box(2), "B2", "2024-01-02"),
+      Row(Long.box(4), "d4", "2024-01-03"))
+    Upsert.applyToPartitionedParquet(spark, dir, source, Seq("k"), "d")
+    val after = spark.read.parquet(dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d4"))
+    // Partition 2024-01-01 was outside the source's range → its files
+    // must be byte-identical (dynamic overwrite never rewrote them).
+    val untouched = new java.io.File(s"$dir/d=2024-01-01").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(untouched == before)
+  }
+}
