@@ -13,7 +13,8 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     queries_relational ++ queries_extensions
 
-  private def queries_relational: Seq[QueryDef] = graft.queries.Relational.defs
+  private def queries_relational: Seq[QueryDef] =
+    graft.queries.Relational.defs ++ graft.queries.PipelineOps.defs
   private def queries_extensions: Seq[QueryDef] =
     graft.queries.TextOps.defs ++ graft.queries.DedupOps.defs ++
       graft.queries.SimilarityOps.defs ++ graft.queries.MultimodalOps.defs

@@ -1,0 +1,302 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.JsonExtract
+import graft.pipelines.FactStaffDaily
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-pipeline parity battery: JSON payload extraction (P3-P6,
+  * P13) and the full two-pass fact refresh (E3) driven end-to-end over
+  * analog tables synthesized deterministically from the fixture data —
+  * the same construction is stated in both engines, so the oracle checks
+  * the *pipeline semantics* (extraction fallback chains, tz duality,
+  * classifier regexes, merge behavior), not the synthesis.
+  */
+object PipelineOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  // ---- analog input tables for the fact refresh -----------------------
+  // call_log analog from `events`; customer analog from `customer`;
+  // group analog from `region`. All derived columns are functionally
+  // dependent on the grouping keys so ANY_VALUE/first is deterministic
+  // in both engines.
+
+  private[graft] def callLogAnalog(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      unix_millis(col("ts")).as("createTime"),
+      unix_millis(col("ts")).as("startTime"),
+      (unix_millis(col("ts")) + floor(col("value") * 1000).cast(LongType)).as("endTime"),
+      when(col("value") >= 100, floor(col("value")).cast(LongType))
+        .otherwise(lit(0L)).as("billDuration"),
+      concat(lit("09"), (col("event_id") % 211).cast(StringType)).as("toNumber"),
+      col("user_id").cast(StringType).as("fromUser__id"),
+      concat(lit("NV"), col("user_id").cast(StringType)).as("fromUser__name"),
+      (col("user_id") % 7).cast(StringType).as("fromGroup__id"),
+      to_date(col("ts")).as("NgayTao"),
+      lit("PK").as("tenant"))
+
+  private[graft] def customerAnalog(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .withColumn("NgayUpdate",
+        date_add(to_date(lit("2024-01-01")), (col("c_custkey") % 30).cast(IntegerType)))
+      .withColumn("NgayAssign",
+        date_add(to_date(lit("2024-01-01")), (col("c_custkey") % 35).cast(IntegerType)))
+      .select(
+        col("c_custkey").cast(StringType).as("_id"),
+        concat(lit("09"), (col("c_custkey") % 211).cast(StringType)).as("phone"),
+        (unix_date(col("NgayAssign")).cast(LongType) * 86400000L +
+          (col("c_custkey") % 24) * 3600000L).as("assignedTime"),
+        (col("c_custkey") % 150).cast(StringType).as("user_id"),
+        concat(lit("NV"), (col("c_custkey") % 150).cast(StringType)).as("user_name"),
+        ((col("c_custkey") % 150) % 7).cast(StringType).as("user_group_id"),
+        when(col("c_custkey") % 8 === 0, "Kết bạn Zalo")
+          .when(col("c_custkey") % 8 === 1, "Có nhu cầu")
+          .when(col("c_custkey") % 8 === 2, "suy nghĩ thêm")
+          .when(col("c_custkey") % 8 === 3, "không nhu cầu")
+          .when(col("c_custkey") % 8 === 4, "đã có thẻ")
+          .when(col("c_custkey") % 8 === 5, "khách không tương tác")
+          .when(col("c_custkey") % 8 === 6, "không nghe máy")
+          .otherwise("Bận").as("customField_0_val"),
+        col("NgayUpdate"), col("NgayAssign"),
+        lit("PK").as("tenant"))
+
+  private[graft] def groupAnalog(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").select(
+      col("r_regionkey").cast(StringType).as("group_id"),
+      col("r_name").as("name"))
+
+  /** Shared status-label construction CASE, stated once for the oracle. */
+  private val statusCaseSql = """CASE c_custkey % 8
+           WHEN 0 THEN 'Kết bạn Zalo' WHEN 1 THEN 'Có nhu cầu'
+           WHEN 2 THEN 'suy nghĩ thêm' WHEN 3 THEN 'không nhu cầu'
+           WHEN 4 THEN 'đã có thẻ' WHEN 5 THEN 'khách không tương tác'
+           WHEN 6 THEN 'không nghe máy' ELSE 'Bận' END"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- P6/P13: customFields cf0 extraction, all fallback branches ----
+    // (reference utils.py:104-155). The JSON is constructed per-row to
+    // exercise: val branch, key normalization + value branch, values
+    // list with trim/dedup/" | " join, no-match → null, and Python-repr
+    // input with text branch + None literal.
+    QueryDef("q18_cf0_extract",
+      (s, dir) => {
+        val k = col("p_partkey")
+        val cf = when(k % 5 === 0, format_string(
+            """[{"key":"tinh-trang-kh","val":"%s"},{"key":"x","val":"zz"}]""",
+            col("p_brand")))
+          .when(k % 5 === 1, format_string(
+            """[{"key":" Tinh-Trang-KH ","value":"%s"}]""", col("p_brand")))
+          .when(k % 5 === 2, format_string(
+            """[{"key":"tinh-trang-kh","values":["%s"," %s ","%s",""]}]""",
+            col("p_brand"), col("p_type"), col("p_brand")))
+          .when(k % 5 === 3, lit("""[{"key":"other","val":"zz"}]"""))
+          .otherwise(format_string(
+            """[{'key': 'tinh-trang-kh', 'text': '%s', 'name': None}]""",
+            col("p_brand")))
+        t(s, dir, "part")
+          .select(k, JsonExtract.customField0(cf).as("cf0"))
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey,
+               CASE p_partkey % 5
+                 WHEN 0 THEN p_brand
+                 WHEN 1 THEN p_brand
+                 WHEN 2 THEN p_brand || ' | ' || p_type
+                 WHEN 3 THEN NULL
+                 ELSE p_brand END AS cf0
+        FROM part ORDER BY p_partkey""")),
+
+    // ---- P3-P5/P13: user object extraction with shape tolerance --------
+    // (reference utils.py:158-203): strict JSON with object group,
+    // id-variant keys, Python-repr with scalar group, null payload.
+    QueryDef("q19_user_extract",
+      (s, dir) => {
+        val k = col("c_custkey")
+        val user = when(k % 4 === 0, format_string(
+            """{"_id":"u%s","name":"%s","group":{"_id":"g%s"}}""",
+            k, col("c_name"), col("c_nationkey")))
+          .when(k % 4 === 1, format_string(
+            """{"id":"u%s","name":"%s","group":{"id":"g%s"}}""",
+            k, col("c_name"), col("c_nationkey")))
+          .when(k % 4 === 2, format_string(
+            """{'_id': 'u%s', 'name': '%s', 'group': 'g%s'}""",
+            k, col("c_name"), col("c_nationkey")))
+          .otherwise(lit(null).cast(StringType))
+        t(s, dir, "customer")
+          .select(k,
+            JsonExtract.userId(user).as("uid"),
+            JsonExtract.userName(user).as("uname"),
+            JsonExtract.userGroupId(user).as("gid"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 4 = 3 THEN NULL
+                    ELSE 'u' || CAST(c_custkey AS VARCHAR) END AS uid,
+               CASE WHEN c_custkey % 4 = 3 THEN NULL ELSE c_name END AS uname,
+               CASE WHEN c_custkey % 4 = 3 THEN NULL
+                    ELSE 'g' || CAST(c_nationkey AS VARCHAR) END AS gid
+        FROM customer ORDER BY c_custkey""")),
+
+    // ---- E3: the full two-pass fact refresh (MERGE A + MERGE B) --------
+    // (reference runner.py:589-874) against an empty target over a
+    // 2024-01-10..17 window — exercises the VN+7 reporting dates vs UTC
+    // dim dates (X-date), broadcast dim joins, full-outer metric join,
+    // phone-join row multiplication, the four Vietnamese classifiers,
+    // and MERGE B's partial-column-update insert/update split.
+    QueryDef("q60_fact_staff_daily",
+      (s, dir) => {
+        val empty = s.createDataFrame(
+          java.util.Collections.emptyList[Row](), FactStaffDaily.factTemplate)
+        FactStaffDaily.refresh(empty,
+            callLogAnalog(s, dir), customerAnalog(s, dir), groupAnalog(s, dir),
+            to_date(lit("2024-01-10")), to_date(lit("2024-01-17")))
+          .orderBy("Ngay", "MaNV_id")
+      },
+      Some(s"""
+        WITH cl AS (
+          SELECT epoch_ms(ts) AS createTime, epoch_ms(ts) AS startTime,
+                 epoch_ms(ts) + CAST(floor(value*1000) AS BIGINT) AS endTime,
+                 CASE WHEN value >= 100 THEN CAST(floor(value) AS BIGINT)
+                      ELSE 0 END AS billDuration,
+                 '09' || CAST(event_id % 211 AS VARCHAR) AS toNumber,
+                 CAST(user_id AS VARCHAR) AS fromUser__id,
+                 'NV' || CAST(user_id AS VARCHAR) AS fromUser__name,
+                 CAST(user_id % 7 AS VARCHAR) AS fromGroup__id,
+                 CAST(ts AS DATE) AS NgayTao
+          FROM events),
+        cu AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS _id,
+                 '09' || CAST(c_custkey % 211 AS VARCHAR) AS phone,
+                 epoch_ms(CAST(DATE '2024-01-01' + CAST(c_custkey % 35 AS INT) AS TIMESTAMP))
+                   + (c_custkey % 24) * 3600000 AS assignedTime,
+                 CAST(c_custkey % 150 AS VARCHAR) AS user_id,
+                 'NV' || CAST(c_custkey % 150 AS VARCHAR) AS user_name,
+                 CAST((c_custkey % 150) % 7 AS VARCHAR) AS user_group_id,
+                 $statusCaseSql AS customField_0_val,
+                 DATE '2024-01-01' + CAST(c_custkey % 30 AS INT) AS NgayUpdate,
+                 DATE '2024-01-01' + CAST(c_custkey % 35 AS INT) AS NgayAssign
+          FROM customer),
+        g AS (SELECT CAST(r_regionkey AS VARCHAR) AS group_id, r_name AS name FROM region),
+        calls AS (
+          SELECT CAST(make_timestamp(createTime*1000) + INTERVAL 7 HOUR AS DATE) AS Ngay,
+                 fromUser__id AS MaNV_id,
+                 any_value(fromUser__name) AS MaNV,
+                 any_value(COALESCE(g.name, 'Unassigned')) AS Team,
+                 count(*) AS TongCuoc,
+                 count(DISTINCT toNumber) AS SoSDT_Unique,
+                 SUM(CASE WHEN billDuration > 0 THEN 1 ELSE 0 END) AS SoCuoc_NoiMay,
+                 SUM(CASE WHEN billDuration = 0 THEN 1 ELSE 0 END) AS SoCuoc_KhongNoiMay,
+                 CAST(SUM(CAST(CASE WHEN billDuration > 0
+                     THEN CAST(billDuration AS DOUBLE) ELSE 0 END AS DECIMAL(28,6)))
+                   AS DOUBLE) AS TongThoiluongGoi_Giay,
+                 CAST(SUM(CAST(CASE WHEN billDuration = 0 AND endTime IS NOT NULL
+                       AND startTime IS NOT NULL
+                     THEN GREATEST(CAST(endTime - startTime AS DOUBLE)/1000.0
+                       - CAST(billDuration AS DOUBLE), 0) ELSE 0 END AS DECIMAL(28,6)))
+                   AS DOUBLE) AS TongRungChuong_Giay,
+                 max(createTime) AS max_create_ms
+          FROM cl LEFT JOIN g ON cl.fromGroup__id = g.group_id
+          WHERE createTime IS NOT NULL
+            AND NgayTao BETWEEN DATE '2024-01-10' AND DATE '2024-01-17'
+          GROUP BY 1,2),
+        assigned AS (
+          SELECT CAST(make_timestamp(assignedTime*1000) + INTERVAL 7 HOUR AS DATE) AS Ngay,
+                 user_id AS MaNV_id,
+                 any_value(user_name) AS MaNV,
+                 any_value(user_group_id) AS group_id,
+                 count(DISTINCT _id) AS SoDataNhan,
+                 max(assignedTime) AS max_assigned_ms
+          FROM cu
+          WHERE (NgayUpdate BETWEEN DATE '2024-01-10' AND DATE '2024-01-17'
+                 OR NgayAssign BETWEEN DATE '2024-01-10' AND DATE '2024-01-17')
+            AND assignedTime IS NOT NULL
+            AND CAST(make_timestamp(assignedTime*1000) + INTERVAL 7 HOUR AS DATE)
+                BETWEEN DATE '2024-01-10' AND DATE '2024-01-17'
+          GROUP BY 1,2),
+        agg_assigned AS (
+          SELECT a.Ngay, a.MaNV_id, any_value(a.MaNV) AS MaNV,
+                 any_value(g.name) AS Team,
+                 max(a.SoDataNhan) AS SoDataNhan,
+                 max(a.max_assigned_ms) AS max_assigned_ms
+          FROM assigned a LEFT JOIN g ON a.group_id = g.group_id
+          GROUP BY 1,2),
+        sa AS (
+          SELECT COALESCE(c.Ngay, s.Ngay) AS Ngay,
+                 COALESCE(c.Team, s.Team) AS Team,
+                 COALESCE(c.MaNV_id, s.MaNV_id) AS MaNV_id,
+                 COALESCE(c.MaNV, s.MaNV) AS MaNV,
+                 COALESCE(c.TongCuoc, 0) AS TongCuoc,
+                 COALESCE(c.SoSDT_Unique, 0) AS SoSDT_Unique,
+                 COALESCE(c.SoCuoc_NoiMay, 0) AS SoCuoc_NoiMay,
+                 COALESCE(c.SoCuoc_KhongNoiMay, 0) AS SoCuoc_KhongNoiMay,
+                 COALESCE(c.TongThoiluongGoi_Giay, 0) AS TongThoiluongGoi_Giay,
+                 COALESCE(c.TongRungChuong_Giay, 0) AS TongRungChuong_Giay,
+                 COALESCE(s.SoDataNhan, 0) AS SoDataNhan,
+                 GREATEST(COALESCE(c.max_create_ms, 0), 0) AS max_create_ms,
+                 COALESCE(s.max_assigned_ms, 0) AS max_assigned_ms
+          FROM calls c FULL OUTER JOIN agg_assigned s
+            ON c.Ngay = s.Ngay AND c.MaNV_id = s.MaNV_id
+          WHERE COALESCE(c.MaNV_id, s.MaNV_id) IS NOT NULL),
+        sfc AS (
+          SELECT NgayTao AS Ngay, fromUser__id AS MaNV_id,
+                 any_value(fromUser__name) AS MaNV, any_value(fromGroup__id) AS group_id
+          FROM cl WHERE NgayTao BETWEEN DATE '2024-01-10' AND DATE '2024-01-17'
+          GROUP BY 1,2),
+        sfu AS (
+          SELECT COALESCE(NgayAssign, NgayUpdate) AS Ngay, user_id AS MaNV_id,
+                 any_value(user_name) AS MaNV, any_value(user_group_id) AS group_id
+          FROM cu
+          WHERE (NgayAssign BETWEEN DATE '2024-01-10' AND DATE '2024-01-17')
+             OR (NgayUpdate BETWEEN DATE '2024-01-10' AND DATE '2024-01-17')
+          GROUP BY 1,2),
+        s1 AS (
+          SELECT Ngay, MaNV_id, any_value(MaNV) AS MaNV, any_value(group_id) AS group_id
+          FROM (SELECT * FROM sfc UNION ALL SELECT * FROM sfu)
+          GROUP BY 1,2),
+        se AS (
+          SELECT s1.Ngay, s1.MaNV_id, s1.MaNV, COALESCE(g.name, 'Unassigned') AS Team
+          FROM s1 LEFT JOIN g ON s1.group_id = g.group_id),
+        ca AS (
+          SELECT NgayTao AS Ngay, fromUser__id AS MaNV_id, toNumber AS SDTKhach
+          FROM cl WHERE NgayTao BETWEEN DATE '2024-01-10' AND DATE '2024-01-17'),
+        cr AS (
+          SELECT phone, NULLIF(TRIM(customField_0_val), '') AS st
+          FROM cu WHERE NgayUpdate BETWEEN DATE '2024-01-10' AND DATE '2024-01-17'),
+        sp AS (
+          SELECT Ngay, MaNV_id,
+                 SUM(CASE WHEN lower(trim(st)) LIKE '%zalo%' THEN 1 ELSE 0 END) AS SoSDT_KetBanZalo,
+                 SUM(CASE WHEN lower(trim(st)) IN ('có nhu cầu','co nhu cau')
+                       OR regexp_matches(lower(trim(st)), 'không đủ điều kiện|khong du dieu kien|suy nghĩ thêm|suy nghi them')
+                     THEN 1 ELSE 0 END) AS SoSDT_CoNhuCau,
+                 SUM(CASE WHEN regexp_matches(lower(trim(st)), 'không nhu cầu|khong nhu cau|không có nhu cầu|khong co nhu cau|khách chửi nhân viên|khach chui nhan vien|tắt máy ngang|tat may ngang|khách không tương tác|khach khong tuong tac|đã có thẻ|da co the')
+                     THEN 1 ELSE 0 END) AS SoSDT_TuChoi,
+                 SUM(CASE WHEN regexp_matches(lower(trim(st)), 'máy không nghe được|may khong nghe duoc|không nghe máy|khong nghe may|thuê bao|thue bao')
+                       OR lower(trim(st)) IN ('bận','ban')
+                     THEN 1 ELSE 0 END) AS SoSDT_KhongNgheMay
+          FROM (SELECT ca.Ngay, ca.MaNV_id, cr.st
+                FROM ca LEFT JOIN cr ON ca.SDTKhach = cr.phone)
+          GROUP BY 1,2),
+        sb AS (
+          SELECT p.Ngay, se.Team AS Team, p.MaNV_id, se.MaNV AS MaNV,
+                 p.SoSDT_KetBanZalo, p.SoSDT_CoNhuCau, p.SoSDT_TuChoi, p.SoSDT_KhongNgheMay
+          FROM sp p LEFT JOIN se ON p.Ngay = se.Ngay AND p.MaNV_id = se.MaNV_id)
+        SELECT COALESCE(a.Ngay, b.Ngay) AS Ngay,
+               'PK' AS Tenant,
+               COALESCE(a.Team, b.Team) AS Team,
+               COALESCE(a.MaNV_id, b.MaNV_id) AS MaNV_id,
+               COALESCE(a.MaNV, b.MaNV) AS MaNV,
+               a.TongCuoc, a.SoSDT_Unique, a.SoCuoc_NoiMay, a.SoCuoc_KhongNoiMay,
+               a.TongThoiluongGoi_Giay, a.TongRungChuong_Giay, a.SoDataNhan,
+               a.max_create_ms, a.max_assigned_ms,
+               b.SoSDT_KetBanZalo, b.SoSDT_CoNhuCau, b.SoSDT_TuChoi, b.SoSDT_KhongNgheMay
+        FROM sa a FULL OUTER JOIN sb b
+          ON a.Ngay = b.Ngay AND a.MaNV_id = b.MaNV_id
+        ORDER BY 1, 4""")))
+}
