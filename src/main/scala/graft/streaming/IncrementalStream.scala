@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.operators.Upsert
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming face of the incremental-ingestion semantics
+  * (SURVEY.md §2.9): the reference's checkpointed batch pulls map onto
+  * readStream → watermarked dedup → foreachBatch upsert sink, with
+  * Spark's own checkpointing replacing the manual watermark table.
+  *
+  *  - overlap re-read tolerance (I3, reference runner.py:64) ⇒
+  *    `withWatermark` lateness allowance;
+  *  - in-batch + cross-batch `_id` dedup (D1/D2) ⇒ `dropDuplicates`
+  *    within the watermark;
+  *  - hash-guarded MERGE (M1) ⇒ the same [[Upsert]] operator inside
+  *    `foreachBatch`;
+  *  - daily slots (I7) ⇒ `Trigger.AvailableNow` per scheduler tick, or
+  *    a processing-time trigger for a true daemon.
+  *
+  * Scale notes: state for dropDuplicates is bounded by the watermark
+  * horizon; the foreachBatch upsert only rewrites partitions the batch
+  * touches (dynamic partition overwrite), so steady-state cost tracks
+  * batch size, not table size.
+  */
+object IncrementalStream {
+
+  /** Watermarked, id-deduplicated event stream: the streaming analog of
+    * the overlap + dedup semantics. `eventTimeCol` must be a timestamp.
+    */
+  def dedupedStream(docs: DataFrame, idCol: String, eventTimeCol: String,
+      lateness: String): DataFrame =
+    docs.withWatermark(eventTimeCol, lateness)
+      .dropDuplicates(idCol, eventTimeCol)
+
+  /** Tumbling daily counts per key — the streaming restatement of the
+    * daily GROUP BY (I6 note: the reference has no stream windows; daily
+    * granularity comes from the derived civil date, which a `window()`
+    * of 1 day over event time reproduces).
+    */
+  def dailyCounts(docs: DataFrame, eventTimeCol: String, keyCol: String,
+      lateness: String): DataFrame =
+    docs.withWatermark(eventTimeCol, lateness)
+      .groupBy(window(col(eventTimeCol), "1 day"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("day"), col(keyCol), col("n"))
+
+  /** foreachBatch sink that MERGEs each micro-batch into a partitioned
+    * parquet table via the shared upsert operator (exactly-once per the
+    * sink's idempotent rewrite + Spark's batch-id checkpointing).
+    */
+  def upsertSink(writer: DataStreamWriter[Row], spark: SparkSession,
+      path: String, keys: Seq[String], partitionCol: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    writer
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          if (new java.io.File(path).exists())
+            Upsert.applyToPartitionedParquet(spark, path, batch, keys, partitionCol)
+          else
+            batch.write.partitionBy(partitionCol).parquet(path)
+        }
+      }
+
+  /** One scheduler-tick run: drain everything available now, then stop
+    * (the streaming analog of the reference's once-mode slot run).
+    */
+  def runAvailableNow(writer: DataStreamWriter[Row]): StreamingQuery =
+    writer.trigger(Trigger.AvailableNow()).start()
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.sources.PagedSource
+import graft.sources.PagedSource.{DocFetcher, Page, ResultWindowTooLarge}
+
+/** Fixture fetcher over a fixed doc universe: one doc per minute in
+  * [t0, t0+n). Serves descending pages within [from, to). Optionally
+  * refuses windows wider than `windowLimitMs` (result-window limit).
+  * Top-level (not nested in the suite) so Spark can serialize it.
+  */
+class FixtureFetcher(t0: Long, n: Int,
+    windowLimitMs: Long = Long.MaxValue,
+    duplicateEvery: Int = 0) extends DocFetcher {
+  private def allDocs: Seq[(Long, String)] =
+    (0 until n).map { i =>
+      val ts = t0 + i * 60000L
+      val id = if (duplicateEvery > 0 && i % duplicateEvery == 0) "dup" else s"d$i"
+      ts -> s"""{"_id":"$id","updateTime":$ts,"v":$i}"""
+    }
+  override def fetchPage(entity: String, tenant: String, timeField: String,
+      fromMs: Long, toMs: Long, page: Int, pageSize: Int): Page = {
+    if (toMs - fromMs > windowLimitMs) throw new ResultWindowTooLarge
+    val window = allDocs.filter { case (ts, _) => ts >= fromMs && ts < toMs }
+      .sortBy(-_._1).map(_._2)
+    val start = (page - 1) * pageSize
+    Page(window.slice(start, start + pageSize),
+      hasNextPage = start + pageSize < window.size)
+  }
+}
+
+class PagedSourceSpec extends SparkSpec {
+
+  private val T0 = 1700000000000L // arbitrary epoch anchor
+
+  test("slice planner splits [cutoff, now) newest-first") {
+    val slices = PagedSource.planSlices(0L, 10L, 4L)
+    assert(slices == Seq((6L, 10L), (2L, 6L), (0L, 2L)))
+    assert(PagedSource.planSlices(5L, 5L, 4L).isEmpty)
+  }
+
+  test("fetch returns all docs in the window, sorted desc, paged") {
+    val f = new FixtureFetcher(T0, 120) // 2 hours of docs
+    val res = PagedSource.fetchDescUntil(spark, f, "customer", "t1",
+      "updateTime", cutoffMs = T0 - 1, nowMs = T0 + 120 * 60000L,
+      sliceMs = 3600000L, pageSize = 7)
+    val rows = res.docs.collect()
+    assert(rows.length == 120)
+    val times = rows.map(_.getAs[Long]("updateTime"))
+    assert(times.toSeq == times.sortBy(-_).toSeq, "must be sorted desc")
+    assert(!res.hitResultWindowLimit)
+  }
+
+  test("cutoff bounds the fetch; limit takes newest N") {
+    val f = new FixtureFetcher(T0, 120)
+    val res = PagedSource.fetchDescUntil(spark, f, "customer", "t1",
+      "updateTime", cutoffMs = T0 + 60 * 60000L - 1, nowMs = T0 + 120 * 60000L,
+      sliceMs = 3600000L, pageSize = 10, limitRecords = Some(10))
+    val times = res.docs.collect().map(_.getAs[Long]("updateTime"))
+    assert(times.length == 10)
+    assert(times.min == T0 + 110 * 60000L, "limit keeps the newest docs")
+  }
+
+  test("result-window refusal triggers binary split and still fetches everything") {
+    // Fetcher refuses any window wider than 30 min → every 1h slice must
+    // be split once before it serves.
+    val f = new FixtureFetcher(T0, 60, windowLimitMs = 1800000L)
+    val res = PagedSource.fetchDescUntil(spark, f, "customer", "t1",
+      "updateTime", cutoffMs = T0 - 1, nowMs = T0 + 60 * 60000L,
+      sliceMs = 3600000L, minSliceMs = 600000L, pageSize = 50)
+    assert(res.docs.count() == 60)
+    assert(res.hitResultWindowLimit)
+  }
+
+  test("unsplittable refused slice is dropped, not fatal") {
+    // Refuse everything (limit 0): slices split down to minSliceMs then drop.
+    val f = new FixtureFetcher(T0, 10, windowLimitMs = 0L)
+    val res = PagedSource.fetchDescUntil(spark, f, "customer", "t1",
+      "updateTime", cutoffMs = T0 - 1, nowMs = T0 + 10 * 60000L,
+      sliceMs = 600000L, minSliceMs = 300000L, pageSize = 10)
+    assert(res.docs.isEmpty)
+    assert(res.hitResultWindowLimit)
+  }
+
+  test("duplicate _ids collapse first-occurrence-wins (newest slice)") {
+    val f = new FixtureFetcher(T0, 100, duplicateEvery = 10) // ids 0,10,…,90 share "dup"
+    val res = PagedSource.fetchDescUntil(spark, f, "customer", "t1",
+      "updateTime", cutoffMs = T0 - 1, nowMs = T0 + 100 * 60000L,
+      sliceMs = 1200000L, pageSize = 9)
+    val rows = res.docs.collect()
+    assert(rows.length == 91) // 90 unique + 1 winning "dup"
+    val dup = rows.filter(_.getAs[String]("_id") == "dup")
+    assert(dup.length == 1)
+    assert(dup.head.getAs[Long]("v") == 90L,
+      "newest duplicate (first occurrence in desc order) must win")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming.IncrementalStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("dedupedStream drops duplicate ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val src = mem.toDF().toDF("id", "ts", "v")
+    val q = IncrementalStream.dedupedStream(src, "id", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    mem.addData(
+      ("a", ts("2024-01-01 10:00:00"), 1L),
+      ("a", ts("2024-01-01 10:00:00"), 1L), // exact dup
+      ("b", ts("2024-01-01 10:01:00"), 2L))
+    q.processAllAvailable()
+    mem.addData(("a", ts("2024-01-01 10:00:00"), 1L)) // cross-batch dup
+    q.processAllAvailable()
+    val rows = spark.table("dedup_out").collect()
+    q.stop()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("dailyCounts windows by event-time day") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val src = mem.toDF().toDF("k", "ts")
+    val q = IncrementalStream.dailyCounts(src, "ts", "k", "1 hour")
+      .writeStream.format("memory").queryName("daily_out")
+      .outputMode("complete").start()
+    mem.addData(
+      ("u1", ts("2024-01-01 10:00:00")), ("u1", ts("2024-01-01 23:59:00")),
+      ("u1", ts("2024-01-02 00:01:00")), ("u2", ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("daily_out")
+      .collect().map(r => (r.get(0).toString.take(10), r.getString(1)) -> r.getLong(2)).toMap
+    q.stop()
+    assert(rows == Map(
+      ("2024-01-01", "u1") -> 2L, ("2024-01-02", "u1") -> 1L,
+      ("2024-01-01", "u2") -> 1L))
+  }
+
+  test("upsertSink merges micro-batches into partitioned parquet exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_upsert")
+    val tablePath = dir.resolve("table").toString
+    val ckPath = dir.resolve("ck").toString
+    val mem = MemoryStream[(String, String, Long)]
+    val src = mem.toDF().toDF("k", "d", "v")
+    val writer = IncrementalStream.upsertSink(
+      src.writeStream, spark, tablePath, Seq("k"), "d", ckPath)
+
+    mem.addData(("k1", "2024-01-01", 1L), ("k2", "2024-01-02", 2L))
+    val q1 = IncrementalStream.runAvailableNow(writer)
+    q1.awaitTermination(60000); q1.stop()
+    mem.addData(("k1", "2024-01-01", 10L), ("k3", "2024-01-02", 3L))
+    val q2 = IncrementalStream.runAvailableNow(writer)
+    q2.awaitTermination(60000); q2.stop()
+
+    val out = spark.read.parquet(tablePath)
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("v")).toMap
+    assert(out == Map("k1" -> 10L, "k2" -> 2L, "k3" -> 3L))
+  }
+}
