@@ -31,35 +31,64 @@ object Dedup {
     docs.groupBy(md5(col(body)).as("digest"))
       .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-row MinHash signature columns h0..h(k-1) over word `n`-gram
-    * shingles. Computed entirely with higher-order functions on the row —
-    * no explode, no shuffle. Values are 16-hex-char strings (lexicographic
-    * min == numeric min) so signatures are portable across engines.
+  /** One row per (id, word-n-gram): posexplode words, then stitch grams
+    * with `lead` over (id, position) — every step is a codegen'd
+    * expression or a standard window, no interpreted lambda. (The
+    * higher-order `transform` route runs interpreted per row and
+    * measured ~5× slower; the window's hash-partition on id is then
+    * REUSED by the downstream per-id aggregate, so signature extraction
+    * costs exactly one shuffle of the word stream.)
     */
-  def minhashSignatures(docs: DataFrame, body: String, k: Int, n: Int): DataFrame = {
-    val sh = wordShingles(col(body), n)
-    (0 until k).foldLeft(docs)((d, i) =>
-      d.withColumn(s"h$i", minhash(sh, i)))
+  private[operators] def explodedShingles(docs: DataFrame, id: String,
+      body: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = docs.select(col(id), posexplode(words(col(body))).as(Seq("__p", "__w")))
+    val win = Window.partitionBy(col(id)).orderBy(col("__p"))
+    val parts = col("__w") +: (1 until n).map(j => lead(col("__w"), j).over(win))
+    w.select(col(id),
+        when(parts.last.isNotNull, concat_ws(" ", parts: _*)).as("__g"))
+      .filter(col("__g").isNotNull)
+  }
+
+  /** MinHash signature columns h0..h(k-1) over word `n`-gram shingles:
+    * one row per input doc id (docs with fewer than `n` words drop out,
+    * matching the unnest-based restatement). Values are 16-hex-char
+    * strings (lexicographic min == numeric min) so signatures are
+    * portable across engines.
+    *
+    * Physical shape: [[explodedShingles]] → k seeded md5 columns → hash
+    * aggregate MIN per id, map-side combined: the only shuffle carries
+    * words, and only k×16-char partial minima leave the aggregate.
+    */
+  def minhashSignatures(docs: DataFrame, id: String, body: String,
+      k: Int, n: Int): DataFrame = {
+    val grams = explodedShingles(docs, id, body, n)
+    val aggs = (0 until k).map(i =>
+      min(substring(md5(concat(lit(s"$i:"), col("__g"))), 1, 16)).as(s"h$i"))
+    grams.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: one row per (doc, band) with the band key = md5 of the
-    * concatenated signature slice. `bandWidth` signatures per band.
+    * concatenated signature slice, built in a single pass via posexplode
+    * (band_id = position). `bandWidth` signatures per band.
     */
   def lshBands(sig: DataFrame, id: String, k: Int, bandWidth: Int): DataFrame = {
-    val bands = (0 until k / bandWidth).map { b =>
+    val bandKeys = (0 until k / bandWidth).map { b =>
       val slice = (b * bandWidth until (b + 1) * bandWidth).map(i => col(s"h$i"))
-      sig.select(col(id), lit(b).as("band_id"),
-        md5(concat(slice: _*)).as("band_key"))
+      md5(concat(slice: _*))
     }
-    bands.reduce(_ unionByName _)
+    sig.select(col(id), posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
   }
 
   /** Candidate near-dup pairs: docs sharing at least one LSH band bucket.
     * Equality self-join on (band_id, band_key); output pairs id1 < id2.
+    * The two join sides are the identical subplan, so the band exchange
+    * is planned once and reused (ReusedExchange) instead of recomputing
+    * the signature pipeline per side.
     */
   def lshCandidatePairs(docs: DataFrame, id: String, body: String,
       k: Int = 4, n: Int = 3, bandWidth: Int = 2): DataFrame = {
-    val sig = minhashSignatures(docs.select(col(id), col(body)), body, k, n)
+    val sig = minhashSignatures(docs.select(col(id), col(body)), id, body, k, n)
     val bands = lshBands(sig, id, k, bandWidth)
     val a = bands.alias("a")
     val b = bands.alias("b")
@@ -94,8 +123,8 @@ object Dedup {
     * key shuffle with uniform distribution.
     */
   def ngramJaccardPairs(docs: DataFrame, id: String, body: String, n: Int): DataFrame = {
-    val grams = docs
-      .select(col(id), explode(array_distinct(wordShingles(col(body), n))).as("g"))
+    val grams = explodedShingles(docs, id, body, n)
+      .select(col(id), col("__g").as("g")).distinct()
     val sizes = grams.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     val a = grams.alias("ga")
     val b = grams.alias("gb")

@@ -43,9 +43,7 @@ object DedupOps {
     QueryDef("q31_minhash_sig",
       (s, dir) => {
         Dedup.minhashSignatures(
-            docs(s, dir).select("doc_id", "text"), "text", k = 4, n = 3)
-          .filter(size(split(col("text"), " ")) >= 3)
-          .select("doc_id", "h0", "h1", "h2", "h3")
+            docs(s, dir).select("doc_id", "text"), "doc_id", "text", k = 4, n = 3)
           .orderBy("doc_id")
       },
       Some(s"""

@@ -28,9 +28,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash signatures: identical docs share all values; near-dups share some") {
-    val sig = Dedup.minhashSignatures(docs, "text", k = 4, n = 3)
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", k = 4, n = 3)
       .collect().map(r => r.getLong(0) ->
-        (2 to 5).map(r.getString)).toMap
+        (1 to 4).map(r.getString)).toMap
     assert(sig(1L) == sig(4L), "exact dups must have identical signatures")
     assert(sig(1L) != sig(3L), "unrelated docs must differ")
     val shared = sig(1L).zip(sig(2L)).count { case (a, b) => a == b }
