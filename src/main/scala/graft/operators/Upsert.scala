@@ -144,13 +144,28 @@ object Upsert {
       keys: Seq[String],
       partitionCol: String,
       sourceOrder: Seq[Column] = Nil,
-      updateCond: Option[String] = None): Unit = {
+      updateCond: Option[String] = None,
+      updateExprs: Map[String, String] = Map.empty): Unit = {
+    // First-write bootstrap: a missing (or file-less) target means the
+    // deduped source IS the initial table — partitioned parquet has no
+    // separate DDL step, the first partitioned write declares the layout.
+    val dir = new java.io.File(path)
+    val hasData = dir.exists() && Option(dir.listFiles()).exists(_.exists(f =>
+      f.getName.endsWith(".parquet") || f.getName.contains("=")))
+    if (!hasData) {
+      val init =
+        if (sourceOrder.isEmpty) source
+        else graft.functions.ColumnLib.latestWins(source, keys, sourceOrder)
+      init.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+      return
+    }
     val target = spark.read.parquet(path)
     val range = source.agg(
       min(col(partitionCol)).as("lo"), max(col(partitionCol)).as("hi")).head()
+    if (range.isNullAt(0)) return // empty source: nothing to merge
     val prune = col(partitionCol).between(lit(range.get(0)), lit(range.get(1)))
     val merged = upsert(target.filter(prune), source, keys,
-      sourceOrder, updateCond, targetPrune = None)
+      sourceOrder, updateCond, updateExprs, targetPrune = None)
     // Break lineage before overwriting the path we just read, otherwise the
     // write would delete its own input files mid-scan.
     merged.localCheckpoint(eager = true)

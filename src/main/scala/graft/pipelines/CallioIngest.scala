@@ -63,6 +63,14 @@ object CallioIngest {
 
   private def has(df: DataFrame, c: String) = df.columns.contains(c)
 
+  /** Payload columns arrive as JSON strings (the REST layer) or as
+    * already-inferred structs (`spark.read.json`) — the pandas layer's
+    * dict-or-string duality (reference utils.py:16-26). Normalize to a
+    * JSON string so the extractors see one shape.
+    */
+  private def asJsonString(df: DataFrame, c: String) =
+    if (df.schema(c).dataType == StringType) col(c) else to_json(col(c))
+
   /** Customer flow (reference runner.py:106-137): user extractions, cf0
     * derivation, 14-column template, tenant literal, UTC civil dates,
     * volatile-aware row hash.
@@ -70,14 +78,14 @@ object CallioIngest {
   def customerTransform(raw: DataFrame, tenant: String): DataFrame = {
     val withUser =
       if (has(raw, "user"))
-        raw.withColumn("user_id", JsonExtract.userId(col("user")))
-          .withColumn("user_name", JsonExtract.userName(col("user")))
-          .withColumn("user_group_id", JsonExtract.userGroupId(col("user")))
+        raw.withColumn("user_id", JsonExtract.userId(asJsonString(raw, "user")))
+          .withColumn("user_name", JsonExtract.userName(asJsonString(raw, "user")))
+          .withColumn("user_group_id", JsonExtract.userGroupId(asJsonString(raw, "user")))
       else raw
     val withCf =
       if (!has(withUser, "customField_0_val") && has(withUser, "customFields"))
         withUser.withColumn("customField_0_val",
-          JsonExtract.customField0(col("customFields")))
+          JsonExtract.customField0(asJsonString(withUser, "customFields")))
       else withUser
     val conformed = conformTo(withCf, customerTemplate)
       .withColumn("tenant", lit(tenant))
@@ -94,13 +102,13 @@ object CallioIngest {
     val deduped = if (has(raw, "_id")) raw.dropDuplicates("_id") else raw
     val flat = deduped
       .withColumn("fromUser__id",
-        if (has(raw, "fromUser")) JsonExtract.objField(col("fromUser"), "_id")
+        if (has(raw, "fromUser")) JsonExtract.objField(asJsonString(deduped, "fromUser"), "_id")
         else lit(null).cast(StringType))
       .withColumn("fromUser__name",
-        if (has(raw, "fromUser")) JsonExtract.objField(col("fromUser"), "name")
+        if (has(raw, "fromUser")) JsonExtract.objField(asJsonString(deduped, "fromUser"), "name")
         else lit(null).cast(StringType))
       .withColumn("fromGroup__id",
-        if (has(raw, "fromGroup")) JsonExtract.objField(col("fromGroup"), "_id")
+        if (has(raw, "fromGroup")) JsonExtract.objField(asJsonString(deduped, "fromGroup"), "_id")
         else lit(null).cast(StringType))
     val conformed = conformTo(flat, callLogTemplate)
       .withColumn("NgayTao", civilDateUtc(col("createTime")))
@@ -120,7 +128,7 @@ object CallioIngest {
       StructField("tenant", StringType), StructField("row_hash", StringType)))
     val withGroup =
       if (has(raw, "group"))
-        raw.withColumn("group_id", JsonExtract.objField(col("group"), "_id"))
+        raw.withColumn("group_id", JsonExtract.objField(asJsonString(raw, "group"), "_id"))
       else raw
     val conformed = conformTo(withGroup, template)
       .withColumn("tenant", lit(tenant))

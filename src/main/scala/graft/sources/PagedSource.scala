@@ -83,10 +83,14 @@ object PagedSource {
       while (!done && pageCounter < maxPagesPerSlice) {
         try {
           val res = fetcher.fetchPage(entity, tenant, timeField, from, to, page, pageSize)
+          // Docs at-or-below the cutoff are excluded, not just a stop
+          // signal (api.py:190-196 skips them before breaking).
           res.docs.zipWithIndex.foreach { case (d, i) =>
-            out += ((pageCounter, i, d))
             val ts = extractTs(d, timeField)
-            if (ts > 0 && ts < oldestSeen) oldestSeen = ts
+            if (ts > cutoffMs) {
+              out += ((pageCounter, i, d))
+              if (ts < oldestSeen) oldestSeen = ts
+            }
           }
           val reachedCutoff = res.docs.exists(d => extractTs(d, timeField) <= cutoffMs)
           done = !res.hasNextPage || reachedCutoff || res.docs.isEmpty
