@@ -14,7 +14,8 @@ object SparkEntry {
     queries_relational ++ queries_extensions
 
   private def queries_relational: Seq[QueryDef] =
-    graft.queries.Relational.defs ++ graft.queries.PipelineOps.defs
+    graft.queries.Relational.defs ++ graft.queries.PipelineOps.defs ++
+      graft.queries.Advanced.defs
   private def queries_extensions: Seq[QueryDef] =
     graft.queries.TextOps.defs ++ graft.queries.DedupOps.defs ++
       graft.queries.SimilarityOps.defs ++ graft.queries.MultimodalOps.defs

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join: for every left row, attach the latest right row whose
+  * time is <= the left row's time, per key — the canonical
+  * point-in-time enrichment (trades↔quotes, events↔dimension history).
+  *
+  * Spark has no native as-of join. The naive formulations are
+  * quadratic (theta-join on `r.ts <= l.ts` explodes) or
+  * shuffle-per-candidate. This implementation uses the union-sort
+  * trick, which is the 100 TB-safe shape:
+  *
+  *   1. tag both sides and union them (no join!),
+  *   2. one window over (key) ordered by (ts, side) carries the most
+  *      recent right-side values forward via last_value(ignoreNulls),
+  *   3. keep the left rows.
+  *
+  * Cost: ONE shuffle on the key + a sort within partitions — the same
+  * price as a single sort-merge join, with no row multiplication, no
+  * skew amplification (a hot key sorts locally), and linear memory.
+  * `tolerance` optionally voids matches older than `tolerance` ms.
+  */
+object AsofJoin {
+
+  /** @param left       fact side (kept in full — left outer semantics)
+    * @param right      history side providing the as-of values
+    * @param keys       equi-join key columns present on both sides
+    * @param leftTime   event-time column on `left` (numeric or timestamp)
+    * @param rightTime  effective-time column on `right`
+    * @param valueCols  right columns to carry (default: all non-key,
+    *                   non-time columns)
+    * @param tolerance  max lookback in the time column's units; None =
+    *                   unbounded
+    */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      valueCols: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame = {
+    val values =
+      if (valueCols.nonEmpty) valueCols
+      else right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    val leftCols = left.columns.toSeq
+
+    // Right rows sort before left rows at the same instant (side 0 < 1)
+    // so a right row effective AT the event time is visible to it.
+    val taggedRight = right.select(
+      keys.map(col) ++ Seq(col(rightTime).as("__ts"), lit(0).as("__side")) ++
+        values.map(c => col(c).as(s"__v_$c")): _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(col(leftTime).as("__ts"), lit(1).as("__side")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = values.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }.withColumn("__asof_ts", last(
+      when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+
+    val withinTolerance = tolerance match {
+      case Some(t) => col("__asof_ts").isNotNull &&
+        (col("__ts").cast("long") - col("__asof_ts").cast("long")) <= t
+      case None => lit(true)
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ values.map(c =>
+        when(withinTolerance, col(s"__asof_$c")).as(c)): _*)
+  }
+}

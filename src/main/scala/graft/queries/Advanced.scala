@@ -1,0 +1,208 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.ColumnLib._
+import graft.operators.{AsofJoin, Sessionize}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Advanced relational battery — capabilities beyond the reference's
+  * SQL surface that a complete engine must carry: multi-dimensional
+  * aggregation (ROLLUP/CUBE), the full window-function family, pivot,
+  * decorrelated subqueries through the SQL front-end, and the two
+  * operators Spark lacks natively (as-of join, gap sessionization),
+  * implemented shuffle-minimally in graft.operators.
+  */
+object Advanced {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private def eventsMs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      unix_millis(col("ts")).as("ms"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- ROLLUP: hierarchical totals ----------------------------------
+    QueryDef("q70_rollup",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""")),
+
+    // ---- CUBE: all grouping-set combinations --------------------------
+    QueryDef("q71_cube",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""")),
+
+    // ---- window-function family: rank/dense_rank/lag/lead/frames ------
+    // Total order within each partition (acctbal desc, custkey) keeps
+    // every function deterministic; the running sum accumulates in
+    // decimal so the frame arithmetic is exact in both engines.
+    QueryDef("q72_window_funcs",
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "customer").select(
+            col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            lag(col("c_custkey"), 1).over(w).as("prev_cust"),
+            lead(col("c_custkey"), 1).over(w).as("next_cust"),
+            sum(col("c_acctbal").cast(DecimalType(28, 6))).over(frame)
+              .cast(DoubleType).as("running_bal"))
+          .filter(col("rnk") <= 50)
+          .orderBy("c_mktsegment", "rnk")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT c_mktsegment, c_custkey, c_acctbal,
+                 rank() OVER w AS rnk,
+                 dense_rank() OVER w AS drnk,
+                 lag(c_custkey, 1) OVER w AS prev_cust,
+                 lead(c_custkey, 1) OVER w AS next_cust,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) OVER
+                   (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS running_bal
+          FROM customer
+          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+        WHERE rnk <= 50 ORDER BY c_mktsegment, rnk""")),
+
+    // ---- pivot: long → wide via the native pivot API -------------------
+    QueryDef("q73_pivot",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus,
+               SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS "1-URGENT",
+               SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS "2-HIGH",
+               SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS "3-MEDIUM",
+               SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS "4-NOT SPECIFIED",
+               SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS "5-LOW"
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ---- subqueries through the SQL front-end (scalar + IN/EXISTS) -----
+    // Catalyst decorrelates both; also exercises the parameterized SQL
+    // entrypoint (S12).
+    QueryDef("q74_subqueries",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("v_customer")
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        s.sql("""
+          SELECT c_mktsegment, count(*) AS n_rich_active
+          FROM v_customer
+          WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_customer)
+            AND c_custkey IN (SELECT o_custkey FROM v_orders
+                              WHERE o_totalprice > :minTotal)
+          GROUP BY 1 ORDER BY 1""",
+          Map("minTotal" -> 50000))
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_rich_active
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+          AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 50000)
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- AS-OF join (point-in-time enrichment) -------------------------
+    // Quotes = every 20th event; each event picks the latest quote at or
+    // before its time per user. Oracle uses DuckDB's native ASOF JOIN.
+    QueryDef("q75_asof_join",
+      (s, dir) => {
+        val ev = eventsMs(s, dir)
+        val quotes = ev.filter(col("event_id") % 20 === 0)
+          .select(col("user_id"), col("ms"), col("value").as("quote"))
+        AsofJoin.asof(
+            ev.select("event_id", "user_id", "ms"), quotes,
+            keys = Seq("user_id"), leftTime = "ms", rightTime = "ms")
+          .select("event_id", "user_id", "quote")
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, value FROM events),
+        q AS (SELECT user_id, ms, value AS quote FROM ev WHERE event_id % 20 = 0)
+        SELECT ev.event_id, ev.user_id, q.quote
+        FROM ev ASOF LEFT JOIN q
+          ON ev.user_id = q.user_id AND ev.ms >= q.ms
+        ORDER BY ev.event_id""")),
+
+    // ---- range (band) join: value → band dimension ---------------------
+    // Bands are tiny ⇒ broadcast nested-loop, the sane physical plan for
+    // an inequality join.
+    QueryDef("q76_range_join",
+      (s, dir) => {
+        val bands = t(s, dir, "region").select(
+          (col("r_regionkey") * 100).cast(DoubleType).as("lo"),
+          ((col("r_regionkey") + 1) * 100).cast(DoubleType).as("hi"),
+          col("r_name").as("band"))
+        t(s, dir, "events")
+          .join(broadcast(bands),
+            col("value") >= col("lo") && col("value") < col("hi"), "left")
+          .groupBy(coalesce(col("band"), lit("OUT_OF_RANGE")).as("band"))
+          .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_v"))
+          .orderBy("band")
+      },
+      Some("""
+        WITH bands AS (
+          SELECT CAST(r_regionkey * 100 AS DOUBLE) AS lo,
+                 CAST((r_regionkey + 1) * 100 AS DOUBLE) AS hi,
+                 r_name AS band
+          FROM region)
+        SELECT COALESCE(b.band, 'OUT_OF_RANGE') AS band, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_v
+        FROM events e LEFT JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- gap sessionization --------------------------------------------
+    QueryDef("q77_sessionize",
+      (s, dir) => {
+        Sessionize.summarize(eventsMs(s, dir), "user_id", "ms",
+            gapMs = 30 * 60000L)
+          .orderBy("user_id", "session_id")
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, ms,
+                 CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM (SELECT user_id, epoch_ms(ts) AS ms FROM events)),
+        sessioned AS (
+          SELECT user_id, ms,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id,
+               min(ms) AS session_start, max(ms) AS session_end,
+               max(ms) - min(ms) AS duration_ms, count(*) AS n_events
+        FROM sessioned GROUP BY 1, 2 ORDER BY 1, 2""")))
+}

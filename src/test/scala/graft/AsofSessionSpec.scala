@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{AsofJoin, Sessionize}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class AsofSessionSpec extends SparkSpec {
+
+  private def trades = df("sym STRING, t BIGINT, qty BIGINT",
+    Row("A", Long.box(100), Long.box(1)),
+    Row("A", Long.box(205), Long.box(2)),
+    Row("A", Long.box(50), Long.box(3)),   // before any quote
+    Row("B", Long.box(100), Long.box(4)))  // key with no quotes
+
+  private def quotes = df("sym STRING, t BIGINT, px DOUBLE",
+    Row("A", Long.box(100), Double.box(10.0)),  // exact tie with trade t=100
+    Row("A", Long.box(200), Double.box(20.0)))
+
+  test("asof: latest at-or-before match per key; no match → null") {
+    val out = AsofJoin.asof(trades, quotes, Seq("sym"), "t", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out(("A", 100L)) == 10.0, "tie at the same instant matches")
+    assert(out(("A", 205L)) == 20.0, "latest earlier quote wins")
+    assert(out(("A", 50L)) == null, "no quote yet → null")
+    assert(out(("B", 100L)) == null, "keyless right side → null")
+  }
+
+  test("asof honors tolerance") {
+    val out = AsofJoin.asof(trades, quotes, Seq("sym"), "t", "t",
+        tolerance = Some(4L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out(("A", 100L)) == 10.0)   // gap 0 <= 4
+    assert(out(("A", 205L)) == null)   // gap 5 > 4 → voided
+  }
+
+  test("asof preserves all left rows and columns") {
+    val out = AsofJoin.asof(trades, quotes, Seq("sym"), "t", "t")
+    assert(out.count() == 4)
+    assert(out.columns.toSeq == Seq("sym", "t", "qty", "px"))
+  }
+
+  test("sessionize splits on gaps strictly greater than gapMs") {
+    val ev = df("u STRING, t BIGINT",
+      Row("x", Long.box(0)), Row("x", Long.box(100)),   // session 0
+      Row("x", Long.box(300)),                          // gap 200 > 100 → session 1
+      Row("x", Long.box(400)),
+      Row("y", Long.box(0)))                            // separate key
+    val out = Sessionize.summarize(ev, "u", "t", gapMs = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(out(("x", 0L)) == (0L, 100L, 2L))
+    assert(out(("x", 1L)) == (300L, 400L, 2L))
+    assert(out(("y", 0L)) == (0L, 0L, 1L))
+    // boundary: gap == gapMs stays in-session
+    val b = Sessionize.summarize(
+      df("u STRING, t BIGINT", Row("z", Long.box(0)), Row("z", Long.box(100))),
+      "u", "t", gapMs = 100L)
+    assert(b.count() == 1)
+  }
+}
