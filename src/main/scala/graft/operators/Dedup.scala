@@ -117,6 +117,41 @@ object Dedup {
     concat(bits: _*)
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidate pairs share a
+    * sign-LSH bucket ([[Similarity.signBucket]] — the quadratic all-pairs
+    * problem becomes per-bucket), then exact cosine with decimal-exact
+    * accumulation filters at `threshold` (applied to the 1e-9-rounded
+    * value so the cut is engine-portable). All joins/aggregates are
+    * codegen'd equality operations — no per-row lambdas.
+    */
+  def embeddingNearDupPairs(vecs: DataFrame, id: String, vecCol: String,
+      bucketPairs: Seq[(Int, Int)], threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val D = DecimalType(38, 18)
+    val b = Similarity.signLshBuckets(vecs.select(col(id), col(vecCol)),
+      vecCol, bucketPairs).select(col(id), col("bucket"))
+    val cand = b.alias("a").join(b.alias("c"),
+        col("a.bucket") === col("c.bucket") && col(s"a.$id") < col(s"c.$id"))
+      .select(col(s"a.$id").as("id1"), col(s"c.$id").as("id2"))
+    val e = vecs.select(col(id),
+        posexplode(col(vecCol)).as(Seq("pos", "vf")))
+      .select(col(id), col("pos"), col("vf").cast(DoubleType).as("v"))
+    val norms = e.groupBy(col(id))
+      .agg(sum((col("v") * col("v")).cast(D)).cast(DoubleType).as("nn"))
+    val dots = cand
+      .join(e.select(col(id).as("id1"), col("pos"), col("v").as("v1")), Seq("id1"))
+      .join(e.select(col(id).as("id2"), col("pos"), col("v").as("v2")),
+        Seq("id2", "pos"))
+      .groupBy("id1", "id2")
+      .agg(sum((col("v1") * col("v2")).cast(D)).cast(DoubleType).as("dot"))
+    dots
+      .join(norms.select(col(id).as("id1"), col("nn").as("n1")), Seq("id1"))
+      .join(norms.select(col(id).as("id2"), col("nn").as("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(col("dot") / (sqrt(col("n1")) * sqrt(col("n2"))), 9).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Exact n-gram Jaccard similarity for all intersecting pairs within
     * `docs` (use after LSH candidate pruning at scale; here exposed
     * directly for verification). Join is on the shingle value — a string

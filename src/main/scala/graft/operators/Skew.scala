@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities. AQE's runtime skew-join splitting
+  * (enabled in [[graft.Engine]]) is the first line of defense; salting
+  * is the explicit, planner-independent fallback for *known* hot keys —
+  * e.g. the null/shared phone numbers of the reporting phone join
+  * (SURVEY.md §4 "Skew handling").
+  */
+object Skew {
+
+  /** Salted equi-join: the skewed (large) side gets a random-but-
+    * deterministic salt in [0, salts); the small side is replicated
+    * `salts` times; the join key becomes (key, salt). A key processed
+    * by one reducer before is now spread over `salts` reducers.
+    *
+    * Join type may be "inner" or "left" (left = the skewed side —
+    * replication of the right side never duplicates left rows because
+    * each left row carries exactly one salt value).
+    */
+  def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0)
+    require(joinType == "inner" || joinType == "left",
+      s"salted join supports inner/left, got $joinType")
+    // Deterministic salt: spreads a hot key across reducers without a
+    // nondeterministic rand() (which would break retries/AQE replays).
+    val salted = skewed.withColumn("__salt",
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(salts)))
+    val replicated = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("__salt", col("__salt").cast("bigint"))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Null-key short-circuit: rows whose join key is null can never
+    * match an equi-join — route them around the shuffle entirely and
+    * union them back (left-join semantics preserved). On a fact table
+    * where 30% of keys are null this removes 30% of the shuffle.
+    */
+  def nullSafeLeftJoin(left: DataFrame, right: DataFrame, key: String): DataFrame = {
+    val matchable = left.filter(col(key).isNotNull)
+      .join(right, Seq(key), "left")
+    val nulls = left.filter(col(key).isNull)
+    val rightOnlyCols = right.columns.filterNot(_ == key)
+    val nullsPadded = rightOnlyCols.foldLeft(nulls)((df, c) =>
+      df.withColumn(c, lit(null)))
+    matchable.unionByName(nullsPadded.select(matchable.columns.map(col): _*))
+  }
+}

@@ -87,6 +87,39 @@ object DedupOps {
         GROUP BY doc_id ORDER BY doc_id"""
       }),
 
+    // ---- embedding-cosine near-dup: LSH buckets → exact cosine cut ------
+    QueryDef("q35_embedding_neardup",
+      (s, dir) => {
+        graft.operators.Dedup.embeddingNearDupPairs(
+            Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+            graft.operators.Similarity.defaultPairs, threshold = 0.15)
+          .orderBy("id1", "id2")
+      },
+      Some {
+        val bucket = graft.operators.Similarity.defaultPairs.map { case (i, j) =>
+          s"CASE WHEN embedding[$i] > embedding[$j] THEN '1' ELSE '0' END"
+        }.mkString(" || ")
+        s"""
+        WITH b AS (SELECT vec_id, $bucket AS bucket FROM embeddings),
+        p AS (SELECT a.vec_id AS id1, c.vec_id AS id2
+              FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+        e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings),
+        n AS (SELECT vec_id, CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+              FROM e GROUP BY 1),
+        d AS (SELECT p.id1, p.id2,
+                     CAST(SUM(CAST(e1.v*e2.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+              FROM p JOIN e e1 ON e1.vec_id = p.id1
+                     JOIN e e2 ON e2.vec_id = p.id2 AND e2.pos = e1.pos
+              GROUP BY 1, 2)
+        SELECT id1, id2,
+               round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) AS cosine
+        FROM d JOIN n n1 ON n1.vec_id = id1 JOIN n n2 ON n2.vec_id = id2
+        WHERE round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) >= 0.15
+        ORDER BY 1, 2"""
+      }),
+
     // ---- n-gram Jaccard on a capped id range (verification tier) --------
     // At scale this runs on LSH candidates only; the cap keeps the
     // all-pairs verification query scale-independent.

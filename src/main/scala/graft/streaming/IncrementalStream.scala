@@ -47,6 +47,18 @@ object IncrementalStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("day"), col(keyCol), col("n"))
 
+  /** Event-time session windows — the streaming face of
+    * [[graft.operators.Sessionize]]: sessions close `gap` after their
+    * last event; state is bounded by the watermark.
+    */
+  def sessionCounts(docs: DataFrame, eventTimeCol: String, keyCol: String,
+      gap: String, lateness: String): DataFrame =
+    docs.withWatermark(eventTimeCol, lateness)
+      .groupBy(session_window(col(eventTimeCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol), col("n"))
+
   /** foreachBatch sink that MERGEs each micro-batch into a partitioned
     * parquet table via the shared upsert operator (exactly-once per the
     * sink's idempotent rewrite + Spark's batch-id checkpointing).

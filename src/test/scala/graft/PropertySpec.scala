@@ -1,0 +1,78 @@
+package graft
+
+import graft.incremental.Scheduler
+import graft.sources.PagedSource
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import java.time.{Instant, LocalTime}
+
+/** Property tests over the engine's pure arithmetic (no Spark session):
+  * scheduler slot math and source slice planning — the two places where
+  * an off-by-one silently loses or double-reads data.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genTime: Gen[LocalTime] =
+    Gen.chooseNum(0, 24 * 3600 - 1).map(LocalTime.ofSecondOfDay(_))
+  private val genSchedule: Gen[List[LocalTime]] =
+    Gen.nonEmptyListOf(genTime).map(_.distinct)
+  private val genInstant: Gen[Instant] =
+    Gen.chooseNum(0L, 4102444800L).map(Instant.ofEpochSecond)
+
+  test("nextScheduled is strictly future; previousOrCurrent is at-or-before") {
+    check(Prop.forAll(genInstant, genSchedule) { (base, sched) =>
+      val next = Scheduler.nextScheduled(base, sched)
+      val prev = Scheduler.previousOrCurrentScheduled(base, sched)
+      next.isAfter(base) && !prev.isAfter(base)
+    })
+  }
+
+  test("adjacent slots: no schedule point lies strictly between prev and next") {
+    check(Prop.forAll(genInstant, genSchedule) { (base, sched) =>
+      val next = Scheduler.nextScheduled(base, sched)
+      val prev = Scheduler.previousOrCurrentScheduled(base, sched)
+      // every scheduled instant around base is outside (prev, next)
+      val day = java.time.ZonedDateTime.ofInstant(base, java.time.ZoneOffset.UTC)
+      (-1 to 1).forall { d =>
+        sched.forall { t =>
+          val inst = day.toLocalDate.plusDays(d.toLong)
+            .atTime(t).toInstant(java.time.ZoneOffset.UTC)
+          !(inst.isAfter(prev) && inst.isBefore(next)) ||
+            (inst.isAfter(base) && !inst.isBefore(next)) || inst == next
+        }
+      }
+    })
+  }
+
+  test("planSlices tiles (cutoff, now] exactly: disjoint, adjacent, newest-first") {
+    val gen = for {
+      cutoff <- Gen.chooseNum(0L, 1000000L)
+      span <- Gen.chooseNum(0L, 500000L)
+      slice <- Gen.chooseNum(1L, 100000L)
+    } yield (cutoff, cutoff + span, slice)
+    check(Prop.forAll(gen) { case (cutoff, now, slice) =>
+      val slices = PagedSource.planSlices(cutoff, now, slice)
+      val coversAll = if (now > cutoff)
+        slices.last._1 == cutoff && slices.head._2 == now
+      else slices.isEmpty
+      val adjacent = slices.sliding(2).forall {
+        case Seq((lo1, _), (_, hi2)) => lo1 == hi2
+        case _ => true
+      }
+      val ordered = slices.forall { case (lo, hi) => lo < hi }
+      coversAll && adjacent && ordered
+    })
+  }
+
+  test("cutoffMs: overlap never moves the cutoff forward") {
+    check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue / 2),
+      Gen.chooseNum(0L, 1000000L)) { (ck, overlap) =>
+      Scheduler.cutoffMs(Some(ck), 0L, overlap, 30) <= ck
+    })
+  }
+}

@@ -49,6 +49,23 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01", "u2") -> 1L))
   }
 
+  test("sessionCounts closes sessions gap after the last event") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val src = mem.toDF().toDF("k", "ts")
+    val q = IncrementalStream.sessionCounts(src, "ts", "k", "10 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    mem.addData(
+      ("u1", ts("2024-01-01 10:00:00")), ("u1", ts("2024-01-01 10:05:00")),
+      ("u1", ts("2024-01-01 11:00:00")))  // > 10 min gap → new session
+    q.processAllAvailable()
+    val rows = spark.table("session_out").collect()
+      .map(r => (r.getString(2), r.get(0).toString.substring(11, 16)) -> r.getLong(3)).toMap
+    q.stop()
+    assert(rows == Map(("u1", "10:00") -> 2L, ("u1", "11:00") -> 1L))
+  }
+
   test("upsertSink merges micro-batches into partitioned parquet exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("stream_upsert")
