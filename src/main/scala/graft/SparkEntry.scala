@@ -15,7 +15,7 @@ object SparkEntry {
 
   private def queries_relational: Seq[QueryDef] =
     graft.queries.Relational.defs ++ graft.queries.PipelineOps.defs ++
-      graft.queries.Advanced.defs
+      graft.queries.Advanced.defs ++ graft.queries.Scalars.defs
   private def queries_extensions: Seq[QueryDef] =
     graft.queries.TextOps.defs ++ graft.queries.DedupOps.defs ++
       graft.queries.SimilarityOps.defs ++ graft.queries.MultimodalOps.defs
