@@ -117,6 +117,51 @@ object Dedup {
     concat(bits: _*)
   }
 
+  /** SimHash signatures per id, computed explode-side (codegen) rather
+    * than with the per-row interpreted fold of [[simhash16]]: one word
+    * shuffle keyed by id, 16 conditional sums, sign → bitstring.
+    * Semantics identical to [[simhash16]] (term frequency weighted).
+    */
+  def simhashSignatures(docs: DataFrame, id: String, body: String): DataFrame = {
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val w = docs.select(col(id), explode(words(col(body))).as("__w"))
+    val h = md5(col("__w"))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(substring(h, j + 1, 1).isin(highHex: _*), 1).otherwise(-1)).as(s"__b$j")
+    }
+    w.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(id), concat((0 until 16).map(j =>
+        when(col(s"__b$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs with Hamming distance <= maxHamming
+    * (< 4). Pigeonhole banding makes it scale: the 16-bit signature
+    * splits into 4 nibble bands — any pair within Hamming 3 must agree
+    * on at least one band, so candidates come from 4 equality
+    * self-joins (union'd via posexplode), never an all-pairs scan.
+    */
+  def simhashNearDupPairs(docs: DataFrame, id: String, body: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming < 4, "4 nibble bands guarantee recall only for Hamming <= 3")
+    val sig = simhashSignatures(docs, id, body)
+    val bands = sig.select(col(id), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("simhash"), b * 4 + 1, 4)): _*)).as(Seq("band_id", "band_key")))
+    val cand = bands.alias("a").join(bands.alias("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"),
+        col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+      .distinct()
+    val hamming = (1 to 16).map(i =>
+      when(substring(col("h1"), i, 1) =!= substring(col("h2"), i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    cand.withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidate pairs share a
     * sign-LSH bucket ([[Similarity.signBucket]] — the quadratic all-pairs
     * problem becomes per-bucket), then exact cosine with decimal-exact

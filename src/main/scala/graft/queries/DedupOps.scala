@@ -87,6 +87,42 @@ object DedupOps {
         GROUP BY doc_id ORDER BY doc_id"""
       }),
 
+    // ---- SimHash near-dups: nibble-band candidates → exact Hamming ------
+    QueryDef("q36_simhash_neardup",
+      (s, dir) => {
+        Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+          .orderBy("id1", "id2")
+      },
+      Some {
+        val bits = (0 until 16).map { j =>
+          s"""CASE WHEN SUM(CASE WHEN substr(md5(w),${j + 1},1) IN
+             |('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0
+             |THEN '1' ELSE '0' END""".stripMargin.replace("\n", " ")
+        }.mkString(" || ")
+        val hamming = (1 to 16).map(i =>
+          s"CASE WHEN substr(a.simhash,$i,1) <> substr(b.simhash,$i,1) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH sig AS (
+          SELECT doc_id, $bits AS simhash
+          FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+          GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, simhash, b AS band_id, substr(simhash, b*4+1, 4) AS band_key
+          FROM sig, (SELECT unnest(range(0,4)) AS b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                 a.simhash AS ha, b.simhash AS hb
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id)
+        SELECT id1, id2, hamming FROM (
+          SELECT id1, id2, ${hamming.replace("a.simhash", "ha").replace("b.simhash", "hb")} AS hamming
+          FROM cand)
+        WHERE hamming <= 3
+        ORDER BY 1, 2"""
+      }),
+
     // ---- embedding-cosine near-dup: LSH buckets → exact cosine cut ------
     QueryDef("q35_embedding_neardup",
       (s, dir) => {

@@ -54,6 +54,14 @@ class DedupSpec extends SparkSpec {
     assert(hamming <= 8, s"near-dups should be Hamming-close (got $hamming)")
   }
 
+  test("simhashNearDupPairs: banded candidates recover exact and near dups") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 4L)) == 0, "exact dup has Hamming 0")
+    assert(pairs.get((1L, 2L)).forall(_ <= 3))
+    assert(pairs.keys.forall { case (a, b) => a < b })
+  }
+
   test("ngramJaccardPairs: exact dup scores 1.0, near-dup in (0,1)") {
     val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
