@@ -56,6 +56,13 @@ object Similarity {
 
   val defaultPairs: Seq[(Int, Int)] = Seq((1, 2), (3, 4), (5, 6), (7, 8))
 
+  /** 8-bit variant (256 buckets): the right resolution when buckets
+    * feed a pairwise candidate join, where bucket population enters
+    * quadratically.
+    */
+  val finePairs: Seq[(Int, Int)] = Seq((1, 2), (3, 4), (5, 6), (7, 8),
+    (9, 10), (11, 12), (13, 14), (15, 16))
+
   /** Bucket assignment for the whole table (write `partitionBy(bucket)`
     * for an IVF-style layout where search touches one partition).
     */
