@@ -23,9 +23,25 @@ object Engine {
     *    (PARQUET_TYPE_ILLEGAL); we read the raw int64 and convert in
     *    [[Tables.table]].
     */
+  /** Engine extensions: native codegen'd expressions registered as SQL
+    * functions (callable via `call_function` / `expr` / plain SQL).
+    */
+  def extensions(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.CosineSimilarity].getName,
+        "cosine_sim"),
+      (children: Seq[Expression]) =>
+        graft.functions.expressions.CosineSimilarity(children(0), children(1))))
+  }
+
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      .withExtensions(extensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")

@@ -32,15 +32,28 @@ object Similarity {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two embedding columns. */
+  /** Cosine similarity of two embedding columns (built-in HOF
+    * composition — interpreted; kept for engines without the graft
+    * extensions installed).
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine via the native codegen'd expression
+    * ([[graft.functions.expressions.CosineSimilarity]], registered by
+    * [[graft.Engine.extensions]]): identical IEEE result to [[cosine]]
+    * (same per-element op order), but a primitive float loop inside
+    * whole-stage codegen instead of an interpreted lambda fold — the
+    * form the ANN hot path wants.
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 
   /** Exact cosine top-k of `query` (an array<float> literal/column) over
     * `vecs(idCol, vecCol)`. Executes as map-side score + global top-k.
     */
   def bruteForceTopK(vecs: DataFrame, idCol: String, vecCol: String,
       query: Column, k: Int): DataFrame =
-    vecs.select(col(idCol), cosine(col(vecCol), query).as("cosine"))
+    vecs.select(col(idCol), cosineNative(col(vecCol), query).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
 
