@@ -95,4 +95,61 @@ object Similarity {
       bucketed.filter(col("bucket") === qBucket).drop("bucket"),
       idCol, vecCol, query, k)
   }
+
+  // ---------------------------------------------------------------------
+  // IVF (inverted-file) index: coarse centroids → cluster assignment →
+  // PARTITIONED physical layout → probe-limited search. At 100 TB this
+  // is the structure that turns ANN from a full scan into a read of
+  // nprobe partitions: the cluster id is a partition column, so Spark's
+  // partition pruning skips every unprobed cluster at the FILE level.
+  // ---------------------------------------------------------------------
+
+  /** Mean vector per cluster of `clusterCol` (the coarse quantizer
+    * training step; any initial assignment works — a label column, a
+    * sign-LSH bucket, or a previous IVF pass for Lloyd iterations).
+    */
+  def centroids(vecs: DataFrame, clusterCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    vecs.select(col(clusterCol).as("cluster"),
+        posexplode(col(vecCol)).as(Seq("pos", "vf")))
+      .groupBy("cluster", "pos")
+      .agg(avg(col("vf").cast(DoubleType)).as("c"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
+      .select(col("cluster"),
+        transform(col("pairs"), p => p.getField("c").cast("float")).as("centroid"))
+  }
+
+  /** Assign every vector to its nearest centroid (cosine) and write the
+    * table partitioned by cluster — the IVF build. `centroidRows` is
+    * small (one row per cluster) and is broadcast.
+    */
+  def ivfWrite(vecs: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame, path: String): Unit = {
+    val assigned = vecs
+      .crossJoin(broadcast(centroidDf))
+      .withColumn("sim", cosineNative(col(vecCol), col("centroid")))
+      .transform(d => graft.functions.ColumnLib.latestWins(d, Seq(idCol),
+        Seq(col("sim").desc_nulls_last, col("cluster").asc)))
+      .select(col(idCol), col(vecCol), col("cluster"))
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+  }
+
+  /** Probe-limited IVF search: rank centroids against the query on the
+    * driver (centroids are tiny), then scan ONLY the nprobe nearest
+    * clusters — a partition-pruned read — and exact-rank within them.
+    */
+  def ivfSearch(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, centroidDf: DataFrame,
+      query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val probes = centroidDf
+      .select(col("cluster"), cosineNative(col("centroid"), q).as("sim"))
+      .orderBy(col("sim").desc_nulls_last, col("cluster"))
+      .limit(nprobe)
+      .collect().map(_.get(0))
+    val pruned = spark.read.parquet(path)
+      .filter(col("cluster").isin(probes.toIndexedSeq: _*))
+    bruteForceTopK(pruned, idCol, vecCol, q, k)
+  }
 }

@@ -82,4 +82,27 @@ object IncrementalStream {
     */
   def runAvailableNow(writer: DataStreamWriter[Row]): StreamingQuery =
     writer.trigger(Trigger.AvailableNow()).start()
+
+  final case class KeyCount(key: String, n: Long)
+
+  /** Custom per-key state via mapGroupsWithState: a running count per
+    * key that survives across micro-batches — the template for any
+    * arbitrary-state stream op (dedup caches, session carriers,
+    * incremental sketches). State lives in the state store, sized by
+    * distinct keys, checkpointed with the query.
+    */
+  def runningCountsWithState(docs: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(keyCol).cast("string")).as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          KeyCount(k, n)
+      }.toDF()
+  }
 }

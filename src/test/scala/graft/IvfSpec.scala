@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+
+  // Three well-separated clusters on coordinate axes.
+  private def vecs = df("vec_id BIGINT, label STRING, embedding ARRAY<FLOAT>",
+    Row(Long.box(1), "x", Seq(1.0f, 0.1f, 0.0f)),
+    Row(Long.box(2), "x", Seq(0.9f, 0.0f, 0.1f)),
+    Row(Long.box(3), "y", Seq(0.0f, 1.0f, 0.1f)),
+    Row(Long.box(4), "y", Seq(0.1f, 0.9f, 0.0f)),
+    Row(Long.box(5), "z", Seq(0.0f, 0.1f, 1.0f)),
+    Row(Long.box(6), "z", Seq(0.1f, 0.0f, 0.9f)))
+
+  test("IVF build + probe-limited search finds the brute-force winner") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"
+    val cents = Similarity.centroids(vecs, "label", "embedding")
+    assert(cents.count() == 3)
+    Similarity.ivfWrite(vecs, "vec_id", "embedding", cents, dir)
+    // Partitioned layout: one directory per cluster.
+    val parts = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("cluster=")).toSet
+    assert(parts == Set("cluster=x", "cluster=y", "cluster=z"))
+
+    val query = Seq(0.95f, 0.05f, 0.05f) // near cluster x
+    val hits = Similarity.ivfSearch(spark, dir, "vec_id", "embedding",
+      cents, query, k = 2, nprobe = 1)
+    val ids = hits.collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L), s"nprobe=1 should return exactly cluster x, got $ids")
+
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      array(query.map(lit): _*), 1).head().getLong(0)
+    assert(hits.head().getLong(0) == brute, "IVF top-1 must match brute force")
+  }
+
+  test("IVF search physically prunes unprobed cluster partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf2").toString + "/index"
+    val cents = Similarity.centroids(vecs, "label", "embedding")
+    Similarity.ivfWrite(vecs, "vec_id", "embedding", cents, dir)
+    val plan = Similarity.ivfSearch(spark, dir, "vec_id", "embedding",
+        cents, Seq(0.0f, 0.0f, 1.0f), k = 1, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster") ||
+      plan.contains("PartitionFilters: [isnotnull(cluster") ||
+      plan.contains("cluster#"), s"expected partition pruning in:\n$plan")
+    // And the scan must touch exactly one of the three partitions.
+    val scanned = "PartitionCount: (\\d+)".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(scanned.forall(_ == "1"), s"expected 1 partition scanned:\n$plan")
+  }
+}

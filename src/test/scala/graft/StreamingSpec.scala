@@ -66,6 +66,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(("u1", "10:00") -> 2L, ("u1", "11:00") -> 1L))
   }
 
+  test("runningCountsWithState accumulates per-key state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val src = mem.toDF().toDF("k")
+    val q = IncrementalStream.runningCountsWithState(src, "k")
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    mem.addData("a", "a", "b")
+    q.processAllAvailable()
+    mem.addData("a", "b", "c")
+    q.processAllAvailable()
+    val latest = spark.table("state_out")
+      .groupBy("key").agg(max("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(latest == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
   test("upsertSink merges micro-batches into partitioned parquet exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("stream_upsert")
