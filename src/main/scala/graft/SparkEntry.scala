@@ -21,14 +21,13 @@ object SparkEntry {
       graft.queries.SimilarityOps.defs ++ graft.queries.MultimodalOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The A1-analog aggregate over a broadcast-joined dimension — the
-    * "calls" CTE shape of the reference's reporting MERGE
-    * (reference runner.py:608-637).
+    * The full two-pass daily fact refresh (E3, reference
+    * runner.py:589-874) — scan→broadcast-dim joins→hash aggregates→
+    * full-outer metric join→regex pivot→two MERGEs — the reference's
+    * flagship analytical pipeline end-to-end.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    graft.queries.Relational.defs.head.fn(spark, dir)
-  }
+  def entry(spark: SparkSession): DataFrame =
+    queries("q60_fact_staff_daily")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,39 @@
+package graft
+
+import graft.sources.Storage
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class StorageSpec extends SparkSpec {
+
+  test("loadAppend allows field addition; readers see the union schema") {
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString + "/t"
+    Storage.loadAppend(df("a BIGINT, b STRING",
+      Row(Long.box(1), "x")), dir)
+    // Second batch adds column c (ALLOW_FIELD_ADDITION semantics,
+    // reference bigquery_service.py:276-284).
+    Storage.loadAppend(df("a BIGINT, b STRING, c DOUBLE",
+      Row(Long.box(2), "y", Double.box(2.5))), dir)
+    val out = Storage.read(spark, dir)
+    assert(out.columns.toSet == Set("a", "b", "c"))
+    val byA = out.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(byA == Map(1L -> null, 2L -> 2.5), "old rows surface the new column as null")
+  }
+
+  test("loadTruncate replaces contents even when reading its own input") {
+    val dir = java.nio.file.Files.createTempDirectory("trunc").toString + "/t"
+    Storage.loadAppend(df("a BIGINT", Row(Long.box(1)), Row(Long.box(2))), dir)
+    val filtered = Storage.read(spark, dir).filter(col("a") === 2)
+    Storage.loadTruncate(filtered, dir)
+    assert(Storage.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("exists requires data files, not just a directory") {
+    val dir = java.nio.file.Files.createTempDirectory("exists").toString
+    assert(!Storage.exists(dir + "/missing"))
+    assert(!Storage.exists(dir)) // empty directory
+    Storage.loadAppend(df("a BIGINT", Row(Long.box(1))), dir + "/t")
+    assert(Storage.exists(dir + "/t"))
+  }
+}
