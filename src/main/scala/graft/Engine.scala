@@ -48,6 +48,10 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Managed-table warehouse (bucketed tables) outside the repo; a
+      // cluster deployment overrides this to its real warehouse path.
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   /** Standard local session: `local[cpus]` with one shuffle partition per

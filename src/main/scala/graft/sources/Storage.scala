@@ -48,6 +48,21 @@ object Storage {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Bucketed managed table: pre-shuffled layout on the join/agg key.
+    * Two tables bucketed on the same key with the same count join with
+    * NO exchange on either side — the co-located join that at 100 TB
+    * removes the dominant cost of repeated fact-fact joins
+    * (SURVEY.md §4 "Clustering / data layout"). `sortBy` gives
+    * sort-merge joins pre-sorted runs and row-group locality.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .option("path",
+        df.sparkSession.conf.get("spark.sql.warehouse.dir") + "/" + table)
+      .saveAsTable(table)
+
   /** A table "exists" when its directory holds data files (a bare
     * _SUCCESS marker from an empty write doesn't count — there is no
     * separate DDL in a parquet warehouse; the first data write declares

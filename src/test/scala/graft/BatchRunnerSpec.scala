@@ -64,5 +64,20 @@ class BatchRunnerSpec extends SparkSpec {
     val modes = spark.read.parquet(s"$wh/update_log")
       .select("mode").distinct().collect().map(_.getString(0)).toSet
     assert(Set("STAGED", "MERGED", "APPEND", "TRUNCATE").subsetOf(modes))
+
+    // --- run 3: nothing new — overlap re-read merges idempotently,
+    // call fetch yields zero docs and audits NOOP ---
+    val r3 = new BatchRunner(spark,
+      new FixtureSources.Paged(T0, 180, version = 3), new FixtureSources.Snapshots, cfg)
+    r3.bootstrap()
+    r3.runCustomer(now2)
+    r3.runCall(now2)
+    assert(spark.read.parquet(s"$wh/customer").count() == 180,
+      "overlap re-read must not duplicate rows")
+    assert(spark.read.parquet(s"$wh/call_log").count() == 180,
+      "append-only feed with no new docs must append nothing")
+    val noops = spark.read.parquet(s"$wh/update_log")
+      .filter(col("mode") === "NOOP" && col("table_name") === "call_log")
+    assert(noops.count() >= 1, "empty call fetch must audit NOOP")
   }
 }

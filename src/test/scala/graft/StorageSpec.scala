@@ -29,6 +29,22 @@ class StorageSpec extends SparkSpec {
     assert(Storage.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("bucketed tables join without any exchange") {
+    val a = spark.range(0, 10000).selectExpr("id AS k", "id * 2 AS va")
+    val b = spark.range(0, 10000).selectExpr("id AS k", "id * 3 AS vb")
+    Storage.writeBucketed(a, "bucket_a", "k", 8)
+    Storage.writeBucketed(b, "bucket_b", "k", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bucket_a").join(spark.table("bucket_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed co-located join must not shuffle:\n$plan")
+      assert(joined.count() == 10000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("exists requires data files, not just a directory") {
     val dir = java.nio.file.Files.createTempDirectory("exists").toString
     assert(!Storage.exists(dir + "/missing"))
