@@ -70,14 +70,18 @@ object Upsert {
       if (sourceOrder.isEmpty) source
       else graft.functions.ColumnLib.latestWins(source, keys, sourceOrder)
 
-    val t = inScope.alias("t")
-    val s = deduped.alias("s")
-    val joinCond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    // Presence markers distinguish "row absent from this side" from "row
+    // present with a null key" — a null-key target row must survive
+    // untouched and a null-key source row must INSERT (SQL MERGE ON
+    // equality never matches nulls), neither may be conflated with the
+    // other side's absence.
+    val t = inScope.withColumn("__t_present", lit(1)).alias("t")
+    val s = deduped.withColumn("__s_present", lit(1)).alias("s")
+    val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val joined = t.join(s, joinCond, "full_outer")
 
-    val matched = keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _) &&
-      keys.map(k => col(s"t.$k").isNotNull).reduce(_ && _)
-    val sourceOnly = keys.map(k => col(s"t.$k").isNull).reduce(_ && _)
+    val matched = col("t.__t_present").isNotNull && col("s.__s_present").isNotNull
+    val sourceOnly = col("t.__t_present").isNull
     val doUpdate = matched && updateCond.map(expr).getOrElse(lit(true))
 
     def updated(c: String): Column =

@@ -59,6 +59,22 @@ class UpsertSpec extends SparkSpec {
     assert(out == Map(1L -> "t1", 2L -> "t2", 3L -> "hit"))
   }
 
+  test("null keys follow SQL MERGE semantics: never match, never corrupt") {
+    val tgt = df("k BIGINT, v STRING, t BIGINT",
+      Row(null, "t-null", Long.box(10)),     // null-key target row
+      Row(Long.box(1), "t1", Long.box(10)))
+    val src = df("k BIGINT, v STRING, t BIGINT",
+      Row(null, "s-null", Long.box(20)),     // null-key source row
+      Row(Long.box(1), "s1", Long.box(20)))
+    val out = Upsert.upsert(tgt, src, Seq("k"))
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getLong(0)) -> r.getString(1))
+    // target null-key row survives untouched, source null-key row inserts,
+    // key 1 updates → 3 rows total
+    assert(out.length == 3)
+    assert(out.toMap.get(1L).contains("s1"))
+    assert(out.filter(_._1 == null).map(_._2).toSet == Set("t-null", "s-null"))
+  }
+
   test("upsert is idempotent: applying the same source twice equals once") {
     val source = df("k BIGINT, v STRING, t BIGINT",
       Row(Long.box(2), "s2", Long.box(20)),
