@@ -43,6 +43,10 @@ object AsofJoin {
       if (valueCols.nonEmpty) valueCols
       else right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
     val leftCols = left.columns.toSeq
+    val collisions = values.toSet & leftCols.toSet
+    require(collisions.isEmpty,
+      s"right value columns collide with left columns: ${collisions.mkString(", ")} " +
+        "— rename them on the right side before the as-of join")
 
     // Right rows sort before left rows at the same instant (side 0 < 1)
     // so a right row effective AT the event time is visible to it.
