@@ -66,8 +66,7 @@ final class CheckpointStore(spark: SparkSession, path: String) {
 
   /** Load the cache from the audit log (checkpoints.py:60-77). */
   def warm(): Unit = {
-    val exists = new java.io.File(path).exists()
-    if (!exists) return
+    if (!graft.sources.Storage.exists(spark, path)) return
     spark.read.parquet(path)
       .groupBy(lower(col("table_name")).as("t"), col("tenant"))
       .agg(max(col("max_updateTime")).as("ck"), max(col("updated_at")).as("lr"))

@@ -62,18 +62,24 @@ object AsofJoin {
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = values.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }.withColumn("__asof_ts", last(
-      when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+    // Carry the latest right ROW as one struct (never per-column): the
+    // match must be the whole most-recent right row even when some of
+    // its value columns are null — per-column last_value(ignoreNulls)
+    // would stitch values from DIFFERENT rows and leak data older than
+    // the tolerance.
+    val rightRow = when(col("__side") === 0,
+      struct(col("__ts").as("__rts") +: values.map(c => col(s"__v_$c")): _*))
+    val carried = unioned.withColumn("__asof",
+      last(rightRow, ignoreNulls = true).over(w))
 
     val withinTolerance = tolerance match {
-      case Some(t) => col("__asof_ts").isNotNull &&
-        (col("__ts").cast("long") - col("__asof_ts").cast("long")) <= t
+      case Some(t) => col("__asof").isNotNull &&
+        (col("__ts").cast("long") -
+          col("__asof").getField("__rts").cast("long")) <= t
       case None => lit(true)
     }
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ values.map(c =>
-        when(withinTolerance, col(s"__asof_$c")).as(c)): _*)
+        when(withinTolerance, col("__asof").getField(s"__v_$c")).as(c)): _*)
   }
 }

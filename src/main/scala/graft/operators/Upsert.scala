@@ -84,16 +84,24 @@ object Upsert {
     val sourceOnly = col("t.__t_present").isNull
     val doUpdate = matched && updateCond.map(expr).getOrElse(lit(true))
 
+    // Target-only columns (schema evolution can leave the target wider
+    // than the source, reference runner.py:445 works over common
+    // columns only): kept on update, null on insert.
+    val sCols = deduped.columns.toSet
+    def fromSource(c: String): Column =
+      if (sCols.contains(c)) col(s"s.$c") else lit(null)
+
     def updated(c: String): Column =
       if (keys.contains(c)) col(s"t.$c")
       else updateExprs.get(c) match {
-        case Some(e)                  => expr(e)
-        case None if updateExprs.isEmpty => col(s"s.$c")
-        case None                     => col(s"t.$c") // partial update: keep
+        case Some(e)                     => expr(e)
+        case None if updateExprs.isEmpty =>
+          if (sCols.contains(c)) col(s"s.$c") else col(s"t.$c")
+        case None                        => col(s"t.$c") // partial update: keep
       }
 
     val merged = joined.select(outCols.map { c =>
-      when(sourceOnly, col(s"s.$c"))            // WHEN NOT MATCHED: INSERT
+      when(sourceOnly, fromSource(c))           // WHEN NOT MATCHED: INSERT
         .when(doUpdate, updated(c))             // WHEN MATCHED AND cond
         .otherwise(col(s"t.$c"))                // keep target row
         .as(c)
@@ -117,16 +125,18 @@ object Upsert {
     val src = source.select(target.columns.filter(common).map(col).toIndexedSeq: _*)
     val hasHash = common.contains("row_hash")
     val hasTime = common.contains("updateTime")
+    // Guards joined with AND, exactly as the reference's dynamic MERGE
+    // builder (runner.py:450-455): update only when the payload changed
+    // AND the source is not older — a stale re-served row whose payload
+    // differs must NOT overwrite a newer target.
+    val hashClause = "(t.row_hash IS NULL OR t.row_hash != s.row_hash)"
+    val timeClause = "(try_cast(s.updateTime AS long) >= " +
+      "try_cast(t.updateTime AS long) OR t.updateTime IS NULL)"
     val cond = (hasHash, hasTime) match {
-      case (true, true) =>
-        Some("s.row_hash IS DISTINCT FROM t.row_hash OR " +
-          "try_cast(s.updateTime AS long) >= try_cast(t.updateTime AS long) OR " +
-          "t.updateTime IS NULL")
-      case (true, false) => Some("s.row_hash IS DISTINCT FROM t.row_hash")
-      case (false, true) =>
-        Some("try_cast(s.updateTime AS long) >= try_cast(t.updateTime AS long) " +
-          "OR t.updateTime IS NULL")
-      case _ => None
+      case (true, true)  => Some(s"$hashClause AND $timeClause")
+      case (true, false) => Some(hashClause)
+      case (false, true) => Some(timeClause)
+      case _             => None
     }
     val order =
       if (hasTime) Seq(expr("try_cast(updateTime as long)").desc_nulls_last)
@@ -153,10 +163,7 @@ object Upsert {
     // First-write bootstrap: a missing (or file-less) target means the
     // deduped source IS the initial table — partitioned parquet has no
     // separate DDL step, the first partitioned write declares the layout.
-    val dir = new java.io.File(path)
-    val hasData = dir.exists() && Option(dir.listFiles()).exists(_.exists(f =>
-      f.getName.endsWith(".parquet") || f.getName.contains("=")))
-    if (!hasData) {
+    if (!graft.sources.Storage.exists(spark, path)) {
       val init =
         if (sourceOrder.isEmpty) source
         else graft.functions.ColumnLib.latestWins(source, keys, sourceOrder)

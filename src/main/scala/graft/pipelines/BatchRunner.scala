@@ -50,6 +50,11 @@ final class BatchRunner(
       val res = PagedSource.fetchDescUntil(spark, fetcher, "customer", tenant,
         "updateTime", cutoff, nowMs, cfg.sliceMs, cfg.minSliceMs,
         cfg.pageSize, cfg.limitRecords)
+      // The result-window flag means a refused slice may have been
+      // dropped — an auditable data-loss signal (reference logs a
+      // warning at runner.py:95-104), never silently swallowed.
+      if (res.hitResultWindowLimit)
+        audit.add(tenant, "customer", 0, None, "RESULT_WINDOW_LIMIT")
       if (res.docs.isEmpty) {
         audit.add(tenant, "customer", 0, None, "NOOP"); None
       } else {
@@ -110,6 +115,8 @@ final class BatchRunner(
       val res = PagedSource.fetchDescUntil(spark, fetcher, "call", tenant,
         "createTime", cutoff, nowMs, cfg.sliceMs, cfg.minSliceMs,
         cfg.pageSize, cfg.limitRecords)
+      if (res.hitResultWindowLimit)
+        audit.add(tenant, "call_log", 0, None, "RESULT_WINDOW_LIMIT")
       if (res.docs.isEmpty) audit.add(tenant, "call_log", 0, None, "NOOP")
       else {
         val out = CallioIngest.callLogTransform(res.docs, tenant)
@@ -138,7 +145,7 @@ final class BatchRunner(
       audit.add("ALL", "staff", rows, None, "STAGED")
       val staged = Storage.read(spark, p("stg_staff"))
       val merged =
-        if (Storage.exists(p("staff")))
+        if (Storage.exists(spark, p("staff")))
           Upsert.upsertAuto(Storage.read(spark, p("staff")), staged,
             keys = Seq("tenant", "name"))
         else latestWins(staged, Seq("tenant", "name"),

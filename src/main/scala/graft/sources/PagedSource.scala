@@ -99,9 +99,13 @@ object PagedSource {
         } catch {
           case _: ResultWindowTooLarge =>
             hitLimit = true
-            if (oldestSeen != Long.MaxValue && oldestSeen - 1 > from) {
-              // progress made: continue below the oldest doc seen
-              to = oldestSeen - 1
+            if (oldestSeen != Long.MaxValue && oldestSeen > from) {
+              // Progress made: continue strictly below the oldest doc
+              // seen. `to` is EXCLUSIVE in the fetch contract, so the
+              // new end is oldestSeen itself — `oldestSeen - 1` would
+              // permanently skip docs at that exact timestamp (the
+              // reference uses -1 because its ranges are inclusive-end).
+              to = oldestSeen
               page = 1
             } else if (to - from > minSliceMs) {
               // binary split (api.py:294-300), newest half first
@@ -151,12 +155,17 @@ object PagedSource {
         (FetchedDoc(idx, -1, -1, null), hit) +:
           docs.map { case (pg, pos, d) => (FetchedDoc(idx, pg, pos, d), hit) }
       }
-    fetched.cache()
-    val hitLimit = fetched.filter(_._2).limit(1).count() > 0
+    // Materialize ONCE and cut lineage: every fetchPage call is a live
+    // network request, so downstream actions (schema inference, dedup,
+    // caller's own) must never re-trigger the fetch. localCheckpoint
+    // blocks are released by the ContextCleaner when unreferenced —
+    // unlike cache(), repeated daemon-style runs don't accumulate.
+    val materialized = fetched.localCheckpoint(true)
+    val hitLimit = materialized.filter(_._2).limit(1).count() > 0
 
     // First-occurrence-wins dedup (api.py:238-257): newest slice first,
     // then page order. Fallback dedup key mirrors `f"{ts}:{len}"`.
-    val tagged = fetched.filter(_._1.page >= 0).map(_._1).toDF()
+    val tagged = materialized.filter(_._1.page >= 0).map(_._1).toDF()
       .withColumn("_dedup_key", coalesce(
         get_json_object(col("doc"), "$._id"),
         concat_ws(":", get_json_object(col("doc"), s"$$.$timeField"),

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Parquet table storage layer (SURVEY.md §2.1 S9-S11): the engine's
   * load/DDL surface over date-partitioned parquet directories.
@@ -20,20 +20,23 @@ import org.apache.spark.sql.functions.col
   */
 object Storage {
 
-  /** Append with schema evolution: new columns are allowed, readers see
-    * the union schema via mergeSchema.
+  /** Append with schema evolution: new columns are simply written; the
+    * union schema surfaces on [[read]] via mergeSchema. The row count is
+    * observed DURING the write (one pass) — a separate count() would
+    * evaluate the whole upstream transform pipeline twice.
     */
   def loadAppend(df: DataFrame, path: String,
       partitionCol: Option[String] = None,
       clusterBy: Seq[String] = Nil): Long = {
-    val n = df.count()
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs, count(lit(1)).as("n"))
     val sorted =
       if (clusterBy.nonEmpty)
-        df.sortWithinPartitions(clusterBy.map(col): _*)
-      else df
-    val w = sorted.write.mode("append").option("mergeSchema", "true")
+        observed.sortWithinPartitions(clusterBy.map(col): _*)
+      else observed
+    val w = sorted.write.mode("append")
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(path)
-    n
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Full overwrite (snapshot semantics). */
@@ -67,10 +70,16 @@ object Storage {
     * _SUCCESS marker from an empty write doesn't count — there is no
     * separate DDL in a parquet warehouse; the first data write declares
     * the layout, see [[graft.operators.Upsert.applyToPartitionedParquet]]).
+    * Probed through the Hadoop FileSystem so hdfs:// / s3a:// paths work
+    * — a java.io.File probe would report every remote table as absent
+    * and let a "first write" overwrite it.
     */
-  def exists(path: String): Boolean = {
-    val dir = new java.io.File(path)
-    dir.exists() && Option(dir.listFiles()).exists(_.exists(f =>
-      f.getName.endsWith(".parquet") || f.getName.contains("=")))
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists { f =>
+      val n = f.getPath.getName
+      n.endsWith(".parquet") || n.contains("=")
+    }
   }
 }

@@ -69,12 +69,8 @@ object IncrementalStream {
     writer
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          if (new java.io.File(path).exists())
-            Upsert.applyToPartitionedParquet(spark, path, batch, keys, partitionCol)
-          else
-            batch.write.partitionBy(partitionCol).parquet(path)
-        }
+        if (!batch.isEmpty)
+          Upsert.applyToPartitionedParquet(spark, path, batch, keys, partitionCol)
       }
 
   /** One scheduler-tick run: drain everything available now, then stop

@@ -35,6 +35,24 @@ class AsofSessionSpec extends SparkSpec {
     assert(out(("A", 205L)) == null)   // gap 5 > 4 → voided
   }
 
+  test("asof carries the latest right ROW, not per-column latest non-null") {
+    // Latest quote has a null px: the match must surface that null, not
+    // stitch in the px from an older row.
+    val q2 = df("sym STRING, t BIGINT, px DOUBLE",
+      Row("A", Long.box(100), Double.box(10.0)),
+      Row("A", Long.box(200), null))
+    val out = AsofJoin.asof(trades, q2, Seq("sym"), "t", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out(("A", 205L)) == null, "null value of the latest row wins")
+    assert(out(("A", 100L)) == 10.0)
+    // With tolerance, staleness is judged on the matched row's time.
+    val tol = AsofJoin.asof(trades, q2, Seq("sym"), "t", "t", tolerance = Some(10L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(tol(("A", 205L)) == null) // matched row ts=200, gap 5 <= 10, px null
+  }
+
   test("asof preserves all left rows and columns") {
     val out = AsofJoin.asof(trades, quotes, Seq("sym"), "t", "t")
     assert(out.count() == 4)

@@ -47,9 +47,9 @@ class StorageSpec extends SparkSpec {
 
   test("exists requires data files, not just a directory") {
     val dir = java.nio.file.Files.createTempDirectory("exists").toString
-    assert(!Storage.exists(dir + "/missing"))
-    assert(!Storage.exists(dir)) // empty directory
+    assert(!Storage.exists(spark, dir + "/missing"))
+    assert(!Storage.exists(spark, dir)) // empty directory
     Storage.loadAppend(df("a BIGINT", Row(Long.box(1))), dir + "/t")
-    assert(Storage.exists(dir + "/t"))
+    assert(Storage.exists(spark, dir + "/t"))
   }
 }

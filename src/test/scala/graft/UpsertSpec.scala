@@ -84,17 +84,34 @@ class UpsertSpec extends SparkSpec {
     assert(rowSet(once) == rowSet(twice))
   }
 
-  test("upsertAuto: row_hash guard skips no-op updates, recency wins") {
+  test("upsertAuto: update requires changed payload AND not-older source") {
     val tgt = df("k BIGINT, v STRING, row_hash STRING, updateTime BIGINT",
       Row(Long.box(1), "a", "h1", Long.box(10)))
-    val samePayload = df("k BIGINT, v STRING, row_hash STRING, updateTime BIGINT",
-      Row(Long.box(1), "a-updated", "h1", Long.box(5)))
-    // same hash AND older timestamp → no update
-    val kept = Upsert.upsertAuto(tgt, samePayload, Seq("k")).head()
-    assert(kept.getString(1) == "a")
-    val newer = df("k BIGINT, v STRING, row_hash STRING, updateTime BIGINT",
-      Row(Long.box(1), "b", "h2", Long.box(20)))
-    assert(Upsert.upsertAuto(tgt, newer, Seq("k")).head().getString(1) == "b")
+    def src(v: String, h: String, t: Long) =
+      df("k BIGINT, v STRING, row_hash STRING, updateTime BIGINT",
+        Row(Long.box(1), v, h, Long.box(t)))
+    // same hash, older → no update
+    assert(Upsert.upsertAuto(tgt, src("x", "h1", 5), Seq("k")).head().getString(1) == "a")
+    // changed hash BUT stale (older updateTime) → no update — a
+    // re-served old snapshot must not clobber newer data
+    // (reference runner.py:450-455 joins the guards with AND)
+    assert(Upsert.upsertAuto(tgt, src("stale", "h0", 5), Seq("k")).head().getString(1) == "a")
+    // changed hash AND newer → update
+    assert(Upsert.upsertAuto(tgt, src("b", "h2", 20), Seq("k")).head().getString(1) == "b")
+    // same hash but newer → no update (payload unchanged)
+    assert(Upsert.upsertAuto(tgt, src("y", "h1", 30), Seq("k")).head().getString(1) == "a")
+  }
+
+  test("upsertAuto preserves target-only columns under schema evolution") {
+    val tgt = df("k BIGINT, v STRING, legacy STRING, updateTime BIGINT",
+      Row(Long.box(1), "a", "keepme", Long.box(10)))
+    val src = df("k BIGINT, v STRING, updateTime BIGINT",
+      Row(Long.box(1), "b", Long.box(20)),   // update
+      Row(Long.box(2), "c", Long.box(20)))   // insert
+    val out = Upsert.upsertAuto(tgt, src, Seq("k"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L) == ("b", "keepme"), "target-only column survives the update")
+    assert(out(2L) == ("c", null), "inserted rows null the target-only column")
   }
 
   test("applyToPartitionedParquet rewrites only the touched partitions") {
