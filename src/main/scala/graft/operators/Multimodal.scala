@@ -100,6 +100,30 @@ object Multimodal {
       }(enc)
   }
 
+  /** "Resize": deterministic stub for the image-resize verb — keeps
+    * every `factor`-th byte of the payload and rewrites the metadata
+    * dims accordingly. The real pipeline swaps the byte transform for a
+    * codec call; the engine-side contract (binary in/out, metadata
+    * rewrite, pure projection — no shuffle) is what's exercised here.
+    */
+  def resizeStub(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1)
+    val n = length(col("payload"))
+    val idxs = sequence(lit(1), greatest((n / factor).cast(IntegerType), lit(1)))
+    // Byte-safe concat: fold binary slices directly (a string detour
+    // would mangle non-UTF8 bytes).
+    val resized = aggregate(idxs, lit(Array.emptyByteArray),
+      (acc, i) => concat(acc, col("payload").substr((i - 1) * factor + 1, lit(1))))
+    media
+      .withColumn("payload", resized)
+      .withColumn("meta", struct(
+        col("meta.kind"), col("meta.mime"),
+        (col("meta.width") / factor).cast(IntegerType).as("width"),
+        (col("meta.height") / factor).cast(IntegerType).as("height"),
+        col("meta.sample_rate"), col("meta.duration_ms"),
+        length(col("payload")).cast(LongType).as("n_bytes")))
+  }
+
   /** Frame sampling: slice the payload into fixed-size "frames" at a
     * stride, as an array<binary> column — pure built-ins (substring on
     * binary), no UDF, codegen-friendly.

@@ -120,6 +120,23 @@ object Similarity {
         transform(col("pairs"), p => p.getField("c").cast("float")).as("centroid"))
   }
 
+  /** One Lloyd iteration: re-assign vectors to their nearest centroid,
+    * then recompute centroids as cluster means. Iterate a few times
+    * from any seed assignment (a label column or sign-LSH buckets) for
+    * a real k-means coarse quantizer; each step is one broadcast join +
+    * one aggregate — no quadratic stage.
+    */
+  def kmeansStep(vecs: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame): DataFrame = {
+    val assigned = vecs
+      .crossJoin(broadcast(centroidDf))
+      .withColumn("sim", cosineNative(col(vecCol), col("centroid")))
+      .transform(d => graft.functions.ColumnLib.latestWins(d, Seq(idCol),
+        Seq(col("sim").desc_nulls_last, col("cluster").asc)))
+      .select(col("cluster"), col(vecCol))
+    centroids(assigned, "cluster", vecCol)
+  }
+
   /** Assign every vector to its nearest centroid (cosine) and write the
     * table partitioned by cluster — the IVF build. `centroidRows` is
     * small (one row per cluster) and is broadcast.

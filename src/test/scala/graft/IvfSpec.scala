@@ -36,6 +36,17 @@ class IvfSpec extends SparkSpec {
     assert(hits.head().getLong(0) == brute, "IVF top-1 must match brute force")
   }
 
+  test("kmeansStep re-assigns and recomputes stable centroids") {
+    val cents = Similarity.centroids(vecs, "label", "embedding")
+    val step1 = Similarity.kmeansStep(vecs, "vec_id", "embedding", cents)
+    assert(step1.count() == 3, "well-separated clusters keep 3 centroids")
+    // A second step from an already-converged assignment is a fixpoint.
+    val step2 = Similarity.kmeansStep(vecs, "vec_id", "embedding", step1)
+    val c1 = step1.collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    val c2 = step2.collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(c1 == c2, "converged centroids must be a fixpoint")
+  }
+
   test("IVF search physically prunes unprobed cluster partitions") {
     val dir = java.nio.file.Files.createTempDirectory("ivf2").toString + "/index"
     val cents = Similarity.centroids(vecs, "label", "embedding")

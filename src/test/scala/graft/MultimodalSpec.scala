@@ -32,6 +32,16 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.values.flatten.forall(v => v >= 0.0f && v <= 1.0f))
   }
 
+  test("resizeStub subsamples bytes and rewrites metadata dims") {
+    val m = Multimodal.asMediaTable(base, "id", "payload", "image")
+    val out = Multimodal.resizeStub(m, factor = 2)
+      .filter(col("media_id") === 1).head()
+    assert(new String(out.getAs[Array[Byte]](1)) == "acegi") // every 2nd byte
+    val meta = out.getStruct(2)
+    assert(meta.getAs[Long]("n_bytes") == 5L)
+    assert(meta.getAs[Int]("width") == 21) // 42 / 2
+  }
+
   test("frameSample slices payload at stride with cap; short payload yields none") {
     val m = Multimodal.asMediaTable(base, "id", "payload", "video")
     val out = Multimodal.frameSample(m, frameBytes = 4, stride = 2, maxFrames = 3)
