@@ -51,6 +51,27 @@ object Storage {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Small-file compaction: rewrite a (partitioned) parquet table so
+    * each partition holds few large files instead of the many small
+    * ones an incremental/streaming sink accumulates. At scale, scan
+    * cost is dominated by file count (footer reads, task scheduling),
+    * so periodic compaction is part of the table lifecycle. One shuffle
+    * on the partition key; data is byte-identical afterwards.
+    */
+  def compact(spark: SparkSession, path: String,
+      partitionCol: Option[String] = None,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val df = read(spark, path).localCheckpoint(true) // cut lineage: we overwrite our input
+    val w = partitionCol match {
+      case Some(c) =>
+        df.repartition(col(c)).write.mode("overwrite").partitionBy(c)
+      case None =>
+        df.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+          .write.mode("overwrite")
+    }
+    w.option("maxRecordsPerFile", maxRecordsPerFile).parquet(path)
+  }
+
   /** Bucketed managed table: pre-shuffled layout on the join/agg key.
     * Two tables bucketed on the same key with the same count join with
     * NO exchange on either side — the co-located join that at 100 TB

@@ -45,6 +45,24 @@ class StorageSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compact collapses accumulated small files without changing data") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    (1 to 5).foreach { i =>
+      Storage.loadAppend(
+        df("k BIGINT, d STRING", Row(Long.box(i), "2024-01-01"),
+          Row(Long.box(i + 100), "2024-01-02")).repartition(4),
+        dir, partitionCol = Some("d"))
+    }
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = files(s"$dir/d=2024-01-01")
+    assert(before >= 5, s"expected many small files, got $before")
+    val data = rowSet(Storage.read(spark, dir))
+    Storage.compact(spark, dir, Some("d"))
+    assert(files(s"$dir/d=2024-01-01") < before)
+    assert(rowSet(Storage.read(spark, dir)) == data, "compaction must not change data")
+  }
+
   test("exists requires data files, not just a directory") {
     val dir = java.nio.file.Files.createTempDirectory("exists").toString
     assert(!Storage.exists(spark, dir + "/missing"))
