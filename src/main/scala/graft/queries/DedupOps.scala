@@ -68,11 +68,10 @@ object DedupOps {
          AND a.doc_id < b.doc_id
         ORDER BY 1, 2""")),
 
-    // ---- SimHash: 16-bit per-row signature ------------------------------
+    // ---- SimHash: 16-bit signature (explode-side codegen path) ----------
     QueryDef("q33_simhash",
       (s, dir) => {
-        docs(s, dir)
-          .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+        Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")
           .orderBy("doc_id")
       },
       Some {
