@@ -110,10 +110,12 @@ object Multimodal {
     require(factor >= 1)
     val n = length(col("payload"))
     val idxs = sequence(lit(1), greatest((n / factor).cast(IntegerType), lit(1)))
-    // Byte-safe concat: fold binary slices directly (a string detour
-    // would mangle non-UTF8 bytes).
-    val resized = aggregate(idxs, lit(Array.emptyByteArray),
-      (acc, i) => concat(acc, col("payload").substr((i - 1) * factor + 1, lit(1))))
+    // Byte-safe AND linear: each kept byte goes through hex (2 chars),
+    // one array_join builds the string, one unhex restores the bytes.
+    // (A binary fold-concat would copy the growing accumulator per
+    // step — quadratic in payload size.)
+    val resized = unhex(array_join(transform(idxs,
+      i => hex(col("payload").substr((i - 1) * factor + 1, lit(1)))), ""))
     media
       .withColumn("payload", resized)
       .withColumn("meta", struct(

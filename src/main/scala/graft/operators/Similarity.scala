@@ -120,6 +120,18 @@ object Similarity {
         transform(col("pairs"), p => p.getField("c").cast("float")).as("centroid"))
   }
 
+  /** Nearest-centroid assignment (shared by the IVF build and k-means):
+    * broadcast the centroid table, score every (vector, centroid) pair
+    * with the native cosine, keep the best per vector (deterministic
+    * cluster-id tiebreak).
+    */
+  private def assignNearest(vecs: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroidDf))
+      .withColumn("sim", cosineNative(col(vecCol), col("centroid")))
+      .transform(d => graft.functions.ColumnLib.latestWins(d, Seq(idCol),
+        Seq(col("sim").desc_nulls_last, col("cluster").asc)))
+
   /** One Lloyd iteration: re-assign vectors to their nearest centroid,
     * then recompute centroids as cluster means. Iterate a few times
     * from any seed assignment (a label column or sign-LSH buckets) for
@@ -127,30 +139,20 @@ object Similarity {
     * one aggregate — no quadratic stage.
     */
   def kmeansStep(vecs: DataFrame, idCol: String, vecCol: String,
-      centroidDf: DataFrame): DataFrame = {
-    val assigned = vecs
-      .crossJoin(broadcast(centroidDf))
-      .withColumn("sim", cosineNative(col(vecCol), col("centroid")))
-      .transform(d => graft.functions.ColumnLib.latestWins(d, Seq(idCol),
-        Seq(col("sim").desc_nulls_last, col("cluster").asc)))
-      .select(col("cluster"), col(vecCol))
-    centroids(assigned, "cluster", vecCol)
-  }
+      centroidDf: DataFrame): DataFrame =
+    centroids(assignNearest(vecs, idCol, vecCol, centroidDf)
+      .select(col("cluster"), col(vecCol)), "cluster", vecCol)
 
-  /** Assign every vector to its nearest centroid (cosine) and write the
-    * table partitioned by cluster — the IVF build. `centroidRows` is
-    * small (one row per cluster) and is broadcast.
+  /** Assign every vector to its nearest centroid and write the table
+    * partitioned by cluster — the IVF build. Same assignment as the
+    * quantizer training ([[assignNearest]]), so layout and training
+    * can never disagree.
     */
   def ivfWrite(vecs: DataFrame, idCol: String, vecCol: String,
-      centroidDf: DataFrame, path: String): Unit = {
-    val assigned = vecs
-      .crossJoin(broadcast(centroidDf))
-      .withColumn("sim", cosineNative(col(vecCol), col("centroid")))
-      .transform(d => graft.functions.ColumnLib.latestWins(d, Seq(idCol),
-        Seq(col("sim").desc_nulls_last, col("cluster").asc)))
+      centroidDf: DataFrame, path: String): Unit =
+    assignNearest(vecs, idCol, vecCol, centroidDf)
       .select(col(idCol), col(vecCol), col("cluster"))
-    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
-  }
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
   /** Probe-limited IVF search: rank centroids against the query on the
     * driver (centroids are tiny), then scan ONLY the nprobe nearest

@@ -96,7 +96,10 @@ final class BatchRunner(
     Upsert.applyToPartitionedParquet(spark, p("customer"), window,
       keys = Seq("tenant", "_id"), partitionCol = "NgayUpdate",
       sourceOrder = Seq(expr("try_cast(updateTime as long)").desc_nulls_last),
-      updateCond = Some("s.row_hash IS DISTINCT FROM t.row_hash OR " +
+      // Guard replicated literally from the customer MERGE
+      // (runner.py:177-181) — OR-joined, unlike the staff merge's
+      // AND-joined guard in upsertAuto (runner.py:450-455).
+      updateCond = Some("t.row_hash IS NULL OR t.row_hash != s.row_hash OR " +
         "try_cast(s.updateTime as long) >= try_cast(t.updateTime as long) OR " +
         "t.updateTime IS NULL"))
     Storage.loadTruncate(

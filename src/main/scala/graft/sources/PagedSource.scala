@@ -99,12 +99,16 @@ object PagedSource {
         } catch {
           case _: ResultWindowTooLarge =>
             hitLimit = true
-            if (oldestSeen != Long.MaxValue && oldestSeen > from) {
-              // Progress made: continue strictly below the oldest doc
-              // seen. `to` is EXCLUSIVE in the fetch contract, so the
-              // new end is oldestSeen itself — `oldestSeen - 1` would
-              // permanently skip docs at that exact timestamp (the
-              // reference uses -1 because its ranges are inclusive-end).
+            pageCounter += 1 // refusals count against the bound too
+            if (oldestSeen != Long.MaxValue && oldestSeen < to) {
+              // Progress made since the last refusal: continue below the
+              // oldest doc seen. `to` is EXCLUSIVE in the fetch contract,
+              // so the new end is oldestSeen itself (the reference's -1
+              // fits its inclusive-end ranges). `oldestSeen < to` makes
+              // the window strictly narrower each time — a refusal with
+              // no new docs falls through to split/drop, never loops.
+              // Residual caveat shared with the reference: unfetched
+              // docs tied AT oldestSeen are lost (hitLimit flags it).
               to = oldestSeen
               page = 1
             } else if (to - from > minSliceMs) {

@@ -61,7 +61,13 @@ object Storage {
   def compact(spark: SparkSession, path: String,
       partitionCol: Option[String] = None,
       maxRecordsPerFile: Long = 5000000L): Unit = {
-    val df = read(spark, path).localCheckpoint(true) // cut lineage: we overwrite our input
+    // Write-to-temp + swap: the rewrite streams from the ORIGINAL files
+    // (no in-memory snapshot of the table), and a crash mid-write
+    // leaves the original intact — an in-place overwrite would delete
+    // the source before the rewrite is durable. Single-writer
+    // assumption as everywhere else in this warehouse.
+    val tmp = path + ".compact-tmp"
+    val df = read(spark, path)
     val w = partitionCol match {
       case Some(c) =>
         df.repartition(col(c)).write.mode("overwrite").partitionBy(c)
@@ -69,7 +75,11 @@ object Storage {
         df.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
           .write.mode("overwrite")
     }
-    w.option("maxRecordsPerFile", maxRecordsPerFile).parquet(path)
+    w.option("maxRecordsPerFile", maxRecordsPerFile).parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
   }
 
   /** Bucketed managed table: pre-shuffled layout on the join/agg key.

@@ -28,6 +28,23 @@ class FixtureFetcher(t0: Long, n: Int,
   }
 }
 
+/** Serves one page then refuses every subsequent fetch — the pathological
+  * backend that used to trap the recovery loop (re-requesting the same
+  * narrowed window forever).
+  */
+class PoisonFetcher(t0: Long) extends DocFetcher {
+  private var calls = 0
+  override def fetchPage(entity: String, tenant: String, timeField: String,
+      fromMs: Long, toMs: Long, page: Int, pageSize: Int): Page = {
+    calls += 1
+    if (calls == 1)
+      Page(Seq(
+        s"""{"_id":"a","updateTime":${t0 + 300000}}""",
+        s"""{"_id":"b","updateTime":${t0 + 240000}}"""), hasNextPage = true)
+    else throw new ResultWindowTooLarge
+  }
+}
+
 class PagedSourceSpec extends SparkSpec {
 
   private val T0 = 1700000000000L // arbitrary epoch anchor
@@ -79,6 +96,15 @@ class PagedSourceSpec extends SparkSpec {
       sliceMs = 600000L, minSliceMs = 300000L, pageSize = 10)
     assert(res.docs.isEmpty)
     assert(res.hitResultWindowLimit)
+  }
+
+  test("persistent refusal after partial progress terminates, keeps fetched docs") {
+    val res = PagedSource.fetchDescUntil(spark, new PoisonFetcher(T0),
+      "customer", "t1", "updateTime",
+      cutoffMs = T0 - 1, nowMs = T0 + 600000L,
+      sliceMs = 600000L, minSliceMs = 150000L, pageSize = 2)
+    assert(res.hitResultWindowLimit)
+    assert(res.docs.count() == 2, "docs fetched before the refusals must survive")
   }
 
   test("duplicate _ids collapse first-occurrence-wins (newest slice)") {
