@@ -183,6 +183,89 @@ object Advanced {
         FROM events e LEFT JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- set operations: INTERSECT / EXCEPT (+ ALL variants) -----------
+    // Not in the reference's surface (SURVEY §2.6) but part of a
+    // complete relational engine.
+    QueryDef("q78_set_ops",
+      (s, dir) => {
+        val buyers = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 100000).select("o_custkey")
+        val urgent = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        val both = buyers.intersect(urgent)
+          .withColumn("kind", lit("both"))
+        val onlyBig = buyers.except(urgent)
+          .withColumn("kind", lit("big_only"))
+        both.unionByName(onlyBig)
+          .groupBy("kind").agg(count(lit(1)).as("n"))
+          .orderBy("kind")
+      },
+      Some("""
+        WITH buyers AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000),
+        urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        u AS (
+          SELECT 'both' AS kind, o_custkey FROM (
+            SELECT o_custkey FROM buyers INTERSECT SELECT o_custkey FROM urgent)
+          UNION ALL
+          SELECT 'big_only', o_custkey FROM (
+            SELECT o_custkey FROM buyers EXCEPT SELECT o_custkey FROM urgent))
+        SELECT kind, count(*) AS n FROM u GROUP BY 1 ORDER BY 1""")),
+
+    // ---- window family part 2: first/last/nth value, ntile, cume ranks --
+    QueryDef("q79_window_more",
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "customer").select(
+            col("c_mktsegment"), col("c_custkey"),
+            first(col("c_custkey")).over(full).as("richest"),
+            last(col("c_custkey")).over(full).as("poorest"),
+            nth_value(col("c_custkey"), 2).over(full).as("second"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 9).as("pr"),
+            round(cume_dist().over(w), 9).as("cd"))
+          .filter(col("c_custkey") % 37 === 0)
+          .orderBy("c_mktsegment", "c_custkey")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT c_mktsegment, c_custkey,
+                 first_value(c_custkey) OVER wf AS richest,
+                 last_value(c_custkey) OVER wf AS poorest,
+                 nth_value(c_custkey, 2) OVER wf AS second,
+                 ntile(4) OVER w AS quartile,
+                 round(percent_rank() OVER w, 9) AS pr,
+                 round(cume_dist() OVER w, 9) AS cd
+          FROM customer
+          WINDOW w AS (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey),
+                 wf AS (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal DESC, c_custkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        WHERE c_custkey % 37 = 0
+        ORDER BY c_mktsegment, c_custkey""")),
+
+    // ---- collection aggregates: sorted list + string agg ----------------
+    // collect_list order is nondeterministic, so both engines sort the
+    // collected array — the portable form of list/string aggregation.
+    QueryDef("q83_collections",
+      (s, dir) => {
+        t(s, dir, "nation")
+          .groupBy((col("n_nationkey") % 5).as("grp"))
+          .agg(
+            array_sort(collect_list(col("n_name"))).as("names"),
+            array_join(array_sort(collect_list(col("n_name"))), ",").as("names_csv"),
+            size(collect_set(col("n_regionkey"))).as("n_regions"))
+          .orderBy("grp")
+      },
+      Some("""
+        SELECT n_nationkey % 5 AS grp,
+               list_sort(list(n_name)) AS names,
+               array_to_string(list_sort(list(n_name)), ',') AS names_csv,
+               count(DISTINCT n_regionkey) AS n_regions
+        FROM nation GROUP BY 1 ORDER BY 1""")),
+
     // ---- gap sessionization --------------------------------------------
     QueryDef("q77_sessionize",
       (s, dir) => {
