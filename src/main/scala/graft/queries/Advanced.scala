@@ -104,11 +104,11 @@ object Advanced {
       },
       Some("""
         SELECT o_orderstatus,
-               SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS "1-URGENT",
-               SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS "2-HIGH",
-               SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS "3-MEDIUM",
-               SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS "4-NOT SPECIFIED",
-               SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS "5-LOW"
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+               CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+               CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+               CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+               CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
     // ---- subqueries through the SQL front-end (scalar + IN/EXISTS) -----
@@ -249,21 +249,24 @@ object Advanced {
     // ---- collection aggregates: sorted list + string agg ----------------
     // collect_list order is nondeterministic, so both engines sort the
     // collected array — the portable form of list/string aggregation.
+    // The array is serialized with to_json for the gate: the driver's
+    // comparator sorts a pandas frame, and raw array cells are unhashable
+    // there. The in-engine surface stays ArrayType (see q83 spec).
     QueryDef("q83_collections",
       (s, dir) => {
         t(s, dir, "nation")
           .groupBy((col("n_nationkey") % 5).as("grp"))
           .agg(
-            array_sort(collect_list(col("n_name"))).as("names"),
+            to_json(array_sort(collect_list(col("n_name")))).as("names_json"),
             array_join(array_sort(collect_list(col("n_name"))), ",").as("names_csv"),
             size(collect_set(col("n_regionkey"))).as("n_regions"))
           .orderBy("grp")
       },
       Some("""
         SELECT n_nationkey % 5 AS grp,
-               list_sort(list(n_name)) AS names,
+               CAST(to_json(list_sort(list(n_name))) AS VARCHAR) AS names_json,
                array_to_string(list_sort(list(n_name)), ',') AS names_csv,
-               count(DISTINCT n_regionkey) AS n_regions
+               CAST(count(DISTINCT n_regionkey) AS INT) AS n_regions
         FROM nation GROUP BY 1 ORDER BY 1""")),
 
     // ---- gap sessionization --------------------------------------------
@@ -284,7 +287,7 @@ object Advanced {
                  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
           FROM flagged)
-        SELECT user_id, session_id,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                min(ms) AS session_start, max(ms) AS session_end,
                max(ms) - min(ms) AS duration_ms, count(*) AS n_events
         FROM sessioned GROUP BY 1, 2 ORDER BY 1, 2""")))

@@ -5,9 +5,9 @@ import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column battery: binary payload + typed metadata plumbing.
-  * The SQL-visible surface (byte length, digest, head slice) oracles
-  * against DuckDB; the batch decode path (mapPartitions stub decoder) is
-  * covered by ScalaTest and registered as a rows-only check.
+  * Both the SQL-visible surface (byte length, digest, head slice) and the
+  * batch decode path (mapPartitions stub decoder) oracle against DuckDB —
+  * the stub's md5-derived features are reconstructible in pure SQL.
   */
 object MultimodalOps {
 
@@ -34,16 +34,32 @@ object MultimodalOps {
                to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS head_b64
         FROM documents ORDER BY media_id""")),
 
-    // ---- batch decode (stub decoder) — rows-only check -------------------
-    // Real semantics tested in MultimodalSpec; not ANSI-SQL-expressible
-    // (mapPartitions with an injected decoder).
+    // ---- batch decode (stub decoder) --------------------------------------
+    // The stub decoder derives feature[i] from md5-digest byte i, so the
+    // whole decode IS SQL-expressible: the oracle reconstructs each byte
+    // from the md5 hex string (strpos-based hex-digit arithmetic). The
+    // vector is exploded to (media_id, i, v) rows because the gate
+    // comparator cannot sort array cells; values rounded to 4 decimals
+    // (float32 representation error ~6e-8 is far below the min distance
+    // of k/255 from any 4-decimal half-boundary, ~2e-7, so both engines
+    // round identically).
     QueryDef("q51_multimodal_decode",
       (s, dir) => {
         val media = Multimodal.asMediaTable(
           Tables.table(s, dir, "documents"), "doc_id", "text", "image")
         Multimodal.decodeFeatures(media, new Multimodal.StubDecoder(8))
-          .select(col("media_id"), col("feature"))
-          .orderBy("media_id")
+          .select(col("media_id"), posexplode(col("feature")).as(Seq("i", "v")))
+          .select(col("media_id"), col("i"),
+            round(col("v").cast("double"), 4).as("v"))
+          .orderBy("media_id", "i")
       },
-      None))
+      Some("""
+        WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+             idx AS (SELECT CAST(unnest(range(8)) AS INT) AS i)
+        SELECT h.media_id, idx.i,
+               round((16.0 * (strpos('0123456789abcdef', substr(h.hx, idx.i*2+1, 1)) - 1)
+                      + (strpos('0123456789abcdef', substr(h.hx, idx.i*2+2, 1)) - 1))
+                     / 255.0, 4) AS v
+        FROM h CROSS JOIN idx
+        ORDER BY 1, 2""")))
 }

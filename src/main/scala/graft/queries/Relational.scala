@@ -48,7 +48,7 @@ object Relational {
                count(*) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS disc_rev,
-               SUM(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS n_taxed,
+               CAST(SUM(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxed,
                count(DISTINCT l_orderkey) AS n_orders,
                CAST(MAX(l_shipdate) AS DATE) AS last_ship
         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
@@ -310,10 +310,10 @@ object Relational {
       },
       Some("""
         SELECT user_id,
-               SUM(CASE WHEN lower(trim(event_type)) IN ('click','view') THEN 1 ELSE 0 END) AS n_engage,
-               SUM(CASE WHEN lower(trim(event_type)) = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-               SUM(CASE WHEN regexp_matches(lower(trim(event_type)), '^err') THEN 1 ELSE 0 END) AS n_error,
-               SUM(CASE WHEN lower(trim(event_type)) LIKE '%sign%' THEN 1 ELSE 0 END) AS n_signup
+               CAST(SUM(CASE WHEN lower(trim(event_type)) IN ('click','view') THEN 1 ELSE 0 END) AS BIGINT) AS n_engage,
+               CAST(SUM(CASE WHEN lower(trim(event_type)) = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN regexp_matches(lower(trim(event_type)), '^err') THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(SUM(CASE WHEN lower(trim(event_type)) LIKE '%sign%' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup
         FROM events GROUP BY 1 ORDER BY 1""")),
 
     // ---- semi/anti joins -------------------------------------------------
@@ -409,6 +409,6 @@ object Relational {
       },
       Some("""
         SELECT event_type, count(*) AS n,
-               SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k
+               CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
         FROM events GROUP BY 1 ORDER BY 1""")))
 }
