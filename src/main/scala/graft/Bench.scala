@@ -4,15 +4,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // Dev-only: comma-separated query-name substrings to bench a subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    def keep(name: String): Boolean = only.forall(_.exists(name.contains))
     val spark = Engine.local(cpus)
     // Warm the JVM/codegen/parquet-reader paths on the smallest SF so
     // one-time init cost isn't attributed to whichever query runs first.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      SparkEntry.queries.toSeq.filter(q => keep(q._1)).sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.filter(q => keep(q._1)).sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -81,22 +81,31 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs: docs sharing at least one LSH band bucket.
-    * Equality self-join on (band_id, band_key); output pairs id1 < id2.
-    * The two join sides are the identical subplan, so the band exchange
-    * is planned once and reused (ReusedExchange) instead of recomputing
-    * the signature pipeline per side.
+    *
+    * Physical shape: ONE pass — group rows by (band_id, band_key) and
+    * expand ordered pairs bucket-locally from the sorted id list. A
+    * bucket self-join would compute the whole signature pipeline twice
+    * (the two join inputs don't canonicalize to a reused exchange), and
+    * LSH's design premise is that buckets stay small, so in-bucket
+    * expansion is both the cheap plan and the scale-safe one. `maxBucket`
+    * guards the pathological hot bucket (boilerplate corpora): buckets
+    * above it are dropped — at that population the pair list is
+    * quadratic noise, not near-dup signal.
     */
   def lshCandidatePairs(docs: DataFrame, id: String, body: String,
-      k: Int = 4, n: Int = 3, bandWidth: Int = 2): DataFrame = {
+      k: Int = 4, n: Int = 3, bandWidth: Int = 2,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val sig = minhashSignatures(docs.select(col(id), col(body)), id, body, k, n)
     val bands = lshBands(sig, id, k, bandWidth)
-    val a = bands.alias("a")
-    val b = bands.alias("b")
-    a.join(b,
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_key") === col("b.band_key") &&
-          col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
+    val ids = col("__ids")
+    val pairStructs = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))),
+        y => struct(x.as("id1"), y.as("id2")))))
+    bands.groupBy(col("band_id"), col("band_key"))
+      .agg(sort_array(collect_list(col(id))).as("__ids"))
+      .filter(size(ids).between(2, maxBucket))
+      .select(explode(pairStructs).as("p"))
+      .select(col("p.id1"), col("p.id2"))
       .distinct()
   }
 
@@ -173,27 +182,32 @@ object Dedup {
       bucketPairs: Seq[(Int, Int)], threshold: Double): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val D = DecimalType(38, 18)
+    // Exact decimal fold over the zipped arrays: each float*float product
+    // is exact in double, cast to DECIMAL(38,18) (same rounding the
+    // oracle applies), then summed in decimal — order-independent, so
+    // the 1e-9-rounded cosine is engine- and shuffle-order-portable.
+    // Whole arrays ride through the joins: no posexplode, no per-pair
+    // groupBy — candidates shuffle as (id1, id2, vec1, vec2) rows, i.e.
+    // O(pairs) not O(pairs * dim) as the exploded formulation would.
+    def dotExact(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a, b, (x, y) =>
+          (x.cast(DoubleType) * y.cast(DoubleType)).cast(D)),
+        lit(java.math.BigDecimal.ZERO).cast(D), (acc, v) => acc + v)
+        .cast(DoubleType)
     val b = Similarity.signLshBuckets(vecs.select(col(id), col(vecCol)),
-      vecCol, bucketPairs).select(col(id), col("bucket"))
+        vecCol, bucketPairs)
+      .select(col(id), col("bucket"), col(vecCol).as("__v"),
+        dotExact(col(vecCol), col(vecCol)).as("__nn"))
     val cand = b.alias("a").join(b.alias("c"),
         col("a.bucket") === col("c.bucket") && col(s"a.$id") < col(s"c.$id"))
-      .select(col(s"a.$id").as("id1"), col(s"c.$id").as("id2"))
-    val e = vecs.select(col(id),
-        posexplode(col(vecCol)).as(Seq("pos", "vf")))
-      .select(col(id), col("pos"), col("vf").cast(DoubleType).as("v"))
-    val norms = e.groupBy(col(id))
-      .agg(sum((col("v") * col("v")).cast(D)).cast(DoubleType).as("nn"))
-    val dots = cand
-      .join(e.select(col(id).as("id1"), col("pos"), col("v").as("v1")), Seq("id1"))
-      .join(e.select(col(id).as("id2"), col("pos"), col("v").as("v2")),
-        Seq("id2", "pos"))
-      .groupBy("id1", "id2")
-      .agg(sum((col("v1") * col("v2")).cast(D)).cast(DoubleType).as("dot"))
-    dots
-      .join(norms.select(col(id).as("id1"), col("nn").as("n1")), Seq("id1"))
-      .join(norms.select(col(id).as("id2"), col("nn").as("n2")), Seq("id2"))
+      .select(col(s"a.$id").as("id1"), col(s"c.$id").as("id2"),
+        col("a.__v").as("v1"), col("c.__v").as("v2"),
+        col("a.__nn").as("n1"), col("c.__nn").as("n2"))
+    cand
       .select(col("id1"), col("id2"),
-        round(col("dot") / (sqrt(col("n1")) * sqrt(col("n2"))), 9).as("cosine"))
+        round(dotExact(col("v1"), col("v2")) /
+          (sqrt(col("n1")) * sqrt(col("n2"))), 9).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
