@@ -15,15 +15,23 @@ object Bench {
       SparkEntry.queries.toSeq.filter(q => keep(q._1)).sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // A query that throws reports -1, NOT its time-to-failure: a fast
+    // exception would otherwise masquerade as a fast query.
     val results = SparkEntry.queries.toSeq.filter(q => keep(q._1)).sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nErr = results.count(_._2 < 0)
+    // Surface any subset filter so a partial run is distinguishable from
+    // a full one in round-over-round BENCH artifacts.
+    val filterJson = only.map(f => s""","filter":"${f.mkString(",")}"""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr$filterJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

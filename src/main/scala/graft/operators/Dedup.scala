@@ -189,11 +189,18 @@ object Dedup {
     // Whole arrays ride through the joins: no posexplode, no per-pair
     // groupBy — candidates shuffle as (id1, id2, vec1, vec2) rows, i.e.
     // O(pairs) not O(pairs * dim) as the exploded formulation would.
+    // The merge re-casts to D: decimal + promotes DECIMAL(38,18) to
+    // (38,17), which would fail the accumulator type check; the cast is
+    // exact here (every term already has 18 fractional digits, and
+    // magnitudes are nowhere near 10^20). Null elements (ragged or
+    // null-padded vectors) contribute 0 instead of poisoning the sum.
     def dotExact(a: Column, b: Column): Column =
       aggregate(
         zip_with(a, b, (x, y) =>
-          (x.cast(DoubleType) * y.cast(DoubleType)).cast(D)),
-        lit(java.math.BigDecimal.ZERO).cast(D), (acc, v) => acc + v)
+          coalesce((x.cast(DoubleType) * y.cast(DoubleType)).cast(D),
+            lit(java.math.BigDecimal.ZERO).cast(D))),
+        lit(java.math.BigDecimal.ZERO).cast(D),
+        (acc, v) => (acc + v).cast(D))
         .cast(DoubleType)
     val b = Similarity.signLshBuckets(vecs.select(col(id), col(vecCol)),
         vecCol, bucketPairs)
