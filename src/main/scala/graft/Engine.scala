@@ -36,6 +36,23 @@ object Engine {
         "cosine_sim"),
       (children: Seq[Expression]) =>
         graft.functions.expressions.CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.MinHashSignature].getName,
+        "minhash_sig"),
+      (children: Seq[Expression]) => {
+        // k and n parameterize the generated loop, not the data path, so
+        // they must be compile-time constants.
+        def litInt(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: $name must be an integer literal, got $other")
+        }
+        graft.functions.expressions.MinHashSignature(
+          children(0), litInt(children(1), "k"), litInt(children(2), "n"))
+      }))
   }
 
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =

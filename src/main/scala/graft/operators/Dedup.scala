@@ -51,16 +51,33 @@ object Dedup {
   }
 
   /** MinHash signature columns h0..h(k-1) over word `n`-gram shingles:
-    * one row per input doc id (docs with fewer than `n` words drop out,
-    * matching the unnest-based restatement). Values are 16-hex-char
-    * strings (lexicographic min == numeric min) so signatures are
-    * portable across engines.
+    * one row per input doc (ids assumed unique; docs with fewer than `n`
+    * words drop out, matching the unnest-based restatement). Values are
+    * 16-hex-char strings (lexicographic min == numeric min) so
+    * signatures are portable across engines.
     *
-    * Physical shape: [[explodedShingles]] → k seeded md5 columns → hash
-    * aggregate MIN per id, map-side combined: the only shuffle carries
-    * words, and only k×16-char partial minima leave the aggregate.
+    * Physical shape: the native `minhash_sig` expression
+    * ([[graft.functions.expressions.MinHashSignature]], registered in
+    * `Engine.extensions`) computes the whole signature per-row inside
+    * whole-stage codegen — ZERO shuffle, so the downstream LSH pipeline
+    * ([[lshCandidatePairs]]) has exactly one exchange end to end (the
+    * band-bucket groupBy). The shuffle-based aggregate restatement is
+    * kept as [[minhashSignaturesAgg]] for differential testing.
     */
   def minhashSignatures(docs: DataFrame, id: String, body: String,
+      k: Int, n: Int): DataFrame = {
+    val sig = call_function("minhash_sig", words(col(body)), lit(k), lit(n))
+    docs.select(col(id), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(id) +: (0 until k).map(i => col("__sig").getItem(i).as(s"h$i")): _*)
+  }
+
+  /** Shuffle-based MinHash restatement: [[explodedShingles]] → k seeded
+    * md5 columns → hash-aggregate MIN per id, map-side combined. Same
+    * output contract as [[minhashSignatures]]; kept (and spec'd) as the
+    * independent formulation the native expression is verified against.
+    */
+  private[graft] def minhashSignaturesAgg(docs: DataFrame, id: String, body: String,
       k: Int, n: Int): DataFrame = {
     val grams = explodedShingles(docs, id, body, n)
     val aggs = (0 until k).map(i =>
@@ -90,11 +107,18 @@ object Dedup {
     * expansion is both the cheap plan and the scale-safe one. `maxBucket`
     * guards the pathological hot bucket (boilerplate corpora): buckets
     * above it are dropped — at that population the pair list is
-    * quadratic noise, not near-dup signal.
+    * quadratic noise, not near-dup signal. The default (1000 → ≤500k
+    * pairs per bucket) keeps the guard ON for every caller; how many
+    * buckets it dropped (and the largest bucket seen) is surfaced as the
+    * `lsh_buckets` observation — readable from a `QueryExecutionListener`
+    * or `df.observe` metrics without a second pass over the data.
+    *
+    * Ids are deduplicated per bucket (collect_set), so repeated input
+    * ids can never emit an (x, x) self-pair.
     */
   def lshCandidatePairs(docs: DataFrame, id: String, body: String,
       k: Int = 4, n: Int = 3, bandWidth: Int = 2,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = 1000): DataFrame = {
     val sig = minhashSignatures(docs.select(col(id), col(body)), id, body, k, n)
     val bands = lshBands(sig, id, k, bandWidth)
     val ids = col("__ids")
@@ -102,7 +126,10 @@ object Dedup {
       transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))),
         y => struct(x.as("id1"), y.as("id2")))))
     bands.groupBy(col("band_id"), col("band_key"))
-      .agg(sort_array(collect_list(col(id))).as("__ids"))
+      .agg(sort_array(collect_set(col(id))).as("__ids"))
+      .observe("lsh_buckets",
+        sum(when(size(ids) > maxBucket, 1).otherwise(0)).as("dropped_buckets"),
+        max(size(ids)).as("max_bucket_size"))
       .filter(size(ids).between(2, maxBucket))
       .select(explode(pairStructs).as("p"))
       .select(col("p.id1"), col("p.id2"))

@@ -176,8 +176,12 @@ object FactStaffDaily {
         nullif(trim(col("customField_0_val").cast(StringType)), lit(""))
           .as("TrangThaiXuLi"))
     val aggs = Classifiers.statusPivotAggs(col("TrangThaiXuLi"))
-    callsAll
-      .join(customersRaw, col("SDTKhach") === col("phone"), "left")
+    // Null-phone fact rows (a large share of call logs) can never match
+    // the equi-join; route them around the shuffle instead of hashing
+    // them all to one reducer (output identical — a null key left-joins
+    // to all-null right columns either way).
+    graft.operators.Skew.nullSafeLeftJoin(callsAll,
+        customersRaw.withColumnRenamed("phone", "SDTKhach"), "SDTKhach")
       .groupBy("Ngay", "MaNV_id")
       .agg(aggs.head, aggs.tail: _*)
   }

@@ -45,6 +45,31 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p.contains(3L)), "unrelated doc must not pair")
   }
 
+  test("lshCandidatePairs: pathological hot bucket is dropped, not exploded") {
+    // 10 identical boilerplate docs land in one bucket (45 pairs if
+    // expanded); two similar docs form a small, legitimate bucket.
+    val boiler = (1 to 10).map(i =>
+      Row(Long.box(i), "same boilerplate legal footer text repeated everywhere"))
+    val pair = Seq(
+      Row(Long.box(101), "a genuinely unique article about spark engines"),
+      Row(Long.box(102), "a genuinely unique article about spark engines"))
+    val d = df("doc_id BIGINT, text STRING", (boiler ++ pair): _*)
+    val pairs = rowSet(Dedup.lshCandidatePairs(d, "doc_id", "text",
+      k = 4, n = 3, bandWidth = 2, maxBucket = 5))
+    assert(pairs == Set(Seq(101L, 102L)),
+      s"hot bucket must be dropped, small bucket kept (got $pairs)")
+  }
+
+  test("lshCandidatePairs: repeated input ids never emit self-pairs") {
+    val d = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), "the quick brown fox jumps over the lazy dog"),
+      Row(Long.box(1), "the quick brown fox jumps over the lazy dog"), // dup id
+      Row(Long.box(2), "the quick brown fox jumps over the lazy dog"))
+    val pairs = rowSet(Dedup.lshCandidatePairs(d, "doc_id", "text",
+      k = 4, n = 3, bandWidth = 2))
+    assert(pairs == Set(Seq(1L, 2L)), s"no (x,x) pairs allowed (got $pairs)")
+  }
+
   test("simhash16: deterministic, equal for dups, Hamming-near for near-dups") {
     val h = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

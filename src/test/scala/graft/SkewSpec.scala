@@ -31,4 +31,34 @@ class SkewSpec extends SparkSpec {
     val routed = Skew.nullSafeLeftJoin(facts, dim, "k")
     assert(rowSet(routed) == rowSet(plain))
   }
+
+  test("statusPivot with null-routed phone join matches the plain left join") {
+    import graft.pipelines.FactStaffDaily
+    import graft.functions.Classifiers
+    val callLog = df(
+      "tenant STRING, NgayTao DATE, fromUser__id STRING, toNumber STRING",
+      Row("PK", java.sql.Date.valueOf("2024-01-10"), "u1", "0901"),
+      Row("PK", java.sql.Date.valueOf("2024-01-10"), "u1", null), // null phone
+      Row("PK", java.sql.Date.valueOf("2024-01-11"), "u2", null), // null phone
+      Row("PK", java.sql.Date.valueOf("2024-01-11"), "u2", "0902"))
+    val customer = df(
+      "tenant STRING, NgayUpdate DATE, phone STRING, customField_0_val STRING",
+      Row("PK", java.sql.Date.valueOf("2024-01-10"), "0901", "OK - kết bạn zalo"),
+      Row("PK", java.sql.Date.valueOf("2024-01-11"), "0902", "KH từ chối"))
+    val d0 = lit(java.sql.Date.valueOf("2024-01-01"))
+    val d1 = lit(java.sql.Date.valueOf("2024-01-31"))
+    val routed = FactStaffDaily.statusPivot(callLog, customer, d0, d1)
+    // Plain-join restatement of the same pivot.
+    val aggs = Classifiers.statusPivotAggs(col("TrangThaiXuLi"))
+    val plain = callLog
+      .select(col("NgayTao").as("Ngay"), col("fromUser__id").as("MaNV_id"),
+        col("toNumber").as("SDTKhach"))
+      .join(customer.select(col("phone"),
+          nullif(trim(col("customField_0_val")), lit("")).as("TrangThaiXuLi")),
+        col("SDTKhach") === col("phone"), "left")
+      .groupBy("Ngay", "MaNV_id")
+      .agg(aggs.head, aggs.tail: _*)
+    assert(rowSet(routed) == rowSet(plain))
+    assert(routed.count() == 2)
+  }
 }
