@@ -177,10 +177,36 @@ object Upsert {
     val prune = col(partitionCol).between(lit(range.get(0)), lit(range.get(1)))
     val merged = upsert(target.filter(prune), source, keys,
       sourceOrder, updateCond, updateExprs, targetPrune = None)
-    // Break lineage before overwriting the path we just read, otherwise the
-    // write would delete its own input files mid-scan.
-    merged.localCheckpoint(eager = true)
-      .write.mode("overwrite").partitionBy(partitionCol)
-      .option("partitionOverwriteMode", "dynamic").parquet(path)
+    // Write-to-temp + per-partition swap (same pattern as
+    // [[graft.sources.Storage.compact]]): the merge streams from the
+    // ORIGINAL files into a sibling temp dir, then each affected
+    // partition directory is swapped in with an atomic rename. Unlike a
+    // localCheckpoint + in-place overwrite, this (a) never pins the
+    // merged partitions in executor memory/disk, and (b) is
+    // failure-safe: a crash during the merge write leaves the live
+    // table untouched, a crash mid-swap leaves whole partitions either
+    // old or new — both states are repaired by simply re-running the
+    // (idempotent) merge. Single-writer assumption as everywhere else.
+    val tmp = path + ".merge-tmp"
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val hTmp = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // Clear any staging output from a crashed prior attempt BEFORE
+    // writing: under the session's dynamic partition-overwrite mode, an
+    // overwrite of tmp would only replace partitions present in THIS
+    // merge, and a stale partition left by an older crashed merge would
+    // otherwise survive and be swapped into the live table below.
+    fs.delete(hTmp, true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy(partitionCol).parquet(tmp)
+    fs.listStatus(hTmp).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .foreach { st =>
+        val dest = new org.apache.hadoop.fs.Path(hPath, st.getPath.getName)
+        fs.delete(dest, true)
+        fs.rename(st.getPath, dest)
+      }
+    fs.delete(hTmp, true)
   }
 }

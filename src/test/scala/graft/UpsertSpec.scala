@@ -135,5 +135,34 @@ class UpsertSpec extends SparkSpec {
     val untouched = new java.io.File(s"$dir/d=2024-01-01").listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
     assert(untouched == before)
+    // The temp staging dir must not outlive the merge.
+    assert(!new java.io.File(dir + ".merge-tmp").exists())
+  }
+
+  test("applyToPartitionedParquet survives a crashed prior merge attempt") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_crash").toString
+    val init = df("k BIGINT, v STRING, d STRING",
+      Row(Long.box(1), "a", "2024-01-01"),
+      Row(Long.box(2), "b", "2024-01-02"))
+    init.write.mode("overwrite").partitionBy("d").parquet(dir)
+    // Simulate a run that died between writing the merge temp dir and
+    // swapping it in: stale partial output sits in <path>.merge-tmp.
+    val stale = new java.io.File(dir + ".merge-tmp/d=2024-01-02")
+    stale.mkdirs()
+    java.nio.file.Files.writeString(
+      stale.toPath.resolve("part-junk.parquet"), "not parquet")
+    // The live table is untouched by the crash...
+    val live = spark.read.parquet(dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(live == Map(1L -> "a", 2L -> "b"))
+    // ...and re-running the merge recovers: temp is overwritten, swap
+    // completes, result is the post-merge state.
+    val source = df("k BIGINT, v STRING, d STRING",
+      Row(Long.box(2), "B2", "2024-01-02"))
+    Upsert.applyToPartitionedParquet(spark, dir, source, Seq("k"), "d")
+    val after = spark.read.parquet(dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == Map(1L -> "a", 2L -> "B2"))
+    assert(!new java.io.File(dir + ".merge-tmp").exists())
   }
 }
