@@ -80,4 +80,28 @@ class BatchRunnerSpec extends SparkSpec {
       .filter(col("mode") === "NOOP" && col("table_name") === "call_log")
     assert(noops.count() >= 1, "empty call fetch must audit NOOP")
   }
+
+  test("runLoop: daemon catch-up drives the incremental batch end to end") {
+    val wh = java.nio.file.Files.createTempDirectory("runner_loop").toString
+    val cfg = BatchRunner.Config(wh, tenants = Seq("PK"),
+      sliceMs = 1800000L, pageSize = 13)
+    val r = new BatchRunner(spark, new FixtureSources.Paged(T0, 120, version = 1),
+      new FixtureSources.Snapshots, cfg)
+    r.bootstrap()
+    // Boot "now" = fixture end time, inside a slot that never ran →
+    // the daemon fires the batch immediately (catch-up), then parks in
+    // the sleep branch; stop after two iterations (one run + one tick).
+    val boot = java.time.Instant.ofEpochMilli(T0 + 120 * 60000L)
+    var clock = boot
+    var iters = 0
+    val last = r.runLoop(
+      lastRun = None,
+      shouldStop = () => iters >= 2,
+      sleep = s => clock = clock.plusSeconds(s),
+      now = () => { iters += 1; clock })
+    // The single catch-up batch landed both feeds at the boot instant.
+    assert(spark.read.parquet(s"$wh/customer").count() == 120)
+    assert(spark.read.parquet(s"$wh/call_log").count() == 120)
+    assert(last.contains(boot))
+  }
 }
