@@ -105,4 +105,46 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("v")).toMap
     assert(out == Map("k1" -> 10L, "k2" -> 2L, "k3" -> 3L))
   }
+
+  test("PagedStream.tick: paged fetch drains through AvailableNow into the upsert target") {
+    import graft.sources.FixtureSources
+    import graft.pipelines.CallioIngest
+    import graft.streaming.PagedStream
+    val T0 = 1704844800000L // 2024-01-10T00:00:00Z, one doc per minute
+    val dir = java.nio.file.Files.createTempDirectory("paged_stream")
+    def run(fetchEnd: Long, version: Int, cutoff: Long) =
+      PagedStream.tick(spark,
+        new FixtureSources.Paged(T0, 120, version = version),
+        entity = "customer", tenant = "PK", timeField = "updateTime",
+        cutoffMs = cutoff, nowMs = fetchEnd,
+        transform = CallioIngest.customerTransform(_, "PK"),
+        spoolDir = dir.resolve("spool").toString,
+        targetPath = dir.resolve("customer").toString,
+        keys = Seq("tenant", "_id"), partitionCol = "NgayUpdate",
+        checkpointDir = dir.resolve("ck").toString,
+        sliceMs = 1800000L, pageSize = 13)
+
+    // Tick 1: cold start pulls the first 60 docs.
+    val r1 = run(T0 + 60 * 60000L, version = 1, cutoff = T0 - 1)
+    assert(r1.stagedRows == 60 && !r1.hitResultWindowLimit)
+    val t1 = spark.read.parquet(dir.resolve("customer").toString)
+    assert(t1.count() == 60)
+    assert(t1.filter(col("_id") === "c7").head()
+      .getAs[String]("name") == "cust 7 v1")
+
+    // Tick 2: 60 new docs + overlap re-read of the last 10 under a new
+    // version — re-served rows must update in place, not duplicate.
+    val r2 = run(T0 + 120 * 60000L, version = 2, cutoff = T0 + 49 * 60000L)
+    assert(r2.stagedRows == 70)
+    val t2 = spark.read.parquet(dir.resolve("customer").toString)
+    assert(t2.count() == 120, "overlap re-read must merge, not append")
+    assert(t2.filter(col("_id") === "c55").head()
+      .getAs[String]("name") == "cust 55 v2", "re-served doc takes the update")
+
+    // Tick 3: empty fetch — the drain is a no-op but must not fail, and
+    // already-processed spool files are never re-merged (checkpoint).
+    val r3 = run(T0 + 120 * 60000L, version = 2, cutoff = T0 + 200 * 60000L)
+    assert(r3.stagedRows == 0)
+    assert(spark.read.parquet(dir.resolve("customer").toString).count() == 120)
+  }
 }
