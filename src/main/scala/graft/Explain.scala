@@ -1,9 +1,9 @@
 package graft
 
-/** Dev scratch: print the physical plan of one registered query.
-  * Usage: runMain graft.ExplainQ32 <name> [sfDir]
+/** Dev tool: print the physical plan of any registered query.
+  * Usage: runMain graft.Explain <name> [sfDir]
   */
-object ExplainQ32 {
+object Explain {
   def main(args: Array[String]): Unit = {
     val name = if (args.nonEmpty) args(0) else "q32_lsh_pairs"
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"

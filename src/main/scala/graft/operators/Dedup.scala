@@ -138,9 +138,12 @@ object Dedup {
 
   /** Per-row 16-bit SimHash over whitespace words, as a '0'/'1' bitstring.
     * Bit j is the sign of the term-frequency-weighted sum of md5(word)'s
-    * j-th nibble high bit. Pure per-row HOF computation — no shuffle.
+    * j-th nibble high bit. Interpreted HOF fold — kept ONLY as the
+    * independent differential formulation [[simhashSignatures]] (the
+    * codegen production path) is spec-verified against; not for use in
+    * query paths.
     */
-  def simhash16(body: Column): Column = {
+  private[graft] def simhash16(body: Column): Column = {
     val w = words(body)
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val bits = (0 until 16).map { j =>

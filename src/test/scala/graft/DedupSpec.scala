@@ -79,6 +79,15 @@ class DedupSpec extends SparkSpec {
     assert(hamming <= 8, s"near-dups should be Hamming-close (got $hamming)")
   }
 
+  test("codegen simhashSignatures ≡ per-row HOF simhash16 formulation") {
+    val viaAgg = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaHof = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaAgg == viaHof,
+      "explode-side signature must equal the interpreted per-row fold")
+  }
+
   test("MinHashUnionAgg: group union signature = element-wise minima = re-shingled union") {
     import graft.functions.MinHashUnionAgg
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", k = 4, n = 3)

@@ -4,20 +4,76 @@
 Mimics the driver more closely than compare.py: loads both sides into
 pandas, sorts columns by name and rows by all columns (this is where raw
 array cells raise "unhashable type"), then hashes the stringified frame.
-Catches dtype-class mismatches (e.g. DuckDB HUGEINT -> object dtype) that
-value-level comparison misses.
+
+Strictness comes from comparing DECLARED type classes per column — the
+parquet (arrow) schema on the Spark side vs the DuckDB relation types on
+the oracle side — instead of sniffing pandas dtypes or cell values:
+DuckDB's .df() materializes DATE as midnight datetime64, so a value-level
+check cannot tell a real DATE from a TIMESTAMP that happens to fall at
+00:00:00, and pandas width promotion hides int32/int64 only when we want
+it to (same class). Only columns whose BOTH declared classes are "date"
+are normalized to ISO dates before hashing.
 
     python3 tools/compare_strict.py <sfDir> <verifyOutDir> [name ...]
 """
+import datetime
 import glob
 import json
 import sys
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def arrow_class(t):
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    return "other"
+
+
+def duck_class(type_str):
+    t = type_str.upper()
+    if t.endswith("[]"):
+        return "list"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t == "BOOLEAN":
+        return "bool"
+    if t in ("VARCHAR", "STRING"):
+        return "string"
+    if t == "BLOB":
+        return "binary"
+    return "other"
 
 
 def canon(df):
@@ -26,20 +82,26 @@ def canon(df):
     return df
 
 
-def frame_hash(df):
-    # stringify cell-by-cell so int32 vs int64 compare equal but
-    # float formatting / object reprs must match
-    def cell(v):
+def frame_hash(df, date_cols):
+    # stringify cell-by-cell: float formatting / object reprs must
+    # match; same-class width differences (int32 vs int64) hash equal.
+    def cell(v, is_date):
         if v is None or v != v:  # None or NaN
             return "<null>"
         if isinstance(v, float):
             return repr(float(v))
-        # DuckDB DATE arrives as midnight Timestamp; Spark parquet as
-        # datetime.date — the driver normalizes these, so do we.
-        if isinstance(v, pd.Timestamp) and v.time() == pd.Timestamp(0).time():
-            return str(v.date())
+        if is_date:
+            # declared DATE on both sides; DuckDB materializes it as a
+            # midnight Timestamp, Spark parquet as datetime.date
+            if isinstance(v, pd.Timestamp):
+                return str(v.date())
+            if isinstance(v, datetime.date):
+                return str(v)
         return str(v)
-    return [tuple(cell(v) for v in row) for row in df.itertuples(index=False)]
+    cols = list(df.columns)
+    flags = [c in date_cols for c in cols]
+    return [tuple(cell(v, f) for v, f in zip(row, flags))
+            for row in df.itertuples(index=False)]
 
 
 def main():
@@ -60,8 +122,13 @@ def main():
             n_fail += 1
             continue
         try:
-            s_df = canon(pd.read_parquet(files[0]))
-            d_df = canon(con.execute(sql).df())
+            tbl = pq.read_table(files[0])
+            s_classes = {f.name: arrow_class(f.type) for f in tbl.schema}
+            rel = con.sql(sql)
+            d_classes = {c: duck_class(str(t))
+                         for c, t in zip(rel.columns, rel.types)}
+            s_df = canon(tbl.to_pandas())
+            d_df = canon(rel.df())
         except Exception as e:
             print(f"ERR {name}: {type(e).__name__}: {e}")
             n_fail += 1
@@ -70,7 +137,14 @@ def main():
             print(f"FAIL {name}: cols spark={list(s_df.columns)} duckdb={list(d_df.columns)}")
             n_fail += 1
             continue
-        a, b = frame_hash(s_df), frame_hash(d_df)
+        mismatched = [(c, s_classes[c], d_classes[c])
+                      for c in s_df.columns if s_classes[c] != d_classes[c]]
+        if mismatched:
+            print(f"FAIL {name}: dtype class mismatch {mismatched}")
+            n_fail += 1
+            continue
+        date_cols = {c for c in s_df.columns if s_classes[c] == "date"}
+        a, b = frame_hash(s_df, date_cols), frame_hash(d_df, date_cols)
         if a == b:
             print(f"PASS {name} ({len(a)} rows)")
             n_pass += 1
