@@ -37,6 +37,13 @@ object Engine {
       (children: Seq[Expression]) =>
         graft.functions.expressions.CosineSimilarity(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("dot_exact"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.DotProductExact].getName,
+        "dot_exact"),
+      (children: Seq[Expression]) =>
+        graft.functions.expressions.DotProductExact(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(
         classOf[graft.functions.expressions.MinHashSignature].getName,

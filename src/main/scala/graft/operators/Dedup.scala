@@ -210,28 +210,18 @@ object Dedup {
     */
   def embeddingNearDupPairs(vecs: DataFrame, id: String, vecCol: String,
       bucketPairs: Seq[(Int, Int)], threshold: Double): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val D = DecimalType(38, 18)
-    // Exact decimal fold over the zipped arrays: each float*float product
-    // is exact in double, cast to DECIMAL(38,18) (same rounding the
-    // oracle applies), then summed in decimal — order-independent, so
-    // the 1e-9-rounded cosine is engine- and shuffle-order-portable.
-    // Whole arrays ride through the joins: no posexplode, no per-pair
-    // groupBy — candidates shuffle as (id1, id2, vec1, vec2) rows, i.e.
-    // O(pairs) not O(pairs * dim) as the exploded formulation would.
-    // The merge re-casts to D: decimal + promotes DECIMAL(38,18) to
-    // (38,17), which would fail the accumulator type check; the cast is
-    // exact here (every term already has 18 fractional digits, and
-    // magnitudes are nowhere near 10^20). Null elements (ragged or
-    // null-padded vectors) contribute 0 instead of poisoning the sum.
-    def dotExact(a: Column, b: Column): Column =
-      aggregate(
-        zip_with(a, b, (x, y) =>
-          coalesce((x.cast(DoubleType) * y.cast(DoubleType)).cast(D),
-            lit(java.math.BigDecimal.ZERO).cast(D))),
-        lit(java.math.BigDecimal.ZERO).cast(D),
-        (acc, v) => (acc + v).cast(D))
-        .cast(DoubleType)
+    // Exact decimal dot product via the native `dot_exact` expression
+    // ([[graft.functions.expressions.DotProductExact]]): each
+    // float*float product is exact in double, rounded to DECIMAL(38,18)
+    // (same rule as the oracle's cast), then summed exactly —
+    // order-independent, so the 1e-9-rounded cosine is engine- and
+    // shuffle-order-portable — and, unlike the interpreted zip_with/
+    // aggregate fold ([[dotExactHof]], kept as the spec differential),
+    // it runs inside whole-stage codegen. Whole arrays ride through the
+    // joins: no posexplode, no per-pair groupBy — candidates shuffle as
+    // (id1, id2, vec1, vec2) rows, i.e. O(pairs) not O(pairs * dim) as
+    // the exploded formulation would.
+    def dotExact(a: Column, b: Column): Column = call_function("dot_exact", a, b)
     val b = Similarity.signLshBuckets(vecs.select(col(id), col(vecCol)),
         vecCol, bucketPairs)
       .select(col(id), col("bucket"), col(vecCol).as("__v"),
@@ -246,6 +236,25 @@ object Dedup {
         round(dotExact(col("v1"), col("v2")) /
           (sqrt(col("n1")) * sqrt(col("n2"))), 9).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Interpreted zip_with/aggregate restatement of the decimal-exact dot
+    * product — the independent formulation the native `dot_exact`
+    * expression is spec-verified against. The merge re-casts to D
+    * because decimal + promotes DECIMAL(38,18) to (38,17) (exact here:
+    * every term already has 18 fractional digits); null elements
+    * contribute 0 instead of poisoning the sum.
+    */
+  private[graft] def dotExactHof(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val D = DecimalType(38, 18)
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        coalesce((x.cast(DoubleType) * y.cast(DoubleType)).cast(D),
+          lit(java.math.BigDecimal.ZERO).cast(D))),
+      lit(java.math.BigDecimal.ZERO).cast(D),
+      (acc, v) => (acc + v).cast(D))
+      .cast(DoubleType)
   }
 
   /** Exact n-gram Jaccard similarity for all intersecting pairs within
