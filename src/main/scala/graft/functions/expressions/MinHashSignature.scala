@@ -86,26 +86,40 @@ object MinHashSignature {
     new String(out)
   }
 
-  /** Static so generated code can call it without captured references. */
+  /** Static so generated code can call it without captured references.
+    *
+    * Works on raw UTF-8 bytes: each word is decoded once (not once per
+    * gram appearance × seed), and the digested byte stream
+    * `"<seed>:" ++ w(i) ++ ' ' ++ … ++ w(i+n-1)` is byte-identical to
+    * UTF-8 of the string concatenation the contract (and the oracle's
+    * `md5('<seed>:'||gram)`) specifies — UTF-8 of a concatenation is
+    * the concatenation of UTF-8.
+    */
   def compute(words: ArrayData, k: Int, n: Int): ArrayData = {
     val len = words.numElements()
     if (len < n) return null
+    val wb = new Array[Array[Byte]](len)
+    var w = 0
+    while (w < len) {
+      wb(w) = words.getUTF8String(w).getBytes
+      w += 1
+    }
+    val prefixes = Array.tabulate(k)(s => (s.toString + ":").getBytes(UTF_8))
     val mins = new Array[String](k)
     val md = MessageDigest.getInstance("MD5")
-    val sb = new java.lang.StringBuilder
     var i = 0
     while (i <= len - n) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(words.getUTF8String(i + j).toString)
-        j += 1
-      }
-      val gram = sb.toString
       var s = 0
       while (s < k) {
-        val h = hex16(md.digest((s.toString + ":" + gram).getBytes(UTF_8)))
+        md.reset()
+        md.update(prefixes(s))
+        var j = 0
+        while (j < n) {
+          if (j > 0) md.update(' '.toByte)
+          md.update(wb(i + j))
+          j += 1
+        }
+        val h = hex16(md.digest())
         if (mins(s) == null || h.compareTo(mins(s)) < 0) mins(s) = h
         s += 1
       }

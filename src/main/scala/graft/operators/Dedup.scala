@@ -67,8 +67,14 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, id: String, body: String,
       k: Int, n: Int): DataFrame = {
     val sig = call_function("minhash_sig", words(col(body)), lit(k), lit(n))
-    docs.select(col(id), sig.as("__sig"))
-      .filter(col("__sig").isNotNull)
+    // Pre-filter on the cheap word count, NOT on sig.isNotNull: the
+    // optimizer pushes an isNotNull filter below the projection by
+    // substituting the alias, which would evaluate the whole signature
+    // loop twice per row (once in Filter, once in Project). The two
+    // predicates are equivalent — the expression returns null exactly
+    // when the doc has fewer than n words.
+    docs.filter(size(words(col(body))) >= n)
+      .select(col(id), sig.as("__sig"))
       .select(col(id) +: (0 until k).map(i => col("__sig").getItem(i).as(s"h$i")): _*)
   }
 
