@@ -237,6 +237,17 @@ object FactStaffDaily {
 
     val srcB = conformTo(
       mergeBSource(callLog, customer, group, dStart, dEnd, tenant), factTemplate)
+    // NO targetPrune on MERGE B, deliberately: `Ngay` is a merge KEY and
+    // every srcB row's Ngay lies inside [dStart, dEnd] by construction
+    // (mergeBSource derives it from the range-filtered NgayTao), so an
+    // out-of-range target row can never match — the reference's redundant
+    // MERGE-ON range predicate (runner.py:852-854) is a no-op here. It
+    // matters because upsert's prune evaluates the target lineage TWICE
+    // (merge branch + passthrough branch): afterA is the whole MERGE A
+    // pipeline, and pruning would run it twice per action. (MERGE A keeps
+    // its prune: srcA's VN7-derived Ngay CAN fall outside the window, and
+    // the reference's range predicate makes such rows insert rather than
+    // update an out-of-range target row — observable semantics.)
     Upsert.upsert(afterA, srcB, keys = Seq("Ngay", "MaNV_id"),
       updateExprs = Map(
         "Tenant" -> s"'$tenant'",
@@ -245,7 +256,6 @@ object FactStaffDaily {
         "SoSDT_KetBanZalo" -> "s.SoSDT_KetBanZalo",
         "SoSDT_CoNhuCau" -> "s.SoSDT_CoNhuCau",
         "SoSDT_TuChoi" -> "s.SoSDT_TuChoi",
-        "SoSDT_KhongNgheMay" -> "s.SoSDT_KhongNgheMay"),
-      targetPrune = Some(col("Ngay").between(dStart, dEnd)))
+        "SoSDT_KhongNgheMay" -> "s.SoSDT_KhongNgheMay"))
   }
 }
