@@ -142,6 +142,47 @@ object Dedup {
       .distinct()
   }
 
+  /** End-to-end near-duplicate detection, production shape: MinHash+LSH
+    * candidate pruning ([[lshCandidatePairs]] — sub-quadratic), then
+    * exact n-gram Jaccard computed ONLY on the surviving candidates.
+    * This is the composition the per-piece operators document as "run
+    * Jaccard on LSH candidates at scale": the all-pairs stage never
+    * exists, and the verification join touches |candidates| pairs, not
+    * |docs|².
+    *
+    * Physical shape: the candidate list (small by LSH's premise) joins
+    * the distinct gram stream twice — first on id1 (hash join keyed by
+    * doc id), then on (id2, gram) to count intersections — followed by
+    * two broadcast-or-shuffle joins against the per-doc gram counts.
+    * Every stage is a codegen'd equality join/aggregate.
+    */
+  def nearDupPairs(docs: DataFrame, id: String, body: String,
+      k: Int = 4, n: Int = 3, bandWidth: Int = 2,
+      maxBucket: Int = 1000, minJaccard: Double = 0.3): DataFrame = {
+    val cand = lshCandidatePairs(docs, id, body, k, n, bandWidth, maxBucket)
+    val grams = explodedShingles(docs.select(col(id), col(body)), id, body, n)
+      .select(col(id), col("__g").as("g")).distinct()
+    val sizes = grams.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    // Semi-filter the gram stream to docs that are actually candidates
+    // before the intersection joins: the candidate id set is small (LSH
+    // premise → AQE broadcasts the semi join), so the expensive (id, g)
+    // shuffle carries candidate grams only, not the whole corpus.
+    def candGrams(side: String) = grams
+      .join(cand.select(col(side).as(id)).distinct(), Seq(id), "left_semi")
+      .select(col(id).as(side), col("g"))
+    val inter = cand
+      .join(candGrams("id1"), "id1")
+      .join(candGrams("id2"), Seq("id2", "g"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(id).as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col(id).as("id2"), col("sz").as("sz2")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("n_inter").cast("double") /
+          (col("sz1") + col("sz2") - col("n_inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Per-row 16-bit SimHash over whitespace words, as a '0'/'1' bitstring.
     * Bit j is the sign of the term-frequency-weighted sum of md5(word)'s
     * j-th nibble high bit. Interpreted HOF fold — kept ONLY as the

@@ -162,6 +162,46 @@ object DedupOps {
         ORDER BY 1, 2"""
       }),
 
+    // ---- end-to-end near-dup: LSH candidates → exact Jaccard cut --------
+    // The production composition (sub-quadratic): Jaccard is computed
+    // only on pairs sharing an LSH band bucket, never all-pairs.
+    QueryDef("q37_neardup_pipeline",
+      (s, dir) => {
+        Dedup.nearDupPairs(docs(s, dir), "doc_id", "text",
+            k = 4, n = 3, bandWidth = 2, minJaccard = 0.3)
+          .orderBy("id1", "id2")
+      },
+      Some(s"""
+        WITH $sigCte,
+        bands AS (
+          SELECT doc_id, 0 AS band_id, md5(h0||h1) AS band_key FROM sig
+          UNION ALL SELECT doc_id, 1, md5(h2||h3) FROM sig),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        grams AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+              unnest(list_transform(range(1, len(l)-1),
+                     i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
+            FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        inter AS (
+          SELECT c.id1, c.id2, count(*) AS n_inter
+          FROM cand c
+          JOIN grams g1 ON g1.doc_id = c.id1
+          JOIN grams g2 ON g2.doc_id = c.id2 AND g2.g = g1.g
+          GROUP BY 1, 2)
+        SELECT id1, id2,
+               CAST(n_inter AS DOUBLE) / CAST(s1.sz + s2.sz - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE CAST(n_inter AS DOUBLE) / CAST(s1.sz + s2.sz - n_inter AS DOUBLE) >= 0.3
+        ORDER BY 1, 2""")),
+
     // ---- n-gram Jaccard on a capped id range (verification tier) --------
     // At scale this runs on LSH candidates only; the cap keeps the
     // all-pairs verification query scale-independent.

@@ -60,6 +60,25 @@ class DedupSpec extends SparkSpec {
       s"hot bucket must be dropped, small bucket kept (got $pairs)")
   }
 
+  test("nearDupPairs: Jaccard-verified LSH candidates ⊆ candidates, ⊆ all-pairs Jaccard") {
+    val nd = Dedup.nearDupPairs(docs, "doc_id", "text",
+        k = 4, n = 3, bandWidth = 2, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // The exact dup must survive with Jaccard 1.0.
+    assert(nd((1L, 4L)) == 1.0)
+    // Every verified pair must be an LSH candidate AND match the
+    // all-pairs Jaccard value for that pair.
+    val cand = rowSet(Dedup.lshCandidatePairs(docs, "doc_id", "text", 4, 3, 2))
+      .map(p => (p(0).asInstanceOf[Long], p(1).asInstanceOf[Long]))
+    val allPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    nd.foreach { case (p, j) =>
+      assert(cand.contains(p), s"$p not an LSH candidate")
+      assert(allPairs(p) == j, s"$p jaccard $j != all-pairs ${allPairs(p)}")
+      assert(j >= 0.5)
+    }
+  }
+
   test("lshCandidatePairs: repeated input ids never emit self-pairs") {
     val d = df("doc_id BIGINT, text STRING",
       Row(Long.box(1), "the quick brown fox jumps over the lazy dog"),
