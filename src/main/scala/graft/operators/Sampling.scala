@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines: train/val/test
+  * hash splits, fixed-fraction subsampling, and weighted source
+  * mixtures.
+  *
+  * Everything is keyed on `md5(salt || ":" || key)` — never `rand()` —
+  * because at scale sampling must be:
+  *  - retry-stable: a re-executed task (speculation, AQE replan,
+  *    executor loss) must pick the SAME rows, or downstream exactly-once
+  *    sinks see phantom inserts/deletes (`rand()` breaks this);
+  *  - reproducible: the same corpus + salt yields the same split across
+  *    runs and engines, so eval sets stay frozen;
+  *  - join-free: membership is a per-row projection, no sampling state.
+  *
+  * Membership compares the first 4 hex chars of the digest
+  * lexicographically against a threshold — uniform over 65536 buckets,
+  * exactly restatable in any engine with md5 (no hex→int conversion,
+  * which not every SQL dialect has). 4 hex digits bound the fraction
+  * granularity at 1/65536 ≈ 0.0015%, plenty for split ratios.
+  */
+object Sampling {
+
+  /** 4-hex-char bucket of a key under a salt (uniform over 0x0000-0xffff). */
+  def hashBucket(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 4)
+
+  /** Hex threshold string t such that `bucket < t` selects ~`frac`. */
+  private[operators] def hexThreshold(frac: Double): String = {
+    require(frac >= 0.0 && frac <= 1.0, s"fraction must be in [0,1], got $frac")
+    f"${math.round(frac * 65536).toInt min 65535}%04x" // 65535: frac=1 handled by caller
+  }
+
+  /** Deterministic ~`fraction` sample, stable under retries and across
+    * runs with the same salt.
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
+      salt: String): DataFrame =
+    if (fraction >= 1.0) df
+    else df.filter(hashBucket(col(keyCol), salt) < lit(hexThreshold(fraction)))
+
+  /** Disjoint named splits by cumulative hash ranges, e.g.
+    * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Fractions must
+    * sum to 1; every row lands in exactly one split. Adds `splitCol`.
+    */
+  def hashSplit(df: DataFrame, keyCol: String, salt: String,
+      splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val bucket = hashBucket(col(keyCol), salt)
+    val cumulative = splits.scanLeft(0.0)(_ + _._2).tail
+    // Last split is the otherwise-branch: no threshold arithmetic can
+    // lose a row to rounding.
+    val expr = splits.init.zip(cumulative.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cum)) =>
+        val cond = bucket < lit(hexThreshold(cum))
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }.fold(lit(splits.head._1))(_.otherwise(splits.last._1))
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Weighted mixture: deterministically subsample each source by its
+    * weight and union (by name, tolerating schema drift across
+    * sources). Weights are independent per-source fractions in [0, 1] —
+    * the "30% of source A + 100% of source B" recipe of pre-training
+    * data mixes. Each source gets a distinct derived salt so the same
+    * key is sampled independently per source.
+    */
+  def mixture(sources: Seq[(DataFrame, Double)], keyCol: String,
+      salt: String): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    sources.zipWithIndex.map { case ((df, w), i) =>
+      deterministicSample(df, keyCol, w, s"$salt/$i")
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+}

@@ -118,5 +118,31 @@ object TextOps {
                 trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]','','g'),
                                     ' +',' ','g')) AS norm
               FROM documents)
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // ---- deterministic hash split: retry-stable train/val/test ----------
+    // Thresholds are 4-hex md5-prefix compares (no rand()): the same
+    // corpus + salt yields the same split in any engine and under any
+    // task retry. 0.8 → round(.8*65536) = 0xcccd, 0.9 → 0xe666.
+    QueryDef("q24_hash_split",
+      (s, dir) => {
+        graft.operators.Sampling.hashSplit(docs(s, dir), "doc_id", "exp1",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            graft.functions.ColumnLib.exactSum(
+              length(col("text")).cast("double")).as("n_chars"))
+          .orderBy("split")
+      },
+      Some("""
+        SELECT split, count(*) AS n_docs,
+               CAST(SUM(CAST(length(text) AS DECIMAL(38,6))) AS DOUBLE) AS n_chars
+        FROM (SELECT text,
+                CASE WHEN substr(md5('exp1:'||CAST(doc_id AS VARCHAR)),1,4) < 'cccd'
+                       THEN 'train'
+                     WHEN substr(md5('exp1:'||CAST(doc_id AS VARCHAR)),1,4) < 'e666'
+                       THEN 'val'
+                     ELSE 'test' END AS split
+              FROM documents)
+        GROUP BY split ORDER BY split""")))
 }

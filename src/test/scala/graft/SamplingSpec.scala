@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private def docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+
+  test("hashSplit: disjoint, exhaustive, and within tolerance of the fractions") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.hashSplit(docs, "doc_id", "s1", splits)
+    val n = docs.count().toDouble
+    val byName = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.values.sum == n.toLong, "every row lands in exactly one split")
+    splits.foreach { case (name, frac) =>
+      val got = byName.getOrElse(name, 0L) / n
+      assert(math.abs(got - frac) < 0.1,
+        s"$name: got $got, wanted ~$frac (md5 buckets are uniform)")
+    }
+  }
+
+  test("sampling is deterministic and retry-stable (partitioning-independent)") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.3, "seed")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs.repartition(13), "doc_id", 0.3, "seed")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "same keys selected regardless of physical layout")
+    assert(a.nonEmpty && a.size < docs.count())
+    // A different salt draws a different (overlapping but not equal) set.
+    val c = Sampling.deterministicSample(docs, "doc_id", 0.3, "seed2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(c != a)
+  }
+
+  test("mixture: per-source weights, schema drift tolerated, keys independent per source") {
+    val s1 = docs.select(col("doc_id"), col("text"))
+    val s2 = docs.select(col("doc_id"), col("text"), lit("web").as("source"))
+    val out = Sampling.mixture(Seq(s1 -> 1.0, s2 -> 0.5), "doc_id", "mix")
+    val n = docs.count()
+    val total = out.count()
+    // all of s1 + ~half of s2
+    assert(total > n && total < 2 * n)
+    assert(out.columns.contains("source"), "unionByName keeps the wider schema")
+    // weight-1.0 source passes through complete
+    assert(out.filter(col("source").isNull).count() == n)
+  }
+
+  test("split membership is a pure projection: no shuffle in the plan") {
+    val plan = Sampling.hashSplit(docs, "doc_id", "s1",
+        Seq("a" -> 0.5, "b" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hash split must not shuffle:\n$plan")
+  }
+}
