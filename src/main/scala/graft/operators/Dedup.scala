@@ -183,6 +183,57 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over an undirected pair list (id1, id2):
+    * returns one row per node with its component id = the minimum node
+    * id reachable from it. This is the corpus-level dedup closer — near
+    * -dup PAIRS become near-dup GROUPS, and `min(id)` per group is the
+    * canonical document to keep.
+    *
+    * Algorithm: iterative min-label propagation driven from the driver
+    * — each round joins labels to the (bidirectional) edge list, takes
+    * the min neighbor label, and `localCheckpoint`s the result to cut
+    * the growing lineage (the idiomatic Spark iterative pattern; the
+    * checkpoint here is a transient iteration buffer, not live table
+    * state). Rounds needed = graph diameter; near-dup clusters are
+    * dense and shallow (diameter 2-3 typical), so `maxIter` defaults
+    * comfortably above that and the loop exits early on convergence —
+    * checked with a cheap `limit(1)` existence probe, not a full count.
+    * For planet-scale graphs swap in the alternating large-star/
+    * small-star formulation; the contract (node → min reachable id)
+    * stays the same.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Materialize the edge list once: it is referenced by every
+    // iteration's join AND convergence probe, and its lineage is the
+    // caller's whole candidate-generation pipeline — without the cut,
+    // that pipeline would re-execute per action per round.
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("node")).agg(min(col("label")).as("nbr"))
+      val updated = labels.alias("l")
+        .join(nbrMin.alias("p"), Seq("node"), "left")
+        .select(col("node"),
+          least(col("l.label"), coalesce(col("p.nbr"), col("l.label"))).as("label"))
+        .localCheckpoint(true)
+      converged = updated.alias("u")
+        .join(labels.alias("l"), "node")
+        .filter(col("u.label") =!= col("l.label"))
+        .limit(1).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** Per-row 16-bit SimHash over whitespace words, as a '0'/'1' bitstring.
     * Bit j is the sign of the term-frequency-weighted sum of md5(word)'s
     * j-th nibble high bit. Interpreted HOF fold — kept ONLY as the

@@ -202,6 +202,40 @@ object DedupOps {
         WHERE CAST(n_inter AS DOUBLE) / CAST(s1.sz + s2.sz - n_inter AS DOUBLE) >= 0.3
         ORDER BY 1, 2""")),
 
+    // ---- near-dup groups: candidates → connected components -------------
+    // Pairs become groups; each group's component id IS the canonical
+    // (minimum) doc id to keep. Oracle restates min-label reachability
+    // as a recursive CTE.
+    QueryDef("q38_dedup_groups",
+      (s, dir) => {
+        Dedup.connectedComponents(
+            Dedup.lshCandidatePairs(docs(s, dir), "doc_id", "text",
+              k = 4, n = 3, bandWidth = 2))
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy("component")
+      },
+      Some(s"""
+        WITH RECURSIVE $sigCte,
+        bands AS (
+          SELECT doc_id, 0 AS band_id, md5(h0||h1) AS band_key FROM sig
+          UNION ALL SELECT doc_id, 1, md5(h2||h3) FROM sig),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id1 AS src, id2 AS dst FROM cand
+          UNION ALL SELECT id2, id1 FROM cand),
+        comp(node, label) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.node)
+        SELECT component, count(*) AS n_members FROM (
+          SELECT node, min(label) AS component FROM comp GROUP BY node)
+        GROUP BY component ORDER BY component""")),
+
     // ---- n-gram Jaccard on a capped id range (verification tier) --------
     // At scale this runs on LSH candidates only; the cap keeps the
     // all-pairs verification query scale-independent.

@@ -120,6 +120,38 @@ object TextOps {
               FROM documents)
         ORDER BY doc_id""")),
 
+    // ---- repetition ratio: duplicate-bigram fraction (quality filter) ---
+    // The Gopher/C4-style repetition signal: heavily templated or
+    // looping documents have a high share of repeated word bigrams.
+    // Pure per-row map-side work like the rest of the battery.
+    QueryDef("q25_repetition",
+      (s, dir) => {
+        val grams = wordShingles(col("text"), 2)
+        val n = size(grams)
+        val nd = size(array_distinct(grams))
+        docs(s, dir).select(
+            col("doc_id"),
+            n.as("n_bigrams"),
+            nd.as("n_distinct"),
+            when(n > 0,
+              lit(1.0) - nd.cast("double") / n.cast("double"))
+              .as("rep_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, n_bigrams, n_distinct,
+               CASE WHEN n_bigrams > 0
+                    THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                    END AS rep_ratio
+        FROM (SELECT doc_id,
+                len(g) AS n_bigrams, len(list_distinct(g)) AS n_distinct
+              FROM (SELECT doc_id,
+                      list_transform(range(1, len(l)),
+                                     i -> l[i]||' '||l[i+1]) AS g
+                    FROM (SELECT doc_id, string_split(text,' ') AS l
+                          FROM documents)))
+        ORDER BY doc_id""")),
+
     // ---- deterministic hash split: retry-stable train/val/test ----------
     // Thresholds are 4-hex md5-prefix compares (no rand()): the same
     // corpus + salt yields the same split in any engine and under any

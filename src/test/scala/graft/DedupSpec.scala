@@ -79,6 +79,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: chains, triangles, and isolated pairs resolve to min ids") {
+    // Graph: 1-2, 2-3, 3-4 (chain), 10-11-12 (triangle), 20-21 (pair).
+    val pairs = df("id1 BIGINT, id2 BIGINT",
+      Row(Long.box(1), Long.box(2)), Row(Long.box(2), Long.box(3)),
+      Row(Long.box(3), Long.box(4)),
+      Row(Long.box(10), Long.box(11)), Row(Long.box(11), Long.box(12)),
+      Row(Long.box(10), Long.box(12)),
+      Row(Long.box(20), Long.box(21)))
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents converges on a long path within maxIter") {
+    // Path 0-1-2-...-9: diameter 9, worst case for one-hop propagation.
+    val pairs = df("id1 BIGINT, id2 BIGINT",
+      (0L until 9L).map(i => Row(Long.box(i), Long.box(i + 1))): _*)
+    val comp = Dedup.connectedComponents(pairs, maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet == Set(0L))
+    assert(comp.size == 10)
+  }
+
   test("lshCandidatePairs: repeated input ids never emit self-pairs") {
     val d = df("doc_id BIGINT, text STRING",
       Row(Long.box(1), "the quick brown fox jumps over the lazy dog"),
