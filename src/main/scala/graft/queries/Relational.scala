@@ -410,5 +410,33 @@ object Relational {
       Some("""
         SELECT event_type, count(*) AS n,
                CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
-        FROM events GROUP BY 1 ORDER BY 1""")))
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ---- salted hot-key join ≡ plain join (skew tool, gate-proven) ------
+    // The explicit skew weapon: the fact side is salted, the dim side
+    // replicated, and the result must be indistinguishable from the
+    // plain left join the oracle runs. Proves the salting machinery
+    // preserves join semantics (including null keys) at the gate level,
+    // not just in specs.
+    QueryDef("q43_salted_join",
+      (s, dir) => {
+        val fact = t(s, dir, "events")
+          .select((col("user_id") % 25).cast(LongType).as("k"),
+            col("event_type"), col("value"))
+        val dim = t(s, dir, "nation")
+          .select(col("n_nationkey").cast(LongType).as("k"),
+            col("n_name").as("dim_name"))
+        graft.operators.Skew.saltedJoin(fact, dim, "k", salts = 8,
+            joinType = "left")
+          .groupBy("dim_name")
+          .agg(count(lit(1)).as("n"),
+            graft.functions.ColumnLib.exactSum(col("value")).as("sum_value"))
+          .orderBy("dim_name")
+      },
+      Some("""
+        SELECT n.n_name AS dim_name, count(*) AS n,
+               CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        FROM (SELECT user_id % 25 AS k, value FROM events) e
+        LEFT JOIN nation n ON n.n_nationkey = e.k
+        GROUP BY 1 ORDER BY 1""")))
 }

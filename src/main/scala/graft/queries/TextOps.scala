@@ -152,6 +152,77 @@ object TextOps {
                           FROM documents)))
         ORDER BY doc_id""")),
 
+    // ---- PII scrubbing: email/phone redaction (map-side regex) ----------
+    // Patterns stay in the RE2 ∩ java.util.regex common subset so the
+    // oracle restates them verbatim. Spark's regexp_replace is global by
+    // default; DuckDB needs the explicit 'g' flag.
+    QueryDef("q26_pii_scrub",
+      (s, dir) => {
+        val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val phone = "\\b0[0-9]{8,10}\\b"
+        docs(s, dir).select(
+            col("doc_id"),
+            regexp_count(col("text"), lit(email)).as("n_emails"),
+            regexp_count(col("text"), lit(phone)).as("n_phones"),
+            regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+              phone, "<PHONE>").as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+               len(regexp_extract_all(text, '\b0[0-9]{8,10}\b')) AS n_phones,
+               regexp_replace(
+                 regexp_replace(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                 '\b0[0-9]{8,10}\b', '<PHONE>', 'g') AS clean_text
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- chunking: fixed token windows with overlap (context budget) ----
+    // One row per (doc, window start); windows advance by size-overlap,
+    // the final partial window is kept. Explode-side: one Generate, no
+    // shuffle — chunking 100 TB is embarrassingly parallel.
+    QueryDef("q27_chunk",
+      (s, dir) => {
+        val size_ = 50
+        val overlap = 10
+        val step = size_ - overlap
+        docs(s, dir)
+          .select(col("doc_id"), words(col("text")).as("__w"))
+          .select(col("doc_id"), col("__w"),
+            explode(sequence(lit(1), greatest(org.apache.spark.sql.functions.size(col("__w")), lit(1)),
+              lit(step))).as("start"))
+          .select(col("doc_id"), col("start"),
+            org.apache.spark.sql.functions.size(slice(col("__w"), col("start"), lit(size_))).as("n_tokens"),
+            concat_ws(" ", slice(col("__w"), col("start"), lit(size_))).as("chunk"))
+          .orderBy("doc_id", "start")
+      },
+      Some("""
+        SELECT doc_id, start,
+               len(l[start:start+49]) AS n_tokens,
+               array_to_string(l[start:start+49], ' ') AS chunk
+        FROM (SELECT doc_id, l, unnest(range(1, greatest(len(l),1)+1, 40)) AS start
+              FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))
+        ORDER BY doc_id, start""")),
+
+    // ---- corpus vocabulary: global token frequencies, top-100 ----------
+    // The classic word count: map-side partial aggregation collapses the
+    // token stream before the single shuffle; top-k with a total-order
+    // tiebreaker so the cut is deterministic across engines.
+    QueryDef("q28_vocab",
+      (s, dir) => {
+        docs(s, dir)
+          .select(explode(words(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token").asc)
+          .limit(100)
+      },
+      Some("""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""")),
+
     // ---- deterministic hash split: retry-stable train/val/test ----------
     // Thresholds are 4-hex md5-prefix compares (no rand()): the same
     // corpus + salt yields the same split in any engine and under any
