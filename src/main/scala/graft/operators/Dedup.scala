@@ -159,20 +159,27 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, id: String, body: String,
       k: Int = 4, n: Int = 3, bandWidth: Int = 2,
       maxBucket: Int = 1000, minJaccard: Double = 0.3): DataFrame = {
+    // The candidate pair list is referenced three times below (pair
+    // join + two id filters); materialize it once — it is small by
+    // LSH's premise, and without the cut the whole signature pipeline
+    // would appear once per reference in the plan.
     val cand = lshCandidatePairs(docs, id, body, k, n, bandWidth, maxBucket)
-    val grams = explodedShingles(docs.select(col(id), col(body)), id, body, n)
+      .localCheckpoint(true)
+    val candIds = cand.select(col("id1").as(id))
+      .union(cand.select(col("id2"))).distinct()
+    // Semi-filter the gram stream to candidate docs BEFORE the
+    // intersection joins, and materialize that too: the full-corpus
+    // gram stream is then computed exactly once, and the (id, g)
+    // shuffles below carry candidate grams only — bounded by the
+    // candidate count, not the corpus.
+    val candGrams = explodedShingles(docs.select(col(id), col(body)), id, body, n)
       .select(col(id), col("__g").as("g")).distinct()
-    val sizes = grams.groupBy(col(id)).agg(count(lit(1)).as("sz"))
-    // Semi-filter the gram stream to docs that are actually candidates
-    // before the intersection joins: the candidate id set is small (LSH
-    // premise → AQE broadcasts the semi join), so the expensive (id, g)
-    // shuffle carries candidate grams only, not the whole corpus.
-    def candGrams(side: String) = grams
-      .join(cand.select(col(side).as(id)).distinct(), Seq(id), "left_semi")
-      .select(col(id).as(side), col("g"))
+      .join(candIds, Seq(id), "left_semi")
+      .localCheckpoint(true)
+    val sizes = candGrams.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     val inter = cand
-      .join(candGrams("id1"), "id1")
-      .join(candGrams("id2"), Seq("id2", "g"))
+      .join(candGrams.select(col(id).as("id1"), col("g")), "id1")
+      .join(candGrams.select(col(id).as("id2"), col("g")), Seq("id2", "g"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col(id).as("id1"), col("sz").as("sz1")), "id1")
