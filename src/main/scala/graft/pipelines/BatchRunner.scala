@@ -137,23 +137,28 @@ final class BatchRunner(
   /** Loop mode (reference runner.py:937-965): drive the incremental
     * customer + call batches once per schedule slot, with boot-time
     * missed-slot catch-up and error backoff, via the
-    * [[graft.incremental.Daemon]] tick loop. Per-table checkpoints
-    * still advance inside the batches themselves; the returned instant
-    * is the last successful whole-batch run, for the caller to persist
-    * and feed back as `lastRun` on restart.
+    * [[graft.incremental.Daemon]] tick loop, then — like the reference's
+    * post-job hook (runner.py:925-931) — refresh the reporting fact for
+    * the slot's VN7 civil date. Per-table checkpoints still advance
+    * inside the batches themselves; the returned instant is the last
+    * successful whole-batch run, for the caller to persist and feed
+    * back as `lastRun` on restart.
     */
   def runLoop(schedule: Seq[java.time.LocalTime] = Scheduler.defaultRunTimes,
       lastRun: Option[java.time.Instant] = None,
       shouldStop: () => Boolean = () => false,
       sleep: Long => Unit = s => Thread.sleep(s * 1000L),
-      now: () => java.time.Instant = () => java.time.Instant.now())
-      : Option[java.time.Instant] =
+      now: () => java.time.Instant = () => java.time.Instant.now(),
+      reporting: Boolean = true): Option[java.time.Instant] =
     graft.incremental.Daemon.run(
       graft.incremental.Daemon.Config(schedule), lastRun, now, sleep,
       shouldStop, { at =>
         val ms = at.toEpochMilli
         runCustomer(ms)
         runCall(ms)
+        if (reporting)
+          refreshReporting(
+            at.atZone(java.time.ZoneOffset.ofHours(7)).toLocalDate)
       })._2
 
   /** Staff + group snapshots (reference runner.py:355-415): staff

@@ -41,12 +41,47 @@ object PagedSource {
     */
   final class ResultWindowTooLarge extends RuntimeException("result window too large")
 
+  /** Thrown by fetchers when the backend rejects the auth token —
+    * the HTTP 401 that triggers re-login (api.py:137-148).
+    */
+  final class AuthExpired extends RuntimeException("auth token expired")
+
   /** Transport abstraction: fetch one descending-time page of `entity`
     * docs with `fromMs <= timeField < toMs`.
     */
   trait DocFetcher extends Serializable {
     def fetchPage(entity: String, tenant: String, timeField: String,
         fromMs: Long, toMs: Long, page: Int, pageSize: Int): Page
+  }
+
+  /** 401-retry decorator (S6, reference api.py:137-148): on
+    * [[AuthExpired]], invalidate the cached token via `refreshAuth` and
+    * retry the SAME page, at most `maxRetries` times per call; a retry
+    * that fails again propagates (the reference re-raises after one
+    * re-login, never loops on a dead credential). Composes over any
+    * transport; runs inside the executor-side slice task, so the token
+    * refresh is per-executor — exactly where a per-JVM token cache
+    * lives. [[ResultWindowTooLarge]] passes through untouched: it is
+    * recovery-protocol signal, not an auth failure.
+    */
+  final class RetryingFetcher(inner: DocFetcher, refreshAuth: () => Unit,
+      maxRetries: Int = 1) extends DocFetcher {
+    require(maxRetries >= 1, "retrying fetcher needs at least one retry")
+    override def fetchPage(entity: String, tenant: String, timeField: String,
+        fromMs: Long, toMs: Long, page: Int, pageSize: Int): Page = {
+      var attempt = 0
+      while (true) {
+        try return inner.fetchPage(entity, tenant, timeField, fromMs, toMs,
+          page, pageSize)
+        catch {
+          case e: AuthExpired =>
+            if (attempt >= maxRetries) throw e
+            attempt += 1
+            refreshAuth()
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
   }
 
   final case class FetchedDoc(sliceIdx: Int, page: Int, pos: Int, doc: String)

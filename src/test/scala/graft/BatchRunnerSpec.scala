@@ -88,6 +88,7 @@ class BatchRunnerSpec extends SparkSpec {
     val r = new BatchRunner(spark, new FixtureSources.Paged(T0, 120, version = 1),
       new FixtureSources.Snapshots, cfg)
     r.bootstrap()
+    r.runStaffGroup() // reporting refresh needs the group dimension
     // Boot "now" = fixture end time, inside a slot that never ran →
     // the daemon fires the batch immediately (catch-up), then parks in
     // the sleep branch; stop after two iterations (one run + one tick).
@@ -99,9 +100,12 @@ class BatchRunnerSpec extends SparkSpec {
       shouldStop = () => iters >= 2,
       sleep = s => clock = clock.plusSeconds(s),
       now = () => { iters += 1; clock })
-    // The single catch-up batch landed both feeds at the boot instant.
+    // The single catch-up batch landed both feeds at the boot instant,
+    // and the post-job hook refreshed the reporting fact (reference
+    // runner.py:925-931).
     assert(spark.read.parquet(s"$wh/customer").count() == 120)
     assert(spark.read.parquet(s"$wh/call_log").count() == 120)
+    assert(spark.read.parquet(s"$wh/fact_staff_daily").count() > 0)
     assert(last.contains(boot))
   }
 }

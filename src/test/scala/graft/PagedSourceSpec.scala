@@ -119,4 +119,38 @@ class PagedSourceSpec extends SparkSpec {
     assert(dup.head.getAs[Long]("v") == 90L,
       "newest duplicate (first occurrence in desc order) must win")
   }
+
+  test("RetryingFetcher: 401 triggers one refresh + same-page retry; dead auth propagates") {
+    import graft.sources.PagedSource.{AuthExpired, RetryingFetcher}
+    // Expires the token every other call; succeeds after a refresh.
+    class Flaky(failures: Int) extends DocFetcher {
+      var calls = 0
+      var remainingFailures = failures
+      override def fetchPage(entity: String, tenant: String, timeField: String,
+          fromMs: Long, toMs: Long, page: Int, pageSize: Int): Page = {
+        calls += 1
+        if (remainingFailures > 0) { remainingFailures -= 1; throw new AuthExpired }
+        Page(Seq(s"""{"_id":"p$page"}"""), hasNextPage = false)
+      }
+    }
+    var refreshes = 0
+    val inner = new Flaky(failures = 1)
+    val f = new RetryingFetcher(inner, () => refreshes += 1)
+    val page = f.fetchPage("customer", "t1", "updateTime", 0L, 1L, 3, 10)
+    assert(page.docs == Seq("""{"_id":"p3"}"""), "retry must re-request the SAME page")
+    assert(refreshes == 1 && inner.calls == 2)
+    // Refresh that doesn't fix auth: propagate after maxRetries.
+    val dead = new RetryingFetcher(new Flaky(failures = 5), () => refreshes += 1)
+    intercept[AuthExpired] {
+      dead.fetchPage("customer", "t1", "updateTime", 0L, 1L, 1, 10)
+    }
+    // ResultWindowTooLarge is protocol signal, never retried as auth.
+    var rwRefreshes = 0
+    val rw = new RetryingFetcher(new PoisonFetcher(T0), () => rwRefreshes += 1)
+    rw.fetchPage("c", "t", "updateTime", 0L, 1L, 1, 10) // first call OK
+    intercept[ResultWindowTooLarge] {
+      rw.fetchPage("c", "t", "updateTime", 0L, 1L, 2, 10)
+    }
+    assert(rwRefreshes == 0)
+  }
 }
