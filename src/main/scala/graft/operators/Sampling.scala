@@ -29,7 +29,7 @@ object Sampling {
     substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 4)
 
   /** Hex threshold string t such that `bucket < t` selects ~`frac`. */
-  private[operators] def hexThreshold(frac: Double): String = {
+  private[graft] def hexThreshold(frac: Double): String = {
     require(frac >= 0.0 && frac <= 1.0, s"fraction must be in [0,1], got $frac")
     f"${math.round(frac * 65536).toInt min 65535}%04x" // 65535: frac=1 handled by caller
   }

@@ -35,6 +35,19 @@ object IncrementalStream {
     docs.withWatermark(eventTimeCol, lateness)
       .dropDuplicates(idCol, eventTimeCol)
 
+  /** Id-only dedup within the watermark horizon: the semantic the paged
+    * feed actually needs — a RE-SERVED document arrives with a newer
+    * `updateTime`, so the (id, eventTime) pair differs and
+    * [[dedupedStream]] would emit it twice. Here the id alone is the
+    * dedup key and the event-time column only bounds state eviction
+    * (`dropDuplicatesWithinWatermark`): first occurrence wins within the
+    * overlap window, state stays O(ids per horizon).
+    */
+  def dedupedStreamById(docs: DataFrame, idCol: String, eventTimeCol: String,
+      lateness: String): DataFrame =
+    docs.withWatermark(eventTimeCol, lateness)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Tumbling daily counts per key — the streaming restatement of the
     * daily GROUP BY (I6 note: the reference has no stream windows; daily
     * granularity comes from the derived civil date, which a `window()`

@@ -79,6 +79,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lsh_buckets observation surfaces dropped-bucket count and max size") {
+    val boiler = (1 to 10).map(i =>
+      Row(Long.box(i), "same boilerplate legal footer text repeated everywhere"))
+    val pair = Seq(
+      Row(Long.box(101), "a genuinely unique article about spark engines"),
+      Row(Long.box(102), "a genuinely unique article about spark engines"))
+    val d = df("doc_id BIGINT, text STRING", (boiler ++ pair): _*)
+    val out = Dedup.lshCandidatePairs(d, "doc_id", "text",
+      k = 4, n = 3, bandWidth = 2, maxBucket = 5)
+    out.collect()
+    val m = out.queryExecution.observedMetrics("lsh_buckets")
+    // identical boilerplate docs collide on BOTH bands → 2 hot buckets
+    // of size 10 dropped; the small pair buckets survive.
+    assert(m.getAs[Long]("dropped_buckets") == 2L, s"metrics: $m")
+    assert(m.getAs[Int]("max_bucket_size") == 10, s"metrics: $m")
+  }
+
   test("connectedComponents: chains, triangles, and isolated pairs resolve to min ids") {
     // Graph: 1-2, 2-3, 3-4 (chain), 10-11-12 (triangle), 20-21 (pair).
     val pairs = df("id1 BIGINT, id2 BIGINT",

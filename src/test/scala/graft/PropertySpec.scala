@@ -75,4 +75,28 @@ class PropertySpec extends AnyFunSuite {
       Scheduler.cutoffMs(Some(ck), 0L, overlap, 30) <= ck
     })
   }
+
+  test("sampling hexThreshold: monotone in the fraction, 4 hex chars, ordered compare") {
+    import graft.operators.Sampling
+    check(Prop.forAll(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0)) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val (tl, th) = (Sampling.hexThreshold(lo), Sampling.hexThreshold(hi))
+      tl.length == 4 && th.length == 4 &&
+        tl.forall("0123456789abcdef".contains(_)) &&
+        tl <= th // lexicographic order == numeric order for fixed-width hex
+    })
+  }
+
+  test("sampling split thresholds cut a uniform hex population at the right fraction") {
+    import graft.operators.Sampling
+    // All 65536 possible 4-hex buckets: the selected share under a
+    // threshold equals round(frac * 65536) exactly (no Spark needed —
+    // membership is a pure string compare).
+    val all = (0 until 65536).map(i => f"$i%04x")
+    check(Prop.forAll(Gen.chooseNum(0.0, 0.999)) { frac =>
+      val t = Sampling.hexThreshold(frac)
+      val selected = all.count(_ < t)
+      selected == math.round(frac * 65536).toInt.min(65535)
+    })
+  }
 }

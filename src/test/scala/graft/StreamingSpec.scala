@@ -30,6 +30,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
   }
 
+  test("dedupedStreamById drops a re-served doc with a NEWER event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val src = mem.toDF().toDF("id", "ts", "v")
+    val q = IncrementalStream.dedupedStreamById(src, "id", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_id_out")
+      .outputMode("append").start()
+    mem.addData(
+      ("a", ts("2024-01-01 10:00:00"), 1L),
+      ("b", ts("2024-01-01 10:01:00"), 2L))
+    q.processAllAvailable()
+    // Re-served doc: same id, newer updateTime — the overlap re-read
+    // case (id,ts)-dedup would wrongly emit again.
+    mem.addData(("a", ts("2024-01-01 10:05:00"), 99L))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_id_out").collect()
+    q.stop()
+    assert(rows.map(r => (r.getString(0), r.getLong(2))).sorted.toSeq ==
+      Seq(("a", 1L), ("b", 2L)), "first occurrence wins per id")
+  }
+
   test("dailyCounts windows by event-time day") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, java.sql.Timestamp)]
