@@ -226,10 +226,20 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("node").as("src"), col("label")), "src")
         .groupBy(col("dst").as("node")).agg(min(col("label")).as("nbr"))
-      val updated = labels.alias("l")
+      val propagated = labels.alias("l")
         .join(nbrMin.alias("p"), Seq("node"), "left")
         .select(col("node"),
           least(col("l.label"), coalesce(col("p.nbr"), col("l.label"))).as("label"))
+      // Pointer jumping: follow label → label(label) once per round
+      // (min-propagation keeps the invariant label(x) <= x, so the hop
+      // only ever improves). One-hop propagation alone needs diameter
+      // rounds; with the compression step convergence is O(log d).
+      val updated = propagated.alias("a")
+        .join(propagated
+            .select(col("node").as("label"), col("label").as("ll")).alias("b"),
+          Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(true)
       converged = updated.alias("u")
         .join(labels.alias("l"), "node")
