@@ -223,6 +223,31 @@ object TextOps {
         FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
         GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""")),
 
+    // ---- corpus profile: the per-source/lang datasheet rollup -----------
+    // One shuffle on (source, lang); token sums are decimal-accumulated
+    // (exactSum) so the profile hash-matches across engines, and the
+    // mean derives from the exact sums by plain double division.
+    QueryDef("q29_corpus_profile",
+      (s, dir) => {
+        val nTokens = tokenCountWs(col("text"))
+        docs(s, dir).groupBy("source", "lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            graft.functions.ColumnLib.exactSum(nTokens.cast("double")).as("n_tokens"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .withColumn("avg_tokens", col("n_tokens") / col("n_docs"))
+          .orderBy("source", "lang")
+      },
+      Some("""
+        SELECT source, lang, n_docs, n_tokens, min_chars, max_chars,
+               n_tokens / n_docs AS avg_tokens
+        FROM (SELECT source, lang, count(*) AS n_docs,
+                     CAST(SUM(CAST(len(string_split(text,' ')) AS DECIMAL(28,6))) AS DOUBLE) AS n_tokens,
+                     min(n_chars) AS min_chars, max(n_chars) AS max_chars
+              FROM documents GROUP BY 1, 2)
+        ORDER BY source, lang""")),
+
     // ---- deterministic hash split: retry-stable train/val/test ----------
     // Thresholds are 4-hex md5-prefix compares (no rand()): the same
     // corpus + salt yields the same split in any engine and under any
