@@ -190,6 +190,25 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Benchmark decontamination: drop training docs whose normalized
+    * fingerprint collides with any document in `benchmark` — the
+    * standard eval-set overlap removal. An anti join on the 16-byte
+    * digest: the benchmark side is tiny relative to the corpus, so the
+    * plan is a broadcast anti join — the 100 TB training scan never
+    * shuffles. Normalization (lowercase, strip punctuation, collapse
+    * whitespace) catches reformatted copies, not just byte-identical
+    * ones; compose with [[nearDupPairs]] upstream for fuzzy overlap.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+      body: String): DataFrame = {
+    import graft.functions.TextFunctions.normalizeText
+    val fp = md5(normalizeText(col(body)))
+    docs.withColumn("__fp", fp)
+      .join(broadcast(benchmark.select(fp.as("__fp")).distinct()),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Connected components over an undirected pair list (id1, id2):
     * returns one row per node with its component id = the minimum node
     * id reachable from it. This is the corpus-level dedup closer — near

@@ -236,6 +236,25 @@ object DedupOps {
           SELECT node, min(label) AS component FROM comp GROUP BY node)
         GROUP BY component ORDER BY component""")),
 
+    // ---- decontamination: drop docs colliding with a "benchmark" set ----
+    // The eval-overlap removal step. The benchmark here is a slice of
+    // the same corpus (doc_id % 10 = 0), so collisions include exact
+    // duplicates of benchmark docs — which must vanish too.
+    QueryDef("q39_decontaminate",
+      (s, dir) => {
+        val all = docs(s, dir)
+        Dedup.decontaminate(all, all.filter(col("doc_id") % 10 === 0), "text")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id FROM documents d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM documents b
+          WHERE b.doc_id % 10 = 0
+            AND md5(trim(regexp_replace(regexp_replace(lower(b.text),'[^a-z0-9 ]','','g'),' +',' ','g')))
+              = md5(trim(regexp_replace(regexp_replace(lower(d.text),'[^a-z0-9 ]','','g'),' +',' ','g'))))
+        ORDER BY doc_id""")),
+
     // ---- n-gram Jaccard on a capped id range (verification tier) --------
     // At scale this runs on LSH candidates only; the cap keeps the
     // all-pairs verification query scale-independent.

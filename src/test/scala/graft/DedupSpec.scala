@@ -96,6 +96,23 @@ class DedupSpec extends SparkSpec {
     assert(m.getAs[Int]("max_bucket_size") == 10, s"metrics: $m")
   }
 
+  test("decontaminate: benchmark collisions vanish, including reformatted copies") {
+    val train = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), "The quick brown fox!"),       // reformatted copy of bench
+      Row(Long.box(2), "the quick brown fox"),        // exact copy of bench
+      Row(Long.box(3), "a completely different doc"))
+    val bench = df("doc_id BIGINT, text STRING",
+      Row(Long.box(100), "the quick   brown fox"))
+    val kept = Dedup.decontaminate(train, bench, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L), "normalized collisions must be removed")
+    // Plan check: the benchmark side must broadcast — the training scan
+    // stays shuffle-free.
+    val plan = Dedup.decontaminate(train, bench, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"benchmark side must broadcast:\n$plan")
+  }
+
   test("connectedComponents: chains, triangles, and isolated pairs resolve to min ids") {
     // Graph: 1-2, 2-3, 3-4 (chain), 10-11-12 (triangle), 20-21 (pair).
     val pairs = df("id1 BIGINT, id2 BIGINT",
