@@ -61,6 +61,11 @@ object PagedStream {
       // behind, and an empty fetch still drains the backlog.
       val stream = spark.readStream
         .schema(spark.read.parquet(spoolDir).schema)
+        // Native spool hygiene: files are deleted once their micro-batch
+        // commits (async cleaner), so the spool holds only unprocessed
+        // backlog instead of growing forever. Crash-safe: an uncommitted
+        // file survives and is drained by the next tick.
+        .option("cleanSource", "delete")
         .parquet(spoolDir)
       val q = IncrementalStream.runAvailableNow(
         IncrementalStream.upsertSink(stream.writeStream, spark, targetPath,
