@@ -75,9 +75,14 @@ object DotProductExact {
     while (i < n) {
       if (!x.isNullAt(i) && !y.isNullAt(i)) {
         val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
-        // Exactly Spark's double→DECIMAL(38,18) cast: canonical decimal
-        // repr of the double, rounded to 18 fractional digits HALF_UP.
-        acc = acc.add(JBigDecimal.valueOf(p).setScale(18, RoundingMode.HALF_UP))
+        // NaN/Infinity products contribute 0, matching the HOF fold it
+        // replaces: Spark's non-ANSI double→decimal cast yields null for
+        // non-finite values, which that formulation coalesces to 0.
+        // (BigDecimal.valueOf would throw NumberFormatException.)
+        if (java.lang.Double.isFinite(p))
+          // Exactly Spark's double→DECIMAL(38,18) cast: canonical decimal
+          // repr of the double, rounded to 18 fractional digits HALF_UP.
+          acc = acc.add(JBigDecimal.valueOf(p).setScale(18, RoundingMode.HALF_UP))
       }
       i += 1
     }

@@ -101,6 +101,11 @@ object MinHashSignature {
     val wb = new Array[Array[Byte]](len)
     var w = 0
     while (w < len) {
+      // A null element makes the whole signature null: there is no
+      // defined gram over a missing word, and the SQL surface accepts
+      // containsNull arrays (the DataFrame path's split() never
+      // produces them).
+      if (words.isNullAt(w)) return null
       wb(w) = words.getUTF8String(w).getBytes
       w += 1
     }

@@ -43,6 +43,14 @@ object Daemon {
   final case class Failed(at: Instant, error: Throwable) extends Event
   final case class Slept(seconds: Long) extends Event
 
+  /** How many trailing events [[run]] retains: a daemon that never
+    * stops must not grow heap one Slept per tick forever, so the
+    * in-memory log is a ring of the most recent events; stream the
+    * full history through `onEvent` (e.g. into the audit log) when it
+    * must be durable.
+    */
+  val MaxRetainedEvents = 256
+
   /** Run `job` once per schedule slot until `shouldStop`.
     *
     * @param lastRun    persisted instant of the last successful run
@@ -51,37 +59,47 @@ object Daemon {
     * @param sleep      sleeper (seconds); simulated clocks advance here
     * @param shouldStop polled once per iteration and between retries
     * @param job        the slot work, given the slot's fire time
-    * @return           the event log (runs, failures, sleeps) in order,
-    *                   with the final successful-run checkpoint to persist
+    * @param onEvent    called for EVERY event as it happens (logging /
+    *                   audit hook); the returned log keeps only the
+    *                   last [[MaxRetainedEvents]]
+    * @return           the trailing event log (runs, failures, sleeps)
+    *                   in order, with the final successful-run
+    *                   checkpoint to persist
     */
   def run(cfg: Config, lastRun: Option[Instant], now: () => Instant,
       sleep: Long => Unit, shouldStop: () => Boolean,
-      job: Instant => Unit): (Seq[Event], Option[Instant]) = {
-    val events = Seq.newBuilder[Event]
+      job: Instant => Unit,
+      onEvent: Event => Unit = _ => ()): (Seq[Event], Option[Instant]) = {
+    val events = scala.collection.mutable.ArrayDeque.empty[Event]
+    def emit(e: Event): Unit = {
+      onEvent(e)
+      events += e
+      if (events.size > MaxRetainedEvents) events.removeHead()
+    }
     var last = lastRun
     while (!shouldStop()) {
       val t = now()
       if (!Scheduler.ranInCurrentSlot(last, t, cfg.schedule)) {
         try {
           job(t)
-          events += Ran(t)
+          emit(Ran(t))
           // Forward-only: a job that somehow reports an older clock
           // must not rewind the checkpoint.
           if (last.forall(_.isBefore(t))) last = Some(t)
         } catch {
           case scala.util.control.NonFatal(e) =>
-            events += Failed(t, e)
-            events += Slept(cfg.errorBackoffSeconds)
+            emit(Failed(t, e))
+            emit(Slept(cfg.errorBackoffSeconds))
             sleep(cfg.errorBackoffSeconds)
         }
       } else {
         val next = Scheduler.nextScheduled(t, cfg.schedule)
         val until = math.max(1L, Duration.between(t, next).toSeconds)
         val tick = math.min(cfg.maxTickSeconds, until)
-        events += Slept(tick)
+        emit(Slept(tick))
         sleep(tick)
       }
     }
-    (events.result(), last)
+    (events.toSeq, last)
   }
 }

@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Monotonic suffix for observation names: Spark rejects a plan with
+    * two CollectMetrics nodes sharing a name over different subtrees,
+    * so two [[lshCandidatePairs]] calls composed into one action need
+    * distinct names. Metrics stay discoverable by the "lsh_buckets"
+    * prefix.
+    */
+  private val observationSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Exact dedup: canonical (minimum) id per identical body digest. */
   def exactGroups(docs: DataFrame, id: String, body: String): DataFrame =
     docs.groupBy(md5(col(body)).as("digest"))
@@ -115,9 +123,10 @@ object Dedup {
     * above it are dropped — at that population the pair list is
     * quadratic noise, not near-dup signal. The default (1000 → ≤500k
     * pairs per bucket) keeps the guard ON for every caller; how many
-    * buckets it dropped (and the largest bucket seen) is surfaced as the
-    * `lsh_buckets` observation — readable from a `QueryExecutionListener`
-    * or `df.observe` metrics without a second pass over the data.
+    * buckets it dropped (and the largest bucket seen) is surfaced as an
+    * `lsh_buckets_<n>` observation — readable from a
+    * `QueryExecutionListener` or `queryExecution.observedMetrics`
+    * without a second pass over the data.
     *
     * Ids are deduplicated per bucket (collect_set), so repeated input
     * ids can never emit an (x, x) self-pair.
@@ -133,7 +142,7 @@ object Dedup {
         y => struct(x.as("id1"), y.as("id2")))))
     bands.groupBy(col("band_id"), col("band_key"))
       .agg(sort_array(collect_set(col(id))).as("__ids"))
-      .observe("lsh_buckets",
+      .observe(s"lsh_buckets_${observationSeq.incrementAndGet()}",
         sum(when(size(ids) > maxBucket, 1).otherwise(0)).as("dropped_buckets"),
         max(size(ids)).as("max_bucket_size"))
       .filter(size(ids).between(2, maxBucket))
@@ -253,8 +262,11 @@ object Dedup {
       // (min-propagation keeps the invariant label(x) <= x, so the hop
       // only ever improves). One-hop propagation alone needs diameter
       // rounds; with the compression step convergence is O(log d).
+      // The hop reads the PREVIOUS round's (checkpointed) label map, so
+      // the un-materialized `propagated` plan is referenced exactly
+      // once — a self-join would execute the edge join twice per round.
       val updated = propagated.alias("a")
-        .join(propagated
+        .join(labels
             .select(col("node").as("label"), col("label").as("ll")).alias("b"),
           Seq("label"), "left")
         .select(col("node"),

@@ -49,6 +49,9 @@ object Sampling {
   def hashSplit(df: DataFrame, keyCol: String, salt: String,
       splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
     require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0.0),
+      "every split needs a positive fraction (a zero split would still " +
+        "absorb threshold-rounding residue as the otherwise-branch)")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
     val bucket = hashBucket(col(keyCol), salt)

@@ -160,6 +160,26 @@ object Upsert {
       sourceOrder: Seq[Column] = Nil,
       updateCond: Option[String] = None,
       updateExprs: Map[String, String] = Map.empty): Unit = {
+    // RECOVERY first, before anything reads (or existence-probes) the
+    // target: a previous attempt may have died between displacing an old
+    // partition into the backup dir and installing its replacement,
+    // leaving that partition missing from the live table. Restore any
+    // displaced partition whose destination is absent, then clear the
+    // staging dirs — the idempotent merge below recomputes the rest.
+    // (Without this, a crash mid-swap followed by a retry would delete
+    // the backup — the only surviving copy — as stale staging state.)
+    val hBak = new org.apache.hadoop.fs.Path(path + ".merge-bak")
+    locally {
+      val fs = hBak.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(hBak)) {
+        fs.listStatus(hBak).foreach { st =>
+          val dest = new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(path), st.getPath.getName)
+          if (!fs.exists(dest)) fs.rename(st.getPath, dest)
+        }
+        fs.delete(hBak, true)
+      }
+    }
     // First-write bootstrap: a missing (or file-less) target means the
     // deduped source IS the initial table — partitioned parquet has no
     // separate DDL step, the first partitioned write declares the layout.
@@ -177,16 +197,21 @@ object Upsert {
     val prune = col(partitionCol).between(lit(range.get(0)), lit(range.get(1)))
     val merged = upsert(target.filter(prune), source, keys,
       sourceOrder, updateCond, updateExprs, targetPrune = None)
-    // Write-to-temp + per-partition swap (same pattern as
+    // Write-to-temp + per-partition swap (same staging pattern as
     // [[graft.sources.Storage.compact]]): the merge streams from the
     // ORIGINAL files into a sibling temp dir, then each affected
-    // partition directory is swapped in with an atomic rename. Unlike a
-    // localCheckpoint + in-place overwrite, this (a) never pins the
-    // merged partitions in executor memory/disk, and (b) is
-    // failure-safe: a crash during the merge write leaves the live
-    // table untouched, a crash mid-swap leaves whole partitions either
-    // old or new — both states are repaired by simply re-running the
-    // (idempotent) merge. Single-writer assumption as everywhere else.
+    // partition is swapped in by DISPLACING the old directory into the
+    // backup dir and renaming the new one into place — never
+    // delete-then-rename, so at every instant each partition has a live
+    // copy in exactly one of {table, backup}. Unlike a localCheckpoint
+    // + in-place overwrite, this (a) never pins the merged partitions
+    // in executor memory/disk, and (b) is failure-safe: a crash during
+    // the write leaves the table untouched, a crash mid-swap is healed
+    // by the recovery block above, and a crash between installs leaves
+    // whole partitions either old or new — all repaired by re-running
+    // the (idempotent) merge. Rename results are CHECKED: a false
+    // return keeps the old copy in the backup for recovery and aborts.
+    // Single-writer assumption as everywhere else.
     val tmp = path + ".merge-tmp"
     val hPath = new org.apache.hadoop.fs.Path(path)
     val hTmp = new org.apache.hadoop.fs.Path(tmp)
@@ -200,13 +225,21 @@ object Upsert {
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
       .partitionBy(partitionCol).parquet(tmp)
+    fs.mkdirs(hBak)
     fs.listStatus(hTmp).iterator
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .foreach { st =>
-        val dest = new org.apache.hadoop.fs.Path(hPath, st.getPath.getName)
-        fs.delete(dest, true)
-        fs.rename(st.getPath, dest)
+        val name = st.getPath.getName
+        val dest = new org.apache.hadoop.fs.Path(hPath, name)
+        if (fs.exists(dest) &&
+            !fs.rename(dest, new org.apache.hadoop.fs.Path(hBak, name)))
+          throw new java.io.IOException(
+            s"merge swap: cannot displace existing partition $dest")
+        if (!fs.rename(st.getPath, dest))
+          throw new java.io.IOException(
+            s"merge swap: cannot install partition $dest (old copy preserved in $hBak)")
       }
+    fs.delete(hBak, true)
     fs.delete(hTmp, true)
   }
 }

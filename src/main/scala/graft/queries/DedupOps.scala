@@ -61,9 +61,13 @@ object DedupOps {
         WITH $sigCte,
         bands AS (
           SELECT doc_id, 0 AS band_id, md5(h0||h1) AS band_key FROM sig
-          UNION ALL SELECT doc_id, 1, md5(h2||h3) FROM sig)
+          UNION ALL SELECT doc_id, 1, md5(h2||h3) FROM sig),
+        ok AS (SELECT band_id, band_key FROM bands
+               GROUP BY 1, 2 HAVING count(*) <= 1000)
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM bands a JOIN bands b
+        FROM bands a
+        JOIN ok o ON a.band_id = o.band_id AND a.band_key = o.band_key
+        JOIN bands b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
         ORDER BY 1, 2""")),
@@ -176,9 +180,13 @@ object DedupOps {
         bands AS (
           SELECT doc_id, 0 AS band_id, md5(h0||h1) AS band_key FROM sig
           UNION ALL SELECT doc_id, 1, md5(h2||h3) FROM sig),
+        ok AS (SELECT band_id, band_key FROM bands
+               GROUP BY 1, 2 HAVING count(*) <= 1000),
         cand AS (
           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-          FROM bands a JOIN bands b
+          FROM bands a
+          JOIN ok o ON a.band_id = o.band_id AND a.band_key = o.band_key
+          JOIN bands b
             ON a.band_id = b.band_id AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id),
         grams AS (
@@ -220,9 +228,13 @@ object DedupOps {
         bands AS (
           SELECT doc_id, 0 AS band_id, md5(h0||h1) AS band_key FROM sig
           UNION ALL SELECT doc_id, 1, md5(h2||h3) FROM sig),
+        ok AS (SELECT band_id, band_key FROM bands
+               GROUP BY 1, 2 HAVING count(*) <= 1000),
         cand AS (
           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-          FROM bands a JOIN bands b
+          FROM bands a
+          JOIN ok o ON a.band_id = o.band_id AND a.band_key = o.band_key
+          JOIN bands b
             ON a.band_id = b.band_id AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id),
         edges AS (

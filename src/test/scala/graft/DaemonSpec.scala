@@ -60,9 +60,15 @@ class DaemonSpec extends AnyFunSuite {
     val ran = Instant.parse("2024-05-02T02:30:30Z")
     var t = boot
     var runs = 0
-    val (events, _) = Daemon.run(cfg, Some(ran),
+    // Full history via the onEvent hook: the returned log is a bounded
+    // ring (MaxRetainedEvents) and this walk emits more ticks than it
+    // retains — which is also what this asserts at the end.
+    val all = Seq.newBuilder[Daemon.Event]
+    val (retained, _) = Daemon.run(cfg, Some(ran),
       now = () => t, sleep = s => t = t.plusSeconds(s),
-      shouldStop = () => runs >= 2, job = at => runs += 1)
+      shouldStop = () => runs >= 2, job = at => runs += 1,
+      onEvent = all += _)
+    val events = all.result()
     val fired = events.collect { case Daemon.Ran(at) => at }
     assert(fired.size == 2)
     // First fire happens at/after the 11:00 slot, second after next-day 02:30.
@@ -74,6 +80,10 @@ class DaemonSpec extends AnyFunSuite {
     assert(firstSleeps.sum >= Scheduler.nextScheduled(boot, sched)
       .getEpochSecond - boot.getEpochSecond)
     assert(firstSleeps.forall(_ <= 300))
+    // The in-memory log is bounded; the hook saw everything.
+    assert(events.size > Daemon.MaxRetainedEvents)
+    assert(retained.size == Daemon.MaxRetainedEvents)
+    assert(retained == events.takeRight(Daemon.MaxRetainedEvents))
   }
 
   test("failed run backs off 10s, retries in-slot, checkpoint only on success") {

@@ -89,7 +89,8 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.lshCandidatePairs(d, "doc_id", "text",
       k = 4, n = 3, bandWidth = 2, maxBucket = 5)
     out.collect()
-    val m = out.queryExecution.observedMetrics("lsh_buckets")
+    val m = out.queryExecution.observedMetrics
+      .collectFirst { case (k, v) if k.startsWith("lsh_buckets") => v }.get
     // identical boilerplate docs collide on BOTH bands → 2 hot buckets
     // of size 10 dropped; the small pair buckets survive.
     assert(m.getAs[Long]("dropped_buckets") == 2L, s"metrics: $m")

@@ -56,6 +56,20 @@ class DotExactSpec extends SparkSpec {
     assert(out(2).isNullAt(1))
   }
 
+  test("NaN and Infinity elements contribute zero, like the HOF cast-to-null path") {
+    val d = df("x ARRAY<FLOAT>, y ARRAY<FLOAT>",
+      Row(Seq(Float.NaN, 2.0f), Seq(3.0f, 4.0f)),
+      Row(Seq(Float.PositiveInfinity, 1.0f), Seq(1.0f, 5.0f)))
+    val out = d.select(
+        call_function("dot_exact", col("x"), col("y")).as("native"),
+        Dedup.dotExactHof(col("x"), col("y")).as("hof"))
+      .collect()
+    assert(out(0).getDouble(0) == 8.0)   // NaN*3 skipped, 2*4 kept
+    assert(out(1).getDouble(0) == 5.0)   // Inf*1 skipped, 1*5 kept
+    assert(out(0).getDouble(0) == out(0).getDouble(1))
+    assert(out(1).getDouble(0) == out(1).getDouble(1))
+  }
+
   test("dot_exact stays inside whole-stage codegen on a real scan") {
     val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val plan = emb.select(

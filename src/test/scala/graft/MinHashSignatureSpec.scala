@@ -64,4 +64,10 @@ class MinHashSignatureSpec extends SparkSpec {
     val s = r.getSeq[String](0)
     assert(s.length == 2 && s.forall(_.matches("[0-9a-f]{16}")))
   }
+
+  test("a null array element yields a null signature, not an NPE") {
+    val r = spark.sql(
+      "SELECT minhash_sig(array('a', NULL, 'b'), 2, 1) AS s").head()
+    assert(r.isNullAt(0))
+  }
 }

@@ -165,4 +165,35 @@ class UpsertSpec extends SparkSpec {
     assert(after == Map(1L -> "a", 2L -> "B2"))
     assert(!new java.io.File(dir + ".merge-tmp").exists())
   }
+
+  test("applyToPartitionedParquet recovers a partition displaced by a mid-swap crash") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_midswap").toString
+    val init = df("k BIGINT, v STRING, d STRING",
+      Row(Long.box(1), "a", "2024-01-01"),
+      Row(Long.box(2), "b", "2024-01-02"),
+      Row(Long.box(3), "c", "2024-01-02"))
+    init.write.mode("overwrite").partitionBy("d").parquet(dir)
+    // Simulate a crash BETWEEN displacing the old partition into the
+    // backup dir and installing the new one: d=2024-01-02 is gone from
+    // the live table, its only copy sits in <path>.merge-bak, and the
+    // staging dir holds the half-installed attempt.
+    val bak = new java.io.File(dir + ".merge-bak")
+    bak.mkdirs()
+    assert(new java.io.File(s"$dir/d=2024-01-02")
+      .renameTo(new java.io.File(bak, "d=2024-01-02")))
+    val tmp = new java.io.File(dir + ".merge-tmp/d=2024-01-02")
+    tmp.mkdirs()
+    java.nio.file.Files.writeString(tmp.toPath.resolve("part-junk.parquet"), "x")
+    // Re-running the merge must first restore the displaced partition,
+    // then apply the source on top — rows 2 (updated) and 3 (untouched,
+    // would be LOST by a delete-then-rename swap) both survive.
+    val source = df("k BIGINT, v STRING, d STRING",
+      Row(Long.box(2), "B2", "2024-01-02"))
+    Upsert.applyToPartitionedParquet(spark, dir, source, Seq("k"), "d")
+    val after = spark.read.parquet(dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    assert(!new java.io.File(dir + ".merge-bak").exists())
+    assert(!new java.io.File(dir + ".merge-tmp").exists())
+  }
 }
