@@ -248,6 +248,38 @@ object TextOps {
               FROM documents GROUP BY 1, 2)
         ORDER BY source, lang""")),
 
+    // ---- sequence packing: concat-and-chunk token offsets ---------------
+    // The pre-training packing recipe: documents are laid end-to-end in
+    // a deterministic order and cut into fixed token-budget sequences;
+    // a doc's sequence id is floor(start_offset / budget). One window
+    // per source (packs never span sources), so parallelism is by
+    // source — a production run with few huge sources salts the
+    // partition key finer, same arithmetic.
+    QueryDef("q44_pack",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 2048
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, dir)
+          .select(col("source"), col("doc_id"),
+            tokenCountWs(col("text")).as("n_tokens"))
+          .withColumn("end_offset", sum(col("n_tokens")).over(w))
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            floor((col("end_offset") - col("n_tokens")) / budget).as("seq_id"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""
+        SELECT source, doc_id, n_tokens,
+               CAST(floor((end_offset - n_tokens) / 2048) AS BIGINT) AS seq_id
+        FROM (SELECT source, doc_id,
+                     len(string_split(text,' ')) AS n_tokens,
+                     SUM(len(string_split(text,' '))) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS end_offset
+              FROM documents)
+        ORDER BY source, doc_id""")),
+
     // ---- deterministic hash split: retry-stable train/val/test ----------
     // Thresholds are 4-hex md5-prefix compares (no rand()): the same
     // corpus + salt yields the same split in any engine and under any
