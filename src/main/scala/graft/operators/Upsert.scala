@@ -175,7 +175,11 @@ object Upsert {
         fs.listStatus(hBak).foreach { st =>
           val dest = new org.apache.hadoop.fs.Path(
             new org.apache.hadoop.fs.Path(path), st.getPath.getName)
-          if (!fs.exists(dest)) fs.rename(st.getPath, dest)
+          // A failed restore must ABORT with the backup intact — deleting
+          // hBak below would destroy the only copy of the partition.
+          if (!fs.exists(dest) && !fs.rename(st.getPath, dest))
+            throw new java.io.IOException(
+              s"merge recovery: cannot restore displaced partition to $dest")
         }
         fs.delete(hBak, true)
       }

@@ -253,8 +253,11 @@ object TextOps {
     // a deterministic order and cut into fixed token-budget sequences;
     // a doc's sequence id is floor(start_offset / budget). One window
     // per source (packs never span sources), so parallelism is by
-    // source — a production run with few huge sources salts the
-    // partition key finer, same arithmetic.
+    // source. A production run with few huge sources can NOT just salt
+    // the partition key (the cumulative offset would restart per salt
+    // bucket); the scale-out is two-pass — per-bucket token totals,
+    // prefix-summed on the driver, broadcast back as bucket base
+    // offsets added to each bucket-local window sum.
     QueryDef("q44_pack",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
