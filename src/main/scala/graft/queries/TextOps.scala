@@ -283,6 +283,88 @@ object TextOps {
               FROM documents)
         ORDER BY source, doc_id""")),
 
+    // ---- top-k per group: best documents per source ---------------------
+    // Grouped top-k by a quality proxy (token count here) with a total
+    // order (doc_id tiebreak) so the cut is deterministic. Window +
+    // filter executes as one shuffle per group key; at 100 TB the same
+    // shape holds — the sort is per-partition after hash exchange.
+    QueryDef("q45_topk_per_group",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_tokens").desc, col("doc_id").asc)
+        docs(s, dir)
+          .select(col("source"), col("doc_id"),
+            tokenCountWs(col("text")).as("n_tokens"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select("source", "doc_id", "n_tokens", "rk")
+          .orderBy("source", "rk")
+      },
+      Some("""
+        SELECT source, doc_id, n_tokens, rk FROM (
+          SELECT source, doc_id,
+                 len(string_split(text,' ')) AS n_tokens,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY len(string_split(text,' ')) DESC, doc_id ASC) AS rk
+          FROM documents)
+        WHERE rk <= 5 ORDER BY source, rk""")),
+
+    // ---- quality-filter funnel: the C4-style keep/drop pipeline ---------
+    // Composes the quality signals into one map-side pass: length
+    // bounds, stopword ratio, repetition ratio, language allowlist.
+    // Per-reason drop counts come from the same pass via conditional
+    // aggregation — the corpus scan happens once.
+    QueryDef("q46_quality_filter",
+      (s, dir) => {
+        val nWords = tokenCountWs(col("text"))
+        val nStop = wordHits(col("text"), stopwords)
+        val grams = wordShingles(col("text"), 2)
+        val rep = lit(1.0) -
+          org.apache.spark.sql.functions.size(array_distinct(grams)).cast("double") /
+          org.apache.spark.sql.functions.size(grams).cast("double")
+        val d = docs(s, dir).select(col("doc_id"), col("lang"),
+          nWords.as("n_words"),
+          (nStop.cast("double") / nWords.cast("double")).as("stop_ratio"),
+          rep.as("rep_ratio"))
+        d.select(col("doc_id"),
+            (col("n_words") >= 20).as("len_ok"),
+            (col("stop_ratio") < 0.3).as("stop_ok"),
+            (col("rep_ratio") < 0.2).as("rep_ok"),
+            col("lang").isin("en", "vi").as("lang_ok"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count_if(col("len_ok") && col("stop_ok") &&
+              col("rep_ok") && col("lang_ok")).as("n_kept"),
+            count_if(!col("len_ok")).as("drop_len"),
+            count_if(!col("stop_ok")).as("drop_stop"),
+            count_if(!col("rep_ok")).as("drop_rep"),
+            count_if(!col("lang_ok")).as("drop_lang"))
+      },
+      Some("""
+        SELECT count(*) AS n_docs,
+               count(*) FILTER (len_ok AND stop_ok AND rep_ok AND lang_ok) AS n_kept,
+               count(*) FILTER (NOT len_ok) AS drop_len,
+               count(*) FILTER (NOT stop_ok) AS drop_stop,
+               count(*) FILTER (NOT rep_ok) AS drop_rep,
+               count(*) FILTER (NOT lang_ok) AS drop_lang
+        FROM (SELECT
+                n_words >= 20 AS len_ok,
+                (n_stop / n_words) < 0.3 AS stop_ok,
+                (1.0 - n_distinct / n_bigrams) < 0.2 AS rep_ok,
+                lang IN ('en','vi') AS lang_ok
+              FROM (SELECT doc_id, lang,
+                      CAST(len(l) AS DOUBLE) AS n_words,
+                      CAST(len(list_filter(l, w -> w IN ('the','a'))) AS DOUBLE) AS n_stop,
+                      CAST(len(g) AS DOUBLE) AS n_bigrams,
+                      CAST(len(list_distinct(g)) AS DOUBLE) AS n_distinct
+                    FROM (SELECT doc_id, lang, l,
+                            list_transform(range(1, len(l)),
+                                           i -> l[i]||' '||l[i+1]) AS g
+                          FROM (SELECT doc_id, lang,
+                                  string_split(text,' ') AS l
+                                FROM documents))))""")),
+
     // ---- deterministic hash split: retry-stable train/val/test ----------
     // Thresholds are 4-hex md5-prefix compares (no rand()): the same
     // corpus + salt yields the same split in any engine and under any
