@@ -29,6 +29,9 @@ object Engine {
   def extensions(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    // Whole-operator plan: grouped top-k via bounded heaps
+    // (logical node graft.plans.TopKPerGroup → physical TopKPerGroupExec).
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(

@@ -284,31 +284,30 @@ object TextOps {
         ORDER BY source, doc_id""")),
 
     // ---- top-k per group: best documents per source ---------------------
-    // Grouped top-k by a quality proxy (token count here) with a total
-    // order (doc_id tiebreak) so the cut is deterministic. Window +
-    // filter executes as one shuffle per group key; at 100 TB the same
-    // shape holds — the sort is per-partition after hash exchange.
+    // Runs on the custom whole-operator plan (graft.plans.TopKPerGroup,
+    // SURVEY §7.3 tier c): map-side bounded heaps prune each partition
+    // to ≤ k rows per key BEFORE the exchange, and no sort exists
+    // anywhere in the plan — vs the window formulation, which shuffles
+    // every row and fully sorts each partition. Total order (doc_id
+    // tiebreak) keeps the cut deterministic; the oracle restates it as
+    // the classic row_number window.
     QueryDef("q45_topk_per_group",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("source")
-          .orderBy(col("n_tokens").desc, col("doc_id").asc)
-        docs(s, dir)
-          .select(col("source"), col("doc_id"),
-            tokenCountWs(col("text")).as("n_tokens"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 5)
-          .select("source", "doc_id", "n_tokens", "rk")
-          .orderBy("source", "rk")
+        graft.operators.TopK.perGroup(
+            docs(s, dir).select(col("source"), col("doc_id"),
+              tokenCountWs(col("text")).as("n_tokens")),
+            keys = Seq("source"),
+            order = Seq(col("n_tokens").desc, col("doc_id").asc), k = 5)
+          .orderBy(col("source"), col("n_tokens").desc, col("doc_id"))
       },
       Some("""
-        SELECT source, doc_id, n_tokens, rk FROM (
+        SELECT source, doc_id, n_tokens FROM (
           SELECT source, doc_id,
                  len(string_split(text,' ')) AS n_tokens,
                  row_number() OVER (PARTITION BY source
                    ORDER BY len(string_split(text,' ')) DESC, doc_id ASC) AS rk
           FROM documents)
-        WHERE rk <= 5 ORDER BY source, rk""")),
+        WHERE rk <= 5 ORDER BY source, n_tokens DESC, doc_id""")),
 
     // ---- quality-filter funnel: the C4-style keep/drop pipeline ---------
     // Composes the quality signals into one map-side pass: length
