@@ -50,6 +50,22 @@ class TopKSpec extends SparkSpec {
       s"scan must read only the three referenced columns:\n$plan")
   }
 
+  test("latestWins (k=1 path) ≡ its window restatement, nulls-last ordering included") {
+    import graft.functions.ColumnLib
+    val d = df("k STRING, t BIGINT, id BIGINT, v STRING",
+      Row("a", Long.box(10), Long.box(1), "old"),
+      Row("a", Long.box(20), Long.box(2), "new"),
+      Row("b", null, Long.box(3), "only-null-t"),
+      Row("c", null, Long.box(4), "null-t"),
+      Row("c", Long.box(5), Long.box(5), "has-t"))
+    val ordering = Seq(col("t").desc_nulls_last, col("id").asc)
+    val viaOp = ColumnLib.latestWins(d, Seq("k"), ordering)
+    val viaWin = ColumnLib.latestWinsWindow(d, Seq("k"), ordering)
+    assert(rowSet(viaOp) == rowSet(viaWin))
+    assert(viaOp.collect().map(r => r.getString(0) -> r.getString(3)).toMap ==
+      Map("a" -> "new", "b" -> "only-null-t", "c" -> "has-t"))
+  }
+
   test("deterministic under repartitioning (total order contract)") {
     val a = rowSet(TopK.perGroup(docs, Seq("source"),
       Seq(col("n_chars").desc, col("doc_id").asc), k = 4))
