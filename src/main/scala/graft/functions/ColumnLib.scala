@@ -112,25 +112,17 @@ object ColumnLib {
     * `ordering` must be a total order within each key group for
     * deterministic output; callers append a unique tiebreaker.
     *
-    * Executes on the custom bounded-heap top-k plan
-    * ([[graft.operators.TopK.perGroup]] with k = 1): the window
-    * formulation (`QUALIFY ROW_NUMBER() = 1`) would shuffle every row
-    * and SORT each partition just to keep one row per key; the heap
-    * plan prunes map-side to one candidate per key per partition, so
-    * the exchange carries ≤ |keys| × partitions rows and no sort runs
-    * anywhere. `RowOrdering` preserves exact SQL sort semantics (null
-    * ordering included), so under the total-order contract the kept
-    * row is identical to the window formulation's — spec-pinned in
-    * TopKSpec and exercised by every dedup/upsert oracle query.
+    * Stays on the sort-based window plan DELIBERATELY, not on
+    * [[graft.operators.TopK.perGroup]] with k = 1: latest-wins key sets
+    * are usually near-unique (one row per (tenant, _id)), and the heap
+    * operator's per-partition hash map is sized by DISTINCT KEYS — on
+    * near-unique keys it would pin roughly the whole partition in
+    * executor memory with no spill path, while SortExec spills to disk
+    * gracefully. The heap plan wins only when groups ≪ rows; use
+    * `TopK.perGroup` directly for that shape (TopKSpec pins that both
+    * formulations agree under the total-order contract).
     */
-  def latestWins(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame =
-    graft.operators.TopK.perGroup(df, keys, ordering, k = 1)
-
-  /** The window restatement of [[latestWins]], kept as the differential
-    * reference the custom plan is verified against (TopKSpec).
-    */
-  private[graft] def latestWinsWindow(df: DataFrame, keys: Seq[String],
-      ordering: Seq[Column]): DataFrame = {
+  def latestWins(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     df.withColumn("__rn", row_number().over(w))

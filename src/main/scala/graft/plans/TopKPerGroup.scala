@@ -22,6 +22,15 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * all — another bounded heap per key merges the partials in O(n log k)
   * with O(keys × k) memory.
   *
+  * Memory contract: state is O(distinct keys × k) rows per task, with
+  * NO spill path — correct for the grouped-top-k shape (groups ≪ rows:
+  * best docs per source, top customers per region). Do NOT use it as a
+  * latest-wins dedup over near-unique keys, where distinct keys ≈ rows
+  * and the hash map would pin the whole partition in memory; the
+  * sort-based window plan spills and is the right tool there
+  * ([[graft.functions.ColumnLib.latestWins]] documents the same line
+  * from the other side).
+  *
   * Pieces: [[TopKPerGroup]] (logical marker node) → [[TopKStrategy]]
   * (planner rule registered via `SparkSessionExtensions
   * .injectPlannerStrategy`, see [[graft.Engine.extensions]]) →

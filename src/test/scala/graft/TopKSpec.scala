@@ -50,7 +50,7 @@ class TopKSpec extends SparkSpec {
       s"scan must read only the three referenced columns:\n$plan")
   }
 
-  test("latestWins (k=1 path) ≡ its window restatement, nulls-last ordering included") {
+  test("k=1 heap plan ≡ latestWins window plan, nulls-last ordering included") {
     import graft.functions.ColumnLib
     val d = df("k STRING, t BIGINT, id BIGINT, v STRING",
       Row("a", Long.box(10), Long.box(1), "old"),
@@ -59,8 +59,8 @@ class TopKSpec extends SparkSpec {
       Row("c", null, Long.box(4), "null-t"),
       Row("c", Long.box(5), Long.box(5), "has-t"))
     val ordering = Seq(col("t").desc_nulls_last, col("id").asc)
-    val viaOp = ColumnLib.latestWins(d, Seq("k"), ordering)
-    val viaWin = ColumnLib.latestWinsWindow(d, Seq("k"), ordering)
+    val viaOp = TopK.perGroup(d, Seq("k"), ordering, k = 1)
+    val viaWin = ColumnLib.latestWins(d, Seq("k"), ordering)
     assert(rowSet(viaOp) == rowSet(viaWin))
     assert(viaOp.collect().map(r => r.getString(0) -> r.getString(3)).toMap ==
       Map("a" -> "new", "b" -> "only-null-t", "c" -> "has-t"))
