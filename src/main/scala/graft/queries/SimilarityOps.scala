@@ -139,5 +139,51 @@ object SimilarityOps {
         FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
                      generate_subscripts(embedding, 1) AS pos
               FROM embeddings)
-        GROUP BY 1, 2 ORDER BY 1, 2""")))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- batch ANN: top-k neighbors for EVERY query vector --------------
+    // The production retrieval shape (one query per row, not one per
+    // job): the query set broadcasts, scores are decimal-exact via the
+    // native dot_exact expression, and the per-query cut runs on the
+    // custom bounded-heap plan ([[graft.operators.TopK.perGroup]]) —
+    // groups = queries ≪ rows, its exact contract. The map-side prune
+    // means the shuffle carries ≤ k rows per query per partition.
+    QueryDef("q47_batch_ann",
+      (s, dir) => {
+        val vecs = emb(s, dir)
+        val queries = vecs.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
+        val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            round(dot(col("embedding"), col("qvec")) /
+              (sqrt(dot(col("embedding"), col("embedding"))) *
+                sqrt(dot(col("qvec"), col("qvec")))), 9).as("cosine"))
+        graft.operators.TopK.perGroup(scored, Seq("qid"),
+            Seq(col("cosine").desc, col("vec_id").asc), k = 3)
+          .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                          generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings),
+        n AS (SELECT vec_id, CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+              FROM e GROUP BY 1),
+        qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 97 = 0),
+        d AS (SELECT q.qid, e2.vec_id,
+                     CAST(SUM(CAST(e1.v*e2.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+              FROM qs q
+              JOIN e e1 ON e1.vec_id = q.qid
+              JOIN e e2 ON e2.pos = e1.pos AND e2.vec_id <> q.qid
+              GROUP BY 1, 2),
+        cos AS (SELECT qid, d.vec_id,
+                       round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) AS cosine
+                FROM d JOIN n n1 ON n1.vec_id = qid
+                       JOIN n n2 ON n2.vec_id = d.vec_id),
+        rk AS (SELECT qid, vec_id, cosine,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY cosine DESC, vec_id) AS rk
+               FROM cos)
+        SELECT qid, vec_id, cosine FROM rk WHERE rk <= 3
+        ORDER BY qid, cosine DESC, vec_id""")))
 }
