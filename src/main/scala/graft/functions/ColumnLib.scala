@@ -124,10 +124,15 @@ object ColumnLib {
     */
   def latestWins(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Collision-proof rank column: an input that legitimately carries a
+    // "__rn" column (e.g. re-ingested exports) must survive the dedup
+    // untouched, not be clobbered-then-dropped.
+    val rn = Iterator.from(0).map(i => if (i == 0) "__rn" else s"__rn$i")
+      .find(n => !df.columns.contains(n)).get
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 
   // ---------------------------------------------------------------------

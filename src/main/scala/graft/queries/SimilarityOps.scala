@@ -150,15 +150,23 @@ object SimilarityOps {
     // means the shuffle carries ≤ k rows per query per partition.
     QueryDef("q47_batch_ann",
       (s, dir) => {
-        val vecs = emb(s, dir)
-        val queries = vecs.filter(col("vec_id") % 97 === 0)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
+        // Norms once per VECTOR, not once per pair: the per-pair hot
+        // loop then runs exactly one decimal dot product (~3× less
+        // decimal work than recomputing both norms per candidate).
+        val vecs = emb(s, dir).select(col("vec_id"), col("embedding"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+        val queries = vecs.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("nrm").as("qnrm"))
         val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
             round(dot(col("embedding"), col("qvec")) /
-              (sqrt(dot(col("embedding"), col("embedding"))) *
-                sqrt(dot(col("qvec"), col("qvec")))), 9).as("cosine"))
+              (col("nrm") * col("qnrm")), 9).as("cosine"))
+          // Degenerate vectors (null / zero-norm) produce a NULL cosine
+          // here but produce NO row in the oracle's unnest-based CTEs;
+          // drop them so the two stay row-set identical on any data.
+          .filter(col("cosine").isNotNull)
         graft.operators.TopK.perGroup(scored, Seq("qid"),
             Seq(col("cosine").desc, col("vec_id").asc), k = 3)
           .orderBy(col("qid"), col("cosine").desc, col("vec_id"))

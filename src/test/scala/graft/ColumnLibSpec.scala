@@ -1,4 +1,5 @@
 package graft
+// (latestWins __rn-collision case appended at the bottom of this suite)
 
 import graft.functions.ColumnLib._
 import org.apache.spark.sql.Row
@@ -76,5 +77,15 @@ class ColumnLibSpec extends SparkSpec {
     val s1 = d.repartition(7).agg(exactSum(col("v"))).head().getDouble(0)
     val s2 = d.repartition(3).agg(exactSum(col("v"))).head().getDouble(0)
     assert(s1 == s2)
+  }
+
+  test("latestWins preserves a pre-existing __rn input column") {
+    val d = df("k STRING, t BIGINT, __rn STRING",
+      Row("a", Long.box(1), "keep-old"),
+      Row("a", Long.box(2), "keep-new"))
+    val out = latestWins(d, Seq("k"), Seq(col("t").desc))
+    assert(out.columns.toSeq == Seq("k", "t", "__rn"),
+      "caller's __rn column must survive the dedup")
+    assert(out.head().getString(2) == "keep-new")
   }
 }
