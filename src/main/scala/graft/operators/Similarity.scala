@@ -96,6 +96,48 @@ object Similarity {
       idCol, vecCol, query, k)
   }
 
+  /** Batch ANN — top-k nearest neighbors for EVERY query row, the
+    * production retrieval shape of a training-data pipeline (one query
+    * per row, not one per job).
+    *
+    * Physical shape, and why it scales where all-pairs does not:
+    *  - both sides get a sign-LSH bucket (per-row, no shuffle);
+    *  - queries join candidates on bucket EQUALITY — a hash join whose
+    *    cost is Σ |bucket_v| · |bucket_q|, not |V| · |Q|. With B
+    *    buckets that is ~|V|·|Q|/B work; growing `pairs` grows B
+    *    exponentially, so the pruning ratio is a tuning knob;
+    *  - scoring is the native codegen'd `cosine_sim` double loop — the
+    *    hot path stays inside whole-stage codegen (the decimal-exact
+    *    formulation exists only on the oracle gate, q48);
+    *  - the per-query cut runs on the bounded-heap plan
+    *    ([[graft.operators.TopK.perGroup]]): map-side prune to ≤ k rows
+    *    per query per partition, shuffle ≤ k·|Q|·partitions rows, no
+    *    sort anywhere.
+    *
+    * The broadcast hint fits the common contract |Q| ≪ |V|; for a
+    * query set too large to broadcast, drop the hint and the same plan
+    * runs as a shuffle hash join on the bucket key. Like every LSH
+    * method this is approximate: recall is bounded by bucket agreement
+    * (a neighbor in another bucket is unseen); compose with multi-probe
+    * (union join over Hamming-adjacent buckets) when recall matters
+    * more than cost.
+    */
+  def batchAnnTopK(vecs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int, pairs: Seq[(Int, Int)] = defaultPairs): DataFrame = {
+    val cands = signLshBuckets(vecs, vecCol, pairs)
+    val qb = queries.withColumn("__qbucket", signBucket(col(qvecCol), pairs))
+    val scored = cands.join(broadcast(qb),
+        col("bucket") === col("__qbucket") && col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol),
+        cosineNative(col(vecCol), col(qvecCol)).as("cosine"))
+      // Degenerate rows (null / zero-norm vectors) score null or NaN;
+      // neither is a rankable neighbor.
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
+    TopK.perGroup(scored, Seq(qidCol),
+      Seq(col("cosine").desc, col(idCol).asc), k)
+  }
+
   // ---------------------------------------------------------------------
   // IVF (inverted-file) index: coarse centroids → cluster assignment →
   // PARTITIONED physical layout → probe-limited search. At 100 TB this

@@ -141,13 +141,13 @@ object SimilarityOps {
               FROM embeddings)
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
-    // ---- batch ANN: top-k neighbors for EVERY query vector --------------
-    // The production retrieval shape (one query per row, not one per
-    // job): the query set broadcasts, scores are decimal-exact via the
-    // native dot_exact expression, and the per-query cut runs on the
-    // custom bounded-heap plan ([[graft.operators.TopK.perGroup]]) —
-    // groups = queries ≪ rows, its exact contract. The map-side prune
-    // means the shuffle carries ≤ k rows per query per partition.
+    // ---- batch top-k, EXACT baseline (all-pairs) ------------------------
+    // Every query × every vector: the recall yardstick the bucketed
+    // retrieval path (q48, Similarity.batchAnnTopK) is measured
+    // against — NOT the production shape. O(|V|·|Q|·d) compute; run it
+    // on samples, never on the corpus. The per-query cut still runs on
+    // the bounded-heap plan ([[graft.operators.TopK.perGroup]]) so the
+    // shuffle carries ≤ k rows per query per partition.
     QueryDef("q47_batch_ann",
       (s, dir) => {
         def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
@@ -187,6 +187,67 @@ object SimilarityOps {
         cos AS (SELECT qid, d.vec_id,
                        round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) AS cosine
                 FROM d JOIN n n1 ON n1.vec_id = qid
+                       JOIN n n2 ON n2.vec_id = d.vec_id),
+        rk AS (SELECT qid, vec_id, cosine,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY cosine DESC, vec_id) AS rk
+               FROM cos)
+        SELECT qid, vec_id, cosine FROM rk WHERE rk <= 3
+        ORDER BY qid, cosine DESC, vec_id""")),
+
+    // ---- batch ANN, bucketed (the production retrieval shape) -----------
+    // Same query set and ranking contract as q47, but candidates come
+    // from a sign-LSH bucket EQUALITY join instead of all-pairs: a
+    // broadcast hash join on the bucket key (≈ |V|·|Q|/B pairs scored,
+    // never a nested loop), then the bounded-heap per-query cut. This
+    // is the oracle-facing decimal-exact restatement of
+    // [[graft.operators.Similarity.batchAnnTopK]] (whose hot path
+    // scores in codegen double); SimilaritySpec pins the two to the
+    // same plan shape and neighbor sets. Approximate by construction —
+    // a neighbor outside the query's bucket is unseen — which the
+    // oracle mirrors exactly, so the gate checks the retrieval
+    // semantics, not brute force.
+    QueryDef("q48_batch_ann_bucketed",
+      (s, dir) => {
+        def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
+        val base = emb(s, dir).select(col("vec_id"), col("embedding"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+        val bucketed = Similarity.signLshBuckets(base, "embedding")
+        val queries = bucketed.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+        val scored = bucketed.join(broadcast(queries),
+            col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            round(dot(col("embedding"), col("qvec")) /
+              (col("nrm") * col("qnrm")), 9).as("cosine"))
+          .filter(col("cosine").isNotNull)
+        graft.operators.TopK.perGroup(scored, Seq("qid"),
+            Seq(col("cosine").desc, col("vec_id").asc), k = 3)
+          .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
+      },
+      Some(s"""
+        WITH b AS (SELECT vec_id, ${bucketSql("embeddings")} AS bucket
+                   FROM embeddings),
+        qs AS (SELECT vec_id AS qid, bucket AS qbucket FROM b
+               WHERE vec_id % 97 = 0),
+        cand AS (SELECT q.qid, b.vec_id
+                 FROM b JOIN qs q
+                 ON b.bucket = q.qbucket AND b.vec_id <> q.qid),
+        e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings),
+        n AS (SELECT vec_id, CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+              FROM e GROUP BY 1),
+        d AS (SELECT c.qid, c.vec_id,
+                     CAST(SUM(CAST(e1.v*e2.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+              FROM cand c
+              JOIN e e1 ON e1.vec_id = c.qid
+              JOIN e e2 ON e2.vec_id = c.vec_id AND e2.pos = e1.pos
+              GROUP BY 1, 2),
+        cos AS (SELECT qid, d.vec_id,
+                       round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) AS cosine
+                FROM d JOIN n n1 ON n1.vec_id = d.qid
                        JOIN n n2 ON n2.vec_id = d.vec_id),
         rk AS (SELECT qid, vec_id, cosine,
                       row_number() OVER (PARTITION BY qid

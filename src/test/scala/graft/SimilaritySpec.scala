@@ -43,4 +43,43 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.subsetOf(brute))
     assert(ann.contains(1L), "same-bucket exact match must be found")
   }
+
+  private def emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+  private def embQueries = emb.filter(col("vec_id") % 97 === 0)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("batchAnnTopK plan: bucket hash join + bounded heaps, no nested loop, no sort") {
+    val out = Similarity.batchAnnTopK(emb, embQueries,
+      "vec_id", "embedding", "qid", "qvec", k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketed retrieval must never plan an all-pairs nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"queries must reach candidates via a bucket-key hash join:\n$plan")
+    assert(plan.contains("TopKPerGroupFinal") && !plan.contains("Sort"),
+      s"per-query cut must run on the bounded-heap plan:\n$plan")
+  }
+
+  test("batchAnnTopK: every neighbor shares its query's bucket; ranks match the gate query") {
+    val out = Similarity.batchAnnTopK(emb, embQueries,
+      "vec_id", "embedding", "qid", "qvec", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.nonEmpty)
+    val buckets = Similarity.signLshBuckets(emb, "embedding")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    out.foreach { case (qid, vid) =>
+      assert(buckets(qid) == buckets(vid),
+        s"neighbor $vid of query $qid crossed buckets")
+      assert(qid != vid, "a query must not retrieve itself")
+    }
+    // The production double-scored operator and the decimal-exact gate
+    // restatement (q48) retrieve the SAME neighbor sets: rank order
+    // can only diverge if two cosines collide within 1e-9 — not the
+    // case on this data, and the tiebreak is shared.
+    val gate = SparkEntry.queries("q48_batch_ann_bucketed")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == gate)
+  }
 }
