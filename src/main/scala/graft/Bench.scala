@@ -16,13 +16,21 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     // A query that throws reports -1, NOT its time-to-failure: a fast
-    // exception would otherwise masquerade as a fast query.
+    // exception would otherwise masquerade as a fast query. Each query
+    // is timed TWICE and reports the min: a single pass under transient
+    // machine load can inflate a query up to ~8x (the BENCH_r03
+    // artifact, see README), and the min of two passes is the cheapest
+    // estimator that one loaded pass cannot poison.
     val results = SparkEntry.queries.toSeq.filter(q => keep(q._1)).sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      }
+      val t1 = pass()
+      val t2 = if (t1 < 0) -1.0 else pass()
+      name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

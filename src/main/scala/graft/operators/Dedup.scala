@@ -34,6 +34,19 @@ object Dedup {
     */
   private val observationSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Free the materialized buffer behind a frame RETURNED by
+    * [[nearDupPairs]] / [[connectedComponents]] once the caller is done
+    * with it. Those operators materialize their (small) results so they
+    * can deterministically free their own iteration buffers before
+    * returning; the result buffer itself is the caller's to release —
+    * the ContextCleaner would get to it eventually, but a long-lived
+    * daemon ([[graft.pipelines.BatchRunner.runLoop]]) should not bank
+    * executor storage on GC timing. The frame must not be used after
+    * release (its lineage is truncated by the checkpoint).
+    */
+  def release(df: DataFrame): Unit =
+    org.apache.spark.sql.graft.GraftSqlShim.unpersistCheckpoint(df)
+
   /** Exact dedup: canonical (minimum) id per identical body digest. */
   def exactGroups(docs: DataFrame, id: String, body: String): DataFrame =
     docs.groupBy(md5(col(body)).as("digest"))
@@ -190,13 +203,22 @@ object Dedup {
       .join(candGrams.select(col(id).as("id1"), col("g")), "id1")
       .join(candGrams.select(col(id).as("id2"), col("g")), Seq("id2", "g"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
-    inter
+    // Materialize the (verified-pairs) result so the two intermediate
+    // buffers above can be freed HERE instead of lingering until the
+    // ContextCleaner notices them — the result is smaller than either
+    // (candidates that survived the Jaccard cut) and is the caller's to
+    // [[release]] when done.
+    val result = inter
       .join(sizes.select(col(id).as("id1"), col("sz").as("sz1")), "id1")
       .join(sizes.select(col(id).as("id2"), col("sz").as("sz2")), "id2")
       .select(col("id1"), col("id2"),
         (col("n_inter").cast("double") /
           (col("sz1") + col("sz2") - col("n_inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+      .localCheckpoint(true)
+    release(cand)
+    release(candGrams)
+    result
   }
 
   /** Benchmark decontamination: drop training docs whose normalized
@@ -276,9 +298,15 @@ object Dedup {
         .join(labels.alias("l"), "node")
         .filter(col("u.label") =!= col("l.label"))
         .limit(1).isEmpty
+      // The previous round's label buffer has served its last reader
+      // (the pointer-jump hop and the convergence probe above) — free
+      // it now rather than banking one leaked buffer per iteration on
+      // the ContextCleaner.
+      release(labels)
       labels = updated
       i += 1
     }
+    release(edges)
     labels.select(col("node"), col("label").as("component"))
   }
 

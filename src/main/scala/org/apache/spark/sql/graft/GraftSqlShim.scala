@@ -20,6 +20,20 @@ object GraftSqlShim {
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
 
+  /** Release the storage blocks behind a `localCheckpoint`ed frame:
+    * frees every materialized-RDD leaf in the frame's plan (no-op if
+    * there are none). Checkpoint blocks are otherwise freed only when
+    * the ContextCleaner notices the RDD is unreachable — in a
+    * long-lived daemon that lag accumulates executor storage, so
+    * iterative operators free their buffers deterministically.
+    * Blocking so a release visible to the caller (and to specs
+    * asserting storage hygiene) has actually happened.
+    */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    logicalPlan(df).collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = true))
+
   /** EAGER Column → catalyst Expression conversion.
     * `ExpressionUtils.expression` would wrap the column node lazily
     * (`ColumnNodeExpression`), which (a) hides a `sort` node from

@@ -114,6 +114,25 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), s"benchmark side must broadcast:\n$plan")
   }
 
+  test("iteration buffers are freed: only returned results stay materialized") {
+    val sc = spark.sparkContext
+    val base = sc.getPersistentRDDs.keySet
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      k = 4, n = 3, bandWidth = 2, minJaccard = 0.5)
+    // The operator materializes its result and frees its two candidate
+    // buffers before returning: exactly one new persistent RDD remains.
+    assert((sc.getPersistentRDDs.keySet -- base).size == 1,
+      "nearDupPairs must free cand/candGrams, keeping only its result")
+    val comps = Dedup.connectedComponents(pairs)
+    comps.count()
+    assert((sc.getPersistentRDDs.keySet -- base).size == 2,
+      "connectedComponents must free the per-iteration label buffers and the edge list")
+    Dedup.release(comps)
+    Dedup.release(pairs)
+    assert((sc.getPersistentRDDs.keySet -- base).isEmpty,
+      "release must return executor storage to baseline")
+  }
+
   test("connectedComponents: chains, triangles, and isolated pairs resolve to min ids") {
     // Graph: 1-2, 2-3, 3-4 (chain), 10-11-12 (triangle), 20-21 (pair).
     val pairs = df("id1 BIGINT, id2 BIGINT",
