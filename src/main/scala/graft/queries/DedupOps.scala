@@ -15,6 +15,20 @@ object DedupOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
+  /** DuckDB restatement of the 64-bit SimHash bit construction
+    * ([[graft.operators.Dedup.simhashSignatures64]]): bit j weighs bit
+    * 3-(j%4) of md5(word)'s nibble j/4+1.
+    */
+  private def bits64Sql: String = {
+    def hexWithBit(b: Int) = (0 until 16).filter(n => (n >> b & 1) == 1)
+      .map(n => s"'${Integer.toHexString(n)}'").mkString(",")
+    (0 until 64).map { j =>
+      s"""CASE WHEN SUM(CASE WHEN substr(md5(w),${j / 4 + 1},1) IN
+         |(${hexWithBit(3 - j % 4)}) THEN 1 ELSE -1 END) > 0
+         |THEN '1' ELSE '0' END""".stripMargin.replace("\n", " ")
+    }.mkString(" || ")
+  }
+
   /** Shared DuckDB CTE: 4 trigram-shingle minhashes per doc. */
   private val sigCte = """
     sig AS (
@@ -120,15 +134,73 @@ object DedupOps {
         bands AS (
           SELECT doc_id, simhash, b AS band_id, substr(simhash, b*4+1, 4) AS band_key
           FROM sig, (SELECT unnest(range(0,4)) AS b)),
+        ok AS (SELECT band_id, band_key FROM bands
+               GROUP BY 1, 2 HAVING count(*) <= 1000),
         cand AS (
           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
                  a.simhash AS ha, b.simhash AS hb
-          FROM bands a JOIN bands b
+          FROM bands a
+          JOIN ok o ON a.band_id = o.band_id AND a.band_key = o.band_key
+          JOIN bands b
             ON a.band_id = b.band_id AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id)
         SELECT id1, id2, hamming FROM (
           SELECT id1, id2, ${hamming.replace("a.simhash", "ha").replace("b.simhash", "hb")} AS hamming
           FROM cand)
+        WHERE hamming <= 3
+        ORDER BY 1, 2"""
+      }),
+
+    // ---- SimHash, 64-bit: the production signature width ----------------
+    // Full corpus, no id cap: at 64 bits unrelated docs rarely land
+    // within Hamming 3, so neither the signature table nor the banded
+    // pair query needs the verification-tier caps q33/q36 carry.
+    QueryDef("q52_simhash64",
+      (s, dir) => {
+        Dedup.simhashSignatures64(docs(s, dir), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, $bits64Sql AS simhash64
+        FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- 64-bit SimHash near-dups: 16-bit-band candidates → Hamming -----
+    // 4 bands x 16 bits: total recall for Hamming <= 3 by pigeonhole,
+    // and a band collision between unrelated docs needs 16 exact bit
+    // agreements — the banding actually prunes at this width.
+    QueryDef("q53_simhash64_neardup",
+      (s, dir) => {
+        Dedup.simhashNearDupPairs64(docs(s, dir), "doc_id", "text",
+            maxHamming = 3)
+          .orderBy("id1", "id2")
+      },
+      Some {
+        val hamming = (1 to 64).map(i =>
+          s"CASE WHEN substr(ha,$i,1) <> substr(hb,$i,1) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH sig AS (
+          SELECT doc_id, $bits64Sql AS simhash64
+          FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                FROM documents)
+          GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, simhash64, b AS band_id,
+                 substr(simhash64, b*16+1, 16) AS band_key
+          FROM sig, (SELECT unnest(range(0,4)) AS b)),
+        ok AS (SELECT band_id, band_key FROM bands
+               GROUP BY 1, 2 HAVING count(*) <= 1000),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                 a.simhash64 AS ha, b.simhash64 AS hb
+          FROM bands a
+          JOIN ok o ON a.band_id = o.band_id AND a.band_key = o.band_key
+          JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id)
+        SELECT id1, id2, hamming FROM (
+          SELECT id1, id2, $hamming AS hamming FROM cand)
         WHERE hamming <= 3
         ORDER BY 1, 2"""
       }),

@@ -114,6 +114,34 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), s"benchmark side must broadcast:\n$plan")
   }
 
+  test("simhash64: exact dups identical; bit j*4 reproduces the 16-bit signature") {
+    val sig64 = Dedup.simhashSignatures64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sig64.values.forall(_.length == 64))
+    assert(sig64(1L) == sig64(4L), "exact dups must share the 64-bit signature")
+    assert(sig64(1L) != sig64(3L), "unrelated docs must differ")
+    // The 64-bit layout reads ALL four bits of each md5 nibble MSB-first,
+    // so taking every 4th bit recovers the 16-bit (high-bit-only) variant.
+    val sig16 = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    sig64.foreach { case (id, s64) =>
+      assert((0 until 16).map(j => s64(j * 4)).mkString == sig16(id))
+    }
+  }
+
+  test("simhashNearDupPairs64: banding recovers every pair within Hamming 3") {
+    val sig64 = Dedup.simhashSignatures64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val allWithin = (for {
+      (i1, s1) <- sig64; (i2, s2) <- sig64 if i1 < i2
+      h = s1.zip(s2).count { case (a, b) => a != b } if h <= 3
+    } yield (i1, i2, h)).toSet
+    val banded = Dedup.simhashNearDupPairs64(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == allWithin, "pigeonhole recall must be total at Hamming <= 3")
+    assert(banded.exists { case (a, b, h) => a == 1L && b == 4L && h == 0 })
+  }
+
   test("iteration buffers are freed: only returned results stay materialized") {
     val sc = spark.sparkContext
     val base = sc.getPersistentRDDs.keySet
