@@ -254,5 +254,89 @@ object SimilarityOps {
                         ORDER BY cosine DESC, vec_id) AS rk
                FROM cos)
         SELECT qid, vec_id, cosine FROM rk WHERE rk <= 3
-        ORDER BY qid, cosine DESC, vec_id""")))
+        ORDER BY qid, cosine DESC, vec_id""")),
+
+    // ---- IVF end-to-end: build partitioned index, probe-limited search --
+    // Exercises the REAL operators (ivfWrite: nearest-centroid assign +
+    // partitionBy(cluster) write; ivfSearch: driver-ranked nprobe
+    // probes + partition-pruned scan + in-cluster exact rank) against a
+    // SQL restatement of the same semantics. Portability strategy: the
+    // centroid table is decimal-exact means rounded to the 1e-9 grid
+    // and cast to FLOAT, so both engines assign and probe from
+    // bit-identical centroids (the production float-avg `centroids`
+    // stays spec-covered in IvfSpec); ranking runs in each engine's
+    // exact formulation, and the winners are re-scored decimal-exact
+    // for the output hash.
+    QueryDef("q54_ivf_search",
+      (s, dir) => {
+        def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
+        val e = emb(s, dir)
+        val cents = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+          .select(col("label"), col("pos"), col("vf").cast(DoubleType).as("v"))
+          .groupBy("label", "pos")
+          .agg(round(sum(col("v").cast(D)).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType), 9).cast(FloatType).as("c"))
+          .groupBy("label")
+          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
+          .select(col("label").as("cluster"),
+            transform(col("pairs"), p => p.getField("c")).as("centroid"))
+        val qvec = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_ivf_q54").toString + "/index"
+        Similarity.ivfWrite(e, "vec_id", "embedding", cents, path)
+        val hits = Similarity.ivfSearch(s, path, "vec_id", "embedding",
+          cents, qvec, k = 10, nprobe = 2)
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("qnrm"))
+        hits.select("vec_id").join(e, "vec_id")
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            round(dot(col("embedding"), col("qvec")) /
+              (sqrt(dot(col("embedding"), col("embedding"))) * col("qnrm")),
+              9).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                          generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings),
+        cent AS (SELECT label, pos,
+                        CAST(round(CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE)
+                          / count(*), 9) AS REAL) AS cf
+                 FROM e GROUP BY 1, 2),
+        centd AS (SELECT label, pos, CAST(cf AS DOUBLE) AS c FROM cent),
+        cn AS (SELECT label, CAST(SUM(CAST(c*c AS DECIMAL(38,18))) AS DOUBLE) AS nn
+               FROM centd GROUP BY 1),
+        vn AS (SELECT vec_id, CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+               FROM e GROUP BY 1),
+        vc AS (SELECT e.vec_id, cd.label,
+                      CAST(SUM(CAST(e.v*cd.c AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM e JOIN centd cd ON cd.pos = e.pos GROUP BY 1, 2),
+        assign AS (SELECT vec_id, label FROM (
+                     SELECT vc.vec_id, vc.label,
+                            row_number() OVER (PARTITION BY vc.vec_id
+                              ORDER BY vc.dot/(sqrt(vn.nn)*sqrt(cn.nn)) DESC,
+                                       vc.label) AS rk
+                     FROM vc JOIN vn USING (vec_id) JOIN cn USING (label))
+                   WHERE rk = 1),
+        q AS (SELECT pos, v FROM e WHERE vec_id = 0),
+        qn AS (SELECT CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn FROM q),
+        pc AS (SELECT cd.label,
+                      CAST(SUM(CAST(cd.c*q.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM centd cd JOIN q ON q.pos = cd.pos GROUP BY 1),
+        probes AS (SELECT pc.label FROM pc JOIN cn USING (label), qn
+                   ORDER BY pc.dot/(sqrt(cn.nn)*sqrt(qn.nn)) DESC, pc.label
+                   LIMIT 2),
+        d AS (SELECT e.vec_id,
+                     CAST(SUM(CAST(e.v*q.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+              FROM e JOIN q ON q.pos = e.pos
+              WHERE e.vec_id IN (SELECT a.vec_id FROM assign a
+                                 JOIN probes p ON p.label = a.label)
+              GROUP BY 1)
+        SELECT vec_id, round(dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) AS cosine
+        FROM d JOIN vn USING (vec_id), qn
+        ORDER BY dot/(sqrt(vn.nn)*sqrt(qn.nn)) DESC, vec_id LIMIT 10""")))
 }
