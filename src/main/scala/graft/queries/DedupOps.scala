@@ -29,8 +29,10 @@ object DedupOps {
     }.mkString(" || ")
   }
 
-  /** Shared DuckDB CTE: 4 trigram-shingle minhashes per doc. */
-  private val sigCte = """
+  /** Shared DuckDB CTE: 4 trigram-shingle minhashes per doc (also the
+    * candidate-pair front of the corpus-build oracle, q55).
+    */
+  private[queries] val sigCte = """
     sig AS (
       SELECT doc_id,
         min(substr(md5('0:'||g),1,16)) AS h0, min(substr(md5('1:'||g),1,16)) AS h1,

@@ -364,6 +364,120 @@ object TextOps {
                                   string_split(text,' ') AS l
                                 FROM documents))))""")),
 
+    // ---- corpus build: the composed end-to-end pipeline -----------------
+    // quality funnel (q46's keep predicate) → near-dup dedup (q38's
+    // components; non-canonical members drop) → deterministic split
+    // (q24) → sequence packing within each (source, split) (q44) →
+    // per-split datasheet. The component list is computed once
+    // (connectedComponents materializes it) and broadcast into an anti
+    // join, so the MAIN plan scans `documents` exactly once —
+    // CorpusBuildSpec pins that — and every per-doc signal rides that
+    // one scan map-side.
+    QueryDef("q55_corpus_build",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir)
+        val comps = graft.operators.Dedup.connectedComponents(
+          graft.operators.Dedup.lshCandidatePairs(d, "doc_id", "text",
+            k = 4, n = 3, bandWidth = 2))
+        val losers = comps.filter(col("node") =!= col("component"))
+          .select(col("node").as("doc_id"))
+        // Quality signals are computed ONCE, as projection columns —
+        // NOT inside a Filter predicate: alias substitution would push
+        // the predicate below the projection and into the scan's data
+        // filters, where the (interpreted, CSE-less) shingle lambdas
+        // re-evaluate several times per row — measured ~25x this
+        // formulation's cost at sf0.1. The row cut happens *above* the
+        // packing window on the materialized `keep` column (predicates
+        // on non-partition columns cannot cross a Window), and the
+        // window's token sum is keep-conditional, which is exactly
+        // "pack the survivors": dropped rows contribute nothing to any
+        // offset. n_tokens and n_words are the same whitespace count;
+        // rep_ratio's bigram denominator is written n_words-1 (equal to
+        // the shingle count whenever the length gate can pass).
+        val sig = graft.operators.Sampling.hashSplit(
+          d.join(broadcast(losers), Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("source"), col("lang"),
+              tokenCountWs(col("text")).as("n_words"),
+              wordHits(col("text"), stopwords).as("n_stop"),
+              org.apache.spark.sql.functions.size(
+                array_distinct(wordShingles(col("text"), 2))).as("n_distinct")),
+          "doc_id", "exp1", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        val keep = col("n_words") >= 20 &&
+          (col("n_stop").cast("double") / col("n_words").cast("double")) < 0.3 &&
+          (lit(1.0) - col("n_distinct").cast("double") /
+            (col("n_words") - 1).cast("double")) < 0.2 &&
+          col("lang").isin("en", "vi")
+        val w = Window.partitionBy("source", "split").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sig.withColumn("keep", keep)
+          .withColumn("end_offset",
+            sum(when(col("keep"), col("n_words")).otherwise(0)).over(w))
+          .filter(col("keep"))
+          .select(col("split"), col("source"), col("n_words").as("n_tokens"),
+            floor((col("end_offset") - col("n_words")) / 2048).as("seq_id"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(concat_ws("#", col("source"), col("seq_id"))).as("n_seqs"),
+            graft.functions.ColumnLib.exactSum(
+              col("n_tokens").cast("double")).as("sum_tokens"))
+          .orderBy("split")
+      },
+      Some(s"""
+        WITH RECURSIVE ${DedupOps.sigCte},
+        bands AS (
+          SELECT doc_id, 0 AS band_id, md5(h0||h1) AS band_key FROM sig
+          UNION ALL SELECT doc_id, 1, md5(h2||h3) FROM sig),
+        ok AS (SELECT band_id, band_key FROM bands
+               GROUP BY 1, 2 HAVING count(*) <= 1000),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a
+          JOIN ok o ON a.band_id = o.band_id AND a.band_key = o.band_key
+          JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id1 AS src, id2 AS dst FROM cand
+          UNION ALL SELECT id2, id1 FROM cand),
+        comp(node, label) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.node),
+        losers AS (SELECT node FROM (
+                     SELECT node, min(label) AS component FROM comp GROUP BY node)
+                   WHERE node <> component),
+        kept AS (
+          SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, lang, text,
+                   CAST(len(l) AS DOUBLE) AS n_words,
+                   CAST(len(list_filter(l, w -> w IN ('the','a'))) AS DOUBLE) AS n_stop,
+                   CAST(len(list_distinct(g)) AS DOUBLE) AS n_distinct
+            FROM (SELECT doc_id, source, lang, text, l,
+                         list_transform(range(1, len(l)), i -> l[i]||' '||l[i+1]) AS g
+                  FROM (SELECT doc_id, source, lang, text,
+                               string_split(text,' ') AS l FROM documents)))
+          WHERE n_words >= 20 AND (n_stop / n_words) < 0.3
+            AND (1.0 - n_distinct / (n_words - 1)) < 0.2 AND lang IN ('en','vi')
+            AND doc_id NOT IN (SELECT node FROM losers)),
+        sp AS (SELECT doc_id, source,
+                      len(string_split(text,' ')) AS n_tokens,
+                      CASE WHEN substr(md5('exp1:'||CAST(doc_id AS VARCHAR)),1,4) < 'cccd'
+                             THEN 'train'
+                           WHEN substr(md5('exp1:'||CAST(doc_id AS VARCHAR)),1,4) < 'e666'
+                             THEN 'val'
+                           ELSE 'test' END AS split
+               FROM kept),
+        packed AS (SELECT split, source, doc_id, n_tokens,
+                          CAST(floor((SUM(n_tokens) OVER (
+                            PARTITION BY source, split ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048) AS BIGINT) AS seq_id
+                   FROM sp)
+        SELECT split, count(*) AS n_docs,
+               count(DISTINCT source || '#' || CAST(seq_id AS VARCHAR)) AS n_seqs,
+               CAST(SUM(CAST(n_tokens AS DECIMAL(38,6))) AS DOUBLE) AS sum_tokens
+        FROM packed GROUP BY split ORDER BY split""")),
+
     // ---- deterministic hash split: retry-stable train/val/test ----------
     // Thresholds are 4-hex md5-prefix compares (no rand()): the same
     // corpus + salt yields the same split in any engine and under any
