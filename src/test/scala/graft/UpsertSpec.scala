@@ -196,4 +196,74 @@ class UpsertSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".merge-bak").exists())
     assert(!new java.io.File(dir + ".merge-tmp").exists())
   }
+
+  test("a merge KILLED between displace and install strands no partition") {
+    // Unlike the hand-built states above, this drives a REAL merge and
+    // dies at the exact instant between the two renames: the table is
+    // accessed through a fault-injecting FileSystem whose install
+    // rename (src under .merge-tmp, dst in the live table) throws once
+    // for the targeted partition — from the merge code's point of view,
+    // the JVM is gone mid-swap; nothing after the displace executed.
+    val dir = java.nio.file.Files.createTempDirectory("upsert_kill").toString
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfault.impl", classOf[InterruptingFs].getName)
+    val fdir = "graftfault://" + dir + "/t"
+    df("k BIGINT, v STRING, d STRING",
+      Row(Long.box(1), "a", "2024-01-01"),
+      Row(Long.box(2), "b", "2024-01-02"),
+      Row(Long.box(3), "c", "2024-01-03"))
+      .write.mode("overwrite").partitionBy("d").parquet(fdir)
+    val source = df("k BIGINT, v STRING, d STRING",
+      Row(Long.box(2), "B2", "2024-01-02"),
+      Row(Long.box(4), "d4", "2024-01-03"))
+    InterruptingFs.failInstallOf = "d=2024-01-03"
+    val ex = intercept[RuntimeException] {
+      Upsert.applyToPartitionedParquet(spark, fdir, source, Seq("k"), "d")
+    }
+    assert(ex.getMessage.contains("simulated"))
+    assert(InterruptingFs.failInstallOf == null, "the fault must have fired")
+    // The crash invariant: EVERY partition has a live copy in table or
+    // backup — the killed partition's old copy sits in the backup.
+    val table = new java.io.File(dir + "/t")
+    val bak = new java.io.File(dir + "/t.merge-bak")
+    Seq("d=2024-01-01", "d=2024-01-02", "d=2024-01-03").foreach { p =>
+      assert(new java.io.File(table, p).exists() || new java.io.File(bak, p).exists(),
+        s"partition $p is absent from BOTH table and backup after the kill")
+    }
+    assert(!new java.io.File(table, "d=2024-01-03").exists() &&
+      new java.io.File(bak, "d=2024-01-03").exists(),
+      "the killed partition must be mid-displacement: backup only")
+    // The next boot re-runs the merge: recovery restores the displaced
+    // partition first, then the idempotent merge lands everything.
+    Upsert.applyToPartitionedParquet(spark, fdir, source, Seq("k"), "d")
+    val after = spark.read.parquet(fdir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d4"))
+    assert(!bak.exists() && !new java.io.File(dir + "/t.merge-tmp").exists())
+  }
+}
+
+/** Test-only fault-injecting local FileSystem (`graftfault://`): throws
+  * from the one rename whose source is merge staging output and whose
+  * destination is the live table — the install step — when armed for
+  * that partition, simulating a process death between the displace and
+  * install renames. Everything else delegates to the local filesystem.
+  */
+class InterruptingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfault"
+  override def getUri: java.net.URI = java.net.URI.create("graftfault:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    val armed = InterruptingFs.failInstallOf
+    if (armed != null && src.toString.contains(".merge-tmp") &&
+        !dst.toString.contains(".merge-tmp") && dst.getName == armed) {
+      InterruptingFs.failInstallOf = null
+      throw new RuntimeException(s"simulated JVM kill installing $armed")
+    }
+    super.rename(src, dst)
+  }
+}
+
+object InterruptingFs {
+  @volatile var failInstallOf: String = null
 }
