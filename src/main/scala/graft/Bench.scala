@@ -28,9 +28,12 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       }
+      // A query is an error only if it NEVER ran: a transient failure
+      // on the second pass must not discard the first pass's valid
+      // measurement.
       val t1 = pass()
       val t2 = if (t1 < 0) -1.0 else pass()
-      name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
+      name -> (if (t1 < 0) -1.0 else if (t2 < 0) t1 else math.min(t1, t2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -149,19 +149,34 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val sig = minhashSignatures(docs.select(col(id), col(body)), id, body, k, n)
     val bands = lshBands(sig, id, k, bandWidth)
-    val ids = col("__ids")
-    val pairStructs = flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))),
-        y => struct(x.as("id1"), y.as("id2")))))
-    bands.groupBy(col("band_id"), col("band_key"))
-      .agg(sort_array(collect_set(col(id))).as("__ids"))
-      .observe(s"lsh_buckets_${observationSeq.incrementAndGet()}",
-        sum(when(size(ids) > maxBucket, 1).otherwise(0)).as("dropped_buckets"),
-        max(size(ids)).as("max_bucket_size"))
-      .filter(size(ids).between(2, maxBucket))
-      .select(explode(pairStructs).as("p"))
-      .select(col("p.id1"), col("p.id2"))
+    bucketPairExpansion(bands, col(id), maxBucket)
+      .select(col("p.a").as("id1"), col("p.b").as("id2"))
       .distinct()
+  }
+
+  /** Bucket-local ordered-pair expansion shared by the MinHash-LSH and
+    * SimHash banding paths: group rows by (band_id, band_key), collect
+    * the distinct items (whose sort order must lead with the id), drop
+    * buckets above `maxBucket`, and expand each bucket's sorted item
+    * list into ordered (a, b) pair structs under column `p`. How many
+    * buckets the cap dropped (and the largest bucket seen) is surfaced
+    * as an `lsh_buckets_<n>` observation, readable from a
+    * `QueryExecutionListener` or `queryExecution.observedMetrics`
+    * without a second pass.
+    */
+  private def bucketPairExpansion(bands: DataFrame, item: Column,
+      maxBucket: Int): DataFrame = {
+    val items = col("__items")
+    val pairStructs = flatten(transform(items, (x, i) =>
+      transform(slice(items, i + lit(2), greatest(size(items) - i - 1, lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+    bands.groupBy(col("band_id"), col("band_key"))
+      .agg(sort_array(collect_set(item)).as("__items"))
+      .observe(s"lsh_buckets_${observationSeq.incrementAndGet()}",
+        sum(when(size(items) > maxBucket, 1).otherwise(0)).as("dropped_buckets"),
+        max(size(items)).as("max_bucket_size"))
+      .filter(size(items).between(2, maxBucket))
+      .select(explode(pairStructs).as("p"))
   }
 
   /** End-to-end near-duplicate detection, production shape: MinHash+LSH
@@ -382,9 +397,11 @@ object Dedup {
     * signatures) — this is the width where banding prunes sharply and
     * the near-dup family becomes production-grade; the 16-bit variant
     * ([[simhashNearDupPairs]]) stays as the verification tier.
+    * `maxBucket` defaults OFF to keep the recall guarantee total — see
+    * the trade-off note on [[simhashNearDupPairs]].
     */
   def simhashNearDupPairs64(docs: DataFrame, id: String, body: String,
-      maxHamming: Int, maxBucket: Int = 1000): DataFrame =
+      maxHamming: Int, maxBucket: Int = Int.MaxValue): DataFrame =
     bandedHammingPairs(simhashSignatures64(docs, id, body), id, "simhash64",
       nBits = 64, nBands = 4, maxHamming = maxHamming, maxBucket = maxBucket)
 
@@ -409,9 +426,9 @@ object Dedup {
     //    which Catalyst pushes into the join condition and pays per
     //    candidate pair;
     //  - candidates expand bucket-locally from a (band, key) groupBy
-    //    (same shape as [[lshCandidatePairs]], same `maxBucket` hot-
-    //    bucket guard) instead of a band self-join, whose two inputs
-    //    would each compute the whole signature pipeline.
+    //    ([[bucketPairExpansion]], shared with [[lshCandidatePairs]])
+    //    instead of a band self-join, whose two inputs would each
+    //    compute the whole signature pipeline.
     val nWords = (nBits + 31) / 32
     val words = (0 until nWords).map { w =>
       conv(substring(col(sigCol), w * 32 + 1, math.min(32, nBits - w * 32)), 2, 10)
@@ -422,17 +439,9 @@ object Dedup {
         struct(col(id).as("id") +: (0 until nWords).map(w => col(s"__w$w")): _*).as("__item"),
         posexplode(array((0 until nBands).map(b =>
           substring(col(sigCol), b * width + 1, width)): _*)).as(Seq("band_id", "band_key")))
-    val items = col("__items")
-    val pairStructs = flatten(transform(items, (x, i) =>
-      transform(slice(items, i + lit(2), greatest(size(items) - i - 1, lit(0))),
-        y => struct(x.as("a"), y.as("b")))))
     val hamming = (0 until nWords).map(w =>
       bit_count(col(s"__a$w").bitwiseXOR(col(s"__b$w")))).reduce(_ + _)
-    bands
-      .groupBy(col("band_id"), col("band_key"))
-      .agg(sort_array(collect_set(col("__item"))).as("__items"))
-      .filter(size(items).between(2, maxBucket))
-      .select(explode(pairStructs).as("p"))
+    bucketPairExpansion(bands, col("__item"), maxBucket)
       .select(col("p.a.id").as("id1") +: col("p.b.id").as("id2") +:
         ((0 until nWords).map(w => col(s"p.a.__w$w").as(s"__a$w")) ++
           (0 until nWords).map(w => col(s"p.b.__w$w").as(s"__b$w"))): _*)
@@ -447,9 +456,20 @@ object Dedup {
     * the verification-tier variant — on a self-similar corpus a 16-bit
     * signature leaves too many pairs within Hamming 3 for banding to
     * prune; production corpora want [[simhashNearDupPairs64]].
+    *
+    * `maxBucket` is OFF by default for both SimHash widths, unlike
+    * [[lshCandidatePairs]]: the pigeonhole recall guarantee holds only
+    * uncapped (a mega-cluster of identical docs overflows all four of
+    * its bands at once, so a cap silently drops even Hamming-0 pairs —
+    * and at 16 bits a band has only 2^4 possible keys, so beyond ~16k
+    * docs EVERY bucket would overflow a finite cap). If a pathological
+    * corpus needs the guard, collapse exact duplicates first
+    * ([[exactGroups]]) and run SimHash on the canonical docs, or pass a
+    * finite cap accepting the recall loss (surfaced by the
+    * `lsh_buckets_<n>` dropped-bucket observation).
     */
   def simhashNearDupPairs(docs: DataFrame, id: String, body: String,
-      maxHamming: Int, maxBucket: Int = 1000): DataFrame =
+      maxHamming: Int, maxBucket: Int = Int.MaxValue): DataFrame =
     bandedHammingPairs(simhashSignatures(docs, id, body), id, "simhash",
       nBits = 16, nBands = 4, maxHamming = maxHamming, maxBucket = maxBucket)
 

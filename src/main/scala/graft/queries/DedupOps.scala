@@ -136,14 +136,10 @@ object DedupOps {
         bands AS (
           SELECT doc_id, simhash, b AS band_id, substr(simhash, b*4+1, 4) AS band_key
           FROM sig, (SELECT unnest(range(0,4)) AS b)),
-        ok AS (SELECT band_id, band_key FROM bands
-               GROUP BY 1, 2 HAVING count(*) <= 1000),
         cand AS (
           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
                  a.simhash AS ha, b.simhash AS hb
-          FROM bands a
-          JOIN ok o ON a.band_id = o.band_id AND a.band_key = o.band_key
-          JOIN bands b
+          FROM bands a JOIN bands b
             ON a.band_id = b.band_id AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id)
         SELECT id1, id2, hamming FROM (
@@ -191,14 +187,10 @@ object DedupOps {
           SELECT doc_id, simhash64, b AS band_id,
                  substr(simhash64, b*16+1, 16) AS band_key
           FROM sig, (SELECT unnest(range(0,4)) AS b)),
-        ok AS (SELECT band_id, band_key FROM bands
-               GROUP BY 1, 2 HAVING count(*) <= 1000),
         cand AS (
           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
                  a.simhash64 AS ha, b.simhash64 AS hb
-          FROM bands a
-          JOIN ok o ON a.band_id = o.band_id AND a.band_key = o.band_key
-          JOIN bands b
+          FROM bands a JOIN bands b
             ON a.band_id = b.band_id AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id)
         SELECT id1, id2, hamming FROM (
@@ -236,7 +228,8 @@ object DedupOps {
         SELECT id1, id2,
                round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) AS cosine
         FROM d JOIN n n1 ON n1.vec_id = id1 JOIN n n2 ON n2.vec_id = id2
-        WHERE round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) >= 0.15
+        WHERE n1.nn > 0 AND n2.nn > 0
+          AND round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) >= 0.15
         ORDER BY 1, 2"""
       }),
 

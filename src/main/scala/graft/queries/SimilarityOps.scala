@@ -43,7 +43,13 @@ object SimilarityOps {
     // conversion of the (identical) exact sums can differ by an ulp
     // between engines, and both Spark's BigDecimal round and DuckDB's
     // round(x,9) land on the same double for any value on that grid.
+    // Zero-norm (all-zero) vectors are excluded EXPLICITLY on both
+    // sides: Spark's divide-by-zero yields NULL while DuckDB's yields
+    // NaN — which sorts ABOVE every real cosine in a DESC rank — so
+    // without the shared guard a degenerate vector would enter the
+    // oracle's top-k but not Spark's.
     d.crossJoin(broadcast(nq))
+      .filter(col("na_d") > 0 && col("nq_d") > 0)
       .select(col("vec_id"),
         round(col("dot_d").cast(DoubleType) /
           (sqrt(col("na_d").cast(DoubleType)) * sqrt(col("nq_d").cast(DoubleType))),
@@ -64,7 +70,8 @@ object SimilarityOps {
                  CAST(SUM(CAST(e.v*q.qv AS DECIMAL(38,18))) AS DOUBLE) AS dot,
                  CAST(SUM(CAST(e.v*e.v AS DECIMAL(38,18))) AS DOUBLE) AS na
           FROM e JOIN q USING (pos) WHERE e.vec_id <> 0 GROUP BY 1),
-    cos AS (SELECT vec_id, round(dot/(sqrt(na)*sqrt(nqv)), 9) AS cosine FROM d, nq)"""
+    cos AS (SELECT vec_id, round(dot/(sqrt(na)*sqrt(nqv)), 9) AS cosine
+            FROM d, nq WHERE na > 0 AND nqv > 0)"""
 
   private def bucketSql(tbl: String): String =
     Similarity.defaultPairs.map { case (i, j) =>
@@ -115,7 +122,8 @@ object SimilarityOps {
               FROM e JOIN q USING (pos)
               WHERE e.vec_id <> 0 AND e.vec_id IN (SELECT vec_id FROM cand)
               GROUP BY 1)
-        SELECT vec_id, round(dot/(sqrt(na)*sqrt(nqv)), 9) AS cosine FROM d, nq
+        SELECT vec_id, round(dot/(sqrt(na)*sqrt(nqv)), 9) AS cosine
+        FROM d, nq WHERE na > 0 AND nqv > 0
         ORDER BY cosine DESC, vec_id LIMIT 10""")),
 
     // ---- per-label centroids (the IVF coarse-centroid building block) ---
@@ -187,7 +195,8 @@ object SimilarityOps {
         cos AS (SELECT qid, d.vec_id,
                        round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) AS cosine
                 FROM d JOIN n n1 ON n1.vec_id = qid
-                       JOIN n n2 ON n2.vec_id = d.vec_id),
+                       JOIN n n2 ON n2.vec_id = d.vec_id
+                WHERE n1.nn > 0 AND n2.nn > 0),
         rk AS (SELECT qid, vec_id, cosine,
                       row_number() OVER (PARTITION BY qid
                         ORDER BY cosine DESC, vec_id) AS rk
@@ -248,7 +257,8 @@ object SimilarityOps {
         cos AS (SELECT qid, d.vec_id,
                        round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) AS cosine
                 FROM d JOIN n n1 ON n1.vec_id = d.qid
-                       JOIN n n2 ON n2.vec_id = d.vec_id),
+                       JOIN n n2 ON n2.vec_id = d.vec_id
+                WHERE n1.nn > 0 AND n2.nn > 0),
         rk AS (SELECT qid, vec_id, cosine,
                       row_number() OVER (PARTITION BY qid
                         ORDER BY cosine DESC, vec_id) AS rk
@@ -264,9 +274,12 @@ object SimilarityOps {
     // centroid table is decimal-exact means rounded to the 1e-9 grid
     // and cast to FLOAT, so both engines assign and probe from
     // bit-identical centroids (the production float-avg `centroids`
-    // stays spec-covered in IvfSpec); ranking runs in each engine's
-    // exact formulation, and the winners are re-scored decimal-exact
-    // for the output hash.
+    // stays spec-covered in IvfSpec); the double-ranked ivfSearch cut
+    // runs with a 5x margin (k=50) and the FINAL top-10 is decided by
+    // the 1e-9-rounded decimal cosine with a vec_id tiebreak in BOTH
+    // engines — the family's shared portable total order — so the
+    // output set cannot hinge on double-vs-decimal ulps. The index dir
+    // is a fixed per-corpus temp path (overwritten, never accumulated).
     QueryDef("q54_ivf_search",
       (s, dir) => {
         def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
@@ -283,11 +296,11 @@ object SimilarityOps {
             transform(col("pairs"), p => p.getField("c")).as("centroid"))
         val qvec = e.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_ivf_q54").toString + "/index"
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_ivf_q54_${java.lang.Integer.toHexString(dir.hashCode)}/index"
         Similarity.ivfWrite(e, "vec_id", "embedding", cents, path)
         val hits = Similarity.ivfSearch(s, path, "vec_id", "embedding",
-          cents, qvec, k = 10, nprobe = 2)
+          cents, qvec, k = 50, nprobe = 2)
         val qv = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qvec"),
             sqrt(dot(col("embedding"), col("embedding"))).as("qnrm"))
@@ -297,7 +310,9 @@ object SimilarityOps {
             round(dot(col("embedding"), col("qvec")) /
               (sqrt(dot(col("embedding"), col("embedding"))) * col("qnrm")),
               9).as("cosine"))
+          .filter(col("cosine").isNotNull)
           .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
       },
       Some("""
         WITH e AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -338,5 +353,7 @@ object SimilarityOps {
               GROUP BY 1)
         SELECT vec_id, round(dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) AS cosine
         FROM d JOIN vn USING (vec_id), qn
-        ORDER BY dot/(sqrt(vn.nn)*sqrt(qn.nn)) DESC, vec_id LIMIT 10""")))
+        WHERE vn.nn > 0 AND qn.nn > 0
+        ORDER BY round(dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) DESC, vec_id
+        LIMIT 10""")))
 }

@@ -377,11 +377,17 @@ object TextOps {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val d = docs(s, dir)
+        // The non-canonical member ids are collected to the driver so
+        // the component buffer can be released immediately (the q38
+        // storage-hygiene contract); the list is bounded by the same
+        // premise that lets it broadcast into the anti join below.
         val comps = graft.operators.Dedup.connectedComponents(
           graft.operators.Dedup.lshCandidatePairs(d, "doc_id", "text",
             k = 4, n = 3, bandWidth = 2))
-        val losers = comps.filter(col("node") =!= col("component"))
-          .select(col("node").as("doc_id"))
+        val loserIds = comps.filter(col("node") =!= col("component"))
+          .select(col("node")).collect().map(_.getLong(0)).toIndexedSeq
+        graft.operators.Dedup.release(comps)
+        val losers = { import s.implicits._; loserIds.toDF("doc_id") }
         // Quality signals are computed ONCE, as projection columns —
         // NOT inside a Filter predicate: alias substitution would push
         // the predicate below the projection and into the scan's data

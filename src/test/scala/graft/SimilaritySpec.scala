@@ -73,10 +73,12 @@ class SimilaritySpec extends SparkSpec {
         s"neighbor $vid of query $qid crossed buckets")
       assert(qid != vid, "a query must not retrieve itself")
     }
-    // The production double-scored operator and the decimal-exact gate
-    // restatement (q48) retrieve the SAME neighbor sets: rank order
-    // can only diverge if two cosines collide within 1e-9 — not the
-    // case on this data, and the tiebreak is shared.
+    // On THIS corpus the double-scored operator and the decimal-exact
+    // gate restatement (q48) retrieve the same neighbor sets. That is
+    // a property of the data, not an invariant: a rank-3/4 pair whose
+    // exact cosines straddle a 1e-9 rounding tie is cut by vec_id in
+    // the gate but by magnitude in the operator. The fixture has no
+    // such pair, so this pins the two paths against silent drift here.
     val gate = SparkEntry.queries("q48_batch_ann_bucketed")(
         spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
