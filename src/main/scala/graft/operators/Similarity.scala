@@ -118,24 +118,54 @@ object Similarity {
     * query set too large to broadcast, drop the hint and the same plan
     * runs as a shuffle hash join on the bucket key. Like every LSH
     * method this is approximate: recall is bounded by bucket agreement
-    * (a neighbor in another bucket is unseen); compose with multi-probe
-    * (union join over Hamming-adjacent buckets) when recall matters
-    * more than cost.
+    * (a neighbor in another bucket is unseen). `probeHamming` is the
+    * multi-probe knob: each query additionally probes every bucket
+    * within that Hamming distance of its own (still a bucket EQUALITY
+    * join — the query side explodes to Σ C(bits,h) rows, the vector
+    * side is untouched), trading candidate volume for recall. With b
+    * bucket bits, probeHamming=1 scores ~(1+b)/B of the corpus per
+    * query instead of 1/B.
     */
   def batchAnnTopK(vecs: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, qvecCol: String,
-      k: Int, pairs: Seq[(Int, Int)] = defaultPairs): DataFrame = {
+      k: Int, pairs: Seq[(Int, Int)] = defaultPairs,
+      probeHamming: Int = 0): DataFrame = {
     val cands = signLshBuckets(vecs, vecCol, pairs)
-    val qb = queries.withColumn("__qbucket", signBucket(col(qvecCol), pairs))
+    val probes = probeBuckets(signBucket(col(qvecCol), pairs),
+      pairs.length, probeHamming)
+    val qb = queries.select(col("*"),
+      explode(probes).as("__qbucket"))
     val scored = cands.join(broadcast(qb),
         col("bucket") === col("__qbucket") && col(idCol) =!= col(qidCol))
       .select(col(qidCol), col(idCol),
         cosineNative(col(vecCol), col(qvecCol)).as("cosine"))
       // Degenerate rows (null / zero-norm vectors) score null or NaN;
-      // neither is a rankable neighbor.
+      // neither is a rankable neighbor. No distinct is needed: the
+      // probe set is distinct bucket strings and a vector has exactly
+      // one bucket, so each (query, vector) pair joins at most once.
       .filter(col("cosine").isNotNull && !isnan(col("cosine")))
     TopK.perGroup(scored, Seq(qidCol),
       Seq(col("cosine").desc, col(idCol).asc), k)
+  }
+
+  /** All '0'/'1' bucket strings within Hamming distance `maxHamming` of
+    * `bucket`, as an array column (the multi-probe expansion). Purely
+    * compile-time enumeration of flip masks — at runtime each probe is
+    * a fixed character-flip projection of the query's own bucket.
+    */
+  private[graft] def probeBuckets(bucket: Column, bits: Int,
+      maxHamming: Int): Column = {
+    def flips(positions: Seq[Int]): Column =
+      if (positions.isEmpty) bucket
+      else positions.foldLeft(bucket) { (b, p) =>
+        concat(
+          (if (p > 1) Seq(substring(b, 1, p - 1)) else Nil) ++
+            Seq(when(substring(b, p, 1) === "1", "0").otherwise("1")) ++
+            (if (p < bits) Seq(substring(b, p + 1, bits - p)) else Nil): _*)
+      }
+    val masks = (0 to maxHamming).flatMap(h =>
+      (1 to bits).combinations(h).map(_.toSeq))
+    array(masks.map(flips): _*)
   }
 
   // ---------------------------------------------------------------------
