@@ -78,6 +78,70 @@ object SimilarityOps {
       s"CASE WHEN $tbl.embedding[$i] > $tbl.embedding[$j] THEN '1' ELSE '0' END"
     }.mkString(" || ")
 
+  /** SQL predicate: Hamming distance between two '0'/'1' bucket strings
+    * is ≤ `h` — the declarative mirror of the multi-probe expansion
+    * ([[Similarity.probeBuckets]] explodes each query to every bucket
+    * in its Hamming-`h` ball; joining on bucket equality against that
+    * set selects exactly the pairs this predicate admits).
+    */
+  private def hammingLeSql(a: String, b: String, h: Int): String =
+    "(" + (1 to Similarity.defaultPairs.length).map(i =>
+      s"(CASE WHEN substr($a,$i,1) <> substr($b,$i,1) THEN 1 ELSE 0 END)")
+      .mkString(" + ") + s") <= $h"
+
+  /** Decimal-exact all-pairs batch top-3 (the recall yardstick): every
+    * `%97` query scored against every other vector, cut per query on
+    * the bounded-heap plan. Shared by q47 and the q57 recall gate.
+    */
+  private def batchExactTop3(s: SparkSession, dir: String): DataFrame = {
+    def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
+    // Norms once per VECTOR, not once per pair: the per-pair hot
+    // loop then runs exactly one decimal dot product (~3× less
+    // decimal work than recomputing both norms per candidate).
+    val vecs = emb(s, dir).select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val queries = vecs.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"))
+    val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("embedding"), col("qvec")) /
+          (col("nrm") * col("qnrm")), 9).as("cosine"))
+      // Degenerate vectors (null / zero-norm) produce a NULL cosine
+      // here but produce NO row in the oracle's unnest-based CTEs;
+      // drop them so the two stay row-set identical on any data.
+      .filter(col("cosine").isNotNull)
+    graft.operators.TopK.perGroup(scored, Seq("qid"),
+      Seq(col("cosine").desc, col("vec_id").asc), k = 3)
+  }
+
+  /** Decimal-exact bucketed batch top-3: candidates come from a sign-LSH
+    * bucket EQUALITY join, with each query exploded to its Hamming-ball
+    * probe set ([[Similarity.probeBuckets]]; `probeHamming = 0` is the
+    * plain one-bucket join). Shared by q48 (h=0), q56 (h=1) and the
+    * q57 recall gate.
+    */
+  private def batchBucketedTop3(s: SparkSession, dir: String,
+      probeHamming: Int): DataFrame = {
+    def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
+    val base = emb(s, dir).select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val bucketed = Similarity.signLshBuckets(base, "embedding")
+    val queries = bucketed.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"),
+        explode(Similarity.probeBuckets(col("bucket"),
+          Similarity.defaultPairs.length, probeHamming)).as("qbucket"))
+    val scored = bucketed.join(broadcast(queries),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("embedding"), col("qvec")) /
+          (col("nrm") * col("qnrm")), 9).as("cosine"))
+      .filter(col("cosine").isNotNull)
+    graft.operators.TopK.perGroup(scored, Seq("qid"),
+      Seq(col("cosine").desc, col("vec_id").asc), k = 3)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- brute-force exact cosine top-k (the ANN baseline) --------------
@@ -157,28 +221,8 @@ object SimilarityOps {
     // the bounded-heap plan ([[graft.operators.TopK.perGroup]]) so the
     // shuffle carries ≤ k rows per query per partition.
     QueryDef("q47_batch_ann",
-      (s, dir) => {
-        def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
-        // Norms once per VECTOR, not once per pair: the per-pair hot
-        // loop then runs exactly one decimal dot product (~3× less
-        // decimal work than recomputing both norms per candidate).
-        val vecs = emb(s, dir).select(col("vec_id"), col("embedding"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-        val queries = vecs.filter(col("vec_id") % 97 === 0)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-            col("nrm").as("qnrm"))
-        val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"),
-            round(dot(col("embedding"), col("qvec")) /
-              (col("nrm") * col("qnrm")), 9).as("cosine"))
-          // Degenerate vectors (null / zero-norm) produce a NULL cosine
-          // here but produce NO row in the oracle's unnest-based CTEs;
-          // drop them so the two stay row-set identical on any data.
-          .filter(col("cosine").isNotNull)
-        graft.operators.TopK.perGroup(scored, Seq("qid"),
-            Seq(col("cosine").desc, col("vec_id").asc), k = 3)
-          .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
-      },
+      (s, dir) => batchExactTop3(s, dir)
+        .orderBy(col("qid"), col("cosine").desc, col("vec_id")),
       Some("""
         WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
                           generate_subscripts(embedding, 1) AS pos
@@ -217,24 +261,8 @@ object SimilarityOps {
     // oracle mirrors exactly, so the gate checks the retrieval
     // semantics, not brute force.
     QueryDef("q48_batch_ann_bucketed",
-      (s, dir) => {
-        def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
-        val base = emb(s, dir).select(col("vec_id"), col("embedding"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-        val bucketed = Similarity.signLshBuckets(base, "embedding")
-        val queries = bucketed.filter(col("vec_id") % 97 === 0)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-            col("nrm").as("qnrm"), col("bucket").as("qbucket"))
-        val scored = bucketed.join(broadcast(queries),
-            col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"),
-            round(dot(col("embedding"), col("qvec")) /
-              (col("nrm") * col("qnrm")), 9).as("cosine"))
-          .filter(col("cosine").isNotNull)
-        graft.operators.TopK.perGroup(scored, Seq("qid"),
-            Seq(col("cosine").desc, col("vec_id").asc), k = 3)
-          .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
-      },
+      (s, dir) => batchBucketedTop3(s, dir, probeHamming = 0)
+        .orderBy(col("qid"), col("cosine").desc, col("vec_id")),
       Some(s"""
         WITH b AS (SELECT vec_id, ${bucketSql("embeddings")} AS bucket
                    FROM embeddings),
@@ -265,6 +293,149 @@ object SimilarityOps {
                FROM cos)
         SELECT qid, vec_id, cosine FROM rk WHERE rk <= 3
         ORDER BY qid, cosine DESC, vec_id""")),
+
+    // ---- batch ANN, multi-probe (the recall knob) -----------------------
+    // q48 with probeHamming = 1: each query also probes the 4 buckets
+    // one bit-flip away, so the candidate join admits every pair whose
+    // buckets differ by ≤ 1 bit — 5/16 of the corpus per query instead
+    // of 1/16, in exchange for recall (an unseen neighbor now needs to
+    // disagree on ≥ 2 hyperplanes). Still a bucket EQUALITY join: the
+    // query side explodes to its 5-string Hamming ball
+    // ([[graft.operators.Similarity.probeBuckets]]), the vector side is
+    // untouched — never a nested loop. The oracle states the same
+    // semantics declaratively: hamming(bucket, qbucket) <= 1.
+    QueryDef("q56_batch_ann_multiprobe",
+      (s, dir) => batchBucketedTop3(s, dir, probeHamming = 1)
+        .orderBy(col("qid"), col("cosine").desc, col("vec_id")),
+      Some(s"""
+        WITH b AS (SELECT vec_id, ${bucketSql("embeddings")} AS bucket
+                   FROM embeddings),
+        qs AS (SELECT vec_id AS qid, bucket AS qbucket FROM b
+               WHERE vec_id % 97 = 0),
+        cand AS (SELECT q.qid, b.vec_id
+                 FROM b JOIN qs q
+                 ON ${hammingLeSql("b.bucket", "q.qbucket", 1)}
+                    AND b.vec_id <> q.qid),
+        e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings),
+        n AS (SELECT vec_id, CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+              FROM e GROUP BY 1),
+        d AS (SELECT c.qid, c.vec_id,
+                     CAST(SUM(CAST(e1.v*e2.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+              FROM cand c
+              JOIN e e1 ON e1.vec_id = c.qid
+              JOIN e e2 ON e2.vec_id = c.vec_id AND e2.pos = e1.pos
+              GROUP BY 1, 2),
+        cos AS (SELECT qid, d.vec_id,
+                       round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) AS cosine
+                FROM d JOIN n n1 ON n1.vec_id = d.qid
+                       JOIN n n2 ON n2.vec_id = d.vec_id
+                WHERE n1.nn > 0 AND n2.nn > 0),
+        rk AS (SELECT qid, vec_id, cosine,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY cosine DESC, vec_id) AS rk
+               FROM cos)
+        SELECT qid, vec_id, cosine FROM rk WHERE rk <= 3
+        ORDER BY qid, cosine DESC, vec_id""")),
+
+    // ---- ANN recall gate: approximate paths measured against exact ------
+    // The number every ANN deployment actually monitors: recall@3 of
+    // the bucketed (h=0) and multi-probe (h=1) retrievals against the
+    // exact all-pairs baseline, per method. Monotonicity is structural
+    // (h=1's candidate set is a superset of h=0's), and the gate makes
+    // the recall/cost trade a VERIFIED number instead of a Scaladoc
+    // claim. All three rankings share the family's portable total
+    // order (1e-9-rounded decimal cosine, vec_id tiebreak), so the
+    // intersection counts are engine-independent.
+    QueryDef("q57_ann_recall",
+      (s, dir) => {
+        val exact = batchExactTop3(s, dir).select("qid", "vec_id")
+        def stats(method: String, approx: DataFrame): DataFrame =
+          exact.join(approx.select(col("qid"), col("vec_id"),
+              lit(1).as("hit")), Seq("qid", "vec_id"), "left")
+            .agg(coalesce(sum(col("hit")), lit(0)).cast(LongType).as("hits"),
+              count(lit(1)).as("total"))
+            .select(lit(method).as("method"), col("hits"), col("total"),
+              round(col("hits").cast(DoubleType) /
+                col("total").cast(DoubleType), 9).as("recall"))
+        stats("bucketed_h0", batchBucketedTop3(s, dir, probeHamming = 0))
+          .union(stats("multiprobe_h1", batchBucketedTop3(s, dir, probeHamming = 1)))
+          .orderBy("method")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                          generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings),
+        n AS (SELECT vec_id, CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+              FROM e GROUP BY 1),
+        b AS (SELECT vec_id, ${bucketSql("embeddings")} AS bucket
+              FROM embeddings),
+        qs AS (SELECT vec_id AS qid, bucket AS qbucket FROM b
+               WHERE vec_id % 97 = 0),
+        dx AS (SELECT q.qid, e2.vec_id,
+                      CAST(SUM(CAST(e1.v*e2.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM qs q
+               JOIN e e1 ON e1.vec_id = q.qid
+               JOIN e e2 ON e2.pos = e1.pos AND e2.vec_id <> q.qid
+               GROUP BY 1, 2),
+        cosx AS (SELECT qid, dx.vec_id,
+                        round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) AS cosine
+                 FROM dx JOIN n n1 ON n1.vec_id = qid
+                         JOIN n n2 ON n2.vec_id = dx.vec_id
+                 WHERE n1.nn > 0 AND n2.nn > 0),
+        ex AS (SELECT qid, vec_id FROM (
+                 SELECT qid, vec_id,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY cosine DESC, vec_id) AS rk
+                 FROM cosx) WHERE rk <= 3),
+        cand0 AS (SELECT q.qid, b.vec_id FROM b JOIN qs q
+                  ON ${hammingLeSql("b.bucket", "q.qbucket", 0)}
+                     AND b.vec_id <> q.qid),
+        cand1 AS (SELECT q.qid, b.vec_id FROM b JOIN qs q
+                  ON ${hammingLeSql("b.bucket", "q.qbucket", 1)}
+                     AND b.vec_id <> q.qid),
+        d0 AS (SELECT c.qid, c.vec_id,
+                      CAST(SUM(CAST(e1.v*e2.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM cand0 c
+               JOIN e e1 ON e1.vec_id = c.qid
+               JOIN e e2 ON e2.vec_id = c.vec_id AND e2.pos = e1.pos
+               GROUP BY 1, 2),
+        d1 AS (SELECT c.qid, c.vec_id,
+                      CAST(SUM(CAST(e1.v*e2.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM cand1 c
+               JOIN e e1 ON e1.vec_id = c.qid
+               JOIN e e2 ON e2.vec_id = c.vec_id AND e2.pos = e1.pos
+               GROUP BY 1, 2),
+        ap0 AS (SELECT qid, vec_id FROM (
+                  SELECT qid, d0.vec_id,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) DESC,
+                                    d0.vec_id) AS rk
+                  FROM d0 JOIN n n1 ON n1.vec_id = d0.qid
+                          JOIN n n2 ON n2.vec_id = d0.vec_id
+                  WHERE n1.nn > 0 AND n2.nn > 0) WHERE rk <= 3),
+        ap1 AS (SELECT qid, vec_id FROM (
+                  SELECT qid, d1.vec_id,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) DESC,
+                                    d1.vec_id) AS rk
+                  FROM d1 JOIN n n1 ON n1.vec_id = d1.qid
+                          JOIN n n2 ON n2.vec_id = d1.vec_id
+                  WHERE n1.nn > 0 AND n2.nn > 0) WHERE rk <= 3),
+        raw AS (
+          SELECT 'bucketed_h0' AS method,
+                 (SELECT count(*) FROM ap0 a JOIN ex
+                  ON a.qid = ex.qid AND a.vec_id = ex.vec_id) AS hits,
+                 (SELECT count(*) FROM ex) AS total
+          UNION ALL
+          SELECT 'multiprobe_h1',
+                 (SELECT count(*) FROM ap1 a JOIN ex
+                  ON a.qid = ex.qid AND a.vec_id = ex.vec_id),
+                 (SELECT count(*) FROM ex))
+        SELECT method, hits, total,
+               round(CAST(hits AS DOUBLE) / CAST(total AS DOUBLE), 9) AS recall
+        FROM raw ORDER BY method""")),
 
     // ---- IVF end-to-end: build partitioned index, probe-limited search --
     // Exercises the REAL operators (ivfWrite: nearest-centroid assign +

@@ -61,6 +61,58 @@ class SimilaritySpec extends SparkSpec {
       s"per-query cut must run on the bounded-heap plan:\n$plan")
   }
 
+  test("probeBuckets enumerates exactly the Hamming ball, no duplicates") {
+    val all = (0 until 16).map(i =>
+      Integer.toBinaryString(16 | i).substring(1)) // all 4-bit strings
+    def hamming(a: String, b: String): Int = a.zip(b).count(p => p._1 != p._2)
+    val one = spark.range(1).select(lit("0101").as("b"))
+    for (h <- 0 to 2) {
+      val probes = one.select(explode(
+          Similarity.probeBuckets(col("b"), 4, h)).as("p"))
+        .collect().map(_.getString(0)).toSeq
+      val expected = all.filter(hamming(_, "0101") <= h)
+      assert(probes.toSet == expected.toSet, s"h=$h")
+      assert(probes.length == probes.distinct.length,
+        s"h=$h produced duplicate probes: $probes")
+    }
+  }
+
+  test("multi-probe batchAnnTopK: hash-join plan, Hamming-bounded buckets, pointwise-better ranks") {
+    val out1 = Similarity.batchAnnTopK(emb, embQueries,
+      "vec_id", "embedding", "qid", "qvec", k = 3, probeHamming = 1)
+    val plan = out1.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"multi-probe must stay an equality join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+
+    val buckets = Similarity.signLshBuckets(emb, "embedding")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    def hamming(a: String, b: String): Int = a.zip(b).count(p => p._1 != p._2)
+    val rows1 = out1.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows1.nonEmpty)
+    rows1.foreach { case (qid, vid, _) =>
+      assert(hamming(buckets(qid), buckets(vid)) <= 1,
+        s"neighbor $vid of query $qid is outside the Hamming-1 ball")
+    }
+    // h=1's candidate set is a strict superset of h=0's, so for every
+    // query the sorted cosine list at h=1 dominates h=0 pointwise.
+    val out0 = Similarity.batchAnnTopK(emb, embQueries,
+        "vec_id", "embedding", "qid", "qvec", k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val by0 = out0.groupBy(_._1).map { case (q, v) =>
+      q -> v.map(_._2).sorted.reverse }
+    val by1 = rows1.groupBy(_._1).map { case (q, v) =>
+      q -> v.map(_._3).sorted.reverse }
+    by0.foreach { case (q, c0) =>
+      val c1 = by1(q)
+      assert(c1.length >= c0.length, s"query $q lost neighbors going h0→h1")
+      c0.zip(c1).foreach { case (s0, s1) =>
+        assert(s1 >= s0, s"query $q rank degraded h0→h1: $s0 > $s1")
+      }
+    }
+  }
+
   test("batchAnnTopK: every neighbor shares its query's bucket; ranks match the gate query") {
     val out = Similarity.batchAnnTopK(emb, embQueries,
       "vec_id", "embedding", "qid", "qvec", k = 3)
