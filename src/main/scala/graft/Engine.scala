@@ -63,6 +63,21 @@ object Engine {
         graft.functions.expressions.MinHashSignature(
           children(0), litInt(children(1), "k"), litInt(children(2), "n"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_stats"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.NgramStats].getName,
+        "ngram_stats"),
+      (children: Seq[Expression]) => {
+        def litInt(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"ngram_stats: $name must be an integer literal, got $other")
+        }
+        graft.functions.expressions.NgramStats(
+          children(0), litInt(children(1), "n"))
+      }))
   }
 
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =

@@ -54,4 +54,15 @@ object TextFunctions {
   /** Count of words belonging to `set` (stopword-ratio building block). */
   def wordHits(text: Column, set: Seq[String]): Column =
     size(filter(words(text), w => w.isin(set.map(x => x: Any): _*)))
+
+  /** One-pass native n-gram statistics:
+    * `struct<n_tokens, n_grams, n_distinct>` over word n-grams
+    * ([[graft.functions.expressions.NgramStats]], registered by
+    * [[graft.Engine.extensions]]). Value-identical to the
+    * [[wordShingles]]/`array_distinct` composition, but a single
+    * codegen'd loop instead of interpreted lambdas re-evaluated per
+    * reference — the form every repetition/quality scan wants.
+    */
+  def ngramStats(text: Column, n: Int): Column =
+    call_function("ngram_stats", words(text), lit(n))
 }

@@ -126,9 +126,13 @@ object TextOps {
     // Pure per-row map-side work like the rest of the battery.
     QueryDef("q25_repetition",
       (s, dir) => {
-        val grams = wordShingles(col("text"), 2)
-        val n = size(grams)
-        val nd = size(array_distinct(grams))
+        // One native pass ([[TextFunctions.ngramStats]]): the HOF
+        // formulation (kept as the spec differential) inlines the whole
+        // interpreted shingle pipeline at BOTH the total and the
+        // distinct reference — ~40x this cost at sf0.1.
+        val st = ngramStats(col("text"), 2)
+        val n = st.getField("n_grams")
+        val nd = st.getField("n_distinct")
         docs(s, dir).select(
             col("doc_id"),
             n.as("n_bigrams"),
@@ -316,12 +320,12 @@ object TextOps {
     // aggregation — the corpus scan happens once.
     QueryDef("q46_quality_filter",
       (s, dir) => {
-        val nWords = tokenCountWs(col("text"))
+        val st = ngramStats(col("text"), 2)
+        val nWords = st.getField("n_tokens")
         val nStop = wordHits(col("text"), stopwords)
-        val grams = wordShingles(col("text"), 2)
         val rep = lit(1.0) -
-          org.apache.spark.sql.functions.size(array_distinct(grams)).cast("double") /
-          org.apache.spark.sql.functions.size(grams).cast("double")
+          st.getField("n_distinct").cast("double") /
+          st.getField("n_grams").cast("double")
         val d = docs(s, dir).select(col("doc_id"), col("lang"),
           nWords.as("n_words"),
           (nStop.cast("double") / nWords.cast("double")).as("stop_ratio"),
@@ -404,10 +408,9 @@ object TextOps {
         val sig = graft.operators.Sampling.hashSplit(
           d.join(broadcast(losers), Seq("doc_id"), "left_anti")
             .select(col("doc_id"), col("source"), col("lang"),
-              tokenCountWs(col("text")).as("n_words"),
+              ngramStats(col("text"), 2).getField("n_tokens").as("n_words"),
               wordHits(col("text"), stopwords).as("n_stop"),
-              org.apache.spark.sql.functions.size(
-                array_distinct(wordShingles(col("text"), 2))).as("n_distinct")),
+              ngramStats(col("text"), 2).getField("n_distinct").as("n_distinct")),
           "doc_id", "exp1", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         val keep = col("n_words") >= 20 &&
           (col("n_stop").cast("double") / col("n_words").cast("double")) < 0.3 &&
