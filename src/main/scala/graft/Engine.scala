@@ -29,6 +29,15 @@ object Engine {
   def extensions(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    // Loop-shape parameters (hash counts, gram widths, bit widths)
+    // parameterize the generated code, not the data path, so they must
+    // be compile-time constants.
+    def litInt(fn: String)(e: Expression, name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+        v.toString.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be an integer literal, got $other")
+    }
     // Whole-operator plan: grouped top-k via bounded heaps
     // (logical node graft.plans.TopKPerGroup → physical TopKPerGroupExec).
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
@@ -52,32 +61,26 @@ object Engine {
         classOf[graft.functions.expressions.MinHashSignature].getName,
         "minhash_sig"),
       (children: Seq[Expression]) => {
-        // k and n parameterize the generated loop, not the data path, so
-        // they must be compile-time constants.
-        def litInt(e: Expression, name: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
-            v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"minhash_sig: $name must be an integer literal, got $other")
-        }
+        val p = litInt("minhash_sig") _
         graft.functions.expressions.MinHashSignature(
-          children(0), litInt(children(1), "k"), litInt(children(2), "n"))
+          children(0), p(children(1), "k"), p(children(2), "n"))
       }))
     ext.injectFunction((
       FunctionIdentifier("ngram_stats"),
       new ExpressionInfo(
         classOf[graft.functions.expressions.NgramStats].getName,
         "ngram_stats"),
-      (children: Seq[Expression]) => {
-        def litInt(e: Expression, name: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
-            v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"ngram_stats: $name must be an integer literal, got $other")
-        }
+      (children: Seq[Expression]) =>
         graft.functions.expressions.NgramStats(
-          children(0), litInt(children(1), "n"))
-      }))
+          children(0), litInt("ngram_stats")(children(1), "n"))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.SimHashBits].getName,
+        "simhash"),
+      (children: Seq[Expression]) =>
+        graft.functions.expressions.SimHashBits(
+          children(0), litInt("simhash")(children(1), "bits"))))
   }
 
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =

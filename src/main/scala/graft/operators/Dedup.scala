@@ -345,12 +345,27 @@ object Dedup {
     concat(bits: _*)
   }
 
-  /** SimHash signatures per id, computed explode-side (codegen) rather
-    * than with the per-row interpreted fold of [[simhash16]]: one word
-    * shuffle keyed by id, 16 conditional sums, sign → bitstring.
-    * Semantics identical to [[simhash16]] (term frequency weighted).
+  /** SimHash signatures per id via the native per-row expression
+    * ([[graft.functions.expressions.SimHashBits]], registered as
+    * `simhash`): ZERO shuffle — the aggregate formulation
+    * ([[simhashSignaturesAgg]], kept as the spec differential) pays one
+    * full word-stream exchange plus 16 conditional sums per word.
+    * Null-text docs are filtered exactly as the exploded formulation
+    * drops them (no words, no group). Semantics identical to
+    * [[simhash16]] (term frequency weighted).
     */
-  def simhashSignatures(docs: DataFrame, id: String, body: String): DataFrame = {
+  def simhashSignatures(docs: DataFrame, id: String, body: String): DataFrame =
+    docs.where(col(body).isNotNull)
+      .select(col(id),
+        call_function("simhash", words(col(body)), lit(16)).as("simhash"))
+
+  /** The explode/groupBy restatement of [[simhashSignatures]] — one
+    * word shuffle keyed by id, 16 conditional sums, sign → bitstring.
+    * Differential formulation only (DedupSpec pins native ≡ agg);
+    * not for query paths.
+    */
+  private[graft] def simhashSignaturesAgg(docs: DataFrame, id: String,
+      body: String): DataFrame = {
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val w = docs.select(col(id), explode(words(col(body))).as("__w"))
     val h = md5(col("__w"))
@@ -374,10 +389,22 @@ object Dedup {
     * weighs bit 3-(j%4) of md5(word)'s nibble j/4+1, so the full first
     * 64 bits of the digest are used (the 16-bit variant reads only each
     * nibble's high bit, and bits j ≡ 0 (mod 4) here reproduce it
-    * exactly). Same physical shape as [[simhashSignatures]]: one word
-    * shuffle keyed by id, 64 conditional sums, sign → bitstring.
+    * exactly). Native per-row expression, zero shuffle — see
+    * [[simhashSignatures]]; the aggregate restatement is
+    * [[simhashSignatures64Agg]].
     */
-  def simhashSignatures64(docs: DataFrame, id: String, body: String): DataFrame = {
+  def simhashSignatures64(docs: DataFrame, id: String, body: String): DataFrame =
+    docs.where(col(body).isNotNull)
+      .select(col(id),
+        call_function("simhash", words(col(body)), lit(64)).as("simhash64"))
+
+  /** The explode/groupBy restatement of [[simhashSignatures64]]: one
+    * word shuffle keyed by id, 64 conditional sums, sign → bitstring.
+    * Differential formulation only (DedupSpec pins native ≡ agg);
+    * not for query paths.
+    */
+  private[graft] def simhashSignatures64Agg(docs: DataFrame, id: String,
+      body: String): DataFrame = {
     val w = docs.select(col(id), explode(words(col(body))).as("__w"))
     val h = md5(col("__w"))
     val bitSums = (0 until 64).map { j =>

@@ -206,13 +206,30 @@ class DedupSpec extends SparkSpec {
     assert(hamming <= 8, s"near-dups should be Hamming-close (got $hamming)")
   }
 
-  test("codegen simhashSignatures ≡ per-row HOF simhash16 formulation") {
-    val viaAgg = Dedup.simhashSignatures(docs, "doc_id", "text")
+  test("native simhashSignatures ≡ per-row HOF simhash16 formulation") {
+    val viaNative = Dedup.simhashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val viaHof = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(viaAgg == viaHof,
-      "explode-side signature must equal the interpreted per-row fold")
+    assert(viaNative == viaHof,
+      "native signature must equal the interpreted per-row fold")
+  }
+
+  test("native simhash signatures ≡ explode/groupBy aggregate formulation, both widths") {
+    val corpus = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    assert(rowSet(Dedup.simhashSignatures(corpus, "doc_id", "text")) ==
+      rowSet(Dedup.simhashSignaturesAgg(corpus, "doc_id", "text")),
+      "16-bit: zero-shuffle native path must equal the word-shuffle aggregate")
+    assert(rowSet(Dedup.simhashSignatures64(corpus, "doc_id", "text")) ==
+      rowSet(Dedup.simhashSignatures64Agg(corpus, "doc_id", "text")),
+      "64-bit: zero-shuffle native path must equal the word-shuffle aggregate")
+  }
+
+  test("native simhash signatures are zero-shuffle") {
+    val plan = Dedup.simhashSignatures64(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"native simhash signatures must not shuffle:\n$plan")
   }
 
   test("MinHashUnionAgg: group union signature = element-wise minima = re-shingled union") {
