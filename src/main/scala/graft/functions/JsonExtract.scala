@@ -108,20 +108,35 @@ object JsonExtract {
     * 3. listify, trim items, drop empties, order-preserving dedup,
     *    `" | "` join (utils.py:138-153); empty result → null.
     */
+  /** Evaluate `c` ONCE and feed the result to `body` as a bound lambda
+    * variable. A Scala `val` holding a Column DUPLICATES its expression
+    * tree at every reference — and from_json / higher-order lambdas are
+    * CodegenFallback, so no common-subexpression elimination rescues
+    * the duplicates at runtime (the cf0 derivation references its
+    * parsed match ~8 times: measured ~4x the whole query's cost at
+    * sf0.1). Routing the value through a one-element transform binds it
+    * to a lambda variable, which IS a runtime reference.
+    */
+  private def bindOnce(c: Column, body: Column => Column): Column =
+    element_at(transform(array(c), body), 1)
+
   def customField0(customFields: Column, targetKey: String = "tinh-trang-kh"): Column = {
     val arr = from_json(looseJson(customFields), customFieldSchema)
-    val m = element_at(
-      filter(arr, x => lower(trim(x.getField("key"))) === targetKey), 1)
-    def truthy(c: Column): Column = c.isNotNull && c =!= ""
-    val raw = when(truthy(m.getField("val")), array(m.getField("val")))
-      .when(truthy(m.getField("value")), array(m.getField("value")))
-      .when(m.getField("values").isNotNull && size(m.getField("values")) > 0,
-        m.getField("values"))
-      .when(truthy(m.getField("text")), array(m.getField("text")))
-      .when(truthy(m.getField("name")), array(m.getField("name")))
-    val cleaned = array_distinct(
-      filter(transform(raw, trim(_)), x => x =!= ""))
-    when(m.isNull || raw.isNull || size(cleaned) === 0, lit(null).cast(StringType))
-      .otherwise(array_join(cleaned, " | "))
+    bindOnce(element_at(
+        filter(arr, x => lower(trim(x.getField("key"))) === targetKey), 1), m => {
+      def truthy(c: Column): Column = c.isNotNull && c =!= ""
+      val raw = when(truthy(m.getField("val")), array(m.getField("val")))
+        .when(truthy(m.getField("value")), array(m.getField("value")))
+        .when(m.getField("values").isNotNull && size(m.getField("values")) > 0,
+          m.getField("values"))
+        .when(truthy(m.getField("text")), array(m.getField("text")))
+        .when(truthy(m.getField("name")), array(m.getField("name")))
+      bindOnce(raw, r =>
+        bindOnce(array_distinct(filter(transform(r, trim(_)), x => x =!= "")),
+          cleaned =>
+            when(m.isNull || r.isNull || size(cleaned) === 0,
+              lit(null).cast(StringType))
+              .otherwise(array_join(cleaned, " | "))))
+    })
   }
 }
