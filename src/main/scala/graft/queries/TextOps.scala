@@ -372,26 +372,33 @@ object TextOps {
     // quality funnel (q46's keep predicate) → near-dup dedup (q38's
     // components; non-canonical members drop) → deterministic split
     // (q24) → sequence packing within each (source, split) (q44) →
-    // per-split datasheet. The component list is computed once
-    // (connectedComponents materializes it) and broadcast into an anti
-    // join, so the MAIN plan scans `documents` exactly once —
-    // CorpusBuildSpec pins that — and every per-doc signal rides that
-    // one scan map-side.
+    // per-split datasheet. The loser list is computed once
+    // (connectedComponents materializes it) and anti-joined as a
+    // DISTRIBUTED frame — never collected to the driver — so the MAIN
+    // plan scans `documents` exactly once (CorpusBuildSpec pins that,
+    // plus the absence of any driver-materialized LocalTableScan) and
+    // every per-doc signal rides that one scan map-side.
     QueryDef("q55_corpus_build",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val d = docs(s, dir)
-        // The non-canonical member ids are collected to the driver so
-        // the component buffer can be released immediately (the q38
-        // storage-hygiene contract); the list is bounded by the same
-        // premise that lets it broadcast into the anti join below.
+        // The near-dup loser set stays DISTRIBUTED end to end. On real
+        // web corpora losers run 20-80% of all documents — O(corpus),
+        // not O(clusters) — so collecting them to the driver is an OOM
+        // and a serialization chokepoint at scale. Instead the loser
+        // frame is derived from the (already lineage-cut) component
+        // frame and localCheckpoint'ed itself, which (a) lets the full
+        // component buffer be released immediately — the q38 storage-
+        // hygiene contract — and (b) keeps the MAIN plan at exactly one
+        // documents scan (the loser side enters as Scan ExistingRDD).
+        // No broadcast hint: AQE sizes the anti join at runtime —
+        // broadcast when the loser set is small, shuffle when it isn't.
         val comps = graft.operators.Dedup.connectedComponents(
           graft.operators.Dedup.lshCandidatePairs(d, "doc_id", "text",
             k = 4, n = 3, bandWidth = 2))
-        val loserIds = comps.filter(col("node") =!= col("component"))
-          .select(col("node")).collect().map(_.getLong(0)).toIndexedSeq
+        val losers = comps.filter(col("node") =!= col("component"))
+          .select(col("node").as("doc_id")).localCheckpoint(true)
         graft.operators.Dedup.release(comps)
-        val losers = { import s.implicits._; loserIds.toDF("doc_id") }
         // Quality signals are computed ONCE, as projection columns —
         // NOT inside a Filter predicate: alias substitution would push
         // the predicate below the projection and into the scan's data
@@ -405,12 +412,21 @@ object TextOps {
         // offset. n_tokens and n_words are the same whitespace count;
         // rep_ratio's bigram denominator is written n_words-1 (equal to
         // the shingle count whenever the length gate can pass).
+        // ngram_stats is projected ONCE as a struct, with the fields
+        // read in a SECOND projection: CollapseProject refuses to merge
+        // the two (the struct is referenced twice and the producer is
+        // not cheap), so the gram-hashing loop runs exactly once per
+        // row by plan shape — not by hoping whole-stage CSE fires.
+        // CorpusBuildSpec pins the single ngram_stats occurrence.
         val sig = graft.operators.Sampling.hashSplit(
-          d.join(broadcast(losers), Seq("doc_id"), "left_anti")
+          d.join(losers, Seq("doc_id"), "left_anti")
             .select(col("doc_id"), col("source"), col("lang"),
-              ngramStats(col("text"), 2).getField("n_tokens").as("n_words"),
-              wordHits(col("text"), stopwords).as("n_stop"),
-              ngramStats(col("text"), 2).getField("n_distinct").as("n_distinct")),
+              ngramStats(col("text"), 2).as("__st"),
+              wordHits(col("text"), stopwords).as("n_stop"))
+            .select(col("doc_id"), col("source"), col("lang"),
+              col("__st").getField("n_tokens").as("n_words"),
+              col("n_stop"),
+              col("__st").getField("n_distinct").as("n_distinct")),
           "doc_id", "exp1", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         val keep = col("n_words") >= 20 &&
           (col("n_stop").cast("double") / col("n_words").cast("double")) < 0.3 &&
