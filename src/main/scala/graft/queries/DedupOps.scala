@@ -47,7 +47,9 @@ object DedupOps {
     * pairs → symmetric edges → recursive min-label components (the
     * declarative restatement of [[graft.operators.Dedup.lshCandidatePairs]]
     * + [[graft.operators.Dedup.connectedComponents]]). Needs
-    * `WITH RECURSIVE $sigCte, $componentCte`. Used by q38, q55, q58.
+    * `WITH RECURSIVE $sigCte, $componentCte`. Interpolated by the q38
+    * and q55 oracles (the single source of the CTE text — no inline
+    * copies to drift).
     */
   private[queries] val componentCte = """
     bands AS (
@@ -318,26 +320,7 @@ object DedupOps {
           .orderBy("component")
       },
       Some(s"""
-        WITH RECURSIVE $sigCte,
-        bands AS (
-          SELECT doc_id, 0 AS band_id, md5(h0||h1) AS band_key FROM sig
-          UNION ALL SELECT doc_id, 1, md5(h2||h3) FROM sig),
-        ok AS (SELECT band_id, band_key FROM bands
-               GROUP BY 1, 2 HAVING count(*) <= 1000),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-          FROM bands a
-          JOIN ok o ON a.band_id = o.band_id AND a.band_key = o.band_key
-          JOIN bands b
-            ON a.band_id = b.band_id AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id),
-        edges AS (
-          SELECT id1 AS src, id2 AS dst FROM cand
-          UNION ALL SELECT id2, id1 FROM cand),
-        comp(node, label) AS (
-          SELECT DISTINCT src, src FROM edges
-          UNION
-          SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.node)
+        WITH RECURSIVE $sigCte, $componentCte
         SELECT component, count(*) AS n_members FROM (
           SELECT node, min(label) AS component FROM comp GROUP BY node)
         GROUP BY component ORDER BY component""")),

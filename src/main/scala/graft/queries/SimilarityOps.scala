@@ -526,5 +526,141 @@ object SimilarityOps {
         FROM d JOIN vn USING (vec_id), qn
         WHERE vn.nn > 0 AND qn.nn > 0
         ORDER BY round(dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) DESC, vec_id
-        LIMIT 10""")))
+        LIMIT 10""")),
+
+    // ---- IVF recall gate: the nprobe sweep measured against exact -------
+    // q57's discipline applied to the IVF path: recall@10 of the REAL
+    // ivfSearch (partition-pruned probe scan) at nprobe = 1, 2, 4
+    // against the exact full-scan top-10 — the recall/cost curve every
+    // IVF deployment tunes nprobe on, as a VERIFIED number. One index
+    // build serves all three searches. Portability is q54's contract:
+    // decimal-grid float centroids (both engines assign and probe from
+    // identical bits), the double-ranked in-cluster cut runs with a 5x
+    // margin (k=50), and every FINAL ranking — exact and probed — is
+    // the family's portable total order (1e-9-rounded decimal cosine,
+    // vec_id tiebreak). Recall is monotone in nprobe by construction
+    // (probe sets are nested); the gate turns that curve into data.
+    QueryDef("q58_ivf_recall",
+      (s, dir) => {
+        def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
+        val e = emb(s, dir)
+        val cents = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+          .select(col("label"), col("pos"), col("vf").cast(DoubleType).as("v"))
+          .groupBy("label", "pos")
+          .agg(round(sum(col("v").cast(D)).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType), 9).cast(FloatType).as("c"))
+          .groupBy("label")
+          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
+          .select(col("label").as("cluster"),
+            transform(col("pairs"), p => p.getField("c")).as("centroid"))
+        val qvec = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_ivf_q58_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        Similarity.ivfWrite(e, "vec_id", "embedding", cents, path)
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("qnrm"))
+        // Portable re-rank: decimal cosine top-10 of a candidate id set.
+        def decimalTop10(candIds: DataFrame): DataFrame =
+          candIds.join(e, "vec_id")
+            .crossJoin(broadcast(qv))
+            .select(col("vec_id"),
+              round(dot(col("embedding"), col("qvec")) /
+                (sqrt(dot(col("embedding"), col("embedding"))) * col("qnrm")),
+                9).as("cosine"))
+            .filter(col("cosine").isNotNull)
+            .orderBy(col("cosine").desc, col("vec_id"))
+            .limit(10)
+        val exact = decimalTop10(e.select("vec_id")).select("vec_id")
+        def stats(nprobe: Int): DataFrame = {
+          val probed = Similarity.ivfSearch(s, path, "vec_id", "embedding",
+            cents, qvec, k = 50, nprobe = nprobe)
+          exact.join(
+              decimalTop10(probed.select("vec_id"))
+                .select(col("vec_id"), lit(1).as("hit")),
+              Seq("vec_id"), "left")
+            .agg(coalesce(sum(col("hit")), lit(0)).cast(LongType).as("hits"),
+              count(lit(1)).as("total"))
+            .select(lit(nprobe).as("nprobe"), col("hits"), col("total"),
+              round(col("hits").cast(DoubleType) /
+                col("total").cast(DoubleType), 9).as("recall"))
+        }
+        stats(1).union(stats(2)).union(stats(4)).orderBy("nprobe")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                          generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings),
+        cent AS (SELECT label, pos,
+                        CAST(round(CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE)
+                          / count(*), 9) AS REAL) AS cf
+                 FROM e GROUP BY 1, 2),
+        centd AS (SELECT label, pos, CAST(cf AS DOUBLE) AS c FROM cent),
+        cn AS (SELECT label, CAST(SUM(CAST(c*c AS DECIMAL(38,18))) AS DOUBLE) AS nn
+               FROM centd GROUP BY 1),
+        vn AS (SELECT vec_id, CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+               FROM e GROUP BY 1),
+        vc AS (SELECT e.vec_id, cd.label,
+                      CAST(SUM(CAST(e.v*cd.c AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM e JOIN centd cd ON cd.pos = e.pos GROUP BY 1, 2),
+        assign AS (SELECT vec_id, label FROM (
+                     SELECT vc.vec_id, vc.label,
+                            row_number() OVER (PARTITION BY vc.vec_id
+                              ORDER BY vc.dot/(sqrt(vn.nn)*sqrt(cn.nn)) DESC,
+                                       vc.label) AS rk
+                     FROM vc JOIN vn USING (vec_id) JOIN cn USING (label))
+                   WHERE rk = 1),
+        q AS (SELECT pos, v FROM e WHERE vec_id = 0),
+        qn AS (SELECT CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn FROM q),
+        pc AS (SELECT cd.label,
+                      CAST(SUM(CAST(cd.c*q.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM centd cd JOIN q ON q.pos = cd.pos GROUP BY 1),
+        pr AS (SELECT pc.label,
+                      row_number() OVER (
+                        ORDER BY pc.dot/(sqrt(cn.nn)*sqrt(qn.nn)) DESC,
+                                 pc.label) AS prk
+               FROM pc JOIN cn USING (label), qn),
+        dall AS (SELECT e.vec_id,
+                        CAST(SUM(CAST(e.v*q.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+                 FROM e JOIN q ON q.pos = e.pos GROUP BY 1),
+        sc AS (SELECT vec_id, round(dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) AS cosine
+               FROM dall JOIN vn USING (vec_id), qn
+               WHERE vn.nn > 0 AND qn.nn > 0),
+        ex AS (SELECT vec_id FROM (
+                 SELECT vec_id,
+                        row_number() OVER (ORDER BY cosine DESC, vec_id) AS rk
+                 FROM sc) WHERE rk <= 10),
+        ap1 AS (SELECT vec_id FROM (
+                  SELECT sc.vec_id,
+                         row_number() OVER (ORDER BY sc.cosine DESC, sc.vec_id) AS rk
+                  FROM sc JOIN assign a ON a.vec_id = sc.vec_id
+                  WHERE a.label IN (SELECT label FROM pr WHERE prk <= 1))
+                WHERE rk <= 10),
+        ap2 AS (SELECT vec_id FROM (
+                  SELECT sc.vec_id,
+                         row_number() OVER (ORDER BY sc.cosine DESC, sc.vec_id) AS rk
+                  FROM sc JOIN assign a ON a.vec_id = sc.vec_id
+                  WHERE a.label IN (SELECT label FROM pr WHERE prk <= 2))
+                WHERE rk <= 10),
+        ap4 AS (SELECT vec_id FROM (
+                  SELECT sc.vec_id,
+                         row_number() OVER (ORDER BY sc.cosine DESC, sc.vec_id) AS rk
+                  FROM sc JOIN assign a ON a.vec_id = sc.vec_id
+                  WHERE a.label IN (SELECT label FROM pr WHERE prk <= 4))
+                WHERE rk <= 10),
+        raw AS (
+          SELECT 1 AS nprobe,
+                 (SELECT count(*) FROM ap1 JOIN ex USING (vec_id)) AS hits,
+                 (SELECT count(*) FROM ex) AS total
+          UNION ALL
+          SELECT 2, (SELECT count(*) FROM ap2 JOIN ex USING (vec_id)),
+                 (SELECT count(*) FROM ex)
+          UNION ALL
+          SELECT 4, (SELECT count(*) FROM ap4 JOIN ex USING (vec_id)),
+                 (SELECT count(*) FROM ex))
+        SELECT nprobe, hits, total,
+               round(CAST(hits AS DOUBLE) / CAST(total AS DOUBLE), 9) AS recall
+        FROM raw ORDER BY nprobe""")))
 }
