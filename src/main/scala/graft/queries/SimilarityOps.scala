@@ -142,6 +142,43 @@ object SimilarityOps {
       Seq(col("cosine").desc, col("vec_id").asc), k = 3)
   }
 
+  /** DuckDB CTE triple for one portable k-means centroid table `c$i` /
+    * its double view `c${i}d` / its norm table `n$i`, computed from the
+    * assignment CTE `$asn(vec_id, cluster)`: per-dimension decimal-exact
+    * mean, rounded to the 1e-9 grid, carried as FLOAT — so both engines
+    * iterate from bit-identical centroids (q54's portability trick,
+    * applied per Lloyd round).
+    */
+  private def kmCentSql(asn: String, i: Int): String = s"""
+    c$i AS (SELECT s.cluster, e.pos,
+                   CAST(round(CAST(SUM(CAST(e.v AS DECIMAL(38,18))) AS DOUBLE)
+                     / count(*), 9) AS REAL) AS cf
+            FROM e JOIN $asn s USING (vec_id) GROUP BY 1, 2),
+    c${i}d AS (SELECT cluster, pos, CAST(cf AS DOUBLE) AS c FROM c$i),
+    n$i AS (SELECT cluster, CAST(SUM(CAST(c*c AS DECIMAL(38,18))) AS DOUBLE) AS nn
+            FROM c${i}d GROUP BY 1)"""
+
+  /** DuckDB CTE `$name(vec_id, cluster)`: nearest-centroid assignment
+    * against centroid tables `c${i}d`/`n$i`. Lloyd iterations rank on
+    * the 1e-9-ROUNDED decimal cosine (both engines must pick identical
+    * clusters for the next round's means to agree); the final build
+    * assignment ranks unrounded, mirroring the production
+    * `ivfWrite`/`assignNearest` double cosine exactly as q54 does.
+    */
+  private def kmAssignSql(i: Int, name: String, rounded: Boolean): String = {
+    val sim = s"dd.dot/(sqrt(vn.nn)*sqrt(n$i.nn))"
+    val ord = if (rounded) s"round($sim, 9)" else sim
+    s"""
+    $name AS (SELECT vec_id, cluster FROM (
+      SELECT dd.vec_id, dd.cluster,
+             row_number() OVER (PARTITION BY dd.vec_id
+               ORDER BY $ord DESC, dd.cluster) AS rk
+      FROM (SELECT e.vec_id, cd.cluster,
+                   CAST(SUM(CAST(e.v*cd.c AS DECIMAL(38,18))) AS DOUBLE) AS dot
+            FROM e JOIN c${i}d cd ON cd.pos = e.pos GROUP BY 1, 2) dd
+      JOIN vn USING (vec_id) JOIN n$i USING (cluster)) WHERE rk = 1)"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- brute-force exact cosine top-k (the ANN baseline) --------------
@@ -662,5 +699,107 @@ object SimilarityOps {
                  (SELECT count(*) FROM ex))
         SELECT nprobe, hits, total,
                round(CAST(hits AS DOUBLE) / CAST(total AS DOUBLE), 9) AS recall
-        FROM raw ORDER BY nprobe""")))
+        FROM raw ORDER BY nprobe""")),
+
+    // ---- learned coarse quantizer: k-means-trained IVF ------------------
+    // The missing piece between q54 (IVF from label means) and a real
+    // pipeline: TRAIN the quantizer. Two Lloyd iterations from a
+    // sign-LSH seed (assign to nearest centroid → recompute means),
+    // then the REAL ivfWrite/ivfSearch operators build and probe the
+    // index from the LEARNED centroids. Portability: every iteration's
+    // centroids are decimal-exact means on the 1e-9 grid carried as
+    // FLOAT, and iteration assignments rank on the ROUNDED decimal
+    // cosine — so both engines walk identical Lloyd trajectories bit
+    // for bit; the final build assignment and probe ranking restate the
+    // production double cosine unrounded, exactly as q54 does. Cluster
+    // ids carry a 'b' prefix: a bare '0101' bucket string would be
+    // type-inferred as the integer 101 when the partitioned index is
+    // read back. The production float-path kmeansStep stays spec-pinned
+    // in IvfSpec (fixpoint + sign-LSH-seed convergence).
+    QueryDef("q59_kmeans_ivf",
+      (s, dir) => {
+        def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
+        val e = emb(s, dir)
+        def cent(assigned: DataFrame): DataFrame =
+          assigned
+            .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+            .select(col("cluster"), col("pos"), col("vf").cast(DoubleType).as("v"))
+            .groupBy("cluster", "pos")
+            .agg(round(sum(col("v").cast(D)).cast(DoubleType) /
+              count(lit(1)).cast(DoubleType), 9).cast(FloatType).as("c"))
+            .groupBy("cluster")
+            .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
+            .select(col("cluster"),
+              transform(col("pairs"), p => p.getField("c")).as("centroid"))
+        def assign(cents: DataFrame): DataFrame =
+          graft.functions.ColumnLib.latestWins(
+            e.select("vec_id", "embedding").crossJoin(broadcast(cents))
+              .withColumn("sim", round(dot(col("embedding"), col("centroid")) /
+                (sqrt(dot(col("embedding"), col("embedding"))) *
+                  sqrt(dot(col("centroid"), col("centroid")))), 9)),
+            Seq("vec_id"), Seq(col("sim").desc_nulls_last, col("cluster").asc))
+            .select(col("vec_id"), col("embedding"), col("cluster"))
+        val seed = Similarity.signLshBuckets(
+            e.select("vec_id", "embedding"), "embedding")
+          .select(col("vec_id"), col("embedding"),
+            concat(lit("b"), col("bucket")).as("cluster"))
+        // Two kmeansSteps (assign → means), eagerly materialized: the
+        // learned table is ≤ 16 rows but its lineage is the full Lloyd
+        // chain, and ivfWrite + ivfSearch would otherwise re-run it.
+        val learned = cent(assign(cent(assign(cent(seed)))))
+          .localCheckpoint(true)
+        val qvec = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_ivf_q59_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        Similarity.ivfWrite(e.select("vec_id", "embedding"), "vec_id",
+          "embedding", learned, path)
+        val hits = Similarity.ivfSearch(s, path, "vec_id", "embedding",
+          learned, qvec, k = 50, nprobe = 2)
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("qnrm"))
+        hits.select("vec_id").join(e, "vec_id")
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            round(dot(col("embedding"), col("qvec")) /
+              (sqrt(dot(col("embedding"), col("embedding"))) * col("qnrm")),
+              9).as("cosine"))
+          .filter(col("cosine").isNotNull)
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                          generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings),
+        vn AS (SELECT vec_id, CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+               FROM e GROUP BY 1),
+        seed AS (SELECT vec_id, 'b' || ${bucketSql("embeddings")} AS cluster
+                 FROM embeddings),
+        ${kmCentSql("seed", 0)},
+        ${kmAssignSql(0, "s1", rounded = true)},
+        ${kmCentSql("s1", 1)},
+        ${kmAssignSql(1, "s2", rounded = true)},
+        ${kmCentSql("s2", 2)},
+        ${kmAssignSql(2, "s3", rounded = false)},
+        q AS (SELECT pos, v FROM e WHERE vec_id = 0),
+        qn AS (SELECT CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn FROM q),
+        pc AS (SELECT cd.cluster,
+                      CAST(SUM(CAST(cd.c*q.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM c2d cd JOIN q ON q.pos = cd.pos GROUP BY 1),
+        probes AS (SELECT pc.cluster FROM pc JOIN n2 USING (cluster), qn
+                   ORDER BY pc.dot/(sqrt(n2.nn)*sqrt(qn.nn)) DESC, pc.cluster
+                   LIMIT 2),
+        d AS (SELECT e.vec_id,
+                     CAST(SUM(CAST(e.v*q.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+              FROM e JOIN q ON q.pos = e.pos
+              WHERE e.vec_id IN (SELECT s3.vec_id FROM s3
+                                 JOIN probes USING (cluster))
+              GROUP BY 1)
+        SELECT vec_id, round(dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) AS cosine
+        FROM d JOIN vn USING (vec_id), qn
+        WHERE vn.nn > 0 AND qn.nn > 0
+        ORDER BY round(dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) DESC, vec_id
+        LIMIT 10""")))
 }

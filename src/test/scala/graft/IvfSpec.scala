@@ -47,6 +47,27 @@ class IvfSpec extends SparkSpec {
     assert(c1 == c2, "converged centroids must be a fixpoint")
   }
 
+  test("kmeansStep from a sign-LSH seed converges to the true clusters") {
+    // Seed from 2-bit sign-LSH buckets (3-dim fixture, pairs fitted to
+    // it): the seed splits cluster x across buckets and leaves one
+    // bucket holding members of two different true clusters, so the
+    // test only passes if Lloyd re-assignment actually moves vectors.
+    val seeded = Similarity.signLshBuckets(vecs, "embedding",
+        pairs = Seq((1, 2), (2, 3)))
+      .select(col("vec_id"), col("embedding"), col("bucket").as("cluster"))
+    val cent0 = Similarity.centroids(seeded, "cluster", "embedding")
+    assert(cent0.count() == 4, "the seed starts from 4 non-empty buckets")
+    val step1 = Similarity.kmeansStep(vecs, "vec_id", "embedding", cent0)
+    assert(step1.count() == 3,
+      "one seed bucket must empty out; the 3 axis clusters remain")
+    // Assignment stability across iterations: a further step is a
+    // fixpoint — identical assignment, bit-identical centroids.
+    val step2 = Similarity.kmeansStep(vecs, "vec_id", "embedding", step1)
+    val c1 = step1.collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    val c2 = step2.collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(c1 == c2, "learned centroids must be a fixpoint of assignment")
+  }
+
   test("IVF search physically prunes unprobed cluster partitions") {
     val dir = java.nio.file.Files.createTempDirectory("ivf2").toString + "/index"
     val cents = Similarity.centroids(vecs, "label", "embedding")
