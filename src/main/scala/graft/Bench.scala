@@ -21,7 +21,14 @@ object Bench {
     // is timed TWICE and reports the min: a single pass under transient
     // machine load can inflate a query up to ~8x (the BENCH_r03
     // artifact, see README), and the min of two passes is the cheapest
-    // estimator that one loaded pass cannot poison.
+    // estimator that one loaded pass cannot poison. The passes are
+    // INTERLEAVED — every query's pass 1, then every query's pass 2 —
+    // so each query's two samples are separated by roughly the whole
+    // suite's duration and one transient load window cannot hit both
+    // (back-to-back passes both landed inside the same busy window in
+    // BENCH_r05; see README). /proc/loadavg is recorded at start, at
+    // the pass boundary, and at end, so a load-inflated artifact is
+    // self-diagnosing instead of silently wrong.
     //
     // Execution is a noop-sink WRITE, not count(): count() lets the
     // optimizer prune every column the row count doesn't need — for a
@@ -31,22 +38,33 @@ object Bench {
     // earlier are affected; see README). The noop sink consumes every
     // output column, so the timed plan is the plan a real caller pays
     // for, with zero serialization/IO cost in the measurement.
-    val results = SparkEntry.queries.toSeq.filter(q => keep(q._1)).sortBy(_._1).map { case (name, fn) =>
-      def pass(): Double = {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+    def loadavg(): String =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.trim.split(" ").take(3).mkString(",")
+        finally src.close()
+      } catch { case _: Throwable => "" }
+    val named = SparkEntry.queries.toSeq.filter(q => keep(q._1)).sortBy(_._1)
+    def pass(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       }
-      // A query is an error only if it NEVER ran: a transient failure
-      // on the second pass must not discard the first pass's valid
-      // measurement.
-      val t1 = pass()
-      val t2 = if (t1 < 0) -1.0 else pass()
-      name -> (if (t1 < 0) -1.0 else if (t2 < 0) t1 else math.min(t1, t2))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+    }
+    val loadStart = loadavg()
+    val pass1 = named.map { case (name, fn) => pass(name, fn) }
+    val loadMid = loadavg()
+    val pass2 = named.map { case (name, fn) => pass(name, fn) }
+    val loadEnd = loadavg()
+    // A query is an error only if it NEVER ran: a transient failure in
+    // one pass must not discard the other pass's valid measurement.
+    val results = named.zip(pass1.zip(pass2)).map { case ((name, _), (t1, t2)) =>
+      name -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -55,7 +73,9 @@ object Bench {
     // Surface any subset filter so a partial run is distinguishable from
     // a full one in round-over-round BENCH artifacts.
     val filterJson = only.map(f => s""","filter":"${f.mkString(",")}"""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr$filterJson,"sf":"$sfDir"}""")
+    val loadJson =
+      s""","loadavg":{"start":"$loadStart","mid":"$loadMid","end":"$loadEnd"}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr$filterJson$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
