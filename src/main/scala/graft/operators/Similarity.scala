@@ -114,9 +114,11 @@ object Similarity {
     *    per query per partition, shuffle ≤ k·|Q|·partitions rows, no
     *    sort anywhere.
     *
-    * The broadcast hint fits the common contract |Q| ≪ |V|; for a
-    * query set too large to broadcast, drop the hint and the same plan
-    * runs as a shuffle hash join on the bucket key. Like every LSH
+    * The broadcast hint (`broadcastQueries = true`) fits the common
+    * contract |Q| ≪ |V|; for a query set too large to broadcast, pass
+    * `broadcastQueries = false` and the same plan runs as a shuffle
+    * equality join on the bucket key — never a nested loop
+    * (SimilaritySpec pins both shapes). Like every LSH
     * method this is approximate: recall is bounded by bucket agreement
     * (a neighbor in another bucket is unseen). `probeHamming` is the
     * multi-probe knob: each query additionally probes every bucket
@@ -129,13 +131,14 @@ object Similarity {
   def batchAnnTopK(vecs: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, qvecCol: String,
       k: Int, pairs: Seq[(Int, Int)] = defaultPairs,
-      probeHamming: Int = 0): DataFrame = {
+      probeHamming: Int = 0, broadcastQueries: Boolean = true): DataFrame = {
     val cands = signLshBuckets(vecs, vecCol, pairs)
     val probes = probeBuckets(signBucket(col(qvecCol), pairs),
       pairs.length, probeHamming)
-    val qb = queries.select(col("*"),
+    val qb0 = queries.select(col("*"),
       explode(probes).as("__qbucket"))
-    val scored = cands.join(broadcast(qb),
+    val qb = if (broadcastQueries) broadcast(qb0) else qb0
+    val scored = cands.join(qb,
         col("bucket") === col("__qbucket") && col(idCol) =!= col(qidCol))
       .select(col(qidCol), col(idCol),
         cosineNative(col(vecCol), col(qvecCol)).as("cosine"))

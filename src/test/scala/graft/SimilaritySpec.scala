@@ -61,6 +61,38 @@ class SimilaritySpec extends SparkSpec {
       s"per-query cut must run on the bounded-heap plan:\n$plan")
   }
 
+  test("batchAnnTopK without broadcast: shuffle equality join on the bucket key") {
+    // The |Q| ≫ broadcast-threshold path: dropping the hint must yield
+    // a SHUFFLE equality join on the bucket key — never a broadcast
+    // exchange (that's the OOM at scale) and never a nested loop.
+    // Auto-broadcast is disabled so the tiny fixture can't be planner-
+    // promoted back into the shape we're ruling out.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Similarity.batchAnnTopK(emb, embQueries,
+        "vec_id", "embedding", "qid", "qvec", k = 3,
+        broadcastQueries = false)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"non-broadcast retrieval must stay an equality join:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"no broadcast anywhere — the query side is assumed too large:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle equality join on the bucket key:\n$plan")
+      assert(plan.contains("__qbucket"),
+        s"the shuffle join must key on the probe bucket:\n$plan")
+      // Same results as the broadcast shape, just a different exchange.
+      val broadcastRows = Similarity.batchAnnTopK(emb, embQueries,
+        "vec_id", "embedding", "qid", "qvec", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val shuffleRows = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(shuffleRows == broadcastRows,
+        "join strategy must not change retrieval results")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("probeBuckets enumerates exactly the Hamming ball, no duplicates") {
     val all = (0 until 16).map(i =>
       Integer.toBinaryString(16 | i).substring(1)) // all 4-bit strings
