@@ -228,6 +228,57 @@ object DedupOps {
         ORDER BY 1, 2"""
       }),
 
+    // ---- 64-bit SimHash end-to-end: pairs → components → keep/drop ------
+    // The production-grade signature path CLOSED the way q38 closes
+    // MinHash: banded Hamming pairs feed connectedComponents, and the
+    // output is the per-document dedup verdict itself — component id
+    // and whether this doc is the canonical (minimum-id) member kept.
+    // Same zero-shuffle native signature + pigeonhole banding as q53;
+    // the composition adds only the O(log d) component rounds.
+    QueryDef("q61_simhash64_groups",
+      (s, dir) => {
+        Dedup.connectedComponents(
+            Dedup.simhashNearDupPairs64(docs(s, dir), "doc_id", "text",
+                maxHamming = 3)
+              .select("id1", "id2"))
+          .withColumn("keep", col("node") === col("component"))
+          .orderBy("node")
+      },
+      Some {
+        val hamming = (1 to 64).map(i =>
+          s"CASE WHEN substr(ha,$i,1) <> substr(hb,$i,1) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH RECURSIVE sig AS (
+          SELECT doc_id, $bits64Sql AS simhash64
+          FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                FROM documents)
+          GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, simhash64, b AS band_id,
+                 substr(simhash64, b*16+1, 16) AS band_key
+          FROM sig, (SELECT unnest(range(0,4)) AS b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                 a.simhash64 AS ha, b.simhash64 AS hb
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT id1, id2 FROM (
+            SELECT id1, id2, $hamming AS hamming FROM cand)
+          WHERE hamming <= 3),
+        edges AS (
+          SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+        comp(node, label) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.node)
+        SELECT node, min(label) AS component, node = min(label) AS keep
+        FROM comp GROUP BY node ORDER BY node"""
+      }),
+
     // ---- embedding-cosine near-dup: LSH buckets → exact cosine cut ------
     QueryDef("q35_embedding_neardup",
       (s, dir) => {
