@@ -34,7 +34,16 @@ object Engine {
     // be compile-time constants.
     def litInt(fn: String)(e: Expression, name: String): Int = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
-        v.toString.toInt
+        // Route non-integral literals (1.5, 'abc') through the same
+        // message instead of leaking a raw NumberFormatException.
+        v match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long if l.longValue().isValidInt => l.intValue()
+          case s: java.lang.Short => s.intValue()
+          case b: java.lang.Byte => b.intValue()
+          case other => throw new IllegalArgumentException(
+            s"$fn: $name must be an integer literal, got $other")
+        }
       case other => throw new IllegalArgumentException(
         s"$fn: $name must be an integer literal, got $other")
     }

@@ -66,6 +66,25 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Fixed-SIZE stratified sample: the `n` rows with the smallest
+    * `md5(salt:key)` per stratum (ties broken by the key itself, so the
+    * order is total). Where [[deterministicSample]] fixes the RATE,
+    * this fixes the COUNT per stratum — the "3 eval docs per
+    * (source, lang) cell" recipe. Same retry-stable / reproducible /
+    * join-free properties (the rank key is a pure projection), and the
+    * per-stratum cut runs on the bounded-heap grouped top-k plan
+    * ([[graft.plans.TopKPerGroup]]): map-side heaps of size `n`, no
+    * per-stratum sort, shuffle bounded by `n * strata * partitions` —
+    * a full-sort window formulation would shuffle the whole corpus.
+    */
+  def stratifiedFixedN(df: DataFrame, strataCols: Seq[String],
+      keyCol: String, salt: String, n: Int): DataFrame =
+    TopK.perGroup(
+      df.withColumn("__rk",
+        md5(concat(lit(salt + ":"), col(keyCol).cast("string")))),
+      strataCols, Seq(col("__rk").asc, col(keyCol).asc), n)
+      .drop("__rk")
+
   /** Weighted mixture: deterministically subsample each source by its
     * weight and union (by name, tolerating schema drift across
     * sources). Weights are independent per-source fractions in [0, 1] —

@@ -387,7 +387,12 @@ object SimilarityOps {
     // intersection counts are engine-independent.
     QueryDef("q57_ann_recall",
       (s, dir) => {
+        // The exact all-pairs baseline feeds BOTH union branches; a
+        // plan-tree reuse does not happen across union children, so
+        // eagerly materialize it once (it is |Q|*3 rows — tiny) instead
+        // of paying the most expensive stage twice per run.
         val exact = batchExactTop3(s, dir).select("qid", "vec_id")
+          .localCheckpoint(true)
         def stats(method: String, approx: DataFrame): DataFrame =
           exact.join(approx.select(col("qid"), col("vec_id"),
               lit(1).as("hit")), Seq("qid", "vec_id"), "left")

@@ -252,6 +252,252 @@ object TextOps {
               FROM documents GROUP BY 1, 2)
         ORDER BY source, lang""")),
 
+    // ---- equi-width token-length histogram (q49) -------------------------
+    // The corpus datasheet's length histogram, shaped for scale: decile
+    // cuts would need a global sort (or percentile_disc with non-binary
+    // fractions, whose rank arithmetic differs subtly across engines),
+    // so the buckets are equi-WIDTH over [min, max] computed by a
+    // broadcast one-row aggregate — all-integer bucket arithmetic, so
+    // the cut is bit-deterministic in any engine. One tiny agg + one
+    // shuffle on the bucket id.
+    QueryDef("q49_length_histogram",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"),
+          tokenCountWs(col("text")).cast("long").as("n_words"),
+          col("n_chars"))
+        val mm = d.agg(min(col("n_words")).as("lo"), max(col("n_words")).as("hi"))
+        d.crossJoin(broadcast(mm))
+          .withColumn("bucket",
+            expr("CAST(((n_words - lo) * 10) DIV (hi - lo + 1) AS BIGINT)"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_words")).as("min_words"),
+            max(col("n_words")).as("max_words"),
+            sum(col("n_chars")).as("n_chars"))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH q AS (SELECT doc_id,
+                          CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+                          n_chars
+                   FROM documents),
+        mm AS (SELECT min(n_words) AS lo, max(n_words) AS hi FROM q)
+        SELECT CAST(((n_words - lo) * 10) // (hi - lo + 1) AS BIGINT) AS bucket,
+               count(*) AS n_docs, min(n_words) AS min_words,
+               max(n_words) AS max_words,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM q, mm GROUP BY 1 ORDER BY 1""")),
+
+    // ---- TF-IDF keyword ranking (q63) ------------------------------------
+    // Classic sparse retrieval over the corpus: rank documents for a
+    // fixed query-term set by sum(tf * ln(N/df)). Shaped for scale:
+    // the token stream is filtered to query terms BEFORE the shuffle
+    // (selectivity |terms|/|vocab|), term frequencies pivot to fixed
+    // columns in ONE conditional aggregate keyed on doc_id, and the
+    // document frequencies + corpus count are one-row broadcast
+    // aggregates. The score is a FIXED-ORDER expression tree (term1 +
+    // term2 + ...), not a SUM over rows, so the double result is
+    // bit-identical across engines and partitionings (ln verified
+    // bit-equal across JVM libm / DuckDB for this value class).
+    QueryDef("q63_tfidf",
+      (s, dir) => {
+        val terms = Seq("spark", "vector", "customer", "merge")
+        val d = docs(s, dir)
+        val tfAggs = terms.map(t =>
+          sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+        val tf = d.select(col("doc_id"), explode(words(col("text"))).as("token"))
+          .filter(col("token").isin(terms: _*))
+          .groupBy("doc_id")
+          .agg(tfAggs.head, tfAggs.tail: _*)
+        val dfAggs = terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+        val dfs = tf.agg(dfAggs.head, dfAggs.tail: _*)
+        val n = d.agg(count(lit(1)).as("n_total"))
+        val score = terms.map(t =>
+            col(s"tf_$t") * log(col("n_total") / col(s"df_$t")))
+          .reduce(_ + _)
+        tf.crossJoin(broadcast(dfs)).crossJoin(broadcast(n))
+          .select((col("doc_id") +: terms.map(t => col(s"tf_$t"))) :+
+            round(score, 9).as("tfidf"): _*)
+          .orderBy(col("tfidf").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+                      FROM documents),
+        tf AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN token='spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf_spark,
+                 CAST(sum(CASE WHEN token='vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf_vector,
+                 CAST(sum(CASE WHEN token='customer' THEN 1 ELSE 0 END) AS BIGINT) AS tf_customer,
+                 CAST(sum(CASE WHEN token='merge' THEN 1 ELSE 0 END) AS BIGINT) AS tf_merge
+               FROM toks
+               WHERE token IN ('spark','vector','customer','merge')
+               GROUP BY 1),
+        st AS (SELECT
+                 CAST(sum(CASE WHEN tf_spark>0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+                 CAST(sum(CASE WHEN tf_vector>0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector,
+                 CAST(sum(CASE WHEN tf_customer>0 THEN 1 ELSE 0 END) AS BIGINT) AS df_customer,
+                 CAST(sum(CASE WHEN tf_merge>0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge
+               FROM tf),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+        SELECT doc_id, tf_spark, tf_vector, tf_customer, tf_merge,
+               round(tf_spark*ln(n_total/df_spark)
+                     + tf_vector*ln(n_total/df_vector)
+                     + tf_customer*ln(n_total/df_customer)
+                     + tf_merge*ln(n_total/df_merge), 9) AS tfidf
+        FROM tf, st, n
+        ORDER BY tfidf DESC, doc_id LIMIT 20""")),
+
+    // ---- unigram-LM scoring in fixed point (q64) --------------------------
+    // Perplexity-proxy quality scoring: train a unigram LM on the q24
+    // train split, score every doc by mean negative log-prob. The
+    // log-probs are quantized to integer MICRO-NATS (round(ln(p)*1e6))
+    // before the per-doc sum: a floating sum over tokens is
+    // order-dependent and therefore NOT reproducible across engines,
+    // partitionings, or retries — the fixed-point sum is exact, order-
+    // free, and overflow-safe (|lp_fp| < 5e7; a doc would need 2e11
+    // tokens to overflow a long). Shuffles: vocab count (train tokens),
+    // per-doc-term counts, per-doc sum — the canonical distributed
+    // LM-scoring shape; the vocab join shuffles on token (AQE
+    // broadcasts it when small). OOV tokens take a half-count smoothed
+    // log-prob from the same broadcast total.
+    QueryDef("q64_unigram_lm",
+      (s, dir) => {
+        val d = graft.operators.Sampling.hashSplit(docs(s, dir), "doc_id",
+          "exp1", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        val toks = d.select(col("doc_id"), col("split"),
+          explode(words(col("text"))).as("token"))
+        val vocab = toks.filter(col("split") === "train")
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+        val total = vocab.agg(sum(col("cnt")).as("total"))
+        val lp = vocab.crossJoin(broadcast(total))
+          .select(col("token"),
+            round(log(col("cnt") / col("total")) * lit(1e6))
+              .cast("long").as("lp_fp"))
+        val dt = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+        dt.join(lp, Seq("token"), "left")
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("n"),
+            coalesce(col("lp_fp"),
+              round(log(lit(0.5) / col("total")) * lit(1e6)).cast("long"))
+              .as("lp_fp"))
+          .groupBy("doc_id")
+          .agg(sum(col("n")).as("n_tokens"),
+            sum(col("n") * col("lp_fp")).as("nll_fp"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(-col("nll_fp").cast("double") /
+              (col("n_tokens").cast("double") * lit(1e6)), 9).as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, text,
+                     CASE WHEN substr(md5('exp1:'||CAST(doc_id AS VARCHAR)),1,4) < 'cccd'
+                            THEN 'train'
+                          WHEN substr(md5('exp1:'||CAST(doc_id AS VARCHAR)),1,4) < 'e666'
+                            THEN 'val'
+                          ELSE 'test' END AS split
+                   FROM documents),
+        toks AS (SELECT doc_id, split, unnest(string_split(text,' ')) AS token
+                 FROM d),
+        vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+                  FROM toks WHERE split='train' GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+        lp AS (SELECT token, CAST(round(ln(cnt/total)*1000000) AS BIGINT) AS lp_fp
+               FROM vocab, tot),
+        dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+               FROM toks GROUP BY 1, 2),
+        sc AS (SELECT dt.doc_id, dt.n,
+                      coalesce(lp.lp_fp,
+                        CAST(round(ln(0.5/total)*1000000) AS BIGINT)) AS lp_fp
+               FROM dt LEFT JOIN lp USING (token), tot)
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+               round(-CAST(sum(n*lp_fp) AS DOUBLE) /
+                     (CAST(sum(n) AS DOUBLE) * 1000000.0), 9) AS avg_nll
+        FROM sc GROUP BY 1 ORDER BY 1""")),
+
+    // ---- fixed-size stratified sample (q65) -------------------------------
+    // "n docs per (source, lang) cell", deterministically: rank by
+    // md5(salt:doc_id) and keep the 3 smallest per stratum on the
+    // bounded-heap grouped top-k plan — no per-stratum sort, no rand(),
+    // retry-stable (see Sampling.stratifiedFixedN scaladoc for the
+    // shuffle math vs the window formulation).
+    QueryDef("q65_stratified_sample",
+      (s, dir) => {
+        graft.operators.Sampling.stratifiedFixedN(
+            docs(s, dir), Seq("source", "lang"), "doc_id", "samp1", 3)
+          .select(col("doc_id"), col("source"), col("lang"))
+          .orderBy("source", "lang", "doc_id")
+      },
+      Some("""
+        SELECT doc_id, source, lang FROM (
+          SELECT doc_id, source, lang,
+                 row_number() OVER (PARTITION BY source, lang
+                   ORDER BY md5('samp1:'||CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents) WHERE rk <= 3
+        ORDER BY source, lang, doc_id""")),
+
+    // ---- boilerplate removal: corpus-frequency segment dedup ------------
+    // CCNet-style line dedup re-expressed for the fixture's single-line
+    // docs: the "line" is a fixed 5-word segment (the fixture has no
+    // newlines, so the segmenter doubles as the line splitter). Two
+    // passes over the corpus BY DESIGN — pass 1 counts, per segment,
+    // how many distinct docs contain it (one shuffle, keyed on the
+    // segment's 16-byte md5 so corpus-length strings never ride the
+    // exchange); pass 2 left-joins docs' segments against the filtered
+    // boilerplate table (ndocs >= 3) and reassembles each doc from the
+    // surviving segments. The boilerplate table is tiny relative to
+    // the corpus (only repeated segments survive the filter), so AQE
+    // turns the join broadcast when it fits and shuffles on the digest
+    // when it does not — never a nested loop, never a driver collect.
+    QueryDef("q62_boilerplate",
+      (s, dir) => {
+        val width = 5
+        val segs = docs(s, dir)
+          .select(col("doc_id"), words(col("text")).as("__w"))
+          .select(col("doc_id"),
+            explode(sequence(lit(1),
+              greatest(org.apache.spark.sql.functions.size(col("__w")), lit(1)),
+              lit(width))).as("start"),
+            col("__w"))
+          .select(col("doc_id"), col("start"),
+            concat_ws(" ", slice(col("__w"), col("start"), lit(width))).as("chunk"))
+          .withColumn("__h", md5(col("chunk")))
+        val boiler = segs.groupBy("__h")
+          .agg(countDistinct(col("doc_id")).as("ndocs"))
+          .filter(col("ndocs") >= 3)
+          .select(col("__h"), lit(true).as("__b"))
+        segs.join(boiler, Seq("__h"), "left")
+          .select(col("doc_id"), col("start"), col("chunk"),
+            coalesce(col("__b"), lit(false)).as("boiler"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_segs"),
+            sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  when(!col("boiler"), struct(col("start"), col("chunk"))))),
+                x => x.getField("chunk")),
+              " ").as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH segs AS (
+          SELECT doc_id, start, array_to_string(w[start:start+4], ' ') AS chunk
+          FROM (SELECT doc_id, w,
+                       unnest(range(1, greatest(len(w),1)+1, 5)) AS start
+                FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))),
+        freq AS (SELECT chunk, count(DISTINCT doc_id) AS ndocs
+                 FROM segs GROUP BY 1),
+        j AS (SELECT s.doc_id, s.start, s.chunk,
+                     (f.ndocs >= 3) AS boiler
+              FROM segs s JOIN freq f USING (chunk))
+        SELECT doc_id, count(*) AS n_segs,
+               CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+               coalesce(string_agg(CASE WHEN NOT boiler THEN chunk END, ' '
+                                   ORDER BY start), '') AS clean_text
+        FROM j GROUP BY 1 ORDER BY 1""")),
+
     // ---- sequence packing: concat-and-chunk token offsets ---------------
     // The pre-training packing recipe: documents are laid end-to-end in
     // a deterministic order and cut into fixed token-budget sequences;
