@@ -229,6 +229,42 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
+  /** Batch IVF search: many queries in one plan. Per-query centroid
+    * ranking is a broadcast of the (tiny) centroid table + a bounded-
+    * heap top-nprobe per query — no driver collect, unlike the
+    * single-query [[ivfSearch]] whose probe list is a bounded scalar.
+    * Candidates come from an EQUALITY join of the probe table against
+    * the cluster-partitioned index: each probed cluster is read once
+    * for ALL queries probing it (per-query partition pruning
+    * generalizes to a join at batch scale; with |Q| queries and B
+    * clusters the scan covers ≤ min(B, |Q|·nprobe) partitions). Exact
+    * cosine ranks within candidates; a second bounded heap cuts top-k
+    * per query. The probe table is |Q|·nprobe rows — broadcast by
+    * default; pass `broadcastProbes = false` for query sets too large
+    * to broadcast (the join falls back to a shuffle hash join on the
+    * cluster id, same as [[batchAnnTopK]]'s contract).
+    */
+  def ivfSearchBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, centroidDf: DataFrame,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nprobe: Int, broadcastProbes: Boolean = true): DataFrame = {
+    val probes0 = TopK.perGroup(
+      queries.crossJoin(broadcast(centroidDf))
+        .withColumn("__csim", cosineNative(col(qvecCol), col("centroid"))),
+      Seq(qidCol), Seq(col("__csim").desc_nulls_last, col("cluster").asc),
+      nprobe)
+      .select(col(qidCol), col(qvecCol), col("cluster"))
+    val probes = if (broadcastProbes) broadcast(probes0) else probes0
+    val scored = spark.read.parquet(path)
+      .join(probes, Seq("cluster"))
+      .filter(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol),
+        cosineNative(col(vecCol), col(qvecCol)).as("cosine"))
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
+    TopK.perGroup(scored, Seq(qidCol),
+      Seq(col("cosine").desc, col(idCol).asc), k)
+  }
+
   /** Probe-limited IVF search: rank centroids against the query on the
     * driver (centroids are tiny), then scan ONLY the nprobe nearest
     * clusters — a partition-pruned read — and exact-rank within them.

@@ -313,6 +313,57 @@ object DedupOps {
         ORDER BY 1, 2"""
       }),
 
+    // ---- embedding near-dup GROUPS: pairs → components → keep set -------
+    // Closes the embedding dedup path end-to-end the way q61 does for
+    // 64-bit SimHash: the q35 bucketed pair stage feeds pointer-jumping
+    // connected components, yielding one canonical vector per near-dup
+    // cluster. Same scale shape as q61 — pairs are bucket-local, the
+    // component loop is O(log diameter) rounds with per-round buffer
+    // release, and the keep flag is a projection, never a driver list.
+    QueryDef("q66_embedding_dedup_groups",
+      (s, dir) => {
+        Dedup.connectedComponents(
+            Dedup.embeddingNearDupPairs(
+                Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+                graft.operators.Similarity.finePairs, threshold = 0.15)
+              .select("id1", "id2"))
+          .withColumn("keep", col("node") === col("component"))
+          .orderBy("node")
+      },
+      Some {
+        val bucket = graft.operators.Similarity.finePairs.map { case (i, j) =>
+          s"CASE WHEN embedding[$i] > embedding[$j] THEN '1' ELSE '0' END"
+        }.mkString(" || ")
+        s"""
+        WITH RECURSIVE b AS (SELECT vec_id, $bucket AS bucket FROM embeddings),
+        p AS (SELECT a.vec_id AS id1, c.vec_id AS id2
+              FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+        e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings),
+        n AS (SELECT vec_id, CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+              FROM e GROUP BY 1),
+        d AS (SELECT p.id1, p.id2,
+                     CAST(SUM(CAST(e1.v*e2.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+              FROM p JOIN e e1 ON e1.vec_id = p.id1
+                     JOIN e e2 ON e2.vec_id = p.id2 AND e2.pos = e1.pos
+              GROUP BY 1, 2),
+        pairs AS (SELECT id1, id2
+                  FROM d JOIN n n1 ON n1.vec_id = id1
+                         JOIN n n2 ON n2.vec_id = id2
+                  WHERE n1.nn > 0 AND n2.nn > 0
+                    AND round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) >= 0.15),
+        edges AS (
+          SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+        comp(node, label) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.node)
+        SELECT node, min(label) AS component, node = min(label) AS keep
+        FROM comp GROUP BY node ORDER BY node"""
+      }),
+
     // ---- end-to-end near-dup: LSH candidates → exact Jaccard cut --------
     // The production composition (sub-quadratic): Jaccard is computed
     // only on pairs sharing an LSH band bucket, never all-pairs.

@@ -73,6 +73,55 @@ object SimilarityOps {
     cos AS (SELECT vec_id, round(dot/(sqrt(na)*sqrt(nqv)), 9) AS cosine
             FROM d, nq WHERE na > 0 AND nqv > 0)"""
 
+  /** Label-derived coarse centroids on the portable decimal grid:
+    * decimal-exact per-dimension means rounded to 1e-9 and cast to
+    * FLOAT, so Spark and the SQL oracle assign and probe from
+    * bit-identical centroids (the production float-avg
+    * [[Similarity.centroids]] stays spec-covered in IvfSpec). Shared
+    * by the q54 single-query and q67 batch IVF gates.
+    */
+  private def labelCentsDecimal(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("label"), col("pos"), col("vf").cast(DoubleType).as("v"))
+      .groupBy("label", "pos")
+      .agg(round(sum(col("v").cast(D)).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType), 9).cast(FloatType).as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
+      .select(col("label").as("cluster"),
+        transform(col("pairs"), p => p.getField("c")).as("centroid"))
+
+  /** Shared DuckDB CTE block for the label-centroid IVF gates
+    * (q54 / q58 / q67): exploded embeddings + decimal-grid float
+    * centroids + norms + the nearest-centroid assignment — the
+    * declarative restatement of [[labelCentsDecimal]] +
+    * [[Similarity.ivfWrite]]'s assignment. Single-sourced so the
+    * three oracles cannot drift.
+    */
+  private val ivfAssignCte = """
+    e AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings),
+    cent AS (SELECT label, pos,
+                    CAST(round(CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE)
+                      / count(*), 9) AS REAL) AS cf
+             FROM e GROUP BY 1, 2),
+    centd AS (SELECT label, pos, CAST(cf AS DOUBLE) AS c FROM cent),
+    cn AS (SELECT label, CAST(SUM(CAST(c*c AS DECIMAL(38,18))) AS DOUBLE) AS nn
+           FROM centd GROUP BY 1),
+    vn AS (SELECT vec_id, CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+           FROM e GROUP BY 1),
+    vc AS (SELECT e.vec_id, cd.label,
+                  CAST(SUM(CAST(e.v*cd.c AS DECIMAL(38,18))) AS DOUBLE) AS dot
+           FROM e JOIN centd cd ON cd.pos = e.pos GROUP BY 1, 2),
+    assign AS (SELECT vec_id, label FROM (
+                 SELECT vc.vec_id, vc.label,
+                        row_number() OVER (PARTITION BY vc.vec_id
+                          ORDER BY vc.dot/(sqrt(vn.nn)*sqrt(cn.nn)) DESC,
+                                   vc.label) AS rk
+                 FROM vc JOIN vn USING (vec_id) JOIN cn USING (label))
+               WHERE rk = 1)"""
+
   private def bucketSql(tbl: String): String =
     Similarity.defaultPairs.map { case (i, j) =>
       s"CASE WHEN $tbl.embedding[$i] > $tbl.embedding[$j] THEN '1' ELSE '0' END"
@@ -497,16 +546,7 @@ object SimilarityOps {
       (s, dir) => {
         def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
         val e = emb(s, dir)
-        val cents = e
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
-          .select(col("label"), col("pos"), col("vf").cast(DoubleType).as("v"))
-          .groupBy("label", "pos")
-          .agg(round(sum(col("v").cast(D)).cast(DoubleType) /
-            count(lit(1)).cast(DoubleType), 9).cast(FloatType).as("c"))
-          .groupBy("label")
-          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
-          .select(col("label").as("cluster"),
-            transform(col("pairs"), p => p.getField("c")).as("centroid"))
+        val cents = labelCentsDecimal(e)
         val qvec = e.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0)
         val path = sys.props("java.io.tmpdir") +
@@ -527,29 +567,8 @@ object SimilarityOps {
           .orderBy(col("cosine").desc, col("vec_id"))
           .limit(10)
       },
-      Some("""
-        WITH e AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
-                          generate_subscripts(embedding, 1) AS pos
-                   FROM embeddings),
-        cent AS (SELECT label, pos,
-                        CAST(round(CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE)
-                          / count(*), 9) AS REAL) AS cf
-                 FROM e GROUP BY 1, 2),
-        centd AS (SELECT label, pos, CAST(cf AS DOUBLE) AS c FROM cent),
-        cn AS (SELECT label, CAST(SUM(CAST(c*c AS DECIMAL(38,18))) AS DOUBLE) AS nn
-               FROM centd GROUP BY 1),
-        vn AS (SELECT vec_id, CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
-               FROM e GROUP BY 1),
-        vc AS (SELECT e.vec_id, cd.label,
-                      CAST(SUM(CAST(e.v*cd.c AS DECIMAL(38,18))) AS DOUBLE) AS dot
-               FROM e JOIN centd cd ON cd.pos = e.pos GROUP BY 1, 2),
-        assign AS (SELECT vec_id, label FROM (
-                     SELECT vc.vec_id, vc.label,
-                            row_number() OVER (PARTITION BY vc.vec_id
-                              ORDER BY vc.dot/(sqrt(vn.nn)*sqrt(cn.nn)) DESC,
-                                       vc.label) AS rk
-                     FROM vc JOIN vn USING (vec_id) JOIN cn USING (label))
-                   WHERE rk = 1),
+      Some(s"""
+        WITH $ivfAssignCte,
         q AS (SELECT pos, v FROM e WHERE vec_id = 0),
         qn AS (SELECT CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn FROM q),
         pc AS (SELECT cd.label,
@@ -586,16 +605,7 @@ object SimilarityOps {
       (s, dir) => {
         def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
         val e = emb(s, dir)
-        val cents = e
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
-          .select(col("label"), col("pos"), col("vf").cast(DoubleType).as("v"))
-          .groupBy("label", "pos")
-          .agg(round(sum(col("v").cast(D)).cast(DoubleType) /
-            count(lit(1)).cast(DoubleType), 9).cast(FloatType).as("c"))
-          .groupBy("label")
-          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
-          .select(col("label").as("cluster"),
-            transform(col("pairs"), p => p.getField("c")).as("centroid"))
+        val cents = labelCentsDecimal(e)
         val qvec = e.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0)
         val path = sys.props("java.io.tmpdir") +
@@ -631,29 +641,8 @@ object SimilarityOps {
         }
         stats(1).union(stats(2)).union(stats(4)).orderBy("nprobe")
       },
-      Some("""
-        WITH e AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
-                          generate_subscripts(embedding, 1) AS pos
-                   FROM embeddings),
-        cent AS (SELECT label, pos,
-                        CAST(round(CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE)
-                          / count(*), 9) AS REAL) AS cf
-                 FROM e GROUP BY 1, 2),
-        centd AS (SELECT label, pos, CAST(cf AS DOUBLE) AS c FROM cent),
-        cn AS (SELECT label, CAST(SUM(CAST(c*c AS DECIMAL(38,18))) AS DOUBLE) AS nn
-               FROM centd GROUP BY 1),
-        vn AS (SELECT vec_id, CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
-               FROM e GROUP BY 1),
-        vc AS (SELECT e.vec_id, cd.label,
-                      CAST(SUM(CAST(e.v*cd.c AS DECIMAL(38,18))) AS DOUBLE) AS dot
-               FROM e JOIN centd cd ON cd.pos = e.pos GROUP BY 1, 2),
-        assign AS (SELECT vec_id, label FROM (
-                     SELECT vc.vec_id, vc.label,
-                            row_number() OVER (PARTITION BY vc.vec_id
-                              ORDER BY vc.dot/(sqrt(vn.nn)*sqrt(cn.nn)) DESC,
-                                       vc.label) AS rk
-                     FROM vc JOIN vn USING (vec_id) JOIN cn USING (label))
-                   WHERE rk = 1),
+      Some(s"""
+        WITH $ivfAssignCte,
         q AS (SELECT pos, v FROM e WHERE vec_id = 0),
         qn AS (SELECT CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn FROM q),
         pc AS (SELECT cd.label,
@@ -806,5 +795,78 @@ object SimilarityOps {
         FROM d JOIN vn USING (vec_id), qn
         WHERE vn.nn > 0 AND qn.nn > 0
         ORDER BY round(dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) DESC, vec_id
-        LIMIT 10""")))
+        LIMIT 10""")),
+
+    // ---- batch IVF search: the multi-query production shape -------------
+    // q54 serves ONE query (driver-ranked probes, partition-pruned
+    // scan); real serving batches thousands. ivfSearchBatch keeps the
+    // whole path distributed: probe selection is a broadcast-centroid
+    // bounded-heap top-nprobe per query (no driver collect), candidates
+    // come from an EQUALITY join of the probe table against the
+    // cluster-partitioned index (each probed cluster read once for all
+    // queries probing it), and both cuts run on bounded heaps.
+    // Portability is q54's contract: decimal-grid float centroids, the
+    // double-ranked in-cluster cut runs with a 6x margin (k=30), and
+    // the FINAL top-5 per query is the family's portable total order
+    // (1e-9-rounded decimal cosine, vec_id tiebreak) in both engines.
+    QueryDef("q67_ivf_batch",
+      (s, dir) => {
+        def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
+        val e = emb(s, dir)
+        val cents = labelCentsDecimal(e)
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_ivf_q67_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        Similarity.ivfWrite(e, "vec_id", "embedding", cents, path)
+        val qs = e.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val hits = Similarity.ivfSearchBatch(s, path, "vec_id", "embedding",
+          cents, qs, "qid", "qvec", k = 30, nprobe = 2)
+        val qn = qs.select(col("qid"), col("qvec"),
+          sqrt(dot(col("qvec"), col("qvec"))).as("qnrm"))
+        hits.select("qid", "vec_id")
+          .join(e.select("vec_id", "embedding"), "vec_id")
+          .join(broadcast(qn), "qid")
+          .select(col("qid"), col("vec_id"),
+            round(dot(col("embedding"), col("qvec")) /
+              (sqrt(dot(col("embedding"), col("embedding"))) * col("qnrm")),
+              9).as("cosine"))
+          .filter(col("cosine").isNotNull)
+          .transform(d => graft.operators.TopK.perGroup(d, Seq("qid"),
+            Seq(col("cosine").desc, col("vec_id").asc), 5))
+          .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
+      },
+      Some(s"""
+        WITH $ivfAssignCte,
+        qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 97 = 0),
+        qe AS (SELECT q.qid, e.pos, e.v FROM qs q JOIN e ON e.vec_id = q.qid),
+        qn AS (SELECT qid, CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+               FROM qe GROUP BY 1),
+        pc AS (SELECT qe.qid, cd.label,
+                      CAST(SUM(CAST(cd.c*qe.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM centd cd JOIN qe ON qe.pos = cd.pos GROUP BY 1, 2),
+        probes AS (SELECT qid, label FROM (
+                     SELECT pc.qid, pc.label,
+                            row_number() OVER (PARTITION BY pc.qid
+                              ORDER BY pc.dot/(sqrt(cn.nn)*sqrt(qn.nn)) DESC,
+                                       pc.label) AS rk
+                     FROM pc JOIN cn USING (label) JOIN qn USING (qid))
+                   WHERE rk <= 2),
+        cand AS (SELECT p.qid, a.vec_id
+                 FROM probes p JOIN assign a ON a.label = p.label
+                 WHERE a.vec_id <> p.qid),
+        d AS (SELECT c.qid, c.vec_id,
+                     CAST(SUM(CAST(e2.v*qe.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+              FROM cand c JOIN e e2 ON e2.vec_id = c.vec_id
+                   JOIN qe ON qe.qid = c.qid AND qe.pos = e2.pos
+              GROUP BY 1, 2)
+        SELECT qid, vec_id, cosine FROM (
+          SELECT d.qid, d.vec_id,
+                 round(d.dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) AS cosine,
+                 row_number() OVER (PARTITION BY d.qid
+                   ORDER BY round(d.dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) DESC,
+                            d.vec_id) AS rk
+          FROM d JOIN vn ON vn.vec_id = d.vec_id JOIN qn ON qn.qid = d.qid
+          WHERE vn.nn > 0 AND qn.nn > 0)
+        WHERE rk <= 5
+        ORDER BY qid, cosine DESC, vec_id""")))
 }
