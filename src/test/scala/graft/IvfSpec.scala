@@ -68,6 +68,37 @@ class IvfSpec extends SparkSpec {
     assert(c1 == c2, "learned centroids must be a fixpoint of assignment")
   }
 
+  test("ivfSearchBatch matches per-query ivfSearch and never nested-loops") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf3").toString + "/index"
+    val cents = Similarity.centroids(vecs, "label", "embedding")
+    Similarity.ivfWrite(vecs, "vec_id", "embedding", cents, dir)
+    val queries = vecs.filter(col("vec_id").isin(1L, 3L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = Similarity.ivfSearchBatch(spark, dir, "vec_id", "embedding",
+      cents, queries, "qid", "qvec", k = 2, nprobe = 1)
+    val got = batch.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // Each query probes its own cluster; the query vector itself is
+    // excluded, so the remaining cluster member is the sole hit.
+    assert(got == Map(1L -> Set(2L), 3L -> Set(4L)), s"got $got")
+    // The candidate stage joins the index on EQUALITY of the cluster
+    // id — the (queries x centroids) ranking stage is a bounded
+    // |Q|*B cross join by design, but the index scan itself must feed
+    // a hash/merge join, never a nested loop or cartesian product,
+    // with or without the probe-side broadcast.
+    Seq(true, false).foreach { bcast =>
+      val plan = Similarity.ivfSearchBatch(spark, dir, "vec_id", "embedding",
+          cents, queries, "qid", "qvec", k = 2, nprobe = 1,
+          broadcastProbes = bcast)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("HashJoin [cluster") ||
+        plan.contains("SortMergeJoin [cluster"),
+        s"broadcastProbes=$bcast: index join must key on cluster:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"broadcastProbes=$bcast must not cartesian:\n$plan")
+    }
+  }
+
   test("IVF search physically prunes unprobed cluster partitions") {
     val dir = java.nio.file.Files.createTempDirectory("ivf2").toString + "/index"
     val cents = Similarity.centroids(vecs, "label", "embedding")

@@ -47,6 +47,28 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(col("source").isNull).count() == n)
   }
 
+  test("stratifiedFixedN: exact per-stratum counts, deterministic, heap plan") {
+    val out = Sampling.stratifiedFixedN(docs, Seq("source", "lang"),
+      "doc_id", "s9", 2)
+    val sizes = out.groupBy("source", "lang").count()
+      .collect().map(_.getLong(2))
+    assert(sizes.forall(_ <= 2), "never more than n per stratum")
+    val strata = docs.select("source", "lang").distinct().count()
+    assert(out.groupBy("source", "lang").count().count() == strata,
+      "every non-empty stratum is represented")
+    // Deterministic across physical layouts (the retry-stability contract).
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedFixedN(docs.repartition(13),
+        Seq("source", "lang"), "doc_id", "s9", 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // The cut runs on the bounded-heap plan, not a per-stratum sort
+    // window (which would full-sort the corpus).
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"expected the heap plan:\n$plan")
+    assert(!plan.contains("Window"), s"no window sort expected:\n$plan")
+  }
+
   test("split membership is a pure projection: no shuffle in the plan") {
     val plan = Sampling.hashSplit(docs, "doc_id", "s1",
         Seq("a" -> 0.5, "b" -> 0.5))
