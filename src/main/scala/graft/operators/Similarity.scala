@@ -227,6 +227,13 @@ object Similarity {
       centroidDf: DataFrame, path: String): Unit =
     assignNearest(vecs, idCol, vecCol, centroidDf)
       .select(col(idCol), col(vecCol), col("cluster"))
+      // Co-locate each cluster before the partitioned write: without
+      // this every shuffle partition can emit a file per cluster
+      // (partitions x clusters small files — the classic partitionBy
+      // explosion); with it the layout is one file per cluster. For
+      // clusters too large for a single writer task, add a salt column
+      // to the repartition to widen writers per cluster.
+      .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
   /** Batch IVF search: many queries in one plan. Per-query centroid

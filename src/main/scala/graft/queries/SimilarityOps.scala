@@ -725,12 +725,21 @@ object SimilarityOps {
             .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
             .select(col("cluster"),
               transform(col("pairs"), p => p.getField("c")).as("centroid"))
+        // Norms are hoisted OUT of the (vector x centroid) pair loop:
+        // computed once per vector and once per centroid, the pair
+        // stage runs exactly one decimal dot instead of three (~3x
+        // less decimal work on the Lloyd hot path — same discipline
+        // as batchExactTop3). sqrt of the identical decimal-exact
+        // self-dot is the identical double, so the trajectory is
+        // unchanged bit for bit.
+        val en = e.select(col("vec_id"), col("embedding"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("__nrm"))
         def assign(cents: DataFrame): DataFrame =
           graft.functions.ColumnLib.latestWins(
-            e.select("vec_id", "embedding").crossJoin(broadcast(cents))
+            en.crossJoin(broadcast(cents.withColumn("__cnrm",
+                sqrt(dot(col("centroid"), col("centroid"))))))
               .withColumn("sim", round(dot(col("embedding"), col("centroid")) /
-                (sqrt(dot(col("embedding"), col("embedding"))) *
-                  sqrt(dot(col("centroid"), col("centroid")))), 9)),
+                (col("__nrm") * col("__cnrm")), 9)),
             Seq("vec_id"), Seq(col("sim").desc_nulls_last, col("cluster").asc))
             .select(col("vec_id"), col("embedding"), col("cluster"))
         val seed = Similarity.signLshBuckets(
