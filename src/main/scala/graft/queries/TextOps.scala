@@ -367,8 +367,13 @@ object TextOps {
           "exp1", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         val toks = d.select(col("doc_id"), col("split"),
           explode(words(col("text"))).as("token"))
+        // The vocab table is read three times (the total, the log-prob
+        // projection, the scoring join); materialize it once so the
+        // corpus is scanned exactly twice — the train-count pass and
+        // the scoring pass — instead of once per vocab consumer.
         val vocab = toks.filter(col("split") === "train")
           .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
         val total = vocab.agg(sum(col("cnt")).as("total"))
         val lp = vocab.crossJoin(broadcast(total))
           .select(col("token"),
