@@ -877,5 +877,57 @@ object SimilarityOps {
           FROM d JOIN vn ON vn.vec_id = d.vec_id JOIN qn ON qn.qid = d.qid
           WHERE vn.nn > 0 AND qn.nn > 0)
         WHERE rk <= 5
-        ORDER BY qid, cosine DESC, vec_id""")))
+        ORDER BY qid, cosine DESC, vec_id""")),
+
+    // ---- int8 embedding quantization (q68) -------------------------------
+    // The storage-scale operator: symmetric per-vector max-abs int8
+    // quantization (q_i = round(v_i * 127 / maxabs)) cuts embedding
+    // bytes 4x before the index build — at 100 TB the difference
+    // between an IVF index that fits the page cache and one that
+    // doesn't. Entirely map-side (zero shuffle; the output sort is
+    // presentation). Portability: one IEEE divide + a shared-semantics
+    // round (both engines round half away from zero) per element, and
+    // the error statistic is a MAX over dims — order-free, unlike a
+    // sum — so no decimal detour is needed. Zero vectors take the
+    // all-zeros branch explicitly (0/0 is NaN in both engines, but NaN
+    // casts to int differ).
+    QueryDef("q68_quantize_int8",
+      (s, dir) => {
+        val d = emb(s, dir).select(col("vec_id"), col("embedding"),
+          (array_max(transform(col("embedding"), x => abs(x)))
+            .cast(DoubleType) / lit(127.0)).as("__sc"))
+        d.withColumn("qvec",
+            when(col("__sc") === 0d,
+              transform(col("embedding"), _ => lit(0).cast(ByteType)))
+              .otherwise(transform(col("embedding"), x =>
+                round(x.cast(DoubleType) / col("__sc")).cast(ByteType))))
+          .select(col("vec_id"),
+            round(col("__sc"), 9).as("scale"),
+            col("qvec"),
+            round(aggregate(
+              zip_with(col("embedding"), col("qvec"), (v, q) =>
+                abs(v.cast(DoubleType) - q.cast(DoubleType) * col("__sc"))),
+              lit(0d), (a, x) => greatest(a, x)), 9).as("max_err"),
+            size(filter(col("qvec"), q => abs(q) === 127))
+              .cast(LongType).as("n_clip"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH m AS (SELECT vec_id, embedding,
+                     CAST(list_max(list_transform(embedding, x -> abs(x)))
+                          AS DOUBLE)/127.0 AS sc
+                   FROM embeddings),
+        q AS (SELECT vec_id, sc, embedding,
+                CASE WHEN sc = 0
+                     THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+                     ELSE list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE)/sc) AS TINYINT))
+                END AS qvec
+              FROM m)
+        SELECT vec_id, round(sc, 9) AS scale, qvec,
+               round(list_max(list_transform(embedding, (x, i) ->
+                 abs(CAST(x AS DOUBLE) - CAST(qvec[i] AS DOUBLE)*sc))), 9)
+                 AS max_err,
+               len(list_filter(qvec, x -> abs(x) = 127)) AS n_clip
+        FROM q ORDER BY vec_id""")))
 }

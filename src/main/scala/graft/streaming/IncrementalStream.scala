@@ -48,6 +48,21 @@ object IncrementalStream {
     docs.withWatermark(eventTimeCol, lateness)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming exact CONTENT dedup: first occurrence of each body
+    * digest wins within the watermark horizon — the streaming face of
+    * [[graft.operators.Dedup.exactGroups]] for a live document feed
+    * (the "drop exact re-crawls as they arrive" stage of an ingestion
+    * pipeline). Dedup state is keyed on the 16-byte md5 of the body,
+    * never the body itself, so the state store holds digests + ids,
+    * not corpus text; eviction is bounded by the watermark horizon.
+    */
+  def dedupedStreamByContent(docs: DataFrame, textCol: String,
+      eventTimeCol: String, lateness: String): DataFrame =
+    docs.withColumn("__digest", md5(col(textCol)))
+      .withWatermark(eventTimeCol, lateness)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
   /** Tumbling daily counts per key — the streaming restatement of the
     * daily GROUP BY (I6 note: the reference has no stream windows; daily
     * granularity comes from the derived civil date, which a `window()`

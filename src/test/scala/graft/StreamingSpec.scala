@@ -51,6 +51,33 @@ class StreamingSpec extends SparkSpec {
       Seq(("a", 1L), ("b", 2L)), "first occurrence wins per id")
   }
 
+  test("dedupedStreamByContent drops exact re-crawls, keeps distinct bodies") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val src = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = IncrementalStream.dedupedStreamByContent(src, "text", "ts",
+        "10 minutes")
+      .writeStream.format("memory").queryName("dedup_content_out")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, "same body", ts("2024-01-01 10:00:00")),
+      (2L, "same body", ts("2024-01-01 10:01:00")), // in-batch exact dup
+      (3L, "other body", ts("2024-01-01 10:01:30")))
+    q.processAllAvailable()
+    // Cross-batch re-crawl: different doc_id AND newer timestamp, same
+    // bytes — id-keyed dedup would emit it; content dedup must not.
+    mem.addData((4L, "same body", ts("2024-01-01 10:05:00")),
+      (5L, "third body", ts("2024-01-01 10:06:00")))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_content_out").collect()
+    q.stop()
+    assert(rows.map(_.getString(1)).sorted.toSeq ==
+      Seq("other body", "same body", "third body"),
+      "one survivor per distinct body")
+    assert(!rows.map(_.schema.fieldNames.toSeq).exists(_.contains("__digest")),
+      "the digest working column must not leak into the output")
+  }
+
   test("dailyCounts windows by event-time day") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, java.sql.Timestamp)]
