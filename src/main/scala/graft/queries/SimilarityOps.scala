@@ -929,5 +929,75 @@ object SimilarityOps {
                  abs(CAST(x AS DOUBLE) - CAST(qvec[i] AS DOUBLE)*sc))), 9)
                  AS max_err,
                len(list_filter(qvec, x -> abs(x) = 127)) AS n_clip
-        FROM q ORDER BY vec_id""")))
+        FROM q ORDER BY vec_id""")),
+
+    // ---- quantized ANN: retrieval over the int8 vectors (q69) ------------
+    // Closes the quantization loop: brute-force cosine top-10 computed
+    // ENTIRELY on q68's int8 vectors. Cosine is scale-invariant, so the
+    // per-vector quantization scales cancel and the whole score is
+    // integer arithmetic — int8 products summed into a long (exact and
+    // order-free; the int dot is what SIMD engines actually execute) —
+    // followed by one sqrt/divide of identical inputs. No decimal
+    // accumulation is needed anywhere: this is the cheap-at-100TB score
+    // path the decimal-exact float queries cannot be.
+    QueryDef("q69_quantized_ann",
+      (s, dir) => {
+        def int8(e: DataFrame): DataFrame = {
+          val d = e.select(col("vec_id"), col("embedding"),
+            (array_max(transform(col("embedding"), x => abs(x)))
+              .cast(DoubleType) / lit(127.0)).as("__sc"))
+          d.select(col("vec_id"),
+            when(col("__sc") === 0d,
+              transform(col("embedding"), _ => lit(0).cast(ByteType)))
+              .otherwise(transform(col("embedding"), x =>
+                round(x.cast(DoubleType) / col("__sc")).cast(ByteType)))
+              .as("qvec"))
+        }
+        def idot(a: Column, b: Column): Column =
+          aggregate(
+            zip_with(a, b, (x, y) => (x.cast(IntegerType) * y.cast(IntegerType))
+              .cast(LongType)),
+            lit(0L), (acc, x) => acc + x)
+        val qd = int8(emb(s, dir))
+          .withColumn("nrm2", idot(col("qvec"), col("qvec")))
+        val q0 = qd.filter(col("vec_id") === 0)
+          .select(col("qvec").as("q0"), col("nrm2").as("qnrm2"))
+        qd.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q0))
+          .filter(col("nrm2") > 0 && col("qnrm2") > 0)
+          .select(col("vec_id"),
+            round(idot(col("qvec"), col("q0")).cast(DoubleType) /
+              (sqrt(col("nrm2").cast(DoubleType)) *
+                sqrt(col("qnrm2").cast(DoubleType))), 9).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""
+        WITH m AS (SELECT vec_id, embedding,
+                     CAST(list_max(list_transform(embedding, x -> abs(x)))
+                          AS DOUBLE)/127.0 AS sc
+                   FROM embeddings),
+        q AS (SELECT vec_id,
+                CASE WHEN sc = 0
+                     THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+                     ELSE list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE)/sc) AS TINYINT))
+                END AS qvec
+              FROM m),
+        n AS (SELECT vec_id, qvec,
+                CAST(list_sum(list_transform(qvec,
+                  x -> CAST(x AS INTEGER)*CAST(x AS INTEGER))) AS BIGINT) AS nrm2
+              FROM q),
+        q0 AS (SELECT qvec AS qv, nrm2 AS qnrm2 FROM n WHERE vec_id = 0),
+        d AS (SELECT n.vec_id,
+                CAST(list_sum(list_transform(n.qvec, (x, i) ->
+                  CAST(x AS INTEGER)*CAST(q0.qv[i] AS INTEGER))) AS BIGINT) AS dot,
+                n.nrm2, q0.qnrm2
+              FROM n, q0 WHERE n.vec_id <> 0)
+        SELECT vec_id,
+               round(CAST(dot AS DOUBLE) /
+                     (sqrt(CAST(nrm2 AS DOUBLE))*sqrt(CAST(qnrm2 AS DOUBLE))), 9)
+                 AS cosine
+        FROM d WHERE nrm2 > 0 AND qnrm2 > 0
+        ORDER BY cosine DESC, vec_id LIMIT 10""")))
 }
