@@ -236,6 +236,30 @@ object Similarity {
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
+  /** Symmetric per-vector max-abs int8 quantization: adds `qvec`
+    * (array<tinyint>, q_i = round(v_i * 127 / maxabs)) and `scale`
+    * (double, maxabs / 127) to every row — 4x fewer embedding bytes
+    * before an index build, and the integer dot product over `qvec` is
+    * the cheap SIMD score path ([[graft.queries.SimilarityOps]] q69
+    * shows cosine over int8 needs no scales at all). Entirely
+    * map-side: zero shuffle, one pass. Zero vectors take an explicit
+    * all-zeros branch (0/0 is NaN, and NaN-to-int casts are
+    * engine-dependent). Per-element reconstruction error is bounded by
+    * scale/2 (spec-pinned in SimilaritySpec).
+    */
+  def quantizeInt8(vecs: DataFrame, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, DoubleType}
+    vecs
+      .withColumn("scale",
+        array_max(transform(col(vecCol), x => abs(x)))
+          .cast(DoubleType) / lit(127.0))
+      .withColumn("qvec",
+        when(col("scale") === 0d,
+          transform(col(vecCol), _ => lit(0).cast(ByteType)))
+          .otherwise(transform(col(vecCol), x =>
+            round(x.cast(DoubleType) / col("scale")).cast(ByteType))))
+  }
+
   /** Batch IVF search: many queries in one plan. Per-query centroid
     * ranking is a broadcast of the (tiny) centroid table + a bounded-
     * heap top-nprobe per query — no driver collect, unlike the

@@ -893,23 +893,21 @@ object SimilarityOps {
     // casts to int differ).
     QueryDef("q68_quantize_int8",
       (s, dir) => {
-        val d = emb(s, dir).select(col("vec_id"), col("embedding"),
-          (array_max(transform(col("embedding"), x => abs(x)))
-            .cast(DoubleType) / lit(127.0)).as("__sc"))
-        d.withColumn("qvec",
-            when(col("__sc") === 0d,
-              transform(col("embedding"), _ => lit(0).cast(ByteType)))
-              .otherwise(transform(col("embedding"), x =>
-                round(x.cast(DoubleType) / col("__sc")).cast(ByteType))))
-          .select(col("vec_id"),
-            round(col("__sc"), 9).as("scale"),
-            col("qvec"),
-            round(aggregate(
-              zip_with(col("embedding"), col("qvec"), (v, q) =>
-                abs(v.cast(DoubleType) - q.cast(DoubleType) * col("__sc"))),
-              lit(0d), (a, x) => greatest(a, x)), 9).as("max_err"),
-            size(filter(col("qvec"), q => abs(q) === 127))
-              .cast(LongType).as("n_clip"))
+        // max_err is computed in a projection BELOW the one that aliases
+        // the rounded scale: a same-select `round(scale).as("scale")`
+        // would capture the lambda's `scale` reference via lateral
+        // column alias resolution and silently swap the rounded value
+        // into the error arithmetic.
+        Similarity.quantizeInt8(
+            emb(s, dir).select("vec_id", "embedding"), "embedding")
+          .withColumn("max_err", round(aggregate(
+            zip_with(col("embedding"), col("qvec"), (v, q) =>
+              abs(v.cast(DoubleType) - q.cast(DoubleType) * col("scale"))),
+            lit(0d), (a, x) => greatest(a, x)), 9))
+          .withColumn("n_clip",
+            size(filter(col("qvec"), q => abs(q) === 127)).cast(LongType))
+          .select(col("vec_id"), round(col("scale"), 9).as("scale"),
+            col("qvec"), col("max_err"), col("n_clip"))
           .orderBy("vec_id")
       },
       Some("""
@@ -942,17 +940,8 @@ object SimilarityOps {
     // path the decimal-exact float queries cannot be.
     QueryDef("q69_quantized_ann",
       (s, dir) => {
-        def int8(e: DataFrame): DataFrame = {
-          val d = e.select(col("vec_id"), col("embedding"),
-            (array_max(transform(col("embedding"), x => abs(x)))
-              .cast(DoubleType) / lit(127.0)).as("__sc"))
-          d.select(col("vec_id"),
-            when(col("__sc") === 0d,
-              transform(col("embedding"), _ => lit(0).cast(ByteType)))
-              .otherwise(transform(col("embedding"), x =>
-                round(x.cast(DoubleType) / col("__sc")).cast(ByteType)))
-              .as("qvec"))
-        }
+        def int8(e: DataFrame): DataFrame =
+          Similarity.quantizeInt8(e, "embedding").select("vec_id", "qvec")
         def idot(a: Column, b: Column): Column =
           aggregate(
             zip_with(a, b, (x, y) => (x.cast(IntegerType) * y.cast(IntegerType))

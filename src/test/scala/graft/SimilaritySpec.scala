@@ -168,4 +168,35 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == gate)
   }
+
+  test("quantizeInt8: per-element error <= scale/2, clip range, zero branch") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(emb, "embedding")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding"))
+      val sc = r.getDouble(r.fieldIndex("scale"))
+      val q = r.getSeq[Byte](r.fieldIndex("qvec"))
+      assert(q.length == v.length)
+      // Round-to-nearest bound: |v - q*scale| <= scale/2 (+1 ulp slack),
+      // and the code range is symmetric int8 without -128.
+      v.zip(q).foreach { case (vi, qi) =>
+        assert(math.abs(qi.toInt) <= 127)
+        assert(math.abs(vi.toDouble - qi.toDouble * sc) <= sc / 2 * (1 + 1e-12),
+          s"dim error exceeds scale/2 for v=$vi q=$qi scale=$sc")
+      }
+    }
+    // Zero vector: explicit all-zeros branch, scale 0.
+    val z = Similarity.quantizeInt8(
+      df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+        Row(Long.box(1), Seq(0.0f, 0.0f))), "embedding").head()
+    assert(z.getDouble(z.fieldIndex("scale")) == 0.0)
+    assert(z.getSeq[Byte](z.fieldIndex("qvec")) == Seq(0.toByte, 0.toByte))
+    // Map-side only: no exchange in the plan.
+    val plan = Similarity.quantizeInt8(emb, "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantization must not shuffle:\n$plan")
+  }
 }
