@@ -538,6 +538,34 @@ object TextOps {
               FROM documents)
         ORDER BY source, doc_id""")),
 
+    // ---- scale-out packing: the two-pass offsets q44's notes promise ----
+    // Identical semantics to q44 (the oracle is the same SQL), computed
+    // the way a corpus with FEW huge sources must: bucket-local window
+    // sums plus driver-prefix-summed per-(source, bucket) base offsets,
+    // so parallelism is sources x buckets instead of one task per
+    // source (operator scaladoc: operators/Packing.scala).
+    QueryDef("q84_pack_scalable",
+      (s, dir) => {
+        val budget = 2048
+        graft.operators.Packing.packTwoPass(
+            docs(s, dir).select(col("source"), col("doc_id"),
+              tokenCountWs(col("text")).as("n_tokens")),
+            "source", "doc_id", "n_tokens", nBuckets = 4)
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            floor((col("end_offset") - col("n_tokens")) / budget).as("seq_id"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""
+        SELECT source, doc_id, n_tokens,
+               CAST(floor((end_offset - n_tokens) / 2048) AS BIGINT) AS seq_id
+        FROM (SELECT source, doc_id,
+                     len(string_split(text,' ')) AS n_tokens,
+                     SUM(len(string_split(text,' '))) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS end_offset
+              FROM documents)
+        ORDER BY source, doc_id""")),
+
     // ---- top-k per group: best documents per source ---------------------
     // Runs on the custom whole-operator plan (graft.plans.TopKPerGroup,
     // SURVEY §7.3 tier c): map-side bounded heaps prune each partition

@@ -36,4 +36,26 @@ class TextFunctionsSpec extends SparkSpec {
     val (h0, h1) = (r.getString(0), r.getString(1))
     assert(h0.length == 16 && h1.length == 16 && h0 != h1)
   }
+
+  test("packTwoPass offsets equal the single-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), col("doc_id"),
+        tokenCountWs(col("text")).as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val single = d.withColumn("end_offset", sum(col("n_tokens")).over(w))
+      .select("source", "doc_id", "end_offset")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // Several bucket widths, including more buckets than rows per
+    // group: the composition of bucket-local sums and driver-prefixed
+    // bases must be exactly the global prefix sum in every split.
+    Seq(1, 3, 8, 1000).foreach { b =>
+      val two = graft.operators.Packing
+        .packTwoPass(d, "source", "doc_id", "n_tokens", nBuckets = b)
+        .select("source", "doc_id", "end_offset")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(two == single, s"nBuckets=$b must reproduce the global offsets")
+    }
+  }
 }
