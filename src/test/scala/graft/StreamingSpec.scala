@@ -78,6 +78,39 @@ class StreamingSpec extends SparkSpec {
       "the digest working column must not leak into the output")
   }
 
+  test("streaming corpus ingest: native quality gate composes with content dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val src = mem.toDF().toDF("doc_id", "text", "ts")
+    // The batch text battery in a STREAMING plan: the native ngram_stats
+    // expression is row-level, so the same quality gate the corpus
+    // build uses (q55) runs unchanged over micro-batches, feeding the
+    // digest-keyed dedup state.
+    val st = graft.functions.TextFunctions.ngramStats(col("text"), 2)
+    val gated = src
+      .withColumn("__st", st)
+      .filter(col("__st").getField("n_tokens") >= 4)
+      .drop("__st")
+    val q = IncrementalStream.dedupedStreamByContent(gated, "text", "ts",
+        "10 minutes")
+      .writeStream.format("memory").queryName("corpus_ingest_out")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, "a good long document body", ts("2024-01-01 10:00:00")),
+      (2L, "short", ts("2024-01-01 10:00:30")), // fails the quality gate
+      (3L, "a good long document body", ts("2024-01-01 10:01:00"))) // dup of 1
+    q.processAllAvailable()
+    mem.addData(
+      (4L, "short", ts("2024-01-01 10:02:00")), // still gated out
+      (5L, "another acceptable document here", ts("2024-01-01 10:03:00")),
+      (6L, "a good long document body", ts("2024-01-01 10:04:00"))) // cross-batch dup
+    q.processAllAvailable()
+    val rows = spark.table("corpus_ingest_out").collect()
+    q.stop()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L),
+      "quality-gated, content-deduplicated survivors only")
+  }
+
   test("dailyCounts windows by event-time day") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, java.sql.Timestamp)]
