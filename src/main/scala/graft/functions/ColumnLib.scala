@@ -122,13 +122,19 @@ object ColumnLib {
     * `TopK.perGroup` directly for that shape (TopKSpec pins that both
     * formulations agree under the total-order contract).
     */
+  /** First name in the `base`, `base1`, `base2`, ... sequence not taken
+    * by the input — collision-proofing for operators that add-then-drop
+    * a working column: an input that legitimately carries the base name
+    * (e.g. a re-ingested export) must survive untouched, not be
+    * clobbered-then-dropped.
+    */
+  def freeColumn(df: DataFrame, base: String): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(n => !df.columns.contains(n)).get
+
   def latestWins(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Collision-proof rank column: an input that legitimately carries a
-    // "__rn" column (e.g. re-ingested exports) must survive the dedup
-    // untouched, not be clobbered-then-dropped.
-    val rn = Iterator.from(0).map(i => if (i == 0) "__rn" else s"__rn$i")
-      .find(n => !df.columns.contains(n)).get
+    val rn = freeColumn(df, "__rn")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     df.withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1)

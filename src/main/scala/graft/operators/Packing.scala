@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.ColumnLib.freeColumn
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -24,10 +25,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *     parallelism is groups x buckets, each window sees ~1/buckets of
   *     its group.
   *
-  * The driver materialization is the per-(group, bucket) TOTALS — a
-  * bounded summary, never row data (same posture as the IVF centroid
-  * ranking). The order key must be numeric and unique per group (the
-  * same total-order contract as the window formulation).
+  * Three column-pruned passes over the input: the per-group order-key
+  * min/max (reads two columns; the bucketing needs it before any total
+  * can be formed), the totals pass, and the output pass. The driver
+  * materialization is the per-(group, bucket) TOTALS — a bounded
+  * summary, never row data (same posture as the IVF centroid ranking).
+  * The order key must be numeric, non-null, and unique per group (the
+  * same total-order contract as the window formulation); NULL token
+  * counts contribute zero to the bases, exactly as a window SUM skips
+  * them.
   */
 object Packing {
 
@@ -35,16 +41,18 @@ object Packing {
       tokensCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets > 0, "need at least one bucket")
     val spark = df.sparkSession
+    val (loC, hiC, bkC, baseC) = (freeColumn(df, "__lo"),
+      freeColumn(df, "__hi"), freeColumn(df, "__bucket"),
+      freeColumn(df, "__base"))
     val mm = df.groupBy(col(groupCol))
-      .agg(min(col(orderCol)).cast(LongType).as("__lo"),
-        max(col(orderCol)).cast(LongType).as("__hi"))
-    val bucketed = df.join(broadcast(mm), groupCol)
-      .withColumn("__bucket",
-        expr(s"CAST((($orderCol - __lo) * $nBuckets) " +
-          s"DIV (__hi - __lo + 1) AS INT)"))
-    val totals = bucketed
-      .groupBy(col(groupCol), col("__bucket"))
-      .agg(sum(col(tokensCol)).cast(LongType).as("__t"))
+      .agg(min(col(orderCol)).cast(LongType).as(loC),
+        max(col(orderCol)).cast(LongType).as(hiC))
+    def bucket(d: DataFrame): DataFrame = d.withColumn(bkC,
+      expr(s"CAST((($orderCol - $loC) * $nBuckets) " +
+        s"DIV ($hiC - $loC + 1) AS INT)"))
+    val totals = bucket(df.join(broadcast(mm), groupCol))
+      .groupBy(col(groupCol), col(bkC))
+      .agg(sum(coalesce(col(tokensCol), lit(0L))).cast(LongType).as("__t"))
       .collect()
     val baseRows = totals.groupBy(_.get(0)).toSeq.flatMap { case (_, rows) =>
       val sorted = rows.sortBy(_.getInt(1))
@@ -52,17 +60,19 @@ object Packing {
         .map { case (r, base) => Row(r.get(0), r.getInt(1), base) }
     }
     val totalsSchema = StructType(
-      bucketed.select(col(groupCol), col("__bucket")).schema.fields.toSeq :+
-        StructField("__base", LongType, nullable = false))
+      bucket(df.join(broadcast(mm), groupCol))
+        .select(col(groupCol), col(bkC)).schema.fields.toSeq :+
+        StructField(baseC, LongType, nullable = false))
     val baseDf = spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(baseRows).asJava), totalsSchema)
-    val w = Window.partitionBy(col(groupCol), col("__bucket"))
+    val w = Window.partitionBy(col(groupCol), col(bkC))
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed.join(broadcast(baseDf), Seq(groupCol, "__bucket"))
+    bucket(df.join(broadcast(mm), groupCol))
+      .join(broadcast(baseDf), Seq(groupCol, bkC))
       .withColumn("end_offset",
-        sum(col(tokensCol)).over(w) + col("__base"))
-      .drop("__bucket", "__lo", "__hi", "__base")
+        sum(col(tokensCol)).over(w) + col(baseC))
+      .drop(bkC, loC, hiC, baseC)
   }
 }

@@ -78,12 +78,14 @@ object Sampling {
     * a full-sort window formulation would shuffle the whole corpus.
     */
   def stratifiedFixedN(df: DataFrame, strataCols: Seq[String],
-      keyCol: String, salt: String, n: Int): DataFrame =
+      keyCol: String, salt: String, n: Int): DataFrame = {
+    val rk = graft.functions.ColumnLib.freeColumn(df, "__rk")
     TopK.perGroup(
-      df.withColumn("__rk",
+      df.withColumn(rk,
         md5(concat(lit(salt + ":"), col(keyCol).cast("string")))),
-      strataCols, Seq(col("__rk").asc, col(keyCol).asc), n)
-      .drop("__rk")
+      strataCols, Seq(col(rk).asc, col(keyCol).asc), n)
+      .drop(rk)
+  }
 
   /** Weighted mixture: deterministically subsample each source by its
     * weight and union (by name, tolerating schema drift across

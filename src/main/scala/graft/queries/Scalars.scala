@@ -55,7 +55,8 @@ object Scalars {
         FROM (SELECT l_returnflag, l_quantity,
                      row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
                      count(*) OVER (PARTITION BY l_returnflag) AS n
-              FROM lineitem)
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL)
         GROUP BY 1 ORDER BY 1""")),
 
     // ---- string-function surface ---------------------------------------

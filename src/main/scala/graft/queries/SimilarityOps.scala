@@ -73,23 +73,29 @@ object SimilarityOps {
     cos AS (SELECT vec_id, round(dot/(sqrt(na)*sqrt(nqv)), 9) AS cosine
             FROM d, nq WHERE na > 0 AND nqv > 0)"""
 
-  /** Label-derived coarse centroids on the portable decimal grid:
-    * decimal-exact per-dimension means rounded to 1e-9 and cast to
-    * FLOAT, so Spark and the SQL oracle assign and probe from
-    * bit-identical centroids (the production float-avg
-    * [[Similarity.centroids]] stays spec-covered in IvfSpec). Shared
-    * by the q54 single-query and q67 batch IVF gates.
+  /** Coarse centroids on the portable decimal grid: decimal-exact
+    * per-dimension means rounded to 1e-9 and cast to FLOAT, so Spark
+    * and the SQL oracle assign and probe from bit-identical centroids
+    * (the production float-avg [[Similarity.centroids]] stays
+    * spec-covered in IvfSpec). `byCol` is the seed assignment — the
+    * label column for the q54/q58/q67 gates, the evolving cluster
+    * column for q59's Lloyd iterations — single-sourced so the grid
+    * rounding cannot drift between the gates.
     */
-  private def labelCentsDecimal(e: DataFrame): DataFrame =
-    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
-      .select(col("label"), col("pos"), col("vf").cast(DoubleType).as("v"))
-      .groupBy("label", "pos")
+  private def decimalGridCentroids(vecs: DataFrame, byCol: String): DataFrame =
+    vecs.select(col(byCol).as("cluster"),
+        posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("cluster"), col("pos"), col("vf").cast(DoubleType).as("v"))
+      .groupBy("cluster", "pos")
       .agg(round(sum(col("v").cast(D)).cast(DoubleType) /
         count(lit(1)).cast(DoubleType), 9).cast(FloatType).as("c"))
-      .groupBy("label")
+      .groupBy("cluster")
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
-      .select(col("label").as("cluster"),
+      .select(col("cluster"),
         transform(col("pairs"), p => p.getField("c")).as("centroid"))
+
+  private def labelCentsDecimal(e: DataFrame): DataFrame =
+    decimalGridCentroids(e, "label")
 
   /** Shared DuckDB CTE block for the label-centroid IVF gates
     * (q54 / q58 / q67): exploded embeddings + decimal-grid float
@@ -625,7 +631,12 @@ object SimilarityOps {
             .filter(col("cosine").isNotNull)
             .orderBy(col("cosine").desc, col("vec_id"))
             .limit(10)
+        // The exact full-scan baseline feeds all three union branches;
+        // as with q57, plan-tree reuse does not happen across union
+        // children, so materialize the 10-row result once instead of
+        // paying the full decimal scan per branch.
         val exact = decimalTop10(e.select("vec_id")).select("vec_id")
+          .localCheckpoint(true)
         def stats(nprobe: Int): DataFrame = {
           val probed = Similarity.ivfSearch(s, path, "vec_id", "embedding",
             cents, qvec, k = 50, nprobe = nprobe)
@@ -715,16 +726,7 @@ object SimilarityOps {
         def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
         val e = emb(s, dir)
         def cent(assigned: DataFrame): DataFrame =
-          assigned
-            .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "vf")))
-            .select(col("cluster"), col("pos"), col("vf").cast(DoubleType).as("v"))
-            .groupBy("cluster", "pos")
-            .agg(round(sum(col("v").cast(D)).cast(DoubleType) /
-              count(lit(1)).cast(DoubleType), 9).cast(FloatType).as("c"))
-            .groupBy("cluster")
-            .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
-            .select(col("cluster"),
-              transform(col("pairs"), p => p.getField("c")).as("centroid"))
+          decimalGridCentroids(assigned, "cluster")
         // Norms are hoisted OUT of the (vector x centroid) pair loop:
         // computed once per vector and once per centroid, the pair
         // stage runs exactly one decimal dot instead of three (~3x
@@ -900,10 +902,14 @@ object SimilarityOps {
         // into the error arithmetic.
         Similarity.quantizeInt8(
             emb(s, dir).select("vec_id", "embedding"), "embedding")
-          .withColumn("max_err", round(aggregate(
+          // array_max, not a 0-seeded fold: on an empty embedding the
+          // fold would yield 0.0 while DuckDB's list_max yields NULL —
+          // array_max returns NULL on empty, keeping the engines
+          // aligned on degenerate rows.
+          .withColumn("max_err", round(array_max(
             zip_with(col("embedding"), col("qvec"), (v, q) =>
-              abs(v.cast(DoubleType) - q.cast(DoubleType) * col("scale"))),
-            lit(0d), (a, x) => greatest(a, x)), 9))
+              abs(v.cast(DoubleType) - q.cast(DoubleType) * col("scale")))),
+            9))
           .withColumn("n_clip",
             size(filter(col("qvec"), q => abs(q) === 127)).cast(LongType))
           .select(col("vec_id"), round(col("scale"), 9).as("scale"),

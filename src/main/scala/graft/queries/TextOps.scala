@@ -313,8 +313,15 @@ object TextOps {
           sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
         val dfs = tf.agg(dfAggs.head, dfAggs.tail: _*)
         val n = d.agg(count(lit(1)).as("n_total"))
+        // A term absent from the whole corpus has df = 0 AND tf = 0
+        // everywhere; without the guard that contribution is
+        // 0 * ln(inf) = NaN, which poisons every document's score (and
+        // NaN ordering differs across engines). The guard makes the
+        // absent term contribute the 0 it mathematically is.
         val score = terms.map(t =>
-            col(s"tf_$t") * log(col("n_total") / col(s"df_$t")))
+            when(col(s"df_$t") > 0,
+              col(s"tf_$t") * log(col("n_total") / col(s"df_$t")))
+              .otherwise(lit(0.0)))
           .reduce(_ + _)
         tf.crossJoin(broadcast(dfs)).crossJoin(broadcast(n))
           .select((col("doc_id") +: terms.map(t => col(s"tf_$t"))) :+
@@ -341,10 +348,15 @@ object TextOps {
                FROM tf),
         n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
         SELECT doc_id, tf_spark, tf_vector, tf_customer, tf_merge,
-               round(tf_spark*ln(n_total/df_spark)
-                     + tf_vector*ln(n_total/df_vector)
-                     + tf_customer*ln(n_total/df_customer)
-                     + tf_merge*ln(n_total/df_merge), 9) AS tfidf
+               round((CASE WHEN df_spark > 0
+                           THEN tf_spark*ln(n_total/df_spark) ELSE 0.0 END)
+                     + (CASE WHEN df_vector > 0
+                             THEN tf_vector*ln(n_total/df_vector) ELSE 0.0 END)
+                     + (CASE WHEN df_customer > 0
+                             THEN tf_customer*ln(n_total/df_customer) ELSE 0.0 END)
+                     + (CASE WHEN df_merge > 0
+                             THEN tf_merge*ln(n_total/df_merge) ELSE 0.0 END), 9)
+                 AS tfidf
         FROM tf, st, n
         ORDER BY tfidf DESC, doc_id LIMIT 20""")),
 

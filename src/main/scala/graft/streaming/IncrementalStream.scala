@@ -57,11 +57,13 @@ object IncrementalStream {
     * not corpus text; eviction is bounded by the watermark horizon.
     */
   def dedupedStreamByContent(docs: DataFrame, textCol: String,
-      eventTimeCol: String, lateness: String): DataFrame =
-    docs.withColumn("__digest", md5(col(textCol)))
+      eventTimeCol: String, lateness: String): DataFrame = {
+    val digest = graft.functions.ColumnLib.freeColumn(docs, "__digest")
+    docs.withColumn(digest, md5(col(textCol)))
       .withWatermark(eventTimeCol, lateness)
-      .dropDuplicatesWithinWatermark("__digest")
-      .drop("__digest")
+      .dropDuplicatesWithinWatermark(digest)
+      .drop(digest)
+  }
 
   /** Tumbling daily counts per key — the streaming restatement of the
     * daily GROUP BY (I6 note: the reference has no stream windows; daily
