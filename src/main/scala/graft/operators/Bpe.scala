@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Byte-pair-encoding tokenizer training over a distributed corpus —
+  * the "train your own tokenizer on the cleaned corpus" step of an
+  * LLM data pipeline.
+  *
+  * Formulated the way Sennrich's reference trainer is: the corpus
+  * collapses ONCE to a (word, count) vocabulary — the only stage that
+  * touches corpus-scale data (one shuffle, map-side combined) — and
+  * every merge round then runs over the vocab table: weighted
+  * adjacent-pair counts (distributed groupBy), a 1-ROW argmax (the
+  * only driver materialization per round — never the table), and a
+  * greedy left-to-right pair rewrite of the symbol arrays. Rounds are
+  * bounded by `nMerges` (like the Lloyd iterations in the IVF
+  * quantizer); each round's vocab is checkpointed to cut lineage and
+  * the previous round's buffers are released deterministically.
+  *
+  * At 100 TB the vocab table is millions of rows, not corpus-sized —
+  * the per-round jobs are small and the merge list (the trained
+  * artifact) is O(nMerges).
+  */
+object Bpe {
+
+  final case class Merge(rank: Int, left: String, right: String,
+      merged: String, cnt: Long)
+
+  /** Corpus → (sym, n): whitespace words counted, symbols = the word's
+    * characters joined by single spaces (the classic BPE working
+    * representation). The one corpus-scale stage.
+    */
+  def vocab(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(concat_ws(" ", split(col("w"), "")).as("sym"), col("n"))
+
+  /** Weighted adjacent-symbol-pair counts over a vocab table — the
+    * distributed core of one merge round.
+    */
+  def pairCounts(vocabDf: DataFrame): DataFrame =
+    vocabDf.select(col("n"), split(col("sym"), " ").as("cs"))
+      .select(col("n"), explode(zip_with(
+        slice(col("cs"), lit(1), size(col("cs")) - 1),
+        slice(col("cs"), lit(2), size(col("cs")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy("pair").agg(sum(col("n")).as("cnt"))
+
+  /** Greedy left-to-right application of one merge to a symbol string:
+    * fold the symbol array, fusing `left right` adjacencies into
+    * `merged` (a fused symbol does not re-pair with the element it
+    * consumed — standard non-overlapping BPE semantics).
+    */
+  private[graft] def applyMerge(sym: Column, left: String,
+      right: String, merged: String): Column =
+    concat_ws(" ", aggregate(
+      split(sym, " "),
+      array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === left && x === lit(right),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+        .otherwise(concat(acc, array(x)))))
+
+  /** Learn `nMerges` merges. Ties break on the pair string, so the
+    * merge list is deterministic across runs and partitionings.
+    */
+  def train(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    require(nMerges > 0, "need at least one merge")
+    var v = vocab(df, textCol).localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val top = pairCounts(v)
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        val m = Merge(r, a, b, a + b, top(0).getLong(1))
+        out += m
+        val next = v
+          .select(applyMerge(col("sym"), m.left, m.right, m.merged).as("sym"),
+            col("n"))
+          .localCheckpoint(true)
+        Dedup.release(v)
+        v = next
+      }
+    }
+    Dedup.release(v)
+    out.toSeq
+  }
+
+  /** Tokenize a text column with a learned merge list: per-word symbol
+    * arrays rewritten by each merge in rank order — a pure map-side
+    * projection (the merge list is compiled into the expression, the
+    * way the trained artifact ships to the cluster).
+    */
+  def encode(df: DataFrame, textCol: String, merges: Seq[Merge],
+      out: String = "tokens"): DataFrame = {
+    val word = graft.functions.ColumnLib.freeColumn(df, "__w")
+    val sym = merges.foldLeft(
+      concat_ws(" ", split(col(word), "")): Column) { (c, m) =>
+      applyMerge(c, m.left, m.right, m.merged)
+    }
+    df.withColumn(word, explode(split(col(textCol), " ")))
+      .filter(length(col(word)) > 0)
+      .withColumn(out, split(sym, " ").cast("array<string>"))
+      .withColumnRenamed(word, "word")
+  }
+
+  /** The merge list as a DataFrame (for gates and persistence). */
+  def trainDf(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    train(df, textCol, nMerges).toDF()
+      .select(col("rank"), col("left"), col("right"),
+        col("merged").cast(StringType), col("cnt"))
+  }
+}

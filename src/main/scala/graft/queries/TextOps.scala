@@ -578,6 +578,32 @@ object TextOps {
               FROM documents)
         ORDER BY source, doc_id""")),
 
+    // ---- BPE pair counts: the distributed core of tokenizer training ----
+    // One merge round of BPE training (operators/Bpe.scala): the corpus
+    // collapses to a (word, count) vocab — the only corpus-scale shuffle
+    // — and adjacent-symbol pairs are counted weighted by word count.
+    // The iterated trainer (argmax → greedy rewrite → repeat) is
+    // spec-gated in BpeSpec, same posture as the Lloyd loop: the
+    // per-round rewrite fold is not ANSI-SQL-expressible, the
+    // distributed stage is, so the oracle pins exactly that stage.
+    QueryDef("q85_bpe_pairs",
+      (s, dir) => {
+        graft.operators.Bpe.pairCounts(
+            graft.operators.Bpe.vocab(docs(s, dir), "text"))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(20)
+      },
+      Some("""
+        WITH w AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+        v AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM w
+              WHERE length(w) > 0 GROUP BY 1),
+        s AS (SELECT n, string_split(w,'') AS cs FROM v),
+        p AS (SELECT unnest(list_transform(cs[1:len(cs)-1],
+                (x, i) -> x || ' ' || cs[i+1])) AS pair, n
+              FROM s)
+        SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM p GROUP BY 1
+        ORDER BY cnt DESC, pair ASC LIMIT 20""")),
+
     // ---- top-k per group: best documents per source ---------------------
     // Runs on the custom whole-operator plan (graft.plans.TopKPerGroup,
     // SURVEY §7.3 tier c): map-side bounded heaps prune each partition
