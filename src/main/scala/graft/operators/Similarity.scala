@@ -296,6 +296,71 @@ object Similarity {
       Seq(col("cosine").desc, col(idCol).asc), k)
   }
 
+  /** IVF-SQ8 build: the cluster-partitioned IVF layout with int8
+    * payloads — routing stays on the float centroids (same assignment
+    * as [[ivfWrite]], so SQ8 and float indexes agree on placement),
+    * but the stored vector is [[quantizeInt8]]'s `qvec` + `scale`:
+    * 4x fewer index bytes, and in-cluster scoring becomes the integer
+    * dot product. This is the FAISS IVF-SQ recipe, the shape that
+    * keeps a 100 TB index inside the page cache.
+    */
+  def ivfWriteSq8(vecs: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame, path: String): Unit =
+    quantizeInt8(assignNearest(vecs, idCol, vecCol, centroidDf), vecCol)
+      .select(col(idCol), col("qvec"), col("scale"), col("cluster"))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** Probe-limited search over an SQ8 index: float centroids rank the
+    * probes (bounded driver list, as [[ivfSearch]]); the query is
+    * quantized with its own max-abs scale; in-cluster cosine is then
+    * PURE INTEGER arithmetic — per-vector quantization scales cancel
+    * in cosine, so int8 products summed into a long (exact,
+    * order-free) need no scale corrections and no decimal detour. The
+    * query's own id is not excluded; callers filter if needed.
+    */
+  def ivfSearchSq8(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, centroidDf: DataFrame, query: Seq[Float],
+      k: Int, nprobe: Int): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val q = array(query.map(lit): _*)
+    val probes = centroidDf
+      .select(col("cluster"), cosineNative(col("centroid"), q).as("sim"))
+      .orderBy(col("sim").desc_nulls_last, col("cluster"))
+      .limit(nprobe)
+      .collect().map(_.get(0))
+    // Quantize the one query vector on the driver with the same
+    // HALF_UP rounding quantizeInt8 compiles into the plan
+    // (Math.round would differ on negative halves).
+    val maxabs = if (query.isEmpty) 0f else query.map(math.abs).max
+    val qq: Seq[Int] =
+      if (maxabs == 0f) query.map(_ => 0)
+      else {
+        val sc = maxabs.toDouble / 127.0
+        query.map(v => JBD.valueOf(v.toDouble / sc)
+          .setScale(0, RoundingMode.HALF_UP).intValueExact())
+      }
+    val qnrm2 = qq.map(x => x.toLong * x).sum
+    val idot = aggregate(
+      zip_with(col("qvec"), array(qq.map(lit): _*),
+        (a, b) => (a.cast("int") * b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val nrm2 = aggregate(
+      zip_with(col("qvec"), col("qvec"),
+        (a, b) => (a.cast("int") * b.cast("int")).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    spark.read.parquet(path)
+      .filter(col("cluster").isin(probes.toIndexedSeq: _*))
+      .select(col(idCol), idot.as("__dot"), nrm2.as("__n2"))
+      .filter(col("__n2") > 0 && lit(qnrm2) > 0)
+      .select(col(idCol),
+        round(col("__dot").cast("double") /
+          (sqrt(col("__n2").cast("double")) * sqrt(lit(qnrm2.toDouble))),
+          9).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Probe-limited IVF search: rank centroids against the query on the
     * driver (centroids are tiny), then scan ONLY the nprobe nearest
     * clusters — a partition-pruned read — and exact-rank within them.

@@ -935,6 +935,73 @@ object SimilarityOps {
                len(list_filter(qvec, x -> abs(x) = 127)) AS n_clip
         FROM q ORDER BY vec_id""")),
 
+    // ---- IVF-SQ8: quantized payloads inside the partitioned index -------
+    // The composition production ANN actually ships (FAISS IVF-SQ):
+    // float centroids route (same assignment as q54, so placement is
+    // shared with the float index), the STORED payload is the int8
+    // qvec + scale (4x smaller index), and in-cluster cosine is pure
+    // integer arithmetic — scales cancel, int products sum exactly
+    // into a long, so the ranking needs NO double-vs-decimal margin:
+    // both engines cut the same rounded value. Search k runs one over
+    // so the query's own row (rank 1 by construction) can be dropped
+    // post-search without shrinking the result.
+    QueryDef("q86_ivf_sq8",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cents = labelCentsDecimal(e)
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_ivf_q86_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        Similarity.ivfWriteSq8(e.select("vec_id", "embedding"),
+          "vec_id", "embedding", cents, path)
+        val qvec = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        Similarity.ivfSearchSq8(s, path, "vec_id", cents, qvec,
+            k = 11, nprobe = 2)
+          .filter(col("vec_id") =!= 0)
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""
+        WITH $ivfAssignCte,
+        q AS (SELECT pos, v FROM e WHERE vec_id = 0),
+        qn AS (SELECT CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn FROM q),
+        pc AS (SELECT cd.label,
+                      CAST(SUM(CAST(cd.c*q.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM centd cd JOIN q ON q.pos = cd.pos GROUP BY 1),
+        probes AS (SELECT pc.label FROM pc JOIN cn USING (label), qn
+                   ORDER BY pc.dot/(sqrt(cn.nn)*sqrt(qn.nn)) DESC, pc.label
+                   LIMIT 2),
+        m8 AS (SELECT vec_id, embedding,
+                 CAST(list_max(list_transform(embedding, x -> abs(x)))
+                      AS DOUBLE)/127.0 AS sc
+               FROM embeddings),
+        q8 AS (SELECT vec_id,
+                 CASE WHEN sc = 0
+                      THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+                      ELSE list_transform(embedding,
+                             x -> CAST(round(CAST(x AS DOUBLE)/sc) AS TINYINT))
+                 END AS qvec
+               FROM m8),
+        n8 AS (SELECT vec_id, qvec,
+                 CAST(list_sum(list_transform(qvec,
+                   x -> CAST(x AS INTEGER)*CAST(x AS INTEGER))) AS BIGINT) AS nrm2
+               FROM q8),
+        q0 AS (SELECT qvec AS qv, nrm2 AS qnrm2 FROM n8 WHERE vec_id = 0),
+        d AS (SELECT n8.vec_id,
+                CAST(list_sum(list_transform(n8.qvec, (x, i) ->
+                  CAST(x AS INTEGER)*CAST(q0.qv[i] AS INTEGER))) AS BIGINT) AS dot,
+                n8.nrm2, q0.qnrm2
+              FROM n8, q0
+              WHERE n8.vec_id <> 0
+                AND n8.vec_id IN (SELECT a.vec_id FROM assign a
+                                  JOIN probes p ON p.label = a.label))
+        SELECT vec_id,
+               round(CAST(dot AS DOUBLE) /
+                     (sqrt(CAST(nrm2 AS DOUBLE))*sqrt(CAST(qnrm2 AS DOUBLE))), 9)
+                 AS cosine
+        FROM d WHERE nrm2 > 0 AND qnrm2 > 0
+        ORDER BY cosine DESC, vec_id LIMIT 10""")),
+
     // ---- quantized ANN: retrieval over the int8 vectors (q69) ------------
     // Closes the quantization loop: brute-force cosine top-10 computed
     // ENTIRELY on q68's int8 vectors. Cosine is scale-invariant, so the

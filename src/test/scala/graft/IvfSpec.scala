@@ -99,6 +99,26 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("IVF-SQ8: quantized layout shares placement and agrees with float search") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq").toString + "/index"
+    val cents = Similarity.centroids(vecs, "label", "embedding")
+    Similarity.ivfWriteSq8(vecs, "vec_id", "embedding", cents, dir)
+    // Same cluster-partitioned layout as the float index, int8 payload.
+    val parts = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("cluster=")).toSet
+    assert(parts == Set("cluster=x", "cluster=y", "cluster=z"))
+    val stored = spark.read.parquet(dir)
+    assert(stored.schema("qvec").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true))
+    // On well-separated clusters the SQ8 ranking agrees with the float
+    // path (quantization error is far below the inter-cluster margin).
+    val query = Seq(0.95f, 0.05f, 0.05f)
+    val sq = Similarity.ivfSearchSq8(spark, dir, "vec_id", cents, query,
+      k = 2, nprobe = 1).collect().map(_.getLong(0)).toSeq
+    assert(sq == Seq(1L, 2L), s"got $sq")
+  }
+
   test("IVF search physically prunes unprobed cluster partitions") {
     val dir = java.nio.file.Files.createTempDirectory("ivf2").toString + "/index"
     val cents = Similarity.centroids(vecs, "label", "embedding")
