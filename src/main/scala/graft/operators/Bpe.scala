@@ -110,6 +110,44 @@ object Bpe {
       .withColumnRenamed(word, "word")
   }
 
+  /** Tokenize with a LARGE merge list. [[encode]] compiles the merges
+    * into an expression tree — ideal for Catalyst up to tens of merges,
+    * but a real 32k-merge vocabulary would exceed codegen size limits.
+    * This variant is the sanctioned tier-(d) escape hatch (SURVEY.md
+    * §7.3): one broadcast of the merge table, a per-partition
+    * imperative loop applying merges in rank order with the same
+    * greedy left-to-right semantics as [[applyMerge]] (spec-pinned
+    * equivalent in BpeSpec). Output is one (word, tokens) row per
+    * word occurrence.
+    */
+  def encodeIter(df: DataFrame, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val table = merges.sortBy(_.rank).map(m => (m.left, m.right, m.merged))
+    val bc = spark.sparkContext.broadcast(table)
+    df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .as[String]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { w =>
+          var sym: List[String] = w.split("").toList
+          ms.foreach { case (a, b, m) =>
+            val out = scala.collection.mutable.ListBuffer.empty[String]
+            sym.foreach { x =>
+              if (out.nonEmpty && out.last == a && x == b) {
+                out.remove(out.size - 1); out += m
+              } else out += x
+            }
+            sym = out.toList
+          }
+          (w, sym)
+        }
+      }
+      .toDF("word", "tokens")
+  }
+
   /** The merge list as a DataFrame (for gates and persistence). */
   def trainDf(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     val spark = df.sparkSession

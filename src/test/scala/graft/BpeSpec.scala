@@ -41,6 +41,19 @@ class BpeSpec extends SparkSpec {
     assert(got == "bb b", "a fused symbol must not re-pair with its consumer")
   }
 
+  test("encodeIter (large-vocab path) tokenizes identically to the expression encoder") {
+    val big = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val merges = Bpe.train(big, "text", 12)
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> r.getSeq[String](1).toList)
+        .sortBy(_.toString).toList
+    val viaExpr = canon(Bpe.encode(big, "text", merges)
+      .select("word", "tokens").collect())
+    val viaIter = canon(Bpe.encodeIter(big, "text", merges).collect())
+    assert(viaExpr == viaIter,
+      "the mapPartitions encoder must match the compiled-expression encoder")
+  }
+
   test("training is deterministic across physical layouts") {
     val big = Tables.table(spark, "/root/testdata/sf0.001", "documents")
     val a = Bpe.train(big, "text", 4)
