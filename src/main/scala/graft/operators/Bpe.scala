@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
 
 /** Byte-pair-encoding tokenizer training over a distributed corpus —
   * the "train your own tokenizer on the cleaned corpus" step of an
@@ -99,6 +98,10 @@ object Bpe {
     */
   def encode(df: DataFrame, textCol: String, merges: Seq[Merge],
       out: String = "tokens"): DataFrame = {
+    // The output contract names two columns; refusing a collision
+    // loudly beats Spark's silent duplicate-on-rename.
+    require(!df.columns.contains("word") && !df.columns.contains(out),
+      s"input already has a 'word' or '$out' column; rename it first")
     val word = graft.functions.ColumnLib.freeColumn(df, "__w")
     val sym = merges.foldLeft(
       concat_ws(" ", split(col(word), "")): Column) { (c, m) =>
@@ -126,9 +129,13 @@ object Bpe {
     import spark.implicits._
     val table = merges.sortBy(_.rank).map(m => (m.left, m.right, m.merged))
     val bc = spark.sparkContext.broadcast(table)
-    df.select(explode(split(col(textCol), " ")).as("word"))
+    val words = df.select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
-      .as[String]
+    // Tokenize DISTINCT words, then join back to occurrences — the
+    // same vocab-collapse trick train() leads with: the |merges|-pass
+    // rewrite runs once per distinct word, not once per occurrence
+    // (common words repeat billions of times at corpus scale).
+    val tokenized = words.distinct().as[String]
       .mapPartitions { it =>
         val ms = bc.value
         it.map { w =>
@@ -146,14 +153,7 @@ object Bpe {
         }
       }
       .toDF("word", "tokens")
+    words.join(tokenized, "word")
   }
 
-  /** The merge list as a DataFrame (for gates and persistence). */
-  def trainDf(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    train(df, textCol, nMerges).toDF()
-      .select(col("rank"), col("left"), col("right"),
-        col("merged").cast(StringType), col("cnt"))
-  }
 }

@@ -296,6 +296,22 @@ object Similarity {
       Seq(col("cosine").desc, col(idCol).asc), k)
   }
 
+  /** Driver-side probe ranking shared by the float and SQ8 searches:
+    * the nprobe clusters whose centroids are nearest the query, under
+    * the SAME total order as [[assignNearest]] (desc nulls last,
+    * cluster-id tiebreak) — placement and probing can never disagree.
+    * Bounded by the centroid count.
+    */
+  private def probeClusters(centroidDf: DataFrame, query: Seq[Float],
+      nprobe: Int): Array[Any] = {
+    val q = array(query.map(lit): _*)
+    centroidDf
+      .select(col("cluster"), cosineNative(col("centroid"), q).as("sim"))
+      .orderBy(col("sim").desc_nulls_last, col("cluster"))
+      .limit(nprobe)
+      .collect().map(_.get(0))
+  }
+
   /** IVF-SQ8 build: the cluster-partitioned IVF layout with int8
     * payloads — routing stays on the float centroids (same assignment
     * as [[ivfWrite]], so SQ8 and float indexes agree on placement),
@@ -323,18 +339,18 @@ object Similarity {
       idCol: String, centroidDf: DataFrame, query: Seq[Float],
       k: Int, nprobe: Int): DataFrame = {
     import java.math.{BigDecimal => JBD, RoundingMode}
-    val q = array(query.map(lit): _*)
-    val probes = centroidDf
-      .select(col("cluster"), cosineNative(col("centroid"), q).as("sim"))
-      .orderBy(col("sim").desc_nulls_last, col("cluster"))
-      .limit(nprobe)
-      .collect().map(_.get(0))
+    val probes = probeClusters(centroidDf, query, nprobe)
     // Quantize the one query vector on the driver with the same
     // HALF_UP rounding quantizeInt8 compiles into the plan
-    // (Math.round would differ on negative halves).
+    // (Math.round would differ on negative halves). A degenerate
+    // query (empty, all-zero, or any non-finite element — NaN
+    // poisons the max) quantizes to all zeros: its norm is 0, the
+    // norm filter below drops every candidate, and the search
+    // returns empty — the same "no rankable neighbor" contract as
+    // the float paths' NaN filters.
     val maxabs = if (query.isEmpty) 0f else query.map(math.abs).max
     val qq: Seq[Int] =
-      if (maxabs == 0f) query.map(_ => 0)
+      if (maxabs == 0f || !java.lang.Float.isFinite(maxabs)) query.map(_ => 0)
       else {
         val sc = maxabs.toDouble / 127.0
         query.map(v => JBD.valueOf(v.toDouble / sc)
@@ -368,14 +384,9 @@ object Similarity {
   def ivfSearch(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String, centroidDf: DataFrame,
       query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
-    val q = array(query.map(lit): _*)
-    val probes = centroidDf
-      .select(col("cluster"), cosineNative(col("centroid"), q).as("sim"))
-      .orderBy(col("sim").desc_nulls_last, col("cluster"))
-      .limit(nprobe)
-      .collect().map(_.get(0))
+    val probes = probeClusters(centroidDf, query, nprobe)
     val pruned = spark.read.parquet(path)
       .filter(col("cluster").isin(probes.toIndexedSeq: _*))
-    bruteForceTopK(pruned, idCol, vecCol, q, k)
+    bruteForceTopK(pruned, idCol, vecCol, array(query.map(lit): _*), k)
   }
 }

@@ -128,6 +128,24 @@ object SimilarityOps {
                  FROM vc JOIN vn USING (vec_id) JOIN cn USING (label))
                WHERE rk = 1)"""
 
+  /** Shared DuckDB CTE: symmetric per-vector max-abs int8
+    * quantization (the declarative restatement of
+    * [[Similarity.quantizeInt8]]) — `qz(vec_id, embedding, sc, qvec)`.
+    * Single-sourced across the q68/q69/q86 oracles so the rounding
+    * semantics cannot drift between the gates.
+    */
+  private val int8Cte = """
+    qz AS (SELECT vec_id, embedding, sc,
+             CASE WHEN sc = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+                  ELSE list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE)/sc) AS TINYINT))
+             END AS qvec
+           FROM (SELECT vec_id, embedding,
+                   CAST(list_max(list_transform(embedding, x -> abs(x)))
+                        AS DOUBLE)/127.0 AS sc
+                 FROM embeddings))"""
+
   private def bucketSql(tbl: String): String =
     Similarity.defaultPairs.map { case (i, j) =>
       s"CASE WHEN $tbl.embedding[$i] > $tbl.embedding[$j] THEN '1' ELSE '0' END"
@@ -916,24 +934,14 @@ object SimilarityOps {
             col("qvec"), col("max_err"), col("n_clip"))
           .orderBy("vec_id")
       },
-      Some("""
-        WITH m AS (SELECT vec_id, embedding,
-                     CAST(list_max(list_transform(embedding, x -> abs(x)))
-                          AS DOUBLE)/127.0 AS sc
-                   FROM embeddings),
-        q AS (SELECT vec_id, sc, embedding,
-                CASE WHEN sc = 0
-                     THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
-                     ELSE list_transform(embedding,
-                            x -> CAST(round(CAST(x AS DOUBLE)/sc) AS TINYINT))
-                END AS qvec
-              FROM m)
+      Some(s"""
+        WITH $int8Cte
         SELECT vec_id, round(sc, 9) AS scale, qvec,
                round(list_max(list_transform(embedding, (x, i) ->
                  abs(CAST(x AS DOUBLE) - CAST(qvec[i] AS DOUBLE)*sc))), 9)
                  AS max_err,
                len(list_filter(qvec, x -> abs(x) = 127)) AS n_clip
-        FROM q ORDER BY vec_id""")),
+        FROM qz ORDER BY vec_id""")),
 
     // ---- IVF-SQ8: quantized payloads inside the partitioned index -------
     // The composition production ANN actually ships (FAISS IVF-SQ):
@@ -971,21 +979,11 @@ object SimilarityOps {
         probes AS (SELECT pc.label FROM pc JOIN cn USING (label), qn
                    ORDER BY pc.dot/(sqrt(cn.nn)*sqrt(qn.nn)) DESC, pc.label
                    LIMIT 2),
-        m8 AS (SELECT vec_id, embedding,
-                 CAST(list_max(list_transform(embedding, x -> abs(x)))
-                      AS DOUBLE)/127.0 AS sc
-               FROM embeddings),
-        q8 AS (SELECT vec_id,
-                 CASE WHEN sc = 0
-                      THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
-                      ELSE list_transform(embedding,
-                             x -> CAST(round(CAST(x AS DOUBLE)/sc) AS TINYINT))
-                 END AS qvec
-               FROM m8),
+        $int8Cte,
         n8 AS (SELECT vec_id, qvec,
                  CAST(list_sum(list_transform(qvec,
                    x -> CAST(x AS INTEGER)*CAST(x AS INTEGER))) AS BIGINT) AS nrm2
-               FROM q8),
+               FROM qz),
         q0 AS (SELECT qvec AS qv, nrm2 AS qnrm2 FROM n8 WHERE vec_id = 0),
         d AS (SELECT n8.vec_id,
                 CAST(list_sum(list_transform(n8.qvec, (x, i) ->
@@ -1034,22 +1032,12 @@ object SimilarityOps {
           .orderBy(col("cosine").desc, col("vec_id"))
           .limit(10)
       },
-      Some("""
-        WITH m AS (SELECT vec_id, embedding,
-                     CAST(list_max(list_transform(embedding, x -> abs(x)))
-                          AS DOUBLE)/127.0 AS sc
-                   FROM embeddings),
-        q AS (SELECT vec_id,
-                CASE WHEN sc = 0
-                     THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
-                     ELSE list_transform(embedding,
-                            x -> CAST(round(CAST(x AS DOUBLE)/sc) AS TINYINT))
-                END AS qvec
-              FROM m),
+      Some(s"""
+        WITH $int8Cte,
         n AS (SELECT vec_id, qvec,
                 CAST(list_sum(list_transform(qvec,
                   x -> CAST(x AS INTEGER)*CAST(x AS INTEGER))) AS BIGINT) AS nrm2
-              FROM q),
+              FROM qz),
         q0 AS (SELECT qvec AS qv, nrm2 AS qnrm2 FROM n WHERE vec_id = 0),
         d AS (SELECT n.vec_id,
                 CAST(list_sum(list_transform(n.qvec, (x, i) ->
