@@ -578,6 +578,35 @@ object TextOps {
               FROM documents)
         ORDER BY source, doc_id""")),
 
+    // ---- weighted source mixture (q87) -----------------------------------
+    // The pre-training data-mix recipe as a gate: each source is
+    // independently down-sampled by its weight (derived salt per
+    // source, so the same key draws independently) and unioned. Pure
+    // per-row projections — no shuffle, retry-stable, exactly
+    // restatable as md5-threshold filters.
+    QueryDef("q87_source_mixture",
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "source")
+        graft.operators.Sampling.mixture(
+            Seq(
+              d.filter(col("source") === "src0") -> 1.0,
+              d.filter(col("source") === "src1") -> 0.4,
+              d.filter(col("source") === "src2") -> 0.25),
+            "doc_id", "mix")
+          .orderBy("source", "doc_id")
+      },
+      Some("""
+        SELECT doc_id, source FROM documents WHERE source = 'src0'
+        UNION ALL
+        SELECT doc_id, source FROM documents
+        WHERE source = 'src1'
+          AND substr(md5('mix/1:'||CAST(doc_id AS VARCHAR)),1,4) < '6666'
+        UNION ALL
+        SELECT doc_id, source FROM documents
+        WHERE source = 'src2'
+          AND substr(md5('mix/2:'||CAST(doc_id AS VARCHAR)),1,4) < '4000'
+        ORDER BY source, doc_id""")),
+
     // ---- BPE pair counts: the distributed core of tokenizer training ----
     // One merge round of BPE training (operators/Bpe.scala): the corpus
     // collapses to a (word, count) vocab — the only corpus-scale shuffle
