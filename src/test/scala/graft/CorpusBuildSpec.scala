@@ -31,4 +31,30 @@ class CorpusBuildSpec extends SparkSpec {
     assert(out.nonEmpty && out.map(_.getString(0)).toSet.subsetOf(
       Set("train", "val", "test")))
   }
+
+  test("q62 boilerplate removal: two corpus passes, equality joins only") {
+    val q = SparkEntry.queries("q62_boilerplate")(
+      spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    // CCNet shape BY DESIGN: pass 1 builds the segment-frequency
+    // table, pass 2 rewrites the docs — exactly two scans, never a
+    // third, never a driver-materialized frequency list.
+    val scans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(scans == 2,
+      s"expected exactly two documents scans (count + rewrite), got $scans:\n$plan")
+    assert(!plan.contains("LocalTableScan"),
+      s"the boilerplate table must stay distributed:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the rewrite must join on the segment digest:\n$plan")
+    val out = q.collect()
+    assert(out.nonEmpty)
+    // Sanity of the rewrite arithmetic: kept segments never exceed the
+    // total, and a fully-boilerplate doc yields an empty clean_text.
+    out.foreach { r =>
+      val (nSegs, nBoiler) = (r.getLong(1), r.getLong(2))
+      assert(nBoiler >= 0 && nBoiler <= nSegs)
+      if (nBoiler == nSegs) assert(r.getString(3).isEmpty)
+    }
+  }
 }
