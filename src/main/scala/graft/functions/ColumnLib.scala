@@ -108,6 +108,16 @@ object ColumnLib {
   // QUALIFY ROW_NUMBER() OVER (PARTITION BY keys ORDER BY ord DESC) = 1).
   // ---------------------------------------------------------------------
 
+  /** First name in the `base`, `base1`, `base2`, ... sequence not taken
+    * by the input — collision-proofing for operators that add-then-drop
+    * a working column: an input that legitimately carries the base name
+    * (e.g. a re-ingested export) must survive untouched, not be
+    * clobbered-then-dropped.
+    */
+  def freeColumn(df: DataFrame, base: String): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(n => !df.columns.contains(n)).get
+
   /** Keep the first row per key under `ordering` (descending-first wins).
     * `ordering` must be a total order within each key group for
     * deterministic output; callers append a unique tiebreaker.
@@ -122,16 +132,6 @@ object ColumnLib {
     * `TopK.perGroup` directly for that shape (TopKSpec pins that both
     * formulations agree under the total-order contract).
     */
-  /** First name in the `base`, `base1`, `base2`, ... sequence not taken
-    * by the input — collision-proofing for operators that add-then-drop
-    * a working column: an input that legitimately carries the base name
-    * (e.g. a re-ingested export) must survive untouched, not be
-    * clobbered-then-dropped.
-    */
-  def freeColumn(df: DataFrame, base: String): String =
-    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
-      .find(n => !df.columns.contains(n)).get
-
   def latestWins(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rn = freeColumn(df, "__rn")

@@ -30,10 +30,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * can be formed), the totals pass, and the output pass. The driver
   * materialization is the per-(group, bucket) TOTALS — a bounded
   * summary, never row data (same posture as the IVF centroid ranking).
-  * The order key must be numeric, non-null, and unique per group (the
-  * same total-order contract as the window formulation); NULL token
-  * counts contribute zero to the bases, exactly as a window SUM skips
-  * them.
+  * Group keys may be NULL (the joins are null-safe, matching the
+  * window formulation where a NULL group is its own partition); the
+  * order key must be numeric, non-null, and unique per group (the same
+  * total-order contract as the window formulation); NULL token counts
+  * contribute zero to the bases, exactly as a window SUM skips them.
   */
 object Packing {
 
@@ -41,16 +42,25 @@ object Packing {
       tokensCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets > 0, "need at least one bucket")
     val spark = df.sparkSession
-    val (loC, hiC, bkC, baseC) = (freeColumn(df, "__lo"),
-      freeColumn(df, "__hi"), freeColumn(df, "__bucket"),
-      freeColumn(df, "__base"))
-    val mm = df.groupBy(col(groupCol))
+    val (gC, loC, hiC, bkC, baseC) = (freeColumn(df, "__g"),
+      freeColumn(df, "__lo"), freeColumn(df, "__hi"),
+      freeColumn(df, "__bucket"), freeColumn(df, "__base"))
+    val mm = df.groupBy(col(groupCol).as(gC))
       .agg(min(col(orderCol)).cast(LongType).as(loC),
         max(col(orderCol)).cast(LongType).as(hiC))
-    def bucket(d: DataFrame): DataFrame = d.withColumn(bkC,
-      expr(s"CAST((($orderCol - $loC) * $nBuckets) " +
-        s"DIV ($hiC - $loC + 1) AS INT)"))
-    val totals = bucket(df.join(broadcast(mm), groupCol))
+    // Bucket width is computed by DIVISION, not ((key-lo)*buckets) DIV
+    // range: the multiplication form overflows Long for key ranges
+    // wider than MaxValue/buckets and wraps into NON-monotone buckets
+    // silently. width >= 1 and (hi-lo)/width < nBuckets by
+    // construction, so buckets stay monotone in the order key for any
+    // Long range.
+    val bucketed = df
+      .join(broadcast(mm), col(groupCol) <=> col(gC))
+      .withColumn(bkC,
+        expr(s"CAST((($orderCol - $loC) DIV " +
+          s"(($hiC - $loC) DIV $nBuckets + 1)) AS INT)"))
+      .drop(gC)
+    val totals = bucketed
       .groupBy(col(groupCol), col(bkC))
       .agg(sum(coalesce(col(tokensCol), lit(0L))).cast(LongType).as("__t"))
       .collect()
@@ -60,17 +70,19 @@ object Packing {
         .map { case (r, base) => Row(r.get(0), r.getInt(1), base) }
     }
     val totalsSchema = StructType(
-      bucket(df.join(broadcast(mm), groupCol))
-        .select(col(groupCol), col(bkC)).schema.fields.toSeq :+
-        StructField(baseC, LongType, nullable = false))
+      Seq(bucketed.schema(groupCol).copy(name = gC),
+        bucketed.schema(bkC),
+        StructField(baseC, LongType, nullable = false)))
     val baseDf = spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(baseRows).asJava), totalsSchema)
     val w = Window.partitionBy(col(groupCol), col(bkC))
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucket(df.join(broadcast(mm), groupCol))
-      .join(broadcast(baseDf), Seq(groupCol, bkC))
+    bucketed
+      .join(broadcast(baseDf),
+        col(groupCol) <=> col(gC) && bucketed(bkC) === baseDf(bkC))
+      .drop(baseDf(bkC)).drop(gC)
       .withColumn("end_offset",
         sum(col(tokensCol)).over(w) + col(baseC))
       .drop(bkC, loC, hiC, baseC)

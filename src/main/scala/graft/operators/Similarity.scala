@@ -249,6 +249,10 @@ object Similarity {
     */
   def quantizeInt8(vecs: DataFrame, vecCol: String): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, DoubleType}
+    // The output contract names two columns; refusing a collision
+    // loudly beats silently overwriting caller data.
+    require(!vecs.columns.contains("scale") && !vecs.columns.contains("qvec"),
+      "input already has a 'scale' or 'qvec' column; rename it first")
     vecs
       .withColumn("scale",
         array_max(transform(col(vecCol), x => abs(x)))
@@ -323,9 +327,19 @@ object Similarity {
   def ivfWriteSq8(vecs: DataFrame, idCol: String, vecCol: String,
       centroidDf: DataFrame, path: String): Unit =
     quantizeInt8(assignNearest(vecs, idCol, vecCol, centroidDf), vecCol)
-      .select(col(idCol), col("qvec"), col("scale"), col("cluster"))
+      // The int8 self-norm is a pure function of the stored qvec;
+      // computing it once at build time turns every search's
+      // O(dim) per-candidate fold into a single long read.
+      .select(col(idCol), col("qvec"), col("scale"),
+        int8SelfNorm(col("qvec")).as("nrm2"), col("cluster"))
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  private def int8SelfNorm(qvec: Column): Column =
+    aggregate(
+      zip_with(qvec, qvec,
+        (a, b) => (a.cast("int") * b.cast("int")).cast("long")),
+      lit(0L), (acc, x) => acc + x)
 
   /** Probe-limited search over an SQ8 index: float centroids rank the
     * probes (bounded driver list, as [[ivfSearch]]); the query is
@@ -361,13 +375,9 @@ object Similarity {
       zip_with(col("qvec"), array(qq.map(lit): _*),
         (a, b) => (a.cast("int") * b).cast("long")),
       lit(0L), (acc, x) => acc + x)
-    val nrm2 = aggregate(
-      zip_with(col("qvec"), col("qvec"),
-        (a, b) => (a.cast("int") * b.cast("int")).cast("long")),
-      lit(0L), (acc, x) => acc + x)
     spark.read.parquet(path)
       .filter(col("cluster").isin(probes.toIndexedSeq: _*))
-      .select(col(idCol), idot.as("__dot"), nrm2.as("__n2"))
+      .select(col(idCol), idot.as("__dot"), col("nrm2").as("__n2"))
       .filter(col("__n2") > 0 && lit(qnrm2) > 0)
       .select(col(idCol),
         round(col("__dot").cast("double") /

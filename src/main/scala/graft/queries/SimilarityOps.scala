@@ -97,6 +97,30 @@ object SimilarityOps {
   private def labelCentsDecimal(e: DataFrame): DataFrame =
     decimalGridCentroids(e, "label")
 
+  /** Portable final ranking shared by the q54/q58/q59 IVF gates: the
+    * decimal-exact cosine of each candidate id against vec 0, rounded
+    * to the 1e-9 grid, top-10 with the vec_id tiebreak. Zero-norm
+    * candidates (and a zero-norm query) surface as NULL from Spark's
+    * non-ANSI divide and are dropped — exactly the rows the oracles'
+    * `nn > 0` guards drop. Single-sourced so the NaN/NULL and
+    * tie-break semantics cannot drift between the three gates.
+    */
+  private def decimalRerankTop10(e: DataFrame, candIds: DataFrame): DataFrame = {
+    def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qnrm"))
+    candIds.join(e.select("vec_id", "embedding"), "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("qvec")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) * col("qnrm")),
+          9).as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Shared DuckDB CTE block for the label-centroid IVF gates
     * (q54 / q58 / q67): exploded embeddings + decimal-grid float
     * centroids + norms + the nearest-centroid assignment — the
@@ -568,7 +592,6 @@ object SimilarityOps {
     // is a fixed per-corpus temp path (overwritten, never accumulated).
     QueryDef("q54_ivf_search",
       (s, dir) => {
-        def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
         val e = emb(s, dir)
         val cents = labelCentsDecimal(e)
         val qvec = e.filter(col("vec_id") === 0)
@@ -578,18 +601,7 @@ object SimilarityOps {
         Similarity.ivfWrite(e, "vec_id", "embedding", cents, path)
         val hits = Similarity.ivfSearch(s, path, "vec_id", "embedding",
           cents, qvec, k = 50, nprobe = 2)
-        val qv = e.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qvec"),
-            sqrt(dot(col("embedding"), col("embedding"))).as("qnrm"))
-        hits.select("vec_id").join(e, "vec_id")
-          .crossJoin(broadcast(qv))
-          .select(col("vec_id"),
-            round(dot(col("embedding"), col("qvec")) /
-              (sqrt(dot(col("embedding"), col("embedding"))) * col("qnrm")),
-              9).as("cosine"))
-          .filter(col("cosine").isNotNull)
-          .orderBy(col("cosine").desc, col("vec_id"))
-          .limit(10)
+        decimalRerankTop10(e, hits.select("vec_id"))
       },
       Some(s"""
         WITH $ivfAssignCte,
@@ -627,7 +639,6 @@ object SimilarityOps {
     // (probe sets are nested); the gate turns that curve into data.
     QueryDef("q58_ivf_recall",
       (s, dir) => {
-        def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
         val e = emb(s, dir)
         val cents = labelCentsDecimal(e)
         val qvec = e.filter(col("vec_id") === 0)
@@ -635,31 +646,17 @@ object SimilarityOps {
         val path = sys.props("java.io.tmpdir") +
           s"/graft_ivf_q58_${java.lang.Integer.toHexString(dir.hashCode)}/index"
         Similarity.ivfWrite(e, "vec_id", "embedding", cents, path)
-        val qv = e.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qvec"),
-            sqrt(dot(col("embedding"), col("embedding"))).as("qnrm"))
-        // Portable re-rank: decimal cosine top-10 of a candidate id set.
-        def decimalTop10(candIds: DataFrame): DataFrame =
-          candIds.join(e, "vec_id")
-            .crossJoin(broadcast(qv))
-            .select(col("vec_id"),
-              round(dot(col("embedding"), col("qvec")) /
-                (sqrt(dot(col("embedding"), col("embedding"))) * col("qnrm")),
-                9).as("cosine"))
-            .filter(col("cosine").isNotNull)
-            .orderBy(col("cosine").desc, col("vec_id"))
-            .limit(10)
         // The exact full-scan baseline feeds all three union branches;
         // as with q57, plan-tree reuse does not happen across union
         // children, so materialize the 10-row result once instead of
         // paying the full decimal scan per branch.
-        val exact = decimalTop10(e.select("vec_id")).select("vec_id")
-          .localCheckpoint(true)
+        val exact = decimalRerankTop10(e, e.select("vec_id"))
+          .select("vec_id").localCheckpoint(true)
         def stats(nprobe: Int): DataFrame = {
           val probed = Similarity.ivfSearch(s, path, "vec_id", "embedding",
             cents, qvec, k = 50, nprobe = nprobe)
           exact.join(
-              decimalTop10(probed.select("vec_id"))
+              decimalRerankTop10(e, probed.select("vec_id"))
                 .select(col("vec_id"), lit(1).as("hit")),
               Seq("vec_id"), "left")
             .agg(coalesce(sum(col("hit")), lit(0)).cast(LongType).as("hits"),
@@ -779,18 +776,7 @@ object SimilarityOps {
           "embedding", learned, path)
         val hits = Similarity.ivfSearch(s, path, "vec_id", "embedding",
           learned, qvec, k = 50, nprobe = 2)
-        val qv = e.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qvec"),
-            sqrt(dot(col("embedding"), col("embedding"))).as("qnrm"))
-        hits.select("vec_id").join(e, "vec_id")
-          .crossJoin(broadcast(qv))
-          .select(col("vec_id"),
-            round(dot(col("embedding"), col("qvec")) /
-              (sqrt(dot(col("embedding"), col("embedding"))) * col("qnrm")),
-              9).as("cosine"))
-          .filter(col("cosine").isNotNull)
-          .orderBy(col("cosine").desc, col("vec_id"))
-          .limit(10)
+        decimalRerankTop10(e, hits.select("vec_id"))
       },
       Some(s"""
         WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
