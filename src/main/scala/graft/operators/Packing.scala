@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.ColumnLib.freeColumn
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -33,58 +33,96 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Group keys may be NULL (the joins are null-safe, matching the
   * window formulation where a NULL group is its own partition); the
   * order key must be numeric, non-null, and unique per group (the same
-  * total-order contract as the window formulation); NULL token counts
-  * contribute zero to the bases, exactly as a window SUM skips them.
+  * total-order contract as the window formulation). NULL token counts
+  * contribute zero in BOTH passes, so `end_offset` is never NULL —
+  * this is deliberately TIGHTER than a plain window SUM, which returns
+  * NULL over an all-NULL prefix; callers that need SQL-NULL window
+  * semantics for NULL token counts should use the window form.
   */
 object Packing {
 
   def packTwoPass(df: DataFrame, groupCol: String, orderCol: String,
+      tokensCol: String, nBuckets: Int): DataFrame =
+    packTwoPass(df, Seq(groupCol), orderCol, tokensCol, nBuckets)
+
+  /** Multi-column grouping variant: the pack group is the tuple of
+    * `groupCols` (e.g. (source, split) in the composed corpus build —
+    * packs never span either). Same contract as the single-column
+    * overload; the group tuple is matched null-safely throughout.
+    */
+  def packTwoPass(df: DataFrame, groupCols: Seq[String], orderCol: String,
       tokensCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets > 0, "need at least one bucket")
+    require(groupCols.nonEmpty, "need at least one group column")
     val spark = df.sparkSession
-    val (gC, loC, hiC, bkC, baseC) = (freeColumn(df, "__g"),
-      freeColumn(df, "__lo"), freeColumn(df, "__hi"),
-      freeColumn(df, "__bucket"), freeColumn(df, "__base"))
-    val mm = df.groupBy(col(groupCol).as(gC))
+    val (loC, hiC, bkC, baseC) = (freeColumn(df, "__lo"),
+      freeColumn(df, "__hi"), freeColumn(df, "__bucket"),
+      freeColumn(df, "__base"))
+    // Distinct bases yield distinct generated names, so the aliases
+    // cannot collide with the input OR each other.
+    val gCs = groupCols.indices.map(i => freeColumn(df, s"__g$i"))
+    val nG = groupCols.length
+    // Unresolved on purpose: binds groupCols against the left frame
+    // and the gCs aliases against the (renamed) right frame at each
+    // join site.
+    val groupMatch: Column =
+      groupCols.zip(gCs).map { case (g, a) => col(g) <=> col(a) }
+        .reduce(_ && _)
+    val mm = df.groupBy(groupCols.map(col): _*)
       .agg(min(col(orderCol)).cast(LongType).as(loC),
         max(col(orderCol)).cast(LongType).as(hiC))
+      .select(groupCols.zip(gCs).map { case (g, a) => col(g).as(a) } ++
+        Seq(col(loC), col(hiC)): _*)
     // Bucket width is computed by DIVISION, not ((key-lo)*buckets) DIV
     // range: the multiplication form overflows Long for key ranges
     // wider than MaxValue/buckets and wraps into NON-monotone buckets
     // silently. width >= 1 and (hi-lo)/width < nBuckets by
     // construction, so buckets stay monotone in the order key for any
-    // Long range.
+    // Long range. Identifiers are backtick-quoted: an order column
+    // named with spaces/dots/keywords must parse as the column, not as
+    // SQL syntax (the generated names are identifier-safe regardless).
     val bucketed = df
-      .join(broadcast(mm), col(groupCol) <=> col(gC))
+      .join(broadcast(mm), groupMatch)
       .withColumn(bkC,
-        expr(s"CAST((($orderCol - $loC) DIV " +
-          s"(($hiC - $loC) DIV $nBuckets + 1)) AS INT)"))
-      .drop(gC)
+        expr(s"CAST(((`$orderCol` - `$loC`) DIV " +
+          s"((`$hiC` - `$loC`) DIV $nBuckets + 1)) AS INT)"))
+      .drop(gCs: _*)
     val totals = bucketed
-      .groupBy(col(groupCol), col(bkC))
+      .groupBy(groupCols.map(col) :+ col(bkC): _*)
       .agg(sum(coalesce(col(tokensCol), lit(0L))).cast(LongType).as("__t"))
       .collect()
-    val baseRows = totals.groupBy(_.get(0)).toSeq.flatMap { case (_, rows) =>
-      val sorted = rows.sortBy(_.getInt(1))
-      sorted.zip(sorted.scanLeft(0L)(_ + _.getLong(2)).init)
-        .map { case (r, base) => Row(r.get(0), r.getInt(1), base) }
-    }
+    val baseRows = totals
+      .groupBy(r => (0 until nG).map(i => r.get(i)).toIndexedSeq)
+      .toSeq.flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(_.getInt(nG))
+        sorted.zip(sorted.scanLeft(0L)(_ + _.getLong(nG + 1)).init)
+          .map { case (r, base) =>
+            // Seq[Any], NOT Seq(...): an untyped Seq(Int, Long) lets
+            // the compiler numeric-widen the bucket to Long, which the
+            // int-typed LocalRelation schema then misreads at eval.
+            Row.fromSeq((0 until nG).map(r.get) ++
+              Seq[Any](r.getInt(nG), base)) }
+      }
     val totalsSchema = StructType(
-      Seq(bucketed.schema(groupCol).copy(name = gC),
-        bucketed.schema(bkC),
+      groupCols.zip(gCs).map { case (g, a) =>
+        bucketed.schema(g).copy(name = a) } ++
+      Seq(bucketed.schema(bkC),
         StructField(baseC, LongType, nullable = false)))
     val baseDf = spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(baseRows).asJava), totalsSchema)
-    val w = Window.partitionBy(col(groupCol), col(bkC))
+    val w = Window.partitionBy(groupCols.map(col) :+ col(bkC): _*)
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed
       .join(broadcast(baseDf),
-        col(groupCol) <=> col(gC) && bucketed(bkC) === baseDf(bkC))
-      .drop(baseDf(bkC)).drop(gC)
+        groupMatch && bucketed(bkC) === baseDf(bkC))
+      .drop(baseDf(bkC)).drop(gCs: _*)
+      // coalesce mirrors the totals pass: a bucket-local all-NULL
+      // prefix must yield 0 + base, not NULL + base = NULL — the
+      // bucket cut may not change which rows have defined offsets.
       .withColumn("end_offset",
-        sum(col(tokensCol)).over(w) + col(baseC))
+        sum(coalesce(col(tokensCol), lit(0L))).over(w) + col(baseC))
       .drop(bkC, loC, hiC, baseC)
   }
 }

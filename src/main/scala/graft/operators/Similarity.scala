@@ -278,15 +278,35 @@ object Similarity {
     * default; pass `broadcastProbes = false` for query sets too large
     * to broadcast (the join falls back to a shuffle hash join on the
     * cluster id, same as [[batchAnnTopK]]'s contract).
+    *
+    * UNLIKE the single-query [[ivfSearch]]/[[ivfSearchSq8]] (whose
+    * contract is "callers filter"), this variant EXCLUDES candidates
+    * whose index id equals the query id — the batch shape exists for
+    * all-vs-index self-search, where the query's own row is rank 1 by
+    * construction and would waste a top-k slot per query. Two
+    * corollaries of that null-unsafe `=!=`: query ids drawn from a
+    * DIFFERENT id space that numerically collide with index ids lose
+    * that one candidate, and a NULL query id matches nothing (every
+    * comparison is NULL) so such a query returns zero rows — assign
+    * non-null ids from the index's id space, or from a disjoint range
+    * if self-exclusion must be a no-op.
     */
   def ivfSearchBatch(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String, centroidDf: DataFrame,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nprobe: Int, broadcastProbes: Boolean = true): DataFrame = {
+    // The probe join introduces the index's `cluster` column and the
+    // centroid frame's `centroid` into the query frame's namespace;
+    // refusing the collision loudly beats an ambiguous-reference error
+    // (or a silently wrong probe ranking) downstream.
+    require(!queries.columns.contains("cluster") &&
+      !queries.columns.contains("centroid"),
+      "queries frame already has a 'cluster' or 'centroid' column; rename it first")
+    val csimC = graft.functions.ColumnLib.freeColumn(queries, "__csim")
     val probes0 = TopK.perGroup(
       queries.crossJoin(broadcast(centroidDf))
-        .withColumn("__csim", cosineNative(col(qvecCol), col("centroid"))),
-      Seq(qidCol), Seq(col("__csim").desc_nulls_last, col("cluster").asc),
+        .withColumn(csimC, cosineNative(col(qvecCol), col("centroid"))),
+      Seq(qidCol), Seq(col(csimC).desc_nulls_last, col("cluster").asc),
       nprobe)
       .select(col(qidCol), col(qvecCol), col("cluster"))
     val probes = if (broadcastProbes) broadcast(probes0) else probes0

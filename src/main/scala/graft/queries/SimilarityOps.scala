@@ -916,13 +916,21 @@ object SimilarityOps {
             9))
           .withColumn("n_clip",
             size(filter(col("qvec"), q => abs(q) === 127)).cast(LongType))
+          // qvec leaves the query as a comma-joined STRING, not a raw
+          // array: the driver's comparator sorts result columns with
+          // pandas, which cannot sort array cells (round 6's only red
+          // gate). The join is lossless — int8 text is canonical — and
+          // the oracle mirrors it with array_to_string.
           .select(col("vec_id"), round(col("scale"), 9).as("scale"),
-            col("qvec"), col("max_err"), col("n_clip"))
+            array_join(transform(col("qvec"), q => q.cast(StringType)), ",")
+              .as("qvec"),
+            col("max_err"), col("n_clip"))
           .orderBy("vec_id")
       },
       Some(s"""
         WITH $int8Cte
-        SELECT vec_id, round(sc, 9) AS scale, qvec,
+        SELECT vec_id, round(sc, 9) AS scale,
+               array_to_string(qvec, ',') AS qvec,
                round(list_max(list_transform(embedding, (x, i) ->
                  abs(CAST(x AS DOUBLE) - CAST(qvec[i] AS DOUBLE)*sc))), 9)
                  AS max_err,

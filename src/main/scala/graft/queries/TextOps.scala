@@ -20,6 +20,74 @@ object TextOps {
   private val codeWords = Seq("spark", "hash", "vector", "query")
   private val bizWords = Seq("customer", "order", "value", "line")
 
+  /** q55's signal stage — everything up to (but excluding) packing:
+    * near-dup losers (distributed anti-join), quality signals, keep
+    * predicate, deterministic split, and the keep-conditional token
+    * column `__tok` the packer sums. ONE documents scan; exposed
+    * `private[graft]` so CorpusBuildSpec can pin that plan shape
+    * independently of the checkpoint q55 puts between this stage and
+    * the packer.
+    *
+    * The near-dup loser set stays DISTRIBUTED end to end. On real
+    * web corpora losers run 20-80% of all documents — O(corpus),
+    * not O(clusters) — so collecting them to the driver is an OOM
+    * and a serialization chokepoint at scale. Instead the loser
+    * frame is derived from the (already lineage-cut) component
+    * frame and localCheckpoint'ed itself, which (a) lets the full
+    * component buffer be released immediately — the q38 storage-
+    * hygiene contract — and (b) keeps this plan at exactly one
+    * documents scan (the loser side enters as Scan ExistingRDD).
+    * No broadcast hint: AQE sizes the anti join at runtime —
+    * broadcast when the loser set is small, shuffle when it isn't.
+    *
+    * Quality signals are computed ONCE, as projection columns —
+    * NOT inside a Filter predicate: alias substitution would push
+    * the predicate below the projection and into the scan's data
+    * filters, where the (interpreted, CSE-less) shingle lambdas
+    * re-evaluate several times per row — measured ~25x this
+    * formulation's cost at sf0.1. The row cut happens downstream,
+    * above the packing stage, on the materialized `keep` column, and
+    * `__tok` is keep-conditional, which is exactly "pack the
+    * survivors": dropped rows contribute nothing to any offset.
+    * n_tokens and n_words are the same whitespace count; rep_ratio's
+    * bigram denominator is written n_words-1 (equal to the shingle
+    * count whenever the length gate can pass). ngram_stats is
+    * projected ONCE as a struct, with the fields read in a SECOND
+    * projection: CollapseProject refuses to merge the two (the struct
+    * is referenced twice and the producer is not cheap), so the
+    * gram-hashing loop runs exactly once per row by plan shape — not
+    * by hoping whole-stage CSE fires. CorpusBuildSpec pins the single
+    * ngram_stats occurrence.
+    */
+  private[graft] def corpusSignals(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val comps = graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.lshCandidatePairs(d, "doc_id", "text",
+        k = 4, n = 3, bandWidth = 2))
+    val losers = comps.filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id")).localCheckpoint(true)
+    graft.operators.Dedup.release(comps)
+    val sig = graft.operators.Sampling.hashSplit(
+      d.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("lang"),
+          ngramStats(col("text"), 2).as("__st"),
+          wordHits(col("text"), stopwords).as("n_stop"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("__st").getField("n_tokens").as("n_words"),
+          col("n_stop"),
+          col("__st").getField("n_distinct").as("n_distinct")),
+      "doc_id", "exp1", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val keep = col("n_words") >= 20 &&
+      (col("n_stop").cast("double") / col("n_words").cast("double")) < 0.3 &&
+      (lit(1.0) - col("n_distinct").cast("double") /
+        (col("n_words") - 1).cast("double")) < 0.2 &&
+      col("lang").isin("en", "vi")
+    sig.withColumn("keep", keep)
+      .withColumn("__tok",
+        when(col("keep"), col("n_words")).otherwise(lit(0L)).cast("long"))
+      .select("doc_id", "source", "split", "n_words", "keep", "__tok")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- token counting: whitespace + BPE-ish regex pre-tokenizer ------
@@ -726,64 +794,26 @@ object TextOps {
     // every per-doc signal rides that one scan map-side.
     QueryDef("q55_corpus_build",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val d = docs(s, dir)
-        // The near-dup loser set stays DISTRIBUTED end to end. On real
-        // web corpora losers run 20-80% of all documents — O(corpus),
-        // not O(clusters) — so collecting them to the driver is an OOM
-        // and a serialization chokepoint at scale. Instead the loser
-        // frame is derived from the (already lineage-cut) component
-        // frame and localCheckpoint'ed itself, which (a) lets the full
-        // component buffer be released immediately — the q38 storage-
-        // hygiene contract — and (b) keeps the MAIN plan at exactly one
-        // documents scan (the loser side enters as Scan ExistingRDD).
-        // No broadcast hint: AQE sizes the anti join at runtime —
-        // broadcast when the loser set is small, shuffle when it isn't.
-        val comps = graft.operators.Dedup.connectedComponents(
-          graft.operators.Dedup.lshCandidatePairs(d, "doc_id", "text",
-            k = 4, n = 3, bandWidth = 2))
-        val losers = comps.filter(col("node") =!= col("component"))
-          .select(col("node").as("doc_id")).localCheckpoint(true)
-        graft.operators.Dedup.release(comps)
-        // Quality signals are computed ONCE, as projection columns —
-        // NOT inside a Filter predicate: alias substitution would push
-        // the predicate below the projection and into the scan's data
-        // filters, where the (interpreted, CSE-less) shingle lambdas
-        // re-evaluate several times per row — measured ~25x this
-        // formulation's cost at sf0.1. The row cut happens *above* the
-        // packing window on the materialized `keep` column (predicates
-        // on non-partition columns cannot cross a Window), and the
-        // window's token sum is keep-conditional, which is exactly
-        // "pack the survivors": dropped rows contribute nothing to any
-        // offset. n_tokens and n_words are the same whitespace count;
-        // rep_ratio's bigram denominator is written n_words-1 (equal to
-        // the shingle count whenever the length gate can pass).
-        // ngram_stats is projected ONCE as a struct, with the fields
-        // read in a SECOND projection: CollapseProject refuses to merge
-        // the two (the struct is referenced twice and the producer is
-        // not cheap), so the gram-hashing loop runs exactly once per
-        // row by plan shape — not by hoping whole-stage CSE fires.
-        // CorpusBuildSpec pins the single ngram_stats occurrence.
-        val sig = graft.operators.Sampling.hashSplit(
-          d.join(losers, Seq("doc_id"), "left_anti")
-            .select(col("doc_id"), col("source"), col("lang"),
-              ngramStats(col("text"), 2).as("__st"),
-              wordHits(col("text"), stopwords).as("n_stop"))
-            .select(col("doc_id"), col("source"), col("lang"),
-              col("__st").getField("n_tokens").as("n_words"),
-              col("n_stop"),
-              col("__st").getField("n_distinct").as("n_distinct")),
-          "doc_id", "exp1", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        val keep = col("n_words") >= 20 &&
-          (col("n_stop").cast("double") / col("n_words").cast("double")) < 0.3 &&
-          (lit(1.0) - col("n_distinct").cast("double") /
-            (col("n_words") - 1).cast("double")) < 0.2 &&
-          col("lang").isin("en", "vi")
-        val w = Window.partitionBy("source", "split").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        sig.withColumn("keep", keep)
-          .withColumn("end_offset",
-            sum(when(col("keep"), col("n_words")).otherwise(0)).over(w))
+        // The signal stage (one documents scan; see corpusSignals) is
+        // localCheckpoint'ed BEFORE packing: the two-pass packer makes
+        // three passes over its input, and re-running the ngram lambdas
+        // and the dedup anti-join per pass would triple the dominant
+        // cost. The checkpointed projection is a handful of scalars per
+        // doc — O(rows), never the text — and cutting lineage there
+        // keeps the corpus scan count at exactly one regardless of how
+        // many passes the packer takes. Packing itself is the two-pass
+        // operator, NOT a (source, split) window: a real corpus has
+        // ~dozens of sources x 3 splits, and the single-window form
+        // serializes each huge group through ONE task
+        // (operators/Packing.scala scaladoc — the round-6 verdict's one
+        // scale-killer). Offsets are identical by the operator's
+        // contract, so the oracle SQL keeps the window formulation.
+        // Dropped rows carry __tok = 0, so they shift no offsets; the
+        // row cut happens after packing, exactly as it sat above the
+        // window before.
+        val scored = corpusSignals(s, dir).localCheckpoint(true)
+        graft.operators.Packing.packTwoPass(
+            scored, Seq("source", "split"), "doc_id", "__tok", nBuckets = 8)
           .filter(col("keep"))
           .select(col("split"), col("source"), col("n_words").as("n_tokens"),
             floor((col("end_offset") - col("n_words")) / 2048).as("seq_id"))

@@ -2,16 +2,16 @@ package graft
 
 class CorpusBuildSpec extends SparkSpec {
 
-  test("q55 composed pipeline: main plan scans documents exactly once") {
-    val q = SparkEntry.queries("q55_corpus_build")(
+  test("q55 signal stage: one documents scan, distributed losers") {
+    val sig = graft.queries.TextOps.corpusSignals(
       spark, "/root/testdata/sf0.001")
-    val plan = q.queryExecution.executedPlan.toString
+    val plan = sig.queryExecution.executedPlan.toString
     // The loser set arrives as an already-materialized DISTRIBUTED
-    // frame (Scan ExistingRDD), so filter + anti join + split + pack +
-    // agg all ride ONE parquet scan of the corpus.
+    // frame (Scan ExistingRDD), so filter + anti join + split + the
+    // signal projections all ride ONE parquet scan of the corpus.
     val scans = "documents\\.parquet".r.findAllIn(plan).size
     assert(scans == 1,
-      s"expected exactly one documents scan in the composed plan, got $scans:\n$plan")
+      s"expected exactly one documents scan in the signal plan, got $scans:\n$plan")
     assert(plan.contains("LeftAnti"),
       s"dedup must be an anti join:\n$plan")
     // The loser side must NOT be a driver-materialized local relation:
@@ -27,6 +27,29 @@ class CorpusBuildSpec extends SparkSpec {
     val ngramEvals = "ngram_stats".r.findAllIn(plan).size
     assert(ngramEvals == 1,
       s"expected exactly one ngram_stats evaluation, got $ngramEvals:\n$plan")
+  }
+
+  test("q55 packing stage: two-pass buckets, no whole-group window") {
+    val q = SparkEntry.queries("q55_corpus_build")(
+      spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    // The signal stage is checkpointed before packing, so the final
+    // plan must not re-scan the corpus at all — every packing pass
+    // reads the materialized signal rows.
+    val scans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"packing must ride the checkpointed signals, not re-scan documents:\n$plan")
+    // The round-6 scale-killer: a cumulative window partitioned by
+    // (source, split) alone serializes each huge group through one
+    // task. The two-pass packer's window must include its bucket
+    // column in the partition spec.
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty, s"expected a packing window:\n$plan")
+    winSpecs.foreach { spec =>
+      assert(spec.contains("__bucket"),
+        s"window must be bucketed, not per-(source,split): $spec\n$plan")
+    }
     val out = q.collect()
     assert(out.nonEmpty && out.map(_.getString(0)).toSet.subsetOf(
       Set("train", "val", "test")))

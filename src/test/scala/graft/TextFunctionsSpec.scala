@@ -58,4 +58,36 @@ class TextFunctionsSpec extends SparkSpec {
       assert(two == single, s"nBuckets=$b must reproduce the global offsets")
     }
   }
+
+  test("packTwoPass multi-column groups match the composite-key window") {
+    import org.apache.spark.sql.expressions.Window
+    // Two group columns + NULL token counts: the tuple group must pack
+    // exactly like a window over both columns, with NULLs contributing
+    // zero (the operator's documented tightening of window-SUM NULL
+    // semantics: end_offset is never NULL).
+    val d = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), col("doc_id"),
+        tokenCountWs(col("text")).as("n_tokens"))
+      .withColumn("grp2", (col("doc_id") % 3).cast("string"))
+      .withColumn("n_tokens",
+        when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("n_tokens")))
+    val w = Window.partitionBy("source", "grp2").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val single = d.withColumn("end_offset",
+        sum(coalesce(col("n_tokens"), lit(0L))).over(w))
+      .select("source", "grp2", "doc_id", "end_offset")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    Seq(1, 4, 500).foreach { b =>
+      val two = graft.operators.Packing
+        .packTwoPass(d, Seq("source", "grp2"), "doc_id", "n_tokens",
+          nBuckets = b)
+        .select("source", "grp2", "doc_id", "end_offset")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+      assert(two == single, s"nBuckets=$b must reproduce the global offsets")
+    }
+  }
 }
