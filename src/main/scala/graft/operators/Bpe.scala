@@ -9,18 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * Formulated the way Sennrich's reference trainer is: the corpus
   * collapses ONCE to a (word, count) vocabulary — the only stage that
-  * touches corpus-scale data (one shuffle, map-side combined) — and
-  * every merge round then runs over the vocab table: weighted
-  * adjacent-pair counts (distributed groupBy), a 1-ROW argmax (the
-  * only driver materialization per round — never the table), and a
-  * greedy left-to-right pair rewrite of the symbol arrays. Rounds are
-  * bounded by `nMerges` (like the Lloyd iterations in the IVF
-  * quantizer); each round's vocab is checkpointed to cut lineage and
-  * the previous round's buffers are released deterministically.
-  *
-  * At 100 TB the vocab table is millions of rows, not corpus-sized —
-  * the per-round jobs are small and the merge list (the trained
-  * artifact) is O(nMerges).
+  * touches corpus-scale data (one shuffle, map-side combined). At
+  * 100 TB that table is millions of rows, not corpus-sized, so
+  * [[train]] collects it once and runs the merge loop (weighted
+  * adjacent-pair counts → argmax → greedy rewrite) driver-local:
+  * O(1) Spark jobs for any `nMerges`, where a job-per-merge loop is
+  * 32k scheduler round-trips for a production vocabulary.
+  * [[trainDistributed]] keeps the fully-distributed per-round
+  * formulation for vocabularies too large to collect; BpeSpec pins
+  * the two byte-identical. The merge list (the trained artifact) is
+  * O(nMerges) either way.
   */
 object Bpe {
 
@@ -63,10 +61,110 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
         .otherwise(concat(acc, array(x)))))
 
-  /** Learn `nMerges` merges. Ties break on the pair string, so the
-    * merge list is deterministic across runs and partitionings.
+  /** Learn `nMerges` merges. Ties break on the pair string (UTF-8
+    * byte order, Spark's string sort order), so the merge list is
+    * deterministic across runs and partitionings.
+    *
+    * ONE Spark job, not one per merge: after the corpus-scale vocab
+    * collapse the (sym, n) table is bounded by DISTINCT words — the
+    * thing that fits a trainer's memory at any corpus size (the
+    * standard BPE-trainer posture; a 100 TB corpus has millions of
+    * distinct words, not billions) — so it is collected once and the
+    * merge-argmax loop runs driver-local. The alternative, a Spark
+    * job per merge ([[trainDistributed]]), is 32k scheduler
+    * round-trips for a production vocabulary. For a vocab that
+    * genuinely cannot fit the driver, use [[trainDistributed]];
+    * BpeSpec pins the two byte-identical.
     */
   def train(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    require(nMerges > 0, "need at least one merge")
+    val counts = vocab(df, textCol)
+      .select(split(col("sym"), " ").as("cs"), col("n"))
+      .collect()
+      .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+    trainFromCounts(counts, nMerges)
+  }
+
+  /** Spark's string ordering is UTF8String binary order — UTF-8 bytes
+    * compared unsigned — which differs from Java's UTF-16
+    * `compareTo` for supplementary characters. The local argmax must
+    * tie-break exactly like the distributed `orderBy(pair asc)`.
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The driver-local merge loop over collected (symbols, count)
+    * rows: weighted adjacent-pair counts, argmax with the
+    * (cnt desc, pair asc) tie-break, greedy left-to-right rewrite —
+    * the exact semantics of the distributed round, minus the
+    * scheduler. Exposed for spec parity tests.
+    */
+  private[graft] def trainFromCounts(vocab0: Array[(Array[String], Long)],
+      nMerges: Int): Seq[Merge] = {
+    var v = vocab0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      v.foreach { case (cs, n) =>
+        var i = 0
+        while (i < cs.length - 1) {
+          val k = cs(i) + " " + cs(i + 1)
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestPair: String = null
+        var bestCnt = 0L
+        counts.foreach { case (p, c) =>
+          if (bestPair == null || c > bestCnt ||
+              (c == bestCnt && utf8Less(p, bestPair))) {
+            bestPair = p; bestCnt = c
+          }
+        }
+        val Array(a, b) = bestPair.split(" ", 2)
+        val m = Merge(r, a, b, a + b, bestCnt)
+        out += m
+        v = v.map { case (cs, n) => (applyMergeLocal(cs, a, b, m.merged), n) }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Greedy left-to-right non-overlapping rewrite of one symbol
+    * array — the driver-local mirror of [[applyMerge]] (and of
+    * [[encodeIter]]'s per-word loop).
+    */
+  private def applyMergeLocal(cs: Array[String], left: String,
+      right: String, merged: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    cs.foreach { x =>
+      if (out.nonEmpty && out.last == left && x == right) {
+        out.remove(out.size - 1); out += merged
+      } else out += x
+    }
+    out.toArray
+  }
+
+  /** The fully-distributed merge loop: one Spark round (pair counts +
+    * 1-row argmax + vocab rewrite) per merge. Correct at any vocab
+    * size — including one too large to collect — but each merge is a
+    * scheduler round-trip, so [[train]]'s collected loop is the
+    * default. BpeSpec pins both paths byte-identical.
+    */
+  def trainDistributed(df: DataFrame, textCol: String,
+      nMerges: Int): Seq[Merge] = {
     require(nMerges > 0, "need at least one merge")
     var v = vocab(df, textCol).localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]

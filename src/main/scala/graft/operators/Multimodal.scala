@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns next to a typed metadata struct; decode /
   * feature-extract / frame-sample run as partition-local batch transforms.
   *
-  * The actual media decoding is STUBBED (this container has no
-  * image/audio libraries): [[StubDecoder]] produces deterministic fake
-  * features from the bytes. The Spark-side contract — schema, batch
-  * iteration shape, partitioning behavior — is real and tested; swapping
-  * in a true decoder is replacing one [[Decoder]] instance.
+  * The FEATURE decoding is STUBBED (this container has no codec
+  * libraries): [[StubDecoder]] produces deterministic fake features
+  * from the bytes; swapping in a true decoder is replacing one
+  * [[Decoder]] instance. Image DIMENSIONS, by contrast, are real:
+  * [[imageDims]] parses PNG/JPEG/GIF/BMP headers with the JDK's
+  * dependency-free `javax.imageio`. The Spark-side contract — schema,
+  * batch iteration shape, partitioning behavior — is real and tested
+  * throughout.
   *
   * Scale notes: decode is embarrassingly parallel (mapPartitions, no
   * shuffle); the binary column should be written to parquet with a
@@ -96,6 +99,59 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           org.apache.spark.sql.Row(id, decoder.decode(bytes).toSeq)
+        }
+      }(enc)
+  }
+
+  /** REAL image dimensions — no stub: header-only width/height via the
+    * JDK's `javax.imageio` registry (PNG/JPEG/GIF/BMP out of the box,
+    * zero added dependencies). `reader.getWidth(0)` parses the image
+    * HEADER, not the pixel data, so the per-row cost is a few hundred
+    * bytes of parsing regardless of payload size — the right shape for
+    * a metadata-backfill pass over a 100 TB media table (the
+    * feature-vector decode, which genuinely needs a codec, stays a
+    * [[Decoder]]). Undecodable payloads yield NULL dims rather than
+    * failing the batch — corrupt media is data, not an error, at
+    * corpus scale.
+    */
+  private[graft] def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            Some((reader.getWidth(0), reader.getHeight(0)))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Partition-local header scan: media table → (media_id, width,
+    * height), NULL dims for payloads no installed reader understands.
+    * Same iterator-to-iterator batch shape as [[decodeFeatures]];
+    * callers join the result back to overwrite the metadata struct's
+    * declared dims with measured ones.
+    */
+  def imageDims(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id").cast(LongType), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val dims = decodeDims(r.getAs[Array[Byte]](1))
+          org.apache.spark.sql.Row(r.getLong(0),
+            dims.map(d => Int.box(d._1)).orNull,
+            dims.map(d => Int.box(d._2)).orNull)
         }
       }(enc)
   }

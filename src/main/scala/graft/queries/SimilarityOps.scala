@@ -994,6 +994,110 @@ object SimilarityOps {
         FROM d WHERE nrm2 > 0 AND qnrm2 > 0
         ORDER BY cosine DESC, vec_id LIMIT 10""")),
 
+    // ---- SQ8 recall gate (q88) ------------------------------------------
+    // q58 measures recall through PROBE TRUNCATION; this gate measures
+    // it through QUANTIZATION ERROR — the number a user adopting the
+    // 4x-smaller SQ8 index actually needs. Same exact decimal full-scan
+    // top-10 as the yardstick, same nprobe=2 for BOTH searches, so the
+    // float-IVF row is the controlled baseline and the delta between
+    // the two rows is purely the int8 payload's ranking error. The
+    // float branch reruns q58's discipline (k=50 double cut, decimal
+    // rerank); the SQ8 branch ranks on the integer-exact rounded
+    // cosine directly (q86's portability argument: int products sum
+    // exactly into a long, both engines cut the same rounded value),
+    // because reranking SQ8 candidates in float would wash out the
+    // very error being measured. One exact baseline, checkpointed once
+    // (q57/q58's plan-reuse discipline).
+    QueryDef("q88_sq8_recall",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cents = labelCentsDecimal(e)
+        val qvec = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val base = sys.props("java.io.tmpdir") +
+          s"/graft_ivf_q88_${java.lang.Integer.toHexString(dir.hashCode)}"
+        Similarity.ivfWrite(e, "vec_id", "embedding", cents, s"$base/float")
+        Similarity.ivfWriteSq8(e.select("vec_id", "embedding"),
+          "vec_id", "embedding", cents, s"$base/sq8")
+        val exact = decimalRerankTop10(e, e.select("vec_id"))
+          .select("vec_id").localCheckpoint(true)
+        def recallRow(method: String, top: DataFrame): DataFrame =
+          exact.join(top.select(col("vec_id"), lit(1).as("hit")),
+              Seq("vec_id"), "left")
+            .agg(coalesce(sum(col("hit")), lit(0)).cast(LongType).as("hits"),
+              count(lit(1)).as("total"))
+            .select(lit(method).as("method"), col("hits"), col("total"),
+              round(col("hits").cast(DoubleType) /
+                col("total").cast(DoubleType), 9).as("recall"))
+        val floatTop = decimalRerankTop10(e,
+          Similarity.ivfSearch(s, s"$base/float", "vec_id", "embedding",
+            cents, qvec, k = 50, nprobe = 2).select("vec_id"))
+          .select("vec_id")
+        val sq8Top = Similarity.ivfSearchSq8(s, s"$base/sq8", "vec_id",
+          cents, qvec, k = 10, nprobe = 2).select("vec_id")
+        recallRow("ivf_float", floatTop)
+          .union(recallRow("ivf_sq8", sq8Top))
+          .orderBy("method")
+      },
+      Some(s"""
+        WITH $ivfAssignCte,
+        q AS (SELECT pos, v FROM e WHERE vec_id = 0),
+        qn AS (SELECT CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn FROM q),
+        pc AS (SELECT cd.label,
+                      CAST(SUM(CAST(cd.c*q.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM centd cd JOIN q ON q.pos = cd.pos GROUP BY 1),
+        probes AS (SELECT pc.label FROM pc JOIN cn USING (label), qn
+                   ORDER BY pc.dot/(sqrt(cn.nn)*sqrt(qn.nn)) DESC, pc.label
+                   LIMIT 2),
+        dall AS (SELECT e.vec_id,
+                        CAST(SUM(CAST(e.v*q.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+                 FROM e JOIN q ON q.pos = e.pos GROUP BY 1),
+        sc AS (SELECT vec_id, round(dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) AS cosine
+               FROM dall JOIN vn USING (vec_id), qn
+               WHERE vn.nn > 0 AND qn.nn > 0),
+        ex AS (SELECT vec_id FROM (
+                 SELECT vec_id,
+                        row_number() OVER (ORDER BY cosine DESC, vec_id) AS rk
+                 FROM sc) WHERE rk <= 10),
+        apf AS (SELECT vec_id FROM (
+                  SELECT sc.vec_id,
+                         row_number() OVER (ORDER BY sc.cosine DESC, sc.vec_id) AS rk
+                  FROM sc JOIN assign a ON a.vec_id = sc.vec_id
+                  WHERE a.label IN (SELECT label FROM probes))
+                WHERE rk <= 10),
+        $int8Cte,
+        n8 AS (SELECT vec_id, qvec,
+                 CAST(list_sum(list_transform(qvec,
+                   x -> CAST(x AS INTEGER)*CAST(x AS INTEGER))) AS BIGINT) AS nrm2
+               FROM qz),
+        q0 AS (SELECT qvec AS qv, nrm2 AS qnrm2 FROM n8 WHERE vec_id = 0),
+        d8 AS (SELECT n8.vec_id,
+                 CAST(list_sum(list_transform(n8.qvec, (x, i) ->
+                   CAST(x AS INTEGER)*CAST(q0.qv[i] AS INTEGER))) AS BIGINT) AS dot,
+                 n8.nrm2, q0.qnrm2
+               FROM n8, q0
+               WHERE n8.vec_id IN (SELECT a.vec_id FROM assign a
+                                   JOIN probes p ON p.label = a.label)),
+        sq8t AS (SELECT vec_id FROM (
+                   SELECT vec_id,
+                          row_number() OVER (ORDER BY
+                            round(CAST(dot AS DOUBLE) /
+                              (sqrt(CAST(nrm2 AS DOUBLE))*sqrt(CAST(qnrm2 AS DOUBLE))),
+                              9) DESC, vec_id) AS rk
+                   FROM d8 WHERE nrm2 > 0 AND qnrm2 > 0)
+                 WHERE rk <= 10),
+        raw AS (
+          SELECT 'ivf_float' AS method,
+                 (SELECT count(*) FROM apf JOIN ex USING (vec_id)) AS hits,
+                 (SELECT count(*) FROM ex) AS total
+          UNION ALL
+          SELECT 'ivf_sq8',
+                 (SELECT count(*) FROM sq8t JOIN ex USING (vec_id)),
+                 (SELECT count(*) FROM ex))
+        SELECT method, hits, total,
+               round(CAST(hits AS DOUBLE) / CAST(total AS DOUBLE), 9) AS recall
+        FROM raw ORDER BY method""")),
+
     // ---- quantized ANN: retrieval over the int8 vectors (q69) ------------
     // Closes the quantization loop: brute-force cosine top-10 computed
     // ENTIRELY on q68's int8 vectors. Cosine is scale-invariant, so the

@@ -60,4 +60,30 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.train(big.repartition(13), "text", 4)
     assert(a == b, "merge list must not depend on partitioning")
   }
+
+  test("local trainer is byte-identical to the distributed loop") {
+    val big = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val local = Bpe.train(big, "text", 12)
+    val dist = Bpe.trainDistributed(big, "text", 12)
+    assert(local == dist,
+      "collected-vocab training must reproduce the per-round Spark loop exactly")
+  }
+
+  test("train launches O(1) Spark jobs regardless of merge count") {
+    // The contract that makes a 32k-merge vocabulary trainable: only
+    // the vocab collapse touches Spark; the merge loop is driver-local.
+    // Job counts are compared across merge counts rather than pinned
+    // to a constant (AQE decides how many jobs one collect becomes).
+    def jobsFor(n: Int): Int = {
+      val group = s"bpe-jobcount-$n"
+      spark.sparkContext.setJobGroup(group, "count jobs", false)
+      try Bpe.train(corpus, "text", n)
+      finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val few = jobsFor(2)
+    val many = jobsFor(40)
+    assert(many == few,
+      s"job count must not scale with nMerges (got $few jobs for 2 merges, $many for 40)")
+  }
 }

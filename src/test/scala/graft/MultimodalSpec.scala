@@ -42,6 +42,34 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getAs[Int]("width") == 21) // 42 / 2
   }
 
+  test("imageDims reads real PNG headers; garbage payloads yield NULL dims") {
+    // A REAL 2x2 PNG, generated with the same JDK surface the reader
+    // uses — this is the de-stubbed path: measured dims, not the
+    // asMediaTable placeholder arithmetic.
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 1, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Long.box(1), png),
+        Row(Long.box(2), "not an image".getBytes("UTF-8"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+    val dims = Multimodal.imageDims(rows)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(dims(1L) == (Some(2), Some(2)),
+      "a real PNG header must yield measured dims")
+    assert(dims(2L) == (None, None),
+      "undecodable payloads must yield NULL dims, not fail the batch")
+  }
+
   test("frameSample slices payload at stride with cap; short payload yields none") {
     val m = Multimodal.asMediaTable(base, "id", "payload", "video")
     val out = Multimodal.frameSample(m, frameBytes = 4, stride = 2, maxFrames = 3)
