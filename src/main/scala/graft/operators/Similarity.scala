@@ -355,6 +355,57 @@ object Similarity {
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
+  /** Batch search over an SQ8 index: [[ivfSearchBatch]]'s distributed
+    * shape (bounded-heap probe selection per query, one equality join
+    * against the cluster-partitioned index, bounded-heap top-k) with
+    * [[ivfSearchSq8]]'s integer score path. Queries arrive as FLOAT
+    * vectors: probe ranking runs on the float centroids (placement and
+    * probing stay shared with the float index), and each query is
+    * quantized IN THE PLAN with [[quantizeInt8]]'s exact expression —
+    * map-side, once per query — so in-cluster cosine is pure int8
+    * arithmetic against the index's stored payloads. Same
+    * self-exclusion contract as [[ivfSearchBatch]] (and the same
+    * corollaries: null-unsafe `=!=`, NULL query ids match nothing).
+    */
+  def ivfSearchBatchSq8(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, centroidDf: DataFrame,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nprobe: Int, broadcastProbes: Boolean = true): DataFrame = {
+    // The probe join introduces `cluster`/`centroid`, and the index
+    // side carries `qvec`/`scale`/`nrm2`; refuse every collision
+    // loudly (the quantizer's own require covers scale/qvec).
+    require(Seq("cluster", "centroid", "nrm2")
+        .forall(c => !queries.columns.contains(c)),
+      "queries frame already has a 'cluster', 'centroid' or 'nrm2' column; rename it first")
+    val csimC = graft.functions.ColumnLib.freeColumn(queries, "__csim")
+    val qqC = graft.functions.ColumnLib.freeColumn(queries, "__qq")
+    val qn2C = graft.functions.ColumnLib.freeColumn(queries, "__qn2")
+    val qz = quantizeInt8(queries.select(col(qidCol), col(qvecCol)), qvecCol)
+      .select(col(qidCol), col(qvecCol),
+        col("qvec").as(qqC), int8SelfNorm(col("qvec")).as(qn2C))
+    val probes0 = TopK.perGroup(
+      qz.crossJoin(broadcast(centroidDf))
+        .withColumn(csimC, cosineNative(col(qvecCol), col("centroid"))),
+      Seq(qidCol), Seq(col(csimC).desc_nulls_last, col("cluster").asc),
+      nprobe)
+      .select(col(qidCol), col(qqC), col(qn2C), col("cluster"))
+    val probes = if (broadcastProbes) broadcast(probes0) else probes0
+    val idot = aggregate(
+      zip_with(col("qvec"), col(qqC),
+        (a, b) => (a.cast("int") * b.cast("int")).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = spark.read.parquet(path)
+      .join(probes, Seq("cluster"))
+      .filter(col(idCol) =!= col(qidCol))
+      .filter(col("nrm2") > 0 && col(qn2C) > 0)
+      .select(col(qidCol), col(idCol),
+        round(idot.cast("double") /
+          (sqrt(col("nrm2").cast("double")) * sqrt(col(qn2C).cast("double"))),
+          9).as("cosine"))
+    TopK.perGroup(scored, Seq(qidCol),
+      Seq(col("cosine").desc, col(idCol).asc), k)
+  }
+
   private def int8SelfNorm(qvec: Column): Column =
     aggregate(
       zip_with(qvec, qvec,

@@ -1098,6 +1098,76 @@ object SimilarityOps {
                round(CAST(hits AS DOUBLE) / CAST(total AS DOUBLE), 9) AS recall
         FROM raw ORDER BY method""")),
 
+    // ---- batch SQ8 search: the multi-query quantized serving shape ------
+    // q67's distributed batch shape (per-query bounded-heap probe
+    // selection, one equality join against the cluster-partitioned
+    // index, bounded-heap top-k) composed with q86's integer score
+    // path — the form a production embedding service actually runs:
+    // thousands of queries against the 4x-smaller index in one plan.
+    // Queries are quantized IN THE PLAN (quantizeInt8's expression,
+    // map-side, once per query); the in-cluster score is int8 products
+    // summed exactly into a long, so unlike q67 no k margin or decimal
+    // rerank is needed — both engines cut the same rounded value at
+    // k=5 directly. Self-matches are excluded by the operator's batch
+    // contract.
+    QueryDef("q89_sq8_batch",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cents = labelCentsDecimal(e)
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_ivf_q89_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        Similarity.ivfWriteSq8(e.select("vec_id", "embedding"),
+          "vec_id", "embedding", cents, path)
+        val qs = e.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec_f"))
+        Similarity.ivfSearchBatchSq8(s, path, "vec_id", cents,
+            qs, "qid", "qvec_f", k = 5, nprobe = 2)
+          .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
+      },
+      Some(s"""
+        WITH $ivfAssignCte,
+        qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 97 = 0),
+        qe AS (SELECT q.qid, e.pos, e.v FROM qs q JOIN e ON e.vec_id = q.qid),
+        qn AS (SELECT qid, CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+               FROM qe GROUP BY 1),
+        pc AS (SELECT qe.qid, cd.label,
+                      CAST(SUM(CAST(cd.c*qe.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM centd cd JOIN qe ON qe.pos = cd.pos GROUP BY 1, 2),
+        probes AS (SELECT qid, label FROM (
+                     SELECT pc.qid, pc.label,
+                            row_number() OVER (PARTITION BY pc.qid
+                              ORDER BY pc.dot/(sqrt(cn.nn)*sqrt(qn.nn)) DESC,
+                                       pc.label) AS rk
+                     FROM pc JOIN cn USING (label) JOIN qn USING (qid))
+                   WHERE rk <= 2),
+        $int8Cte,
+        n8 AS (SELECT vec_id, qvec,
+                 CAST(list_sum(list_transform(qvec,
+                   x -> CAST(x AS INTEGER)*CAST(x AS INTEGER))) AS BIGINT) AS nrm2
+               FROM qz),
+        cand AS (SELECT p.qid, a.vec_id
+                 FROM probes p JOIN assign a ON a.label = p.label
+                 WHERE a.vec_id <> p.qid),
+        d8 AS (SELECT c.qid, c.vec_id,
+                 CAST(list_sum(list_transform(nv.qvec, (x, i) ->
+                   CAST(x AS INTEGER)*CAST(nq.qvec[i] AS INTEGER))) AS BIGINT) AS dot,
+                 nv.nrm2, nq.nrm2 AS qnrm2
+               FROM cand c
+               JOIN n8 nv ON nv.vec_id = c.vec_id
+               JOIN n8 nq ON nq.vec_id = c.qid)
+        SELECT qid, vec_id, cosine FROM (
+          SELECT qid, vec_id,
+                 round(CAST(dot AS DOUBLE) /
+                   (sqrt(CAST(nrm2 AS DOUBLE))*sqrt(CAST(qnrm2 AS DOUBLE))),
+                   9) AS cosine,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY round(CAST(dot AS DOUBLE) /
+                     (sqrt(CAST(nrm2 AS DOUBLE))*sqrt(CAST(qnrm2 AS DOUBLE))),
+                     9) DESC, vec_id) AS rk
+          FROM d8 WHERE nrm2 > 0 AND qnrm2 > 0)
+        WHERE rk <= 5
+        ORDER BY qid, cosine DESC, vec_id""")),
+
     // ---- quantized ANN: retrieval over the int8 vectors (q69) ------------
     // Closes the quantization loop: brute-force cosine top-10 computed
     // ENTIRELY on q68's int8 vectors. Cosine is scale-invariant, so the

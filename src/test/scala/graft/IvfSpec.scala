@@ -119,6 +119,32 @@ class IvfSpec extends SparkSpec {
     assert(sq == Seq(1L, 2L), s"got $sq")
   }
 
+  test("ivfSearchBatchSq8 matches per-query ivfSearchSq8 modulo self-exclusion") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfsqb").toString + "/index"
+    val cents = Similarity.centroids(vecs, "label", "embedding")
+    Similarity.ivfWriteSq8(vecs, "vec_id", "embedding", cents, dir)
+    val queries = vecs.filter(col("vec_id").isin(1L, 3L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec_f"))
+    val batch = Similarity.ivfSearchBatchSq8(spark, dir, "vec_id", cents,
+        queries, "qid", "qvec_f", k = 2, nprobe = 1)
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+    // The single-query path quantizes on the driver, the batch path in
+    // the plan — ids AND rounded cosines must agree exactly (the batch
+    // contract additionally excludes the query's own row).
+    Seq(1L, 3L).foreach { qid =>
+      val qv = vecs.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0)
+      val single = Similarity.ivfSearchSq8(spark, dir, "vec_id", cents,
+          qv, k = 3, nprobe = 1)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .filter(_._1 != qid).take(2).toSet
+      assert(batch(qid) == single,
+        s"qid=$qid: batch ${batch(qid)} vs single $single")
+    }
+  }
+
   test("IVF search physically prunes unprobed cluster partitions") {
     val dir = java.nio.file.Files.createTempDirectory("ivf2").toString + "/index"
     val cents = Similarity.centroids(vecs, "label", "embedding")
