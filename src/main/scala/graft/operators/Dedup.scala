@@ -255,6 +255,40 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** GRADED decontamination: per-document n-gram overlap fraction
+    * against a benchmark corpus — [[decontaminate]] drops only
+    * (normalized) verbatim copies, but eval leakage is usually PARTIAL
+    * (a quoted question, a pasted paragraph), which is why production
+    * decontamination reports n-gram overlap and thresholds it. Returns
+    * one row per corpus document that has at least one n-gram:
+    * (idCol, n_grams, n_hit, overlap) where overlap = fraction of the
+    * doc's DISTINCT n-grams present anywhere in the benchmark.
+    *
+    * Scale: both sides collapse to distinct grams (map-side
+    * array_distinct per doc, then a distinct on the tiny benchmark
+    * side); the only corpus-scale exchange is the equality join keyed
+    * on the gram string, and the benchmark gram set is small enough
+    * that AQE broadcasts it — the same posture as [[decontaminate]]'s
+    * anti join, with a count instead of a drop.
+    */
+  def ngramOverlap(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      body: String, n: Int): DataFrame = {
+    require(!Seq("n_grams", "n_hit", "overlap").contains(idCol),
+      "idCol collides with an output column name; rename it first")
+    val grams = corpus.select(col(idCol),
+      explode(array_distinct(wordShingles(col(body), n))).as("__g"))
+    val bgrams = benchmark
+      .select(explode(array_distinct(wordShingles(col(body), n))).as("__g"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    grams.join(bgrams, Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("overlap",
+        round(col("n_hit").cast("double") / col("n_grams").cast("double"), 9))
+  }
+
   /** Connected components over an undirected pair list (id1, id2):
     * returns one row per node with its component id = the minimum node
     * id reachable from it. This is the corpus-level dedup closer — near

@@ -446,6 +446,47 @@ object DedupOps {
               = md5(trim(regexp_replace(regexp_replace(lower(d.text),'[^a-z0-9 ]','','g'),' +',' ','g'))))
         ORDER BY doc_id""")),
 
+    // ---- graded decontamination: n-gram overlap fraction (q90) ----------
+    // q39 drops verbatim (normalized) copies; real eval leakage is
+    // PARTIAL — a pasted paragraph, a quoted question — so production
+    // decontamination reports the fraction of each doc's distinct
+    // 3-grams that appear anywhere in the benchmark set and thresholds
+    // it. Benchmark = doc_id % 101 = 0 (disjoint from the corpus side
+    // here, unlike q39's deliberate self-inclusion). Docs with fewer
+    // than 3 words have no grams and drop out in both engines. The
+    // overlap is a single fixed-order divide of two exact longs,
+    // rounded to the 1e-9 grid — oracle-portable without decimals.
+    QueryDef("q90_ngram_overlap",
+      (s, dir) => {
+        val all = docs(s, dir)
+        Dedup.ngramOverlap(
+            all.filter(col("doc_id") % 101 =!= 0),
+            all.filter(col("doc_id") % 101 === 0),
+            "doc_id", "text", n = 3)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH grams AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+              unnest(list_transform(range(1, len(l)-1),
+                     i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
+            FROM (SELECT doc_id, string_split(text,' ') AS l
+                  FROM documents WHERE doc_id % 101 <> 0))),
+        bgrams AS (
+          SELECT DISTINCT g FROM (
+            SELECT unnest(list_transform(range(1, len(l)-1),
+                   i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
+            FROM (SELECT string_split(text,' ') AS l
+                  FROM documents WHERE doc_id % 101 = 0)))
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hit,
+               round(CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS overlap
+        FROM grams a LEFT JOIN bgrams b ON a.g = b.g
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- n-gram Jaccard on a capped id range (verification tier) --------
     // At scale this runs on LSH candidates only; the cap keeps the
     // all-pairs verification query scale-independent.

@@ -114,6 +114,23 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), s"benchmark side must broadcast:\n$plan")
   }
 
+  test("ngramOverlap grades partial benchmark leakage per document") {
+    val train = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), "the quick brown fox jumps"),   // contains bench 3-grams
+      Row(Long.box(2), "a completely different doc entirely"),
+      Row(Long.box(3), "too short"))                   // < 3 words: no grams
+    val bench = df("doc_id BIGINT, text STRING",
+      Row(Long.box(100), "the quick brown fox sat down"))
+    val got = Dedup.ngramOverlap(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: grams {the quick brown, quick brown fox, brown fox jumps};
+    // the first two appear in the benchmark -> 2/3.
+    assert(got(1L) == (3L, 2L, math.rint(2.0 / 3.0 * 1e9) / 1e9), s"got $got")
+    assert(got(2L) == (3L, 0L, 0.0))
+    assert(!got.contains(3L), "a doc with no n-grams has no overlap row")
+  }
+
   test("simhash64: exact dups identical; bit j*4 reproduces the 16-bit signature") {
     val sig64 = Dedup.simhashSignatures64(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
