@@ -87,6 +87,43 @@ object Sampling {
       .drop(rk)
   }
 
+  /** Deterministic corpus shuffle with GLOBAL sequence positions — the
+    * "fix the training order" step: rows are totally ordered by
+    * `md5(salt:key)` (key tiebreak, so the order is total) and each is
+    * assigned its 0-based global position. The naive formulation —
+    * `row_number()` over an unpartitioned window — funnels the entire
+    * corpus through ONE task; this operator computes the same numbers
+    * scalably: a range-partitioned parallel sort, then RDD
+    * `zipWithIndex` (per-partition counts, a driver prefix-sum over
+    * the bounded partition-count array, map-side base+offset — the
+    * same two-pass shape as [[graft.operators.Packing]]). Position
+    * values depend only on the total order, never on partition
+    * boundaries or retries, so the assignment is deterministic and
+    * retry-stable like everything else in this module. The RDD hop is
+    * the sanctioned tier-(d) escape (SURVEY.md §7.3): per-partition
+    * index assignment is genuinely imperative; everything around it
+    * stays a DataFrame.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String, salt: String,
+      posCol: String = "pos"): DataFrame = {
+    require(!df.columns.contains(posCol),
+      s"input already has a '$posCol' column; rename it first")
+    val spark = df.sparkSession
+    val ordC = graft.functions.ColumnLib.freeColumn(df, "__ord")
+    val sorted = df
+      .withColumn(ordC,
+        md5(concat(lit(salt + ":"), col(keyCol).cast("string"))))
+      .repartitionByRange(col(ordC), col(keyCol))
+      .sortWithinPartitions(col(ordC), col(keyCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        posCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val withPos = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(withPos, schema).drop(ordC)
+  }
+
   /** Weighted mixture: deterministically subsample each source by its
     * weight and union (by name, tolerating schema drift across
     * sources). Weights are independent per-source fractions in [0, 1] —

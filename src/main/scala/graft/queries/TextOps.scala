@@ -675,6 +675,29 @@ object TextOps {
           AND substr(md5('mix/2:'||CAST(doc_id AS VARCHAR)),1,4) < '4000'
         ORDER BY source, doc_id""")),
 
+    // ---- deterministic corpus shuffle (q91) ------------------------------
+    // Fixing the training order: every row gets its 0-based global
+    // position under the md5(salt:key) total order. The declarative
+    // restatement is row_number() over an UNPARTITIONED window — which
+    // the oracle runs happily at sf0.01 and which funnels the whole
+    // corpus through one task at 100 TB; the operator computes the
+    // identical numbers via range-partitioned sort + zipWithIndex
+    // (per-partition counts, driver prefix-sum, map-side base+offset).
+    // ShuffleSpec pins the no-Window plan and the partition-layout
+    // independence of the assigned positions.
+    QueryDef("q91_corpus_shuffle",
+      (s, dir) => {
+        graft.operators.Sampling.deterministicShuffle(
+            docs(s, dir).select("doc_id"), "doc_id", "ord1")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               row_number() OVER (
+                 ORDER BY md5('ord1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+                 AS pos
+        FROM documents ORDER BY doc_id""")),
+
     // ---- BPE pair counts: the distributed core of tokenizer training ----
     // One merge round of BPE training (operators/Bpe.scala): the corpus
     // collapses to a (word, count) vocab — the only corpus-scale shuffle

@@ -75,4 +75,30 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"hash split must not shuffle:\n$plan")
   }
+
+  test("deterministicShuffle assigns window-free global positions") {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select("doc_id")
+    val out = Sampling.deterministicShuffle(d, "doc_id", "ord1")
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // The positions are exactly the unpartitioned-window row numbers.
+    val expect = d
+      .withColumn("pos", org.apache.spark.sql.functions.row_number().over(
+        Window.orderBy(
+          md5(concat(lit("ord1:"), col("doc_id").cast("string"))),
+          col("doc_id"))).cast("long") - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, "positions must equal the global total order")
+    // Deterministic across physical layouts (retry-stability contract):
+    // partition boundaries must not leak into the assigned values.
+    val relaid = Sampling.deterministicShuffle(
+        d.repartition(13), "doc_id", "ord1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(relaid == got, "positions must not depend on input layout")
+    // The scalable plan: a range-partitioned sort feeding zipWithIndex —
+    // never a global Window (which would funnel the corpus through one
+    // task).
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no global window expected:\n$plan")
+  }
 }
