@@ -82,6 +82,33 @@ object Storage {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
   }
 
+  /** Training-shard export — the final step of a corpus build (clean →
+    * pack → order → SHARD): rows carrying a global position column
+    * (e.g. [[graft.operators.Sampling.deterministicShuffle]]'s `pos`)
+    * are written as size-bounded, order-preserving parquet shards.
+    * Shard k holds exactly the positions [k*rowsPerShard,
+    * (k+1)*rowsPerShard): a data loader that walks `shard=k` dirs in
+    * key order and reads rows in file order replays the corpus in
+    * training order, and any shard range can be re-read or re-exported
+    * independently (the resumable-loader contract).
+    *
+    * One shuffle, keyed on the derived shard id, so each shard lands
+    * WHOLE in one task and therefore one file — file count is
+    * nShards, not nShards x tasks. Sorting within partitions is
+    * shard-major then position, which keeps every shard file
+    * internally position-sorted.
+    */
+  def writeShards(df: DataFrame, posCol: String, rowsPerShard: Long,
+      path: String): Unit = {
+    require(rowsPerShard > 0, "need a positive shard size")
+    val shardC = graft.functions.ColumnLib.freeColumn(df, "shard")
+    df.withColumn(shardC,
+        org.apache.spark.sql.functions.expr(s"`$posCol` DIV $rowsPerShard"))
+      .repartition(col(shardC))
+      .sortWithinPartitions(col(shardC), col(posCol))
+      .write.mode("overwrite").partitionBy(shardC).parquet(path)
+  }
+
   /** Bucketed managed table: pre-shuffled layout on the join/agg key.
     * Two tables bucketed on the same key with the same count join with
     * NO exchange on either side — the co-located join that at 100 TB

@@ -63,6 +63,33 @@ class StorageSpec extends SparkSpec {
     assert(rowSet(Storage.read(spark, dir)) == data, "compaction must not change data")
   }
 
+  test("writeShards: one position-sorted file per bounded shard") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString + "/t"
+    // 100 rows in a scrambled layout; positions 0..99, 25 per shard.
+    val rows = spark.range(100).toDF("pos")
+      .withColumn("payload", concat(lit("doc"), col("pos")))
+      .repartition(7)
+    Storage.writeShards(rows, "pos", 25, dir)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.map(_.getName).toSet ==
+      Set("shard=0", "shard=1", "shard=2", "shard=3"))
+    shardDirs.foreach { d =>
+      val k = d.getName.stripPrefix("shard=").toLong
+      // Whole shard in ONE file: the loader streams it sequentially.
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: expected one file, got ${files.length}")
+      // File order IS training order: positions are the shard's exact
+      // contiguous range, already sorted on disk.
+      val ps = spark.read.parquet(files(0).toString)
+        .select("pos").collect().map(_.getLong(0)).toSeq
+      assert(ps == (k * 25 until (k + 1) * 25).toSeq,
+        s"${d.getName}: rows must be the contiguous sorted range, got $ps")
+    }
+    // Roundtrip: nothing lost, nothing duplicated.
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
   test("exists requires data files, not just a directory") {
     val dir = java.nio.file.Files.createTempDirectory("exists").toString
     assert(!Storage.exists(spark, dir + "/missing"))
