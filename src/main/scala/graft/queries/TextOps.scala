@@ -108,6 +108,40 @@ object TextOps {
         FROM documents ORDER BY doc_id""")),
 
     // ---- quality scoring: length / punctuation / stopword ratios --------
+    // ---- per-source token-count percentiles (q92) -----------------------
+    // The corpus-datasheet stat next to the length histogram: exact
+    // R-7 (linear-interpolation) percentiles of whitespace token
+    // counts per source. Both engines implement the same R-7 formula
+    // (index = p*(n-1), linear between the two neighbors); the only
+    // cross-engine hazard is the last-ulp of the interpolation
+    // arithmetic, absorbed by the family's 1e-9 rounding grid. Exact
+    // percentile is a per-group sort — fine for a bounded per-source
+    // histogram stat; at 100 TB the approximate sketch
+    // (approx_percentile) is the scan-friendly variant, but its
+    // sketch is engine-specific and can't be oracle-gated.
+    QueryDef("q92_token_percentiles",
+      (s, dir) => {
+        docs(s, dir)
+          .select(col("source"), tokenCountWs(col("text")).as("n_tokens"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(expr("percentile(n_tokens, 0.25)"), 9).as("p25"),
+            round(expr("percentile(n_tokens, 0.5)"), 9).as("p50"),
+            round(expr("percentile(n_tokens, 0.9)"), 9).as("p90"),
+            round(expr("percentile(n_tokens, 0.99)"), 9).as("p99"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source, count(*) AS n_docs,
+               round(quantile_cont(n_tokens, 0.25), 9) AS p25,
+               round(quantile_cont(n_tokens, 0.5), 9) AS p50,
+               round(quantile_cont(n_tokens, 0.9), 9) AS p90,
+               round(quantile_cont(n_tokens, 0.99), 9) AS p99
+        FROM (SELECT source, len(string_split(text,' ')) AS n_tokens
+              FROM documents)
+        GROUP BY source ORDER BY source""")),
+
     QueryDef("q21_quality_score",
       (s, dir) => {
         val nWords = tokenCountWs(col("text"))
