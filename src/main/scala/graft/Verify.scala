@@ -10,8 +10,16 @@ object Verify {
     val spark = Engine.local(cpus)
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter, mirroring Bench: the driver never sets it.
+    // Unknown names fail LOUDLY — a typo'd filter would otherwise run
+    // zero queries, dump an empty oracle_sql.json, and let the compare
+    // gate pass vacuously.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not registered: ${unknown.mkString(", ")}")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries

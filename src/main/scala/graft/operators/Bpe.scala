@@ -143,8 +143,10 @@ object Bpe {
   }
 
   /** Greedy left-to-right non-overlapping rewrite of one symbol
-    * array — the driver-local mirror of [[applyMerge]] (and of
-    * [[encodeIter]]'s per-word loop).
+    * array — the SINGLE imperative counterpart of the [[applyMerge]]
+    * column expression, shared by the driver-local trainer and
+    * [[encodeIter]]'s per-word loop so the non-overlap semantics
+    * cannot drift between them.
     */
   private def applyMergeLocal(cs: Array[String], left: String,
       right: String, merged: String): Array[String] = {
@@ -237,17 +239,11 @@ object Bpe {
       .mapPartitions { it =>
         val ms = bc.value
         it.map { w =>
-          var sym: List[String] = w.split("").toList
+          var sym: Array[String] = w.split("")
           ms.foreach { case (a, b, m) =>
-            val out = scala.collection.mutable.ListBuffer.empty[String]
-            sym.foreach { x =>
-              if (out.nonEmpty && out.last == a && x == b) {
-                out.remove(out.size - 1); out += m
-              } else out += x
-            }
-            sym = out.toList
+            sym = applyMergeLocal(sym, a, b, m)
           }
-          (w, sym)
+          (w, sym.toSeq)
         }
       }
       .toDF("word", "tokens")

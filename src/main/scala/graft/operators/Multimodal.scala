@@ -117,7 +117,11 @@ object Multimodal {
   private[graft] def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] = {
     if (bytes == null || bytes.isEmpty) return None
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream, NOT createImageInputStream: the
+      // factory's default file cache would create+delete a temp file
+      // PER ROW (and an unwritable executor tmpdir would turn every
+      // row's dims NULL); the payload is already in memory.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -149,7 +153,10 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val dims = decodeDims(r.getAs[Array[Byte]](1))
-          org.apache.spark.sql.Row(r.getLong(0),
+          // NULL ids ride through like corrupt payloads do — one bad
+          // row must never fail a 100 TB backfill batch.
+          org.apache.spark.sql.Row(
+            if (r.isNullAt(0)) null else Long.box(r.getLong(0)),
             dims.map(d => Int.box(d._1)).orNull,
             dims.map(d => Int.box(d._2)).orNull)
         }

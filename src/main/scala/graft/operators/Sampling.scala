@@ -110,11 +110,16 @@ object Sampling {
       s"input already has a '$posCol' column; rename it first")
     val spark = df.sparkSession
     val ordC = graft.functions.ColumnLib.freeColumn(df, "__ord")
+    // The sorted frame is materialized ONCE (localCheckpoint, the q55
+    // posture): zipWithIndex launches a counting job over every
+    // partition before the consumer's own job, and without the cut the
+    // corpus-wide range sort would run twice.
     val sorted = df
       .withColumn(ordC,
         md5(concat(lit(salt + ":"), col(keyCol).cast("string"))))
       .repartitionByRange(col(ordC), col(keyCol))
       .sortWithinPartitions(col(ordC), col(keyCol))
+      .localCheckpoint(true)
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         posCol, org.apache.spark.sql.types.LongType, nullable = false))

@@ -101,6 +101,16 @@ object Storage {
   def writeShards(df: DataFrame, posCol: String, rowsPerShard: Long,
       path: String): Unit = {
     require(rowsPerShard > 0, "need a positive shard size")
+    val spark = df.sparkSession
+    // A shard export is a SNAPSHOT, not an incremental table: under the
+    // engine's dynamic partitionOverwriteMode a re-export that produces
+    // FEWER shards would leave the previous export's tail directories
+    // in place, and a loader walking shard dirs would replay stale
+    // rows. Delete the whole target first (the input must not read
+    // from `path`; shard exports never do).
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(target, true)
     val shardC = graft.functions.ColumnLib.freeColumn(df, "shard")
     df.withColumn(shardC,
         org.apache.spark.sql.functions.expr(s"`$posCol` DIV $rowsPerShard"))

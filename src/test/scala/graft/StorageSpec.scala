@@ -88,6 +88,15 @@ class StorageSpec extends SparkSpec {
     }
     // Roundtrip: nothing lost, nothing duplicated.
     assert(spark.read.parquet(dir).count() == 100)
+    // A shard export is a snapshot: re-exporting a SMALLER corpus must
+    // remove the previous export's tail shards (under dynamic
+    // partition overwrite a plain overwrite would leave them stale).
+    Storage.writeShards(rows.filter(col("pos") < 60), "pos", 25, dir)
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(after == Set("shard=0", "shard=1", "shard=2"),
+      s"stale shards must not survive a re-export, got $after")
+    assert(spark.read.parquet(dir).count() == 60)
   }
 
   test("exists requires data files, not just a directory") {
