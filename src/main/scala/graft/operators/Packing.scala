@@ -125,4 +125,75 @@ object Packing {
         sum(coalesce(col(tokensCol), lit(0L))).over(w) + col(baseC))
       .drop(bkC, loC, hiC, baseC)
   }
+
+  /** Context-window slicing: the "concat and chunk" step that follows
+    * packing in a pre-training pipeline. Documents are laid end-to-end
+    * per group (offsets from [[packTwoPass]], so no group ever
+    * serializes through one task) and the token stream is cut into
+    * fixed `cap`-token windows; each document maps to the CLOSED span
+    * of window ids its tokens land in:
+    *
+    *   first_window = start_offset DIV cap
+    *   last_window  = (end_offset - 1) DIV cap
+    *
+    * A doc with last_window > first_window crosses a window boundary —
+    * the fraction of such docs (and of windows containing a boundary)
+    * is the attention-contamination statistic a packing config is
+    * judged by. Zero-token rows are excluded (they occupy no window;
+    * keeping them would need a degenerate empty span).
+    *
+    * Output: the input columns plus start_offset / end_offset /
+    * first_window / last_window. Entirely map-side on top of the
+    * packed frame — the span arithmetic adds no shuffle, so the scale
+    * posture is exactly [[packTwoPass]]'s.
+    */
+  def windowSpans(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      tokensCol: String, cap: Long, nBuckets: Int): DataFrame = {
+    require(cap > 0, "need a positive window capacity")
+    val taken = Seq("start_offset", "end_offset", "first_window",
+      "last_window").filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"input already has ${taken.mkString(", ")}; rename first")
+    val t = coalesce(col(tokensCol).cast(LongType), lit(0L))
+    packTwoPass(df, groupCols, orderCol, tokensCol, nBuckets)
+      .filter(t > 0)
+      .withColumn("start_offset", col("end_offset") - t)
+      .withColumn("first_window", floor(col("start_offset") / cap))
+      .withColumn("last_window", floor((col("end_offset") - 1) / cap))
+  }
+
+  /** Per-window occupancy stats over [[windowSpans]]: explode each doc
+    * span into its window ids (bounded fan-out: ceil(tokens/cap)+1 rows
+    * per doc) and aggregate per (group, window):
+    *
+    *   n_docs     docs with ≥1 token in the window
+    *   n_starts   docs whose first token is in the window
+    *   win_tokens tokens of the window occupied (= cap except a
+    *              group's last window — the padding-waste number)
+    *   n_crossing docs continuing into the NEXT window
+    *
+    * The group-by keys (group, window id) are fine-grained and evenly
+    * sized by construction — capacity bounds every window's token
+    * count — so the aggregation has no skew at any corpus size.
+    */
+  def windowStats(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      tokensCol: String, cap: Long, nBuckets: Int): DataFrame = {
+    val statNames = Seq("win", "n_docs", "n_starts", "win_tokens",
+      "n_crossing")
+    val clash = groupCols.filter(statNames.contains)
+    require(clash.isEmpty,
+      s"group columns collide with stat outputs: ${clash.mkString(", ")}")
+    val spans = windowSpans(df, groupCols, orderCol, tokensCol, cap, nBuckets)
+    val winC = freeColumn(df, "win")
+    spans
+      .withColumn(winC,
+        explode(sequence(col("first_window"), col("last_window"))))
+      .groupBy(groupCols.map(col) :+ col(winC).as("win"): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("first_window") === col(winC)).as("n_starts"),
+        sum(least(col("end_offset"), (col(winC) + 1) * cap) -
+          greatest(col("start_offset"), col(winC) * cap)).as("win_tokens"),
+        count_if(col("last_window") > col(winC)).as("n_crossing"))
+  }
 }

@@ -680,6 +680,53 @@ object TextOps {
               FROM documents)
         ORDER BY source, doc_id""")),
 
+    // ---- context-window slicing: per-window occupancy (q93) --------------
+    // The step AFTER packing: the per-source token stream is cut into
+    // fixed 512-token windows and each doc maps to its closed span of
+    // window ids (operators/Packing.windowSpans). The per-window stats
+    // are what a packing config is judged by — n_crossing is the
+    // attention-contamination count, win_tokens < cap only in a
+    // source's last window (the padding waste). Offsets come from the
+    // two-pass packer, so no source serializes through one task; the
+    // span explode is bounded (ceil(tokens/cap)+1 rows per doc) and the
+    // (source, win) group-by keys are capacity-bounded — skew-free by
+    // construction. The oracle restates the offsets as the one-window
+    // cumulative sum (identical numbers by packTwoPass's contract) and
+    // the span explode as unnest(range(fw, lw+1)).
+    QueryDef("q93_window_slice",
+      (s, dir) => {
+        graft.operators.Packing.windowStats(
+            docs(s, dir).select(col("source"), col("doc_id"),
+              tokenCountWs(col("text")).as("n_tokens")),
+            Seq("source"), "doc_id", "n_tokens", cap = 512L, nBuckets = 4)
+          .orderBy("source", "win")
+      },
+      Some("""
+        WITH base AS (
+          SELECT source, doc_id,
+                 len(string_split(text,' ')) AS n,
+                 SUM(len(string_split(text,' '))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS e
+          FROM documents),
+        spans AS (
+          SELECT source, e - n AS st, e,
+                 CAST(floor((e - n) / 512) AS BIGINT) AS fw,
+                 CAST(floor((e - 1) / 512) AS BIGINT) AS lw
+          FROM base WHERE n > 0),
+        w AS (SELECT source, st, e, fw, lw,
+                     unnest(range(fw, lw + 1)) AS win
+              FROM spans)
+        SELECT source, win,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN fw = win THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_starts,
+               CAST(sum(least(e, (win + 1) * 512)
+                        - greatest(st, win * 512)) AS BIGINT) AS win_tokens,
+               CAST(sum(CASE WHEN lw > win THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_crossing
+        FROM w GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- weighted source mixture (q87) -----------------------------------
     // The pre-training data-mix recipe as a gate: each source is
     // independently down-sampled by its weight (derived salt per

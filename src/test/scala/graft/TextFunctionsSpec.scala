@@ -90,4 +90,57 @@ class TextFunctionsSpec extends SparkSpec {
       assert(two == single, s"nBuckets=$b must reproduce the global offsets")
     }
   }
+
+  test("windowStats conserves tokens and bounds every window by cap") {
+    val cap = 512L
+    val d = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), col("doc_id"),
+        tokenCountWs(col("text")).as("n_tokens"))
+    val stats = graft.operators.Packing
+      .windowStats(d, Seq("source"), "doc_id", "n_tokens", cap, nBuckets = 3)
+      .collect()
+    // Conservation: the windows of a source hold exactly its tokens —
+    // the slicing may move tokens between windows, never create or
+    // drop any.
+    val perSource = stats.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(4)).sum).toMap
+    val expected = d.groupBy("source")
+      .agg(sum(col("n_tokens")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource == expected)
+    stats.foreach { r =>
+      val (win, nDocs, nStarts, winTokens, nCrossing) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(winTokens >= 1 && winTokens <= cap,
+        s"window $win holds $winTokens tokens, cap is $cap")
+      assert(nStarts <= nDocs && nCrossing <= 1,
+        "at most one doc can continue past a window's end")
+      assert(nDocs >= 1 && win >= 0)
+    }
+    // Every window id below a source's max must be present (the
+    // stream is cut contiguously — no empty interior window).
+    stats.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val wins = rs.map(_.getLong(1)).sorted
+      assert(wins.sameElements(0L to wins.last),
+        s"$src has a gap in its window ids")
+    }
+  }
+
+  test("windowSpans drops zero-token rows and rejects colliding columns") {
+    val d = df("source STRING, doc_id BIGINT, n_tokens BIGINT",
+      Row("a", 1L, 0L), Row("a", 2L, 5L), Row("a", 3L, null))
+    val spans = graft.operators.Packing
+      .windowSpans(d, Seq("source"), "doc_id", "n_tokens", 4L, 2)
+      .collect()
+    // Rows 1 (zero) and 3 (NULL→zero) occupy no window; row 2 spans
+    // windows 0..1 (tokens 0-4 against cap 4).
+    assert(spans.map(_.getLong(1)).toSeq == Seq(2L))
+    assert(spans.head.getAs[Long]("first_window") == 0L &&
+      spans.head.getAs[Long]("last_window") == 1L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Packing.windowSpans(
+        d.withColumn("end_offset", lit(1L)),
+        Seq("source"), "doc_id", "n_tokens", 4L, 2)
+    }
+  }
 }
