@@ -35,6 +35,45 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Key-distribution profiler — the "should I salt this join?" number.
+    * For each requested column, the top-k values by row count with
+    * their fraction of all rows. NULL is a value (and on real fact
+    * tables often THE hot key — see [[nullSafeLeftJoin]]).
+    *
+    * ONE scan for all profiled columns: each row explodes into
+    * (key_col, value) pairs — column count is a small constant, so the
+    * fan-out is bounded — and one count aggregation covers every
+    * column. The aggregation's input is maximally skewed by definition
+    * (the hot keys being hunted), which is exactly what map-side
+    * partial aggregation absorbs: every mapper emits at most one row
+    * per (column, distinct value), so the exchange carries partial
+    * counts, never raw rows. Per-column totals reduce the counted
+    * table again (tiny, broadcast back), and the bounded-heap TopK
+    * cuts k rows per column with no sort. Values travel as strings —
+    * the profile is a diagnostic, and a union across column types
+    * needs one type.
+    */
+  def heavyHitters(df: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one column to profile")
+    require(k > 0, "need a positive k")
+    val missing = keyCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"no such columns: ${missing.mkString(", ")}")
+    val pairs = df.select(explode(array(keyCols.map(c =>
+        struct(lit(c).as("key_col"), col(c).cast("string").as("value"))): _*))
+        .as("kv"))
+      .select(col("kv.key_col"), col("kv.value"))
+    val counted = pairs.groupBy("key_col", "value")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counted.groupBy("key_col")
+      .agg(sum(col("cnt")).as("__total"))
+    TopK.perGroup(
+        counted.join(broadcast(totals), Seq("key_col")),
+        keys = Seq("key_col"),
+        order = Seq(col("cnt").desc, col("value").asc_nulls_first), k = k)
+      .select(col("key_col"), col("value"), col("cnt"),
+        round(col("cnt").cast("double") / col("__total"), 9).as("frac"))
+  }
+
   /** Null-key short-circuit: rows whose join key is null can never
     * match an equi-join — route them around the shuffle entirely and
     * union them back (left-join semantics preserved). On a fact table

@@ -438,5 +438,40 @@ object Relational {
                CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         FROM (SELECT user_id % 25 AS k, value FROM events) e
         LEFT JOIN nation n ON n.n_nationkey = e.k
-        GROUP BY 1 ORDER BY 1""")))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- heavy-hitter key profiler: skew diagnostics (q94) --------------
+    // The number you need BEFORE choosing q43's salted join or trusting
+    // AQE: per join-key column, the top values by row count and their
+    // fraction of the table. One scan profiles all columns (each row
+    // explodes into (column, value) pairs); the count aggregation's
+    // input is maximally skewed by definition, which map-side partial
+    // aggregation absorbs — the exchange carries at most one partial
+    // count per (column, value) per mapper, never raw rows. The two
+    // profiled columns are the diagnostic contrast: l_returnflag (3
+    // values, ~a third of the table each — salt or broadcast) vs
+    // l_suppkey (even, thousands of values — leave alone).
+    QueryDef("q94_heavy_hitters",
+      (s, dir) => {
+        graft.operators.Skew.heavyHitters(
+            t(s, dir, "lineitem"), Seq("l_returnflag", "l_suppkey"), k = 5)
+          .orderBy(col("key_col"), col("cnt").desc, col("value"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT 'l_returnflag' AS key_col,
+                 CAST(l_returnflag AS VARCHAR) AS value FROM lineitem
+          UNION ALL
+          SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem),
+        c AS (SELECT key_col, value, CAST(count(*) AS BIGINT) AS cnt
+              FROM u GROUP BY 1, 2),
+        tt AS (SELECT key_col, CAST(sum(cnt) AS BIGINT) AS total
+               FROM c GROUP BY 1),
+        r AS (SELECT c.key_col, c.value, c.cnt,
+                     round(CAST(c.cnt AS DOUBLE) / tt.total, 9) AS frac,
+                     row_number() OVER (PARTITION BY c.key_col
+                       ORDER BY c.cnt DESC, c.value ASC NULLS FIRST) AS rk
+              FROM c JOIN tt USING (key_col))
+        SELECT key_col, value, cnt, frac FROM r
+        WHERE rk <= 5 ORDER BY key_col, cnt DESC, value""")))
 }

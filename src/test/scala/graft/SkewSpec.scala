@@ -32,6 +32,24 @@ class SkewSpec extends SparkSpec {
     assert(rowSet(routed) == rowSet(plain))
   }
 
+  test("heavyHitters ranks values with NULL as a first-class hot key") {
+    val d = df("a STRING, b BIGINT",
+      Row(null, Long.box(1)), Row(null, Long.box(2)), Row(null, Long.box(3)),
+      Row("x", Long.box(1)), Row("x", Long.box(2)), Row("y", Long.box(9)))
+    val out = Skew.heavyHitters(d, Seq("a", "b"), k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // Column a: NULL is the top value (3/6); column b: 1 and 2 tie at
+    // 2/6 each and 9 (1/6) is cut — the tie-break is value ascending.
+    val third = 0.333333333 // frac is rounded to the 1e-9 grid
+    assert(out == Set(
+      ("a", null, 3L, 0.5), ("a", "x", 2L, third),
+      ("b", "1", 2L, third), ("b", "2", 2L, third)))
+    intercept[IllegalArgumentException] {
+      Skew.heavyHitters(d, Seq("nope"), k = 2)
+    }
+  }
+
   test("statusPivot with null-routed phone join matches the plain left join") {
     import graft.pipelines.FactStaffDaily
     import graft.functions.Classifiers
