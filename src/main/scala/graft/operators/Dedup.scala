@@ -236,6 +236,89 @@ object Dedup {
     result
   }
 
+  /** Persist the corpus's LSH band index for incremental dedup: one
+    * (id, band_id, band_key) row per doc-band, the artifact
+    * [[incrementalNearDupPairs]] probes when a NEW batch arrives. At
+    * corpus scale this is the thing you build once and append to per
+    * ingest — O(docs·bands) rows of 16-byte keys, a few permille of the
+    * text it indexes.
+    */
+  def bandIndexWrite(docs: DataFrame, id: String, body: String,
+      k: Int, n: Int, bandWidth: Int, path: String): Unit =
+    lshBands(minhashSignatures(docs.select(col(id), col(body)), id, body, k, n),
+        id, k, bandWidth)
+      .write.mode("overwrite").parquet(path)
+
+  /** Incremental near-dup detection — the daily-ingest posture: find
+    * incoming docs that near-duplicate the EXISTING corpus without
+    * recomputing anything corpus-scale. The incoming batch's bands
+    * probe the persisted [[bandIndexWrite]] index by equality join;
+    * exact Jaccard verifies only the surviving (new, old) candidates,
+    * reading old text via a semi join on candidate ids — the corpus
+    * scan is filtered to candidates before any gram explodes, so the
+    * per-ingest cost is O(batch) + O(candidates), never O(corpus).
+    *
+    * Hot-key guard on the INDEX side: band keys held by more than
+    * `maxBucket` existing docs are dropped (same boilerplate-bucket
+    * rationale as [[lshCandidatePairs]] — at that population the
+    * matches are quadratic noise). Within-batch duplicates are
+    * [[nearDupPairs]] on the batch alone; the two compose into a full
+    * ingest pipeline. Ids must be unique across corpus ∪ batch — an
+    * incoming id that collides with an existing id would silently
+    * verify against the wrong document.
+    *
+    * Returns (new_id, old_id, jaccard) with jaccard ≥ `minJaccard`.
+    */
+  def incrementalNearDupPairs(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, corpus: DataFrame, incoming: DataFrame,
+      id: String, body: String, k: Int = 4, n: Int = 3, bandWidth: Int = 2,
+      maxBucket: Int = 1000, minJaccard: Double = 0.3): DataFrame = {
+    val newBands = lshBands(
+      minhashSignatures(incoming.select(col(id), col(body)), id, body, k, n),
+      id, k, bandWidth)
+    val idx = spark.read.parquet(indexPath)
+    // The guard counts EXISTING docs per key (the index is the side
+    // that can have accreted a boilerplate bucket over many ingests);
+    // an aggregate + semi join, not a window — the index never sorts.
+    val okKeys = idx.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band_id", "band_key")
+    val cand = newBands
+      .join(okKeys, Seq("band_id", "band_key"), "left_semi")
+      .join(idx.select(col(id).as("__old"), col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
+      .select(col(id).as("new_id"), col("__old").as("old_id"))
+      .distinct()
+      .localCheckpoint(true)
+    // Gram streams are semi-filtered to candidate ids BEFORE exploding:
+    // the corpus read prunes to (id, body) and the broadcast-able
+    // candidate id set cuts it to the handful of probed docs.
+    def candGrams(src: DataFrame, ids: DataFrame): DataFrame =
+      explodedShingles(src.select(col(id), col(body)), id, body, n)
+        .select(col(id), col("__g").as("g")).distinct()
+        .join(ids, Seq(id), "left_semi")
+        .localCheckpoint(true)
+    val gNew = candGrams(incoming, cand.select(col("new_id").as(id)).distinct())
+    val gOld = candGrams(corpus, cand.select(col("old_id").as(id)).distinct())
+    def sizes(g: DataFrame) = g.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(gNew.select(col(id).as("new_id"), col("g")), "new_id")
+      .join(gOld.select(col(id).as("old_id"), col("g")), Seq("old_id", "g"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("n_inter"))
+    val result = inter
+      .join(sizes(gNew).select(col(id).as("new_id"), col("sz").as("sz1")), "new_id")
+      .join(sizes(gOld).select(col(id).as("old_id"), col("sz").as("sz2")), "old_id")
+      .select(col("new_id"), col("old_id"),
+        (col("n_inter").cast("double") /
+          (col("sz1") + col("sz2") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .localCheckpoint(true)
+    release(cand); release(gNew); release(gOld)
+    result
+  }
+
   /** Benchmark decontamination: drop training docs whose normalized
     * fingerprint collides with any document in `benchmark` — the
     * standard eval-set overlap removal. An anti join on the 16-byte

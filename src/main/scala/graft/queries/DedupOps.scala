@@ -431,6 +431,68 @@ object DedupOps {
     // The eval-overlap removal step. The benchmark here is a slice of
     // the same corpus (doc_id % 10 = 0), so collisions include exact
     // duplicates of benchmark docs — which must vanish too.
+    // ---- incremental near-dup: new batch vs persisted index (q95) -------
+    // The daily-ingest posture: the EXISTING corpus (doc_id % 5 <> 0)
+    // has its LSH band index persisted once; the incoming batch
+    // (doc_id % 5 = 0) probes that index by equality join and exact
+    // Jaccard verifies only the surviving (new, old) candidates —
+    // per-ingest cost O(batch) + O(candidates), never O(corpus). The
+    // hot-key guard caps INDEX-side bucket population (a boilerplate
+    // key accreted over many ingests matches everything). The oracle
+    // restates the probe as bands-of-all-docs split by the same
+    // predicate and joined across the split.
+    QueryDef("q95_incremental_neardup",
+      (s, dir) => {
+        val all = docs(s, dir)
+        val existing = all.filter(col("doc_id") % 5 =!= 0)
+        val incoming = all.filter(col("doc_id") % 5 === 0)
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_bandidx_q95_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        Dedup.bandIndexWrite(existing, "doc_id", "text",
+          k = 4, n = 3, bandWidth = 2, path)
+        Dedup.incrementalNearDupPairs(s, path, existing, incoming,
+            "doc_id", "text", k = 4, n = 3, bandWidth = 2,
+            maxBucket = 1000, minJaccard = 0.3)
+          .orderBy("new_id", "old_id")
+      },
+      Some(s"""
+        WITH $sigCte,
+        bands AS (
+          SELECT doc_id, 0 AS band_id, md5(h0||h1) AS band_key FROM sig
+          UNION ALL SELECT doc_id, 1, md5(h2||h3) FROM sig),
+        newb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+        oldb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+        ok AS (SELECT band_id, band_key FROM oldb
+               GROUP BY 1, 2 HAVING count(*) <= 1000),
+        cand AS (
+          SELECT DISTINCT nw.doc_id AS new_id, ob.doc_id AS old_id
+          FROM newb nw
+          JOIN ok o ON nw.band_id = o.band_id AND nw.band_key = o.band_key
+          JOIN oldb ob
+            ON nw.band_id = ob.band_id AND nw.band_key = ob.band_key),
+        grams AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+              unnest(list_transform(range(1, len(l)-1),
+                     i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
+            FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        inter AS (
+          SELECT c.new_id, c.old_id, count(*) AS n_inter
+          FROM cand c
+          JOIN grams g1 ON g1.doc_id = c.new_id
+          JOIN grams g2 ON g2.doc_id = c.old_id AND g2.g = g1.g
+          GROUP BY 1, 2)
+        SELECT new_id, old_id,
+               CAST(n_inter AS DOUBLE) / CAST(s1.sz + s2.sz - n_inter AS DOUBLE)
+                 AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = new_id
+        JOIN sizes s2 ON s2.doc_id = old_id
+        WHERE CAST(n_inter AS DOUBLE) / CAST(s1.sz + s2.sz - n_inter AS DOUBLE)
+              >= 0.3
+        ORDER BY 1, 2""")),
+
     QueryDef("q39_decontaminate",
       (s, dir) => {
         val all = docs(s, dir)

@@ -79,6 +79,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalNearDupPairs equals the cross-split cut of the full run") {
+    // Existing = docs 1-3 (index persisted once), incoming = 4-6.
+    // The incremental probe must find exactly the (new, old) pairs the
+    // monolithic pipeline over the union finds — same candidates, same
+    // Jaccard — plus nothing within either side.
+    val extra = df("doc_id BIGINT, text STRING",
+      Row(Long.box(5), "the quick brown fox jumps over the lazy dog"), // dup of 1/4
+      Row(Long.box(6), "unrelated content that matches nothing else at all"))
+    val all = docs.union(extra)
+    val existing = all.filter(col("doc_id") <= 3)
+    val incoming = all.filter(col("doc_id") > 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("bandidx").toString + "/index"
+    Dedup.bandIndexWrite(existing, "doc_id", "text", 4, 3, 2, dir)
+    val inc = Dedup.incrementalNearDupPairs(spark, dir, existing, incoming,
+        "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = Dedup.nearDupPairs(all, "doc_id", "text",
+        k = 4, n = 3, bandWidth = 2, minJaccard = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .filter { case ((a, b), _) => a <= 3 && b > 3 } // cross-split only
+      .map { case ((old, nw), j) => (nw, old) -> j }.toMap
+    assert(inc == full, s"incremental $inc must equal cross-split cut $full")
+    assert(inc.contains((4L, 1L)) && inc((4L, 1L)) == 1.0)
+    assert(inc.contains((5L, 1L)) && inc((5L, 1L)) == 1.0)
+    assert(!inc.keys.exists(_._1 == 6L), "doc 6 matches nothing")
+  }
+
   test("lsh_buckets observation surfaces dropped-bucket count and max size") {
     val boiler = (1 to 10).map(i =>
       Row(Long.box(i), "same boilerplate legal footer text repeated everywhere"))
