@@ -470,4 +470,97 @@ object Similarity {
       .filter(col("cluster").isin(probes.toIndexedSeq: _*))
     bruteForceTopK(pruned, idCol, vecCol, array(query.map(lit): _*), k)
   }
+
+  // ---- product quantization (the next rung after SQ8) -----------------
+  // SQ8 compresses 4x and keeps per-dimension fidelity; PQ compresses
+  // to m CODES per vector (m bytes when k ≤ 256) by splitting the
+  // vector into m contiguous subspaces and snapping each subvector to
+  // its nearest per-subspace centroid. Search never touches vectors:
+  // an ADC (asymmetric distance computation) scores a candidate as the
+  // inner product of the query with the RECONSTRUCTION — equivalently,
+  // the sum of m lookup-table entries. 64-dim floats (256 B) become 4
+  // codes (4 B) — the 64x rung of the flat → IVF → SQ8 → PQ ladder.
+
+  /** Per-row subspace explode: (row, sub, sv) with sv the `sub`-th
+    * contiguous `subDim`-slice of the vector. The fan-out is m — a
+    * small constant — and everything downstream of it is map-side.
+    */
+  private def subVectors(vecs: DataFrame, vecCol: String, m: Int,
+      subDim: Int): DataFrame =
+    vecs.select(col("*"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"),
+          slice(col(vecCol), j * subDim + 1, subDim).as("sv"))): _*))
+        .as("__s"))
+      .select((vecs.columns.map(col) :+ col("__s.sub") :+ col("__s.sv")): _*)
+
+  /** Train a PQ codebook: per subspace, bucket subvectors by two
+    * data-independent sign bits (same reproducible-everywhere seeding
+    * as [[signBucket]] — positions relative to the subspace) and take
+    * per-bucket elementwise means. 4 centroids per subspace; refine
+    * with per-subspace Lloyd steps ([[kmeansStep]] on the (sub, sv)
+    * frame) if the corpus warrants it. Returns (sub, cluster,
+    * centroid); the whole table is m·4 rows — always broadcastable.
+    */
+  def pqCodebook(vecs: DataFrame, vecCol: String, m: Int,
+      subDim: Int): DataFrame = {
+    require(m > 0 && subDim >= 4, "need m ≥ 1 subspaces of ≥ 4 dims")
+    val pairs = Seq((1, subDim / 2 + 1), (subDim / 4 + 1, 3 * subDim / 4 + 1))
+    val sv = subVectors(vecs.select(col(vecCol)), vecCol, m, subDim)
+      .select(col("sub"), col("sv"), signBucket(col("sv"), pairs).as("cluster"))
+    centroids(sv.select(concat_ws(":", col("sub"), col("cluster")).as("ck"),
+        col("sv")), "ck", "sv")
+      .select(split(col("cluster"), ":").getItem(0).cast("int").as("sub"),
+        split(col("cluster"), ":").getItem(1).as("cluster"), col("centroid"))
+  }
+
+  /** Encode every vector as m codes: per (row, subspace), the centroid
+    * minimizing L2 distance to the subvector (computed via three dot
+    * products — the norms hoist out of the pair loop). Broadcast
+    * codebook, deterministic cluster-id tiebreak; entirely map-side
+    * except the top-1 cut. Returns (idCol, sub, cluster) long form —
+    * the shape ADC joins against; pivot to an array for storage.
+    */
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val sv = subVectors(vecs.select(col(idCol), col(vecCol)), vecCol, m, subDim)
+      .withColumn("__svn", dot(col("sv"), col("sv")))
+    val cb = codebook.withColumn("__cn", dot(col("centroid"), col("centroid")))
+    graft.functions.ColumnLib.latestWins(
+        sv.join(broadcast(cb), Seq("sub"))
+          .withColumn("__d2",
+            col("__svn") - lit(2.0) * dot(col("sv"), col("centroid")) +
+              col("__cn")),
+        Seq(idCol, "sub"), Seq(col("__d2").asc_nulls_last, col("cluster").asc))
+      .select(col(idCol), col("sub"), col("cluster"))
+  }
+
+  /** Reconstruct quantized vectors from codes + codebook: the m
+    * centroid slices concatenated in subspace order. One broadcast
+    * join + one aggregate per vector — used by ADC scoring and by
+    * reconstruction-error audits.
+    */
+  def pqReconstruct(codes: DataFrame, codebook: DataFrame,
+      idCol: String): DataFrame =
+    codes.join(broadcast(codebook), Seq("sub", "cluster"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("sub"), col("centroid"))))
+        .as("__p"))
+      .select(col(idCol),
+        flatten(transform(col("__p"), p => p.getField("centroid")))
+          .as("recon"))
+
+  /** ADC top-k: score = query · reconstruction (asymmetric — the query
+    * stays full-precision, candidates exist only as codes). The
+    * reconstruction join replaces the classic m-way LUT sum: summing
+    * the per-subspace LUT entries and dotting the concatenated
+    * reconstruction are the same arithmetic, and the join form reuses
+    * [[pqReconstruct]] instead of a bespoke per-subspace pivot.
+    */
+  def pqAdcTopK(codes: DataFrame, codebook: DataFrame, idCol: String,
+      query: Seq[Float], k: Int): DataFrame =
+    pqReconstruct(codes, codebook, idCol)
+      .select(col(idCol),
+        dot(col("recon"), array(query.map(lit): _*)).as("score"))
+      .orderBy(col("score").desc_nulls_last, col(idCol))
+      .limit(k)
 }

@@ -1177,6 +1177,116 @@ object SimilarityOps {
     // followed by one sqrt/divide of identical inputs. No decimal
     // accumulation is needed anywhere: this is the cheap-at-100TB score
     // path the decimal-exact float queries cannot be.
+    // ---- product quantization + ADC search (q96) -------------------------
+    // The last rung of the compression ladder (flat → IVF → SQ8 → PQ):
+    // 64-dim vectors become m=4 codes of 2 bits here (4 sign-seeded
+    // centroids per 16-dim subspace) — the structure of a FAISS PQ
+    // index at toy codebook size. Codebook = per-(subspace, bucket)
+    // decimal-grid means; encoding = per-subspace nearest centroid by
+    // decimal-exact L2² rounded to the 1e-9 grid (cluster-id
+    // tiebreak); search = ADC, the query dotted against each vector's
+    // RECONSTRUCTION — decimal accumulation over all 64 positions, so
+    // the classic per-subspace LUT sum happens inside one exact sum
+    // with no cross-engine float-ordering hazard. The production float
+    // path ([[Similarity.pqCodebook]]/pqEncode/pqAdcTopK) is
+    // spec-pinned in SimilaritySpec; this gate walks the same
+    // trajectory on the portable decimal grid, exactly like the
+    // q54/q59 IVF gates. Every stage is joins + hash aggregates —
+    // codebook and codes broadcast (m·4 rows and m rows/vector); at
+    // corpus scale the only O(corpus) stages are the two map-side
+    // passes (encode, ADC join).
+    QueryDef("q96_pq_adc",
+      (s, dir) => {
+        val m = 4; val w = 16
+        val e = emb(s, dir)
+        val ex = e
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+          .select(col("vec_id"), col("pos"), col("vf").cast(DoubleType).as("v"))
+          .withColumn("sub", floor(col("pos") / w).cast(IntegerType))
+          .withColumn("lpos", col("pos") - col("sub") * w)
+        // Subspace sign buckets: two relative comparisons inside each
+        // subspace (positions 1 vs 9 and 5 vs 13, 1-based) — the same
+        // data-independent seeding as signBucket, restated per subspace.
+        val bk = e.select(col("vec_id"), explode(array((0 until m).map { j =>
+            val b = (i: Int) => element_at(col("embedding"), j * w + i)
+            struct(lit(j).as("sub"),
+              concat(
+                when(b(1) > b(9), "1").otherwise("0"),
+                when(b(5) > b(13), "1").otherwise("0")).as("cluster"))
+          }: _*)).as("sb"))
+          .select(col("vec_id"), col("sb.sub").as("sub"),
+            col("sb.cluster").as("cluster"))
+        val cb = ex.join(bk, Seq("vec_id", "sub"))
+          .groupBy("sub", "cluster", "lpos")
+          .agg((round(sum(col("v").cast(D)).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType), 9)).cast(FloatType).as("c"))
+          .localCheckpoint(true) // tiny (m·4·16 rows); read 2x below
+        val cbd = cb.select(col("sub"), col("cluster"), col("lpos"),
+          col("c").cast(DoubleType).as("cd"))
+        val asn = ex.join(broadcast(cbd), Seq("sub", "lpos"))
+          .groupBy("vec_id", "sub", "cluster")
+          .agg(sum(((col("v") - col("cd")) * (col("v") - col("cd"))).cast(D))
+            .as("d2"))
+          .select(col("vec_id"), col("sub"), col("cluster"),
+            round(col("d2").cast(DoubleType), 9).as("d2r"))
+        val codes = graft.functions.ColumnLib.latestWins(asn,
+            Seq("vec_id", "sub"), Seq(col("d2r").asc, col("cluster").asc))
+          .select("vec_id", "sub", "cluster")
+        val q = ex.filter(col("vec_id") === 0).select(col("pos"), col("v").as("qv"))
+        codes.join(broadcast(cbd), Seq("sub", "cluster"))
+          .select(col("vec_id"), (col("sub") * w + col("lpos")).as("pos"),
+            col("cd"))
+          .join(broadcast(q), "pos")
+          .groupBy("vec_id")
+          .agg(sum((col("qv") * col("cd")).cast(D)).as("sd"))
+          .select(col("vec_id"), round(col("sd").cast(DoubleType), 9).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""
+        WITH ex AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+        ex2 AS (SELECT vec_id, pos, v,
+                       CAST(floor(pos / 16) AS INT) AS sub,
+                       pos - CAST(floor(pos / 16) AS INT) * 16 AS lpos
+                FROM ex),
+        bk AS (SELECT vec_id, s.sub,
+                 (CASE WHEN embedding[s.sub*16+1] > embedding[s.sub*16+9]
+                       THEN '1' ELSE '0' END) ||
+                 (CASE WHEN embedding[s.sub*16+5] > embedding[s.sub*16+13]
+                       THEN '1' ELSE '0' END) AS cluster
+               FROM embeddings, (SELECT unnest(range(4)) AS sub) s),
+        cb AS (SELECT ex2.sub, bk.cluster, ex2.lpos,
+                      CAST(round(CAST(SUM(CAST(ex2.v AS DECIMAL(38,18)))
+                                      AS DOUBLE) / count(*), 9) AS FLOAT) AS c
+               FROM ex2 JOIN bk
+                 ON bk.vec_id = ex2.vec_id AND bk.sub = ex2.sub
+               GROUP BY 1, 2, 3),
+        asn AS (SELECT ex2.vec_id, ex2.sub, cb.cluster,
+                       round(CAST(SUM(CAST(
+                         (ex2.v - CAST(cb.c AS DOUBLE)) *
+                         (ex2.v - CAST(cb.c AS DOUBLE)) AS DECIMAL(38,18)))
+                         AS DOUBLE), 9) AS d2
+                FROM ex2 JOIN cb ON cb.sub = ex2.sub AND cb.lpos = ex2.lpos
+                GROUP BY 1, 2, 3),
+        codes AS (SELECT vec_id, sub, cluster FROM (
+                    SELECT vec_id, sub, cluster,
+                           row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY d2 ASC, cluster ASC) AS rk
+                    FROM asn) WHERE rk = 1),
+        q AS (SELECT pos, v AS qv FROM ex WHERE vec_id = 0),
+        cd AS (SELECT codes.vec_id, cb.sub*16 + cb.lpos AS pos,
+                      CAST(cb.c AS DOUBLE) AS cd
+               FROM codes JOIN cb
+                 ON cb.sub = codes.sub AND cb.cluster = codes.cluster)
+        SELECT vec_id,
+               round(CAST(SUM(CAST(q.qv * cd.cd AS DECIMAL(38,18)))
+                          AS DOUBLE), 9) AS score
+        FROM cd JOIN q ON q.pos = cd.pos
+        GROUP BY 1 ORDER BY score DESC, vec_id LIMIT 10""")),
+
     QueryDef("q69_quantized_ann",
       (s, dir) => {
         def int8(e: DataFrame): DataFrame =

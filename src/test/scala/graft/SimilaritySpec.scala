@@ -199,4 +199,53 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"quantization must not shuffle:\n$plan")
   }
+
+  test("PQ: codebook shape, argmin encoding, exact centroid roundtrip, ADC") {
+    // 8-dim vectors, m=2 subspaces of 4 dims. Two well-separated
+    // groups per subspace so the sign-seeded buckets are stable.
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val d = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      Row(Long.box(1), v(9, 0, 1, 0, 0, 8, 0, 1)),
+      Row(Long.box(2), v(8, 0, 2, 0, 0, 9, 0, 2)),
+      Row(Long.box(3), v(0, 9, 0, 1, 7, 0, 1, 0)),
+      Row(Long.box(4), v(0, 8, 0, 2, 9, 0, 2, 0)))
+    val cb = Similarity.pqCodebook(d, "embedding", m = 2, subDim = 4)
+      .localCheckpoint(true)
+    val cbRows = cb.collect()
+    // One centroid per populated (sub, bucket); subDim-length slices.
+    assert(cbRows.forall(_.getSeq[Float](2).length == 4))
+    assert(cbRows.map(r => (r.getInt(0), r.getString(1))).distinct.length
+      == cbRows.length)
+    val codes = Similarity.pqEncode(d, "vec_id", "embedding", cb,
+      m = 2, subDim = 4).localCheckpoint(true)
+    // Exactly one code per (vector, subspace).
+    assert(codes.count() == 8)
+    assert(codes.groupBy("vec_id", "sub").count()
+      .filter(col("count") =!= 1).count() == 0)
+    // Encoding is the L2 argmin: verify against a brute-force check.
+    val cbM = cbRows.map(r =>
+      (r.getInt(0), r.getString(1)) -> r.getSeq[Float](2)).toMap
+    val vecsM = d.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1)).toMap
+    codes.collect().foreach { r =>
+      val (id, sub, cl) = (r.getLong(0), r.getInt(1), r.getString(2))
+      val sv = vecsM(id).slice(sub * 4, sub * 4 + 4).map(_.toDouble)
+      def l2(c: Seq[Float]) =
+        sv.zip(c.map(_.toDouble)).map { case (a, b) => (a - b) * (a - b) }.sum
+      val best = cbM.collect { case ((s, c), cent) if s == sub =>
+        (l2(cent), c) }.min
+      assert(best._2 == cl, s"vec $id sub $sub: got $cl, argmin ${best._2}")
+    }
+    // Reconstruction: recon length = dim, and docs 1/2 (same buckets)
+    // share a reconstruction — the codebook mean of their group.
+    val recon = Similarity.pqReconstruct(codes, cb, "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(recon.values.forall(_.length == 8))
+    assert(recon(1L) == recon(2L) && recon(3L) == recon(4L))
+    assert(recon(1L) != recon(3L))
+    // ADC: a query aligned with group {1,2} ranks those two first.
+    val top = Similarity.pqAdcTopK(codes, cb, "vec_id",
+      v(1, 0, 0, 0, 0, 1, 0, 0), k = 2).collect().map(_.getLong(0)).toSet
+    assert(top == Set(1L, 2L))
+  }
 }
