@@ -170,6 +170,108 @@ object SimilarityOps {
                         AS DOUBLE)/127.0 AS sc
                  FROM embeddings))"""
 
+  /** Decimal-grid PQ pipeline shared by q96/q97: m=4 subspaces of 16
+    * dims, 4 sign-seeded centroids each (decimal-exact means on the
+    * 1e-9 grid), per-subspace L2² assignment ranked on the rounded
+    * decimal, ADC score = decimal dot of the query against each
+    * vector's reconstruction. Returns (vec_id, score). The production
+    * float path is [[Similarity.pqCodebook]]/pqEncode/pqAdcTopK
+    * (SimilaritySpec); this is its portable restatement, same pattern
+    * as the q54/q59 IVF gates.
+    */
+  private def pqAdcScores(s: SparkSession, dir: String): DataFrame = {
+    val m = 4; val w = 16
+    val e = emb(s, dir)
+    val ex = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("vec_id"), col("pos"), col("vf").cast(DoubleType).as("v"))
+      .withColumn("sub", floor(col("pos") / w).cast(IntegerType))
+      .withColumn("lpos", col("pos") - col("sub") * w)
+    // Subspace sign buckets: two relative comparisons inside each
+    // subspace (positions 1 vs 9 and 5 vs 13, 1-based) — the same
+    // data-independent seeding as signBucket, restated per subspace.
+    val bk = e.select(col("vec_id"), explode(array((0 until m).map { j =>
+        val b = (i: Int) => element_at(col("embedding"), j * w + i)
+        struct(lit(j).as("sub"),
+          concat(
+            when(b(1) > b(9), "1").otherwise("0"),
+            when(b(5) > b(13), "1").otherwise("0")).as("cluster"))
+      }: _*)).as("sb"))
+      .select(col("vec_id"), col("sb.sub").as("sub"),
+        col("sb.cluster").as("cluster"))
+    val cb = ex.join(bk, Seq("vec_id", "sub"))
+      .groupBy("sub", "cluster", "lpos")
+      .agg((round(sum(col("v").cast(D)).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType), 9)).cast(FloatType).as("c"))
+      .localCheckpoint(true) // tiny (m·4·16 rows); read twice below
+    val cbd = cb.select(col("sub"), col("cluster"), col("lpos"),
+      col("c").cast(DoubleType).as("cd"))
+    val asn = ex.join(broadcast(cbd), Seq("sub", "lpos"))
+      .groupBy("vec_id", "sub", "cluster")
+      .agg(sum(((col("v") - col("cd")) * (col("v") - col("cd"))).cast(D))
+        .as("d2"))
+      .select(col("vec_id"), col("sub"), col("cluster"),
+        round(col("d2").cast(DoubleType), 9).as("d2r"))
+    val codes = graft.functions.ColumnLib.latestWins(asn,
+        Seq("vec_id", "sub"), Seq(col("d2r").asc, col("cluster").asc))
+      .select("vec_id", "sub", "cluster")
+    val q = ex.filter(col("vec_id") === 0).select(col("pos"), col("v").as("qv"))
+    codes.join(broadcast(cbd), Seq("sub", "cluster"))
+      .select(col("vec_id"), (col("sub") * w + col("lpos")).as("pos"),
+        col("cd"))
+      .join(broadcast(q), "pos")
+      .groupBy("vec_id")
+      .agg(sum((col("qv") * col("cd")).cast(D)).as("sd"))
+      .select(col("vec_id"), round(col("sd").cast(DoubleType), 9).as("score"))
+  }
+
+  /** DuckDB CTE chain mirroring [[pqAdcScores]]; ends in
+    * `pqsc(vec_id, score)` (plus `ex`/`q` reused by q97's exact side).
+    */
+  private val pqCte = """
+    ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    ex2 AS (SELECT vec_id, pos, v,
+                   CAST(floor(pos / 16) AS INT) AS sub,
+                   pos - CAST(floor(pos / 16) AS INT) * 16 AS lpos
+            FROM ex),
+    bk AS (SELECT vec_id, s.sub,
+             (CASE WHEN embedding[s.sub*16+1] > embedding[s.sub*16+9]
+                   THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[s.sub*16+5] > embedding[s.sub*16+13]
+                   THEN '1' ELSE '0' END) AS cluster
+           FROM embeddings, (SELECT unnest(range(4)) AS sub) s),
+    cb AS (SELECT ex2.sub, bk.cluster, ex2.lpos,
+                  CAST(round(CAST(SUM(CAST(ex2.v AS DECIMAL(38,18)))
+                                  AS DOUBLE) / count(*), 9) AS FLOAT) AS c
+           FROM ex2 JOIN bk
+             ON bk.vec_id = ex2.vec_id AND bk.sub = ex2.sub
+           GROUP BY 1, 2, 3),
+    asn AS (SELECT ex2.vec_id, ex2.sub, cb.cluster,
+                   round(CAST(SUM(CAST(
+                     (ex2.v - CAST(cb.c AS DOUBLE)) *
+                     (ex2.v - CAST(cb.c AS DOUBLE)) AS DECIMAL(38,18)))
+                     AS DOUBLE), 9) AS d2
+            FROM ex2 JOIN cb ON cb.sub = ex2.sub AND cb.lpos = ex2.lpos
+            GROUP BY 1, 2, 3),
+    codes AS (SELECT vec_id, sub, cluster FROM (
+                SELECT vec_id, sub, cluster,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                         ORDER BY d2 ASC, cluster ASC) AS rk
+                FROM asn) WHERE rk = 1),
+    q AS (SELECT pos, v AS qv FROM ex WHERE vec_id = 0),
+    cd AS (SELECT codes.vec_id, cb.sub*16 + cb.lpos AS pos,
+                  CAST(cb.c AS DOUBLE) AS cd
+           FROM codes JOIN cb
+             ON cb.sub = codes.sub AND cb.cluster = codes.cluster),
+    pqsc AS (SELECT cd.vec_id,
+                    round(CAST(SUM(CAST(q.qv * cd.cd AS DECIMAL(38,18)))
+                               AS DOUBLE), 9) AS score
+             FROM cd JOIN q ON q.pos = cd.pos
+             GROUP BY 1)"""
+
   private def bucketSql(tbl: String): String =
     Similarity.defaultPairs.map { case (i, j) =>
       s"CASE WHEN $tbl.embedding[$i] > $tbl.embedding[$j] THEN '1' ELSE '0' END"
@@ -1197,95 +1299,65 @@ object SimilarityOps {
     // passes (encode, ADC join).
     QueryDef("q96_pq_adc",
       (s, dir) => {
-        val m = 4; val w = 16
+        pqAdcScores(s, dir)
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""
+        WITH $pqCte
+        SELECT vec_id, score FROM pqsc
+        ORDER BY score DESC, vec_id LIMIT 10""")),
+
+    // ---- PQ recall gate (q97) --------------------------------------------
+    // The adoption number for q96's 64x compression: recall@10 of the
+    // ADC ranking against the decimal-exact INNER-PRODUCT top-10 (ADC
+    // approximates the dot, so the dot is its yardstick — the cosine
+    // gates q57/q58/q88 measure the other score path). Same
+    // hits/total/recall shape as q88, one method row.
+    QueryDef("q97_pq_recall",
+      (s, dir) => {
+        val adcTop = pqAdcScores(s, dir)
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10).select("vec_id")
         val e = emb(s, dir)
         val ex = e
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
           .select(col("vec_id"), col("pos"), col("vf").cast(DoubleType).as("v"))
-          .withColumn("sub", floor(col("pos") / w).cast(IntegerType))
-          .withColumn("lpos", col("pos") - col("sub") * w)
-        // Subspace sign buckets: two relative comparisons inside each
-        // subspace (positions 1 vs 9 and 5 vs 13, 1-based) — the same
-        // data-independent seeding as signBucket, restated per subspace.
-        val bk = e.select(col("vec_id"), explode(array((0 until m).map { j =>
-            val b = (i: Int) => element_at(col("embedding"), j * w + i)
-            struct(lit(j).as("sub"),
-              concat(
-                when(b(1) > b(9), "1").otherwise("0"),
-                when(b(5) > b(13), "1").otherwise("0")).as("cluster"))
-          }: _*)).as("sb"))
-          .select(col("vec_id"), col("sb.sub").as("sub"),
-            col("sb.cluster").as("cluster"))
-        val cb = ex.join(bk, Seq("vec_id", "sub"))
-          .groupBy("sub", "cluster", "lpos")
-          .agg((round(sum(col("v").cast(D)).cast(DoubleType) /
-            count(lit(1)).cast(DoubleType), 9)).cast(FloatType).as("c"))
-          .localCheckpoint(true) // tiny (m·4·16 rows); read 2x below
-        val cbd = cb.select(col("sub"), col("cluster"), col("lpos"),
-          col("c").cast(DoubleType).as("cd"))
-        val asn = ex.join(broadcast(cbd), Seq("sub", "lpos"))
-          .groupBy("vec_id", "sub", "cluster")
-          .agg(sum(((col("v") - col("cd")) * (col("v") - col("cd"))).cast(D))
-            .as("d2"))
-          .select(col("vec_id"), col("sub"), col("cluster"),
-            round(col("d2").cast(DoubleType), 9).as("d2r"))
-        val codes = graft.functions.ColumnLib.latestWins(asn,
-            Seq("vec_id", "sub"), Seq(col("d2r").asc, col("cluster").asc))
-          .select("vec_id", "sub", "cluster")
-        val q = ex.filter(col("vec_id") === 0).select(col("pos"), col("v").as("qv"))
-        codes.join(broadcast(cbd), Seq("sub", "cluster"))
-          .select(col("vec_id"), (col("sub") * w + col("lpos")).as("pos"),
-            col("cd"))
-          .join(broadcast(q), "pos")
+        val q = ex.filter(col("vec_id") === 0)
+          .select(col("pos"), col("v").as("qv"))
+        val exactTop = ex.join(broadcast(q), "pos")
           .groupBy("vec_id")
-          .agg(sum((col("qv") * col("cd")).cast(D)).as("sd"))
-          .select(col("vec_id"), round(col("sd").cast(DoubleType), 9).as("score"))
-          .orderBy(col("score").desc, col("vec_id"))
-          .limit(10)
+          .agg(sum((col("v") * col("qv")).cast(D)).as("sd"))
+          .select(col("vec_id"), round(col("sd").cast(DoubleType), 9).as("dot"))
+          .orderBy(col("dot").desc, col("vec_id"))
+          .limit(10).select("vec_id")
+        exactTop.join(adcTop.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+          .agg(coalesce(sum(col("hit")), lit(0)).cast(LongType).as("hits"),
+            count(lit(1)).as("total"))
+          .select(lit("pq_adc").as("method"), col("hits"), col("total"),
+            round(col("hits").cast(DoubleType) /
+              col("total").cast(DoubleType), 9).as("recall"))
       },
-      Some("""
-        WITH ex AS (
-          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
-                 CAST(unnest(embedding) AS DOUBLE) AS v
-          FROM embeddings),
-        ex2 AS (SELECT vec_id, pos, v,
-                       CAST(floor(pos / 16) AS INT) AS sub,
-                       pos - CAST(floor(pos / 16) AS INT) * 16 AS lpos
-                FROM ex),
-        bk AS (SELECT vec_id, s.sub,
-                 (CASE WHEN embedding[s.sub*16+1] > embedding[s.sub*16+9]
-                       THEN '1' ELSE '0' END) ||
-                 (CASE WHEN embedding[s.sub*16+5] > embedding[s.sub*16+13]
-                       THEN '1' ELSE '0' END) AS cluster
-               FROM embeddings, (SELECT unnest(range(4)) AS sub) s),
-        cb AS (SELECT ex2.sub, bk.cluster, ex2.lpos,
-                      CAST(round(CAST(SUM(CAST(ex2.v AS DECIMAL(38,18)))
-                                      AS DOUBLE) / count(*), 9) AS FLOAT) AS c
-               FROM ex2 JOIN bk
-                 ON bk.vec_id = ex2.vec_id AND bk.sub = ex2.sub
-               GROUP BY 1, 2, 3),
-        asn AS (SELECT ex2.vec_id, ex2.sub, cb.cluster,
-                       round(CAST(SUM(CAST(
-                         (ex2.v - CAST(cb.c AS DOUBLE)) *
-                         (ex2.v - CAST(cb.c AS DOUBLE)) AS DECIMAL(38,18)))
-                         AS DOUBLE), 9) AS d2
-                FROM ex2 JOIN cb ON cb.sub = ex2.sub AND cb.lpos = ex2.lpos
-                GROUP BY 1, 2, 3),
-        codes AS (SELECT vec_id, sub, cluster FROM (
-                    SELECT vec_id, sub, cluster,
-                           row_number() OVER (PARTITION BY vec_id, sub
-                             ORDER BY d2 ASC, cluster ASC) AS rk
-                    FROM asn) WHERE rk = 1),
-        q AS (SELECT pos, v AS qv FROM ex WHERE vec_id = 0),
-        cd AS (SELECT codes.vec_id, cb.sub*16 + cb.lpos AS pos,
-                      CAST(cb.c AS DOUBLE) AS cd
-               FROM codes JOIN cb
-                 ON cb.sub = codes.sub AND cb.cluster = codes.cluster)
-        SELECT vec_id,
-               round(CAST(SUM(CAST(q.qv * cd.cd AS DECIMAL(38,18)))
-                          AS DOUBLE), 9) AS score
-        FROM cd JOIN q ON q.pos = cd.pos
-        GROUP BY 1 ORDER BY score DESC, vec_id LIMIT 10""")),
+      Some(s"""
+        WITH $pqCte,
+        adct AS (SELECT vec_id FROM (
+                   SELECT vec_id, row_number() OVER (
+                     ORDER BY score DESC, vec_id) AS rk FROM pqsc)
+                 WHERE rk <= 10),
+        exd AS (SELECT ex.vec_id,
+                       round(CAST(SUM(CAST(ex.v * q.qv AS DECIMAL(38,18)))
+                             AS DOUBLE), 9) AS dot
+                FROM ex JOIN q ON q.pos = ex.pos GROUP BY 1),
+        ext AS (SELECT vec_id FROM (
+                  SELECT vec_id, row_number() OVER (
+                    ORDER BY dot DESC, vec_id) AS rk FROM exd)
+                WHERE rk <= 10)
+        SELECT 'pq_adc' AS method,
+               (SELECT count(*) FROM ext JOIN adct USING (vec_id)) AS hits,
+               (SELECT count(*) FROM ext) AS total,
+               round(CAST((SELECT count(*) FROM ext JOIN adct USING (vec_id))
+                          AS DOUBLE) /
+                     CAST((SELECT count(*) FROM ext) AS DOUBLE), 9) AS recall""")),
 
     QueryDef("q69_quantized_ann",
       (s, dir) => {
