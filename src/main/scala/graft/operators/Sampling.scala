@@ -143,4 +143,36 @@ object Sampling {
       deterministicSample(df, keyCol, w, s"$salt/$i")
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Temperature-flattened mixture at T = 2 (α = 1/2): down-sample each
+    * group so kept counts are proportional to √N_g — the standard
+    * "flatten the source distribution" step of a pre-training mix
+    * (big sources shrink, the smallest keeps 100%). Where [[mixture]]
+    * takes CONFIGURED weights, this derives them FROM the data: keep
+    * probability p_g = min_h(√N_h) / √N_g, realized as the portable
+    * predicate `frac · √N_g < min_h(√N_h)` — md5-fraction (exact
+    * double), one correctly-rounded sqrt per side, one IEEE multiply:
+    * reproducible bit-for-bit in any engine, unlike a pow(N, α) weight
+    * whose libm rounding varies. Plan: one count aggregate (tiny,
+    * broadcast back) + a per-row projection filter — retry-stable,
+    * join-free at row level, no shuffle of data rows. The fraction
+    * reads the digest's first 4 hex chars as an integer (granularity
+    * 1/65536, same as the threshold samplers). NULL group keys form
+    * their own group (null-safe join), like everywhere else in this
+    * module.
+    */
+  def sqrtFlattenSample(df: DataFrame, keyCol: String, groupCol: String,
+      salt: String): DataFrame = {
+    val nC = graft.functions.ColumnLib.freeColumn(df, "__n")
+    val msC = graft.functions.ColumnLib.freeColumn(df, "__ms")
+    val cnts = df.groupBy(col(groupCol)).agg(count(lit(1)).as(nC))
+    val minS = cnts.agg(min(sqrt(col(nC))).as(msC))
+    val frac = conv(hashBucket(col(keyCol), salt), 16, 10)
+      .cast("double") / lit(65536.0)
+    df.join(broadcast(cnts), df(groupCol) <=> cnts(groupCol))
+      .drop(cnts(groupCol))
+      .crossJoin(broadcast(minS))
+      .filter(frac * sqrt(col(nC)) < col(msC))
+      .drop(nC, msC)
+  }
 }

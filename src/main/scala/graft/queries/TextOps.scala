@@ -756,6 +756,56 @@ object TextOps {
           AND substr(md5('mix/2:'||CAST(doc_id AS VARCHAR)),1,4) < '4000'
         ORDER BY source, doc_id""")),
 
+    // ---- temperature-flattened mixture: data-derived weights (q98) ------
+    // q87's mixture takes configured weights; production pre-training
+    // mixes DERIVE them — here T=2 flattening (kept ∝ √N) over the
+    // skewed lang distribution, the smallest language keeping 100%.
+    // The keep predicate is the portable `frac·√N_g < min √N_h` form
+    // (exact md5 fraction, correctly-rounded sqrts, one IEEE multiply
+    // — no libm pow whose rounding varies by engine). The datasheet
+    // output pins totals, kept counts, and the derived probability.
+    QueryDef("q98_temperature_mix",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val kept = graft.operators.Sampling
+          .sqrtFlattenSample(d.select("doc_id", "lang"), "doc_id", "lang",
+            "temp1")
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        val tot = d.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        val ms = tot.agg(min(sqrt(col("n_total"))).as("__ms"))
+        tot.join(kept, Seq("lang"), "left")
+          .crossJoin(broadcast(ms))
+          .select(col("lang"), col("n_total"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            round(least(lit(1.0), col("__ms") / sqrt(col("n_total"))), 9)
+              .as("p"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total
+                   FROM documents GROUP BY 1),
+        ms AS (SELECT min(sqrt(n_total)) AS m FROM t),
+        f AS (SELECT d.lang,
+                (CAST((strpos('0123456789abcdef',
+                         substr(md5('temp1:'||CAST(doc_id AS VARCHAR)),1,1)) - 1)
+                      AS BIGINT) * 4096 +
+                 (strpos('0123456789abcdef',
+                         substr(md5('temp1:'||CAST(doc_id AS VARCHAR)),2,1)) - 1) * 256 +
+                 (strpos('0123456789abcdef',
+                         substr(md5('temp1:'||CAST(doc_id AS VARCHAR)),3,1)) - 1) * 16 +
+                 (strpos('0123456789abcdef',
+                         substr(md5('temp1:'||CAST(doc_id AS VARCHAR)),4,1)) - 1))
+                / 65536.0 AS frac
+              FROM documents d),
+        kept AS (SELECT f.lang, CAST(count(*) AS BIGINT) AS n_kept
+                 FROM f JOIN t USING (lang), ms
+                 WHERE f.frac * sqrt(t.n_total) < ms.m
+                 GROUP BY 1)
+        SELECT t.lang, t.n_total, coalesce(kept.n_kept, 0) AS n_kept,
+               round(least(1.0, ms.m / sqrt(t.n_total)), 9) AS p
+        FROM t LEFT JOIN kept USING (lang), ms
+        ORDER BY lang""")),
+
     // ---- deterministic corpus shuffle (q91) ------------------------------
     // Fixing the training order: every row gets its 0-based global
     // position under the md5(salt:key) total order. The declarative

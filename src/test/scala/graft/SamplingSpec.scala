@@ -101,4 +101,36 @@ class SamplingSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"no global window expected:\n$plan")
   }
+
+  test("sqrtFlattenSample: smallest group keeps all, kept ∝ √N, stable") {
+    import graft.Tables
+    val d = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang")
+    val kept = Sampling.sqrtFlattenSample(d, "doc_id", "lang", "t1")
+      .localCheckpoint(true)
+    // Subset of the input, schema unchanged.
+    assert(kept.columns.toSeq == Seq("doc_id", "lang"))
+    assert(kept.join(d, Seq("doc_id", "lang"), "left_anti").count() == 0)
+    val tot = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kc = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = tot.minBy(_._2)._1
+    // The smallest group is never down-sampled (p = 1 exactly: the
+    // md5 fraction is < 1 by construction).
+    assert(kc(minLang) == tot(minLang), "smallest group must keep 100%")
+    // Every group's kept count is within binomial noise of p·N, i.e.
+    // kept/√N is roughly constant (3σ tolerance).
+    val target = math.sqrt(tot(minLang).toDouble)
+    tot.foreach { case (l, n) =>
+      val expect = target * math.sqrt(n.toDouble)
+      val sigma = math.sqrt(expect) max 1.0
+      assert(math.abs(kc.getOrElse(l, 0L) - expect) <= 4 * sigma,
+        s"$l kept ${kc.getOrElse(l, 0L)}, expected ~$expect")
+    }
+    // Deterministic: same salt, same rows — on any partitioning.
+    val again = Sampling.sqrtFlattenSample(
+      d.repartition(7), "doc_id", "lang", "t1")
+    assert(rowSet(again) == rowSet(kept))
+  }
 }
