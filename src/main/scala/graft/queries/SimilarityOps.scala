@@ -276,6 +276,76 @@ object SimilarityOps {
              FROM cd JOIN q ON q.pos = cd.pos
              GROUP BY 1)"""
 
+  /** IVF-PQ top-10 shared by q99/q100: decimal coarse assignment to
+    * the label centroids (unrounded cosine rank — identical decimal
+    * inputs make the one IEEE divide bit-equal across engines, the
+    * ivfAssignCte contract), nprobe=2 probe ranking against the
+    * query, and [[pqAdcScores]] restricted to the probed clusters'
+    * members.
+    */
+  private def ivfPqTop10(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val ex = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("vec_id"), col("pos"), col("vf").cast(DoubleType).as("v"))
+    val cd = labelCentsDecimal(e)
+      .select(col("cluster"), posexplode(col("centroid")).as(Seq("pos", "cf")))
+      .select(col("cluster"), col("pos"), col("cf").cast(DoubleType).as("c"))
+      .localCheckpoint(true) // bounded (clusters × dims); read 3x below
+    val cn = cd.groupBy("cluster")
+      .agg(sum((col("c") * col("c")).cast(D)).as("cnd"))
+      .select(col("cluster"), col("cnd").cast(DoubleType).as("cnn"))
+    val vn = ex.groupBy("vec_id")
+      .agg(sum((col("v") * col("v")).cast(D)).as("vnd"))
+      .select(col("vec_id"), col("vnd").cast(DoubleType).as("vnn"))
+    val vc = ex.join(broadcast(cd), "pos")
+      .groupBy("vec_id", "cluster")
+      .agg(sum((col("v") * col("c")).cast(D)).as("dotd"))
+      .select(col("vec_id"), col("cluster"),
+        col("dotd").cast(DoubleType).as("dot"))
+    val assign = graft.functions.ColumnLib.latestWins(
+        vc.join(vn, "vec_id").join(cn, "cluster")
+          .withColumn("__cos",
+            col("dot") / (sqrt(col("vnn")) * sqrt(col("cnn")))),
+        Seq("vec_id"), Seq(col("__cos").desc_nulls_last, col("cluster").asc))
+      .select("vec_id", "cluster")
+    val q = ex.filter(col("vec_id") === 0).select(col("pos"), col("v").as("qv"))
+    val qn = q.agg(sum((col("qv") * col("qv")).cast(D)).as("qnd"))
+      .select(col("qnd").cast(DoubleType).as("qnn"))
+    val probes = cd.join(broadcast(q), "pos")
+      .groupBy("cluster")
+      .agg(sum((col("c") * col("qv")).cast(D)).as("pdotd"))
+      .join(cn, "cluster").crossJoin(broadcast(qn))
+      .orderBy((col("pdotd").cast(DoubleType) /
+        (sqrt(col("cnn")) * sqrt(col("qnn")))).desc, col("cluster"))
+      .limit(2).select("cluster")
+    val candidates = assign
+      .join(broadcast(probes), Seq("cluster"), "left_semi")
+      .select("vec_id")
+    pqAdcScores(s, dir)
+      .join(candidates, Seq("vec_id"), "left_semi")
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** DuckDB CTE chain for the IVF-PQ gates: coarse assignment + probe
+    * ranking ([[ivfAssignCte]] vocabulary: `assign`, `probes`)
+    * composed with the PQ pipeline ([[pqCte]]: `pqsc`, `ex`, `q`).
+    */
+  private lazy val ivfPqCte: String = s"""
+    $ivfAssignCte,
+    q2 AS (SELECT pos, v FROM e WHERE vec_id = 0),
+    qn2 AS (SELECT CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+            FROM q2),
+    pc AS (SELECT cd2.label,
+                  CAST(SUM(CAST(cd2.c*q2.v AS DECIMAL(38,18))) AS DOUBLE)
+                    AS dot
+           FROM centd cd2 JOIN q2 ON q2.pos = cd2.pos GROUP BY 1),
+    probes AS (SELECT pc.label FROM pc JOIN cn USING (label), qn2
+               ORDER BY pc.dot/(sqrt(cn.nn)*sqrt(qn2.nn)) DESC, pc.label
+               LIMIT 2),
+    $pqCte"""
+
   private def bucketSql(tbl: String): String =
     Similarity.defaultPairs.map { case (i, j) =>
       s"CASE WHEN $tbl.embedding[$i] > $tbl.embedding[$j] THEN '1' ELSE '0' END"
@@ -1357,6 +1427,81 @@ object SimilarityOps {
                     ORDER BY dot DESC, vec_id) AS rk FROM exd)
                 WHERE rk <= 10)
         SELECT 'pq_adc' AS method,
+               (SELECT count(*) FROM ext JOIN adct USING (vec_id)) AS hits,
+               (SELECT count(*) FROM ext) AS total,
+               round(CAST((SELECT count(*) FROM ext JOIN adct USING (vec_id))
+                          AS DOUBLE) /
+                     CAST((SELECT count(*) FROM ext) AS DOUBLE), 9) AS recall""")),
+
+    // ---- IVF-PQ: coarse routing + PQ codes in probed clusters (q99) -----
+    // The full FAISS composition: the coarse quantizer (label-centroid
+    // IVF, q54's clusters) prunes the search to nprobe=2 clusters, and
+    // within them candidates are ranked by ADC over their 4-byte PQ
+    // codes (q96's pipeline) — the index never stores float vectors at
+    // all. At scale the probe is a partition-pruned read of the
+    // cluster-partitioned code table (codes ride the same layout as
+    // ivfWrite's) and ADC is one broadcast join per candidate row.
+    // Both the coarse assignment and the ADC ranking walk the decimal
+    // grid in both engines, so the candidate SET and the final order
+    // are portable by construction — no float-vs-decimal margin
+    // anywhere.
+    QueryDef("q99_ivf_pq",
+      (s, dir) => {
+        ivfPqTop10(s, dir)
+      },
+      Some(s"""
+        WITH $ivfPqCte
+        SELECT vec_id, score FROM pqsc
+        WHERE vec_id IN (SELECT a.vec_id FROM assign a
+                         JOIN probes p ON p.label = a.label)
+        ORDER BY score DESC, vec_id LIMIT 10""")),
+
+    // ---- IVF-PQ recall gate (q100) ---------------------------------------
+    // The joint adoption number: q58 measures recall through probe
+    // truncation alone, q97 through PQ error alone — this gate
+    // measures BOTH at once (recall@10 of q99's IVF-PQ ranking vs the
+    // decimal-exact inner-product top-10), which is the number an
+    // IVF-PQ deployment actually experiences.
+    QueryDef("q100_ivfpq_recall",
+      (s, dir) => {
+        val top = ivfPqTop10(s, dir).select("vec_id")
+        val e = emb(s, dir)
+        val ex = e
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+          .select(col("vec_id"), col("pos"), col("vf").cast(DoubleType).as("v"))
+        val q = ex.filter(col("vec_id") === 0)
+          .select(col("pos"), col("v").as("qv"))
+        val exactTop = ex.join(broadcast(q), "pos")
+          .groupBy("vec_id")
+          .agg(sum((col("v") * col("qv")).cast(D)).as("sd"))
+          .select(col("vec_id"), round(col("sd").cast(DoubleType), 9).as("dot"))
+          .orderBy(col("dot").desc, col("vec_id"))
+          .limit(10).select("vec_id")
+        exactTop.join(top.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+          .agg(coalesce(sum(col("hit")), lit(0)).cast(LongType).as("hits"),
+            count(lit(1)).as("total"))
+          .select(lit("ivf_pq").as("method"), col("hits"), col("total"),
+            round(col("hits").cast(DoubleType) /
+              col("total").cast(DoubleType), 9).as("recall"))
+      },
+      Some(s"""
+        WITH $ivfPqCte,
+        adct AS (SELECT vec_id FROM (
+                   SELECT vec_id, row_number() OVER (
+                     ORDER BY score DESC, vec_id) AS rk
+                   FROM pqsc
+                   WHERE vec_id IN (SELECT a.vec_id FROM assign a
+                                    JOIN probes p ON p.label = a.label))
+                 WHERE rk <= 10),
+        exd AS (SELECT ex.vec_id,
+                       round(CAST(SUM(CAST(ex.v * q.qv AS DECIMAL(38,18)))
+                             AS DOUBLE), 9) AS dot
+                FROM ex JOIN q ON q.pos = ex.pos GROUP BY 1),
+        ext AS (SELECT vec_id FROM (
+                  SELECT vec_id, row_number() OVER (
+                    ORDER BY dot DESC, vec_id) AS rk FROM exd)
+                WHERE rk <= 10)
+        SELECT 'ivf_pq' AS method,
                (SELECT count(*) FROM ext JOIN adct USING (vec_id)) AS hits,
                (SELECT count(*) FROM ext) AS total,
                round(CAST((SELECT count(*) FROM ext JOIN adct USING (vec_id))
