@@ -1,6 +1,7 @@
 package graft.streaming
 
-import graft.operators.Upsert
+import graft.operators.{Dedup, Upsert}
+import graft.sources.Storage
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
@@ -108,6 +109,57 @@ object IncrementalStream {
     */
   def runAvailableNow(writer: DataStreamWriter[Row]): StreamingQuery =
     writer.trigger(Trigger.AvailableNow()).start()
+
+  /** foreachBatch sink composing [[graft.operators.Dedup]]'s
+    * incremental near-dup machinery into a streaming ingest: each
+    * micro-batch is probed against the PERSISTED corpus band index
+    * ([[Dedup.bandIndexWrite]] layout at `indexPath`), survivors are
+    * appended to the corpus table at `corpusPath`, and the survivors'
+    * OWN bands are appended to the index — so later batches dedup
+    * against everything accepted so far without any corpus-scale
+    * recompute. Within-batch near-dups are removed first (losers =
+    * non-minimum ids of [[Dedup.nearDupPairs]] components at batch
+    * scale, which is small by the micro-batch premise).
+    *
+    * Exactly-once posture: the batch transform is deterministic
+    * (md5/minhash — no rand), so a replayed batch re-derives the same
+    * survivors; Spark's batch-id checkpointing guards the appends.
+    */
+  def dedupIngestSink(writer: DataStreamWriter[Row],
+      spark: SparkSession, idCol: String, textCol: String,
+      corpusPath: String, indexPath: String,
+      checkpointDir: String, minJaccard: Double = 0.5): DataStreamWriter[Row] =
+    writer
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.select(col(idCol), col(textCol))
+            .localCheckpoint(true)
+          // Within-batch dedup: keep each component's minimum id.
+          val pairs = Dedup.nearDupPairs(b, idCol, textCol,
+            minJaccard = minJaccard)
+          val losersIn = Dedup.connectedComponents(pairs)
+            .filter(col("node") =!= col("component"))
+            .select(col("node").as(idCol))
+          val fresh = b.join(losersIn, Seq(idCol), "left_anti")
+          // Cross-corpus dedup: probe the persisted index (if the
+          // stream has ingested anything yet).
+          val survivors =
+            if (Storage.exists(spark, indexPath)) {
+              val dup = Dedup.incrementalNearDupPairs(spark, indexPath,
+                  spark.read.parquet(corpusPath), fresh, idCol, textCol,
+                  minJaccard = minJaccard)
+                .select(col("new_id").as(idCol)).distinct()
+              fresh.join(dup, Seq(idCol), "left_anti")
+            } else fresh
+          val kept = survivors.localCheckpoint(true)
+          kept.write.mode("append").parquet(corpusPath)
+          Dedup.lshBands(
+              Dedup.minhashSignatures(kept, idCol, textCol, k = 4, n = 3),
+              idCol, k = 4, bandWidth = 2)
+            .write.mode("append").parquet(indexPath)
+        }
+      }
 
   final case class KeyCount(key: String, n: Long)
 

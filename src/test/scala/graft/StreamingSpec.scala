@@ -111,6 +111,39 @@ class StreamingSpec extends SparkSpec {
       "quality-gated, content-deduplicated survivors only")
   }
 
+  test("dedupIngestSink: cross-batch near-dups die against the band index") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ingest").toString
+    val (corpus, index, ckpt) =
+      (s"$base/corpus", s"$base/index", s"$base/ckpt")
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("doc_id", "text")
+    val writer = IncrementalStream.dedupIngestSink(
+      src.writeStream, spark, "doc_id", "text", corpus, index, ckpt)
+    // Batch 1: two distinct docs + one within-batch exact dup (id 2
+    // loses to id 1, the component minimum).
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now"))
+    val q = IncrementalStream.runAvailableNow(writer)
+    q.awaitTermination(60000); q.stop()
+    assert(spark.read.parquet(corpus).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // Batch 2: a near-dup of doc 1 dies against the INDEX
+    // (cross-batch), a novel doc lands.
+    mem.addData(
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "unrelated content that matches nothing else at all"))
+    val q2 = IncrementalStream.runAvailableNow(writer)
+    q2.awaitTermination(60000); q2.stop()
+    assert(spark.read.parquet(corpus).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L),
+      "doc 4 must die against the persisted index; doc 5 must land")
+    // The index now covers every accepted doc (2 bands each).
+    assert(spark.read.parquet(index).select("doc_id").distinct().count() == 3)
+  }
+
   test("dailyCounts windows by event-time day") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, java.sql.Timestamp)]
