@@ -74,6 +74,37 @@ object Skew {
         round(col("cnt").cast("double") / col("__total"), 9).as("frac"))
   }
 
+  /** Distribution drift between two snapshots of the same table — the
+    * ingest monitor that catches "today's crawl shifted the language
+    * mix" before it poisons a training run. Per key value: both row
+    * counts, both shares, and |Δshare| (the per-key term of total
+    * variation distance; TVD = Σ/2, on the 1e-9 grid after the
+    * round). Keys missing from one side count 0 there (full-outer).
+    * Two count aggregates (map-side combined) + tiny broadcast
+    * totals — never a shuffle of raw rows; the same scale posture as
+    * [[heavyHitters]].
+    */
+  def distributionDrift(a: DataFrame, b: DataFrame,
+      keyCol: String): DataFrame = {
+    def counted(df: DataFrame, n: String) =
+      df.groupBy(col(keyCol).cast("string").as("key"))
+        .agg(count(lit(1)).as(n))
+    val ca = counted(a, "n_a")
+    val cb = counted(b, "n_b")
+    val ta = ca.agg(sum(col("n_a")).as("__ta"))
+    val tb = cb.agg(sum(col("n_b")).as("__tb"))
+    ca.join(cb, ca("key") <=> cb("key"), "full_outer")
+      .select(coalesce(ca("key"), cb("key")).as("key"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("key"), col("n_a"), col("n_b"),
+        round(col("n_a").cast("double") / col("__ta"), 9).as("share_a"),
+        round(col("n_b").cast("double") / col("__tb"), 9).as("share_b"),
+        round(abs(col("n_a").cast("double") / col("__ta") -
+          col("n_b").cast("double") / col("__tb")), 9).as("share_diff"))
+  }
+
   /** Null-key short-circuit: rows whose join key is null can never
     * match an equi-join — route them around the shuffle entirely and
     * union them back (left-join semantics preserved). On a fact table

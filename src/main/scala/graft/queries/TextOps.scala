@@ -806,6 +806,41 @@ object TextOps {
         FROM t LEFT JOIN kept USING (lang), ms
         ORDER BY lang""")),
 
+    // ---- distribution drift: snapshot-vs-batch monitor (q101) -----------
+    // The ingest guardrail: per-language shares of the existing corpus
+    // (doc_id % 5 <> 0) vs the incoming batch (doc_id % 5 = 0) and the
+    // per-key |Δshare| (the TVD term). Two map-side-combined count
+    // aggregates + broadcast totals — the raw rows never shuffle.
+    // Portability: one IEEE divide per share from identical longs, one
+    // subtract, round to the 1e-9 grid.
+    QueryDef("q101_dist_drift",
+      (s, dir) => {
+        val d = docs(s, dir)
+        graft.operators.Skew.distributionDrift(
+            d.filter(col("doc_id") % 5 =!= 0).select("lang"),
+            d.filter(col("doc_id") % 5 === 0).select("lang"),
+            "lang")
+          .orderBy("key")
+      },
+      Some("""
+        WITH a AS (SELECT CAST(lang AS VARCHAR) AS key,
+                          CAST(count(*) AS BIGINT) AS n_a
+                   FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+        b AS (SELECT CAST(lang AS VARCHAR) AS key,
+                     CAST(count(*) AS BIGINT) AS n_b
+              FROM documents WHERE doc_id % 5 = 0 GROUP BY 1),
+        ta AS (SELECT CAST(sum(n_a) AS BIGINT) AS t FROM a),
+        tb AS (SELECT CAST(sum(n_b) AS BIGINT) AS t FROM b)
+        SELECT coalesce(a.key, b.key) AS key,
+               coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+               round(CAST(coalesce(n_a, 0) AS DOUBLE) / ta.t, 9) AS share_a,
+               round(CAST(coalesce(n_b, 0) AS DOUBLE) / tb.t, 9) AS share_b,
+               round(abs(CAST(coalesce(n_a, 0) AS DOUBLE) / ta.t -
+                         CAST(coalesce(n_b, 0) AS DOUBLE) / tb.t), 9)
+                 AS share_diff
+        FROM a FULL OUTER JOIN b ON a.key = b.key, ta, tb
+        ORDER BY key""")),
+
     // ---- deterministic corpus shuffle (q91) ------------------------------
     // Fixing the training order: every row gets its 0-based global
     // position under the md5(salt:key) total order. The declarative

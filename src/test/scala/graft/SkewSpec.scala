@@ -50,6 +50,21 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("distributionDrift: full-outer keys, zero fills, TVD terms") {
+    val a = df("k STRING", Row("x"), Row("x"), Row("y"), Row(null))
+    val b = df("k STRING", Row("x"), Row("z"))
+    val out = Skew.distributionDrift(a, b, "k").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("x") == ((2L, 1L, 0.5, 0.5, 0.0)))
+    assert(out("y") == ((1L, 0L, 0.25, 0.0, 0.25)))
+    assert(out("z") == ((0L, 1L, 0.0, 0.5, 0.5)))
+    assert(out(null) == ((1L, 0L, 0.25, 0.0, 0.25)),
+      "NULL keys are a first-class drift category")
+    // Shares on each side sum to 1 (every row is counted once).
+    assert(out.values.map(_._3).sum == 1.0 && out.values.map(_._4).sum == 1.0)
+  }
+
   test("statusPivot with null-routed phone join matches the plain left join") {
     import graft.pipelines.FactStaffDaily
     import graft.functions.Classifiers
