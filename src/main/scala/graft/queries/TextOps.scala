@@ -773,7 +773,7 @@ object TextOps {
           .groupBy("lang").agg(count(lit(1)).as("n_kept"))
         val tot = d.groupBy("lang").agg(count(lit(1)).as("n_total"))
         val ms = tot.agg(min(sqrt(col("n_total"))).as("__ms"))
-        tot.join(kept, Seq("lang"), "left")
+        tot.join(broadcast(kept), Seq("lang"), "left")
           .crossJoin(broadcast(ms))
           .select(col("lang"), col("n_total"),
             coalesce(col("n_kept"), lit(0L)).as("n_kept"),
