@@ -563,4 +563,23 @@ object Similarity {
         dot(col("recon"), array(query.map(lit): _*)).as("score"))
       .orderBy(col("score").desc_nulls_last, col(idCol))
       .limit(k)
+
+  /** Batch ADC: many queries against the code table in one plan.
+    * Reconstructions are computed ONCE (query-independent) and every
+    * query scores them off the broadcast query set; the per-query cut
+    * runs on the bounded-heap top-k plan. This is deliberately the
+    * exhaustive-over-codes shape (ADC's premise — codes are 64x
+    * smaller than vectors, so scanning all of them is the point);
+    * when even that is too much, route coarsely first and ADC within
+    * probed clusters, exactly as the q99 gate composes it.
+    */
+  def pqAdcBatchTopK(codes: DataFrame, codebook: DataFrame, idCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame =
+    TopK.perGroup(
+      pqReconstruct(codes, codebook, idCol)
+        .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
+        .select(col(qidCol), col(idCol),
+          dot(col("recon"), col(qvecCol)).as("score")),
+      Seq(qidCol), Seq(col("score").desc_nulls_last, col(idCol).asc), k)
 }

@@ -112,11 +112,57 @@ object Storage {
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(target, true)
     val shardC = graft.functions.ColumnLib.freeColumn(df, "shard")
-    df.withColumn(shardC,
+    val sharded = df.withColumn(shardC,
         org.apache.spark.sql.functions.expr(s"`$posCol` DIV $rowsPerShard"))
+      .localCheckpoint(true) // read twice: data write + manifest counts
+    sharded
       .repartition(col(shardC))
       .sortWithinPartitions(col(shardC), col(posCol))
       .write.mode("overwrite").partitionBy(shardC).parquet(path)
+    // Manifest: one line per shard (id, row count) + a totals line —
+    // the loader-side contract that lets a consumer verify a complete,
+    // gap-free export (and size its readers) WITHOUT listing/opening
+    // shard files. Written last: a manifest's existence implies the
+    // data it describes is fully on disk.
+    import org.apache.spark.sql.functions.{col => c}
+    val counts = sharded.groupBy(c(shardC).as("shard"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val manifest =
+      (counts.map { case (s0, n) => s"""{"shard":$s0,"n_rows":$n}""" } :+
+        s"""{"total_shards":${counts.length},"total_rows":${counts.map(_._2).sum}}""")
+        .mkString("", "\n", "\n")
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_manifest.jsonl"))
+    try out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Parse a [[writeShards]] manifest back: (shard, n_rows) rows in
+    * shard order. The totals line is verified against the per-shard
+    * lines, so a truncated manifest fails loudly instead of
+    * under-reading.
+    */
+  def readShardManifest(spark: SparkSession, path: String): Seq[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_manifest.jsonl")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    val shardRe = """\{"shard":(\d+),"n_rows":(\d+)\}""".r
+    val totalRe = """\{"total_shards":(\d+),"total_rows":(\d+)\}""".r
+    val shards = lines.init.map {
+      case shardRe(s0, n) => (s0.toLong, n.toLong)
+      case l => throw new IllegalStateException(s"bad manifest line: $l")
+    }
+    lines.last match {
+      case totalRe(ts, tr) =>
+        require(ts.toInt == shards.length && tr.toLong == shards.map(_._2).sum,
+          "manifest totals disagree with per-shard lines")
+      case l => throw new IllegalStateException(s"bad manifest totals: $l")
+    }
+    shards
   }
 
   /** Bucketed managed table: pre-shuffled layout on the join/agg key.

@@ -247,5 +247,20 @@ class SimilaritySpec extends SparkSpec {
     val top = Similarity.pqAdcTopK(codes, cb, "vec_id",
       v(1, 0, 0, 0, 0, 1, 0, 0), k = 2).collect().map(_.getLong(0)).toSet
     assert(top == Set(1L, 2L))
+    // Batch ADC agrees with the single-query path for every query.
+    val queries = df("qid BIGINT, qvec ARRAY<FLOAT>",
+      Row(Long.box(100), v(1, 0, 0, 0, 0, 1, 0, 0)),
+      Row(Long.box(200), v(0, 1, 0, 0, 1, 0, 0, 0)))
+    val batch = Similarity.pqAdcBatchTopK(codes, cb, "vec_id",
+        queries, "qid", "qvec", k = 2)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+    queries.collect().foreach { q =>
+      val single = Similarity.pqAdcTopK(codes, cb, "vec_id",
+          q.getSeq[Float](1), k = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(q.getLong(0)) == single,
+        s"batch and single ADC disagree for query ${q.getLong(0)}")
+    }
   }
 }

@@ -97,6 +97,10 @@ class StorageSpec extends SparkSpec {
     assert(after == Set("shard=0", "shard=1", "shard=2"),
       s"stale shards must not survive a re-export, got $after")
     assert(spark.read.parquet(dir).count() == 60)
+    // The manifest is the loader contract: per-shard counts + verified
+    // totals, readable without listing shard files.
+    assert(Storage.readShardManifest(spark, dir) ==
+      Seq((0L, 25L), (1L, 25L), (2L, 10L)))
   }
 
   test("exists requires data files, not just a directory") {
