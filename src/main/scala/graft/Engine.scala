@@ -83,6 +83,14 @@ object Engine {
         graft.functions.expressions.NgramStats(
           children(0), litInt("ngram_stats")(children(1), "n"))))
     ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.WordShingles].getName,
+        "word_shingles"),
+      (children: Seq[Expression]) =>
+        graft.functions.expressions.WordShingles(
+          children(0), litInt("word_shingles")(children(1), "n"))))
+    ext.injectFunction((
       FunctionIdentifier("simhash"),
       new ExpressionInfo(
         classOf[graft.functions.expressions.SimHashBits].getName,

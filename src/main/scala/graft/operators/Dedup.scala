@@ -52,15 +52,30 @@ object Dedup {
     docs.groupBy(md5(col(body)).as("digest"))
       .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** One row per (id, word-n-gram): posexplode words, then stitch grams
-    * with `lead` over (id, position) — every step is a codegen'd
-    * expression or a standard window, no interpreted lambda. (The
-    * higher-order `transform` route runs interpreted per row and
-    * measured ~5× slower; the window's hash-partition on id is then
-    * REUSED by the downstream per-id aggregate, so signature extraction
-    * costs exactly one shuffle of the word stream.)
+  /** One row per (id, word-n-gram), zero-shuffle: the native
+    * `word_shingles` generator
+    * ([[graft.functions.expressions.WordShingles]]) emits each row's
+    * gram array in one tight loop inside whole-stage codegen, and
+    * `explode` (a generator, not an exchange) yields the stream. The
+    * two built-in formulations both lose at scale — the HOF transform
+    * runs interpreted per element, and the posexplode + window-lead
+    * form (this operator's previous shape, kept as
+    * [[explodedShinglesWindowed]] for the DedupSpec differential)
+    * shuffles the whole exploded token stream on doc id just to
+    * reassemble adjacency that was free before the explode.
     */
-  private[operators] def explodedShingles(docs: DataFrame, id: String,
+  private[graft] def explodedShingles(docs: DataFrame, id: String,
+      body: String, n: Int): DataFrame =
+    docs.select(col(id),
+      explode(call_function("word_shingles", words(col(body)), lit(n)))
+        .as("__g"))
+
+  /** The posexplode + window-lead restatement of [[explodedShingles]]
+    * (its pre-native shape): compiles, but pays a full shuffle of the
+    * exploded token stream. Kept ONLY as the independent formulation
+    * DedupSpec verifies the native expression against.
+    */
+  private[graft] def explodedShinglesWindowed(docs: DataFrame, id: String,
       body: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = docs.select(col(id), posexplode(words(col(body))).as(Seq("__p", "__w")))
@@ -358,13 +373,18 @@ object Dedup {
       body: String, n: Int): DataFrame = {
     require(!Seq("n_grams", "n_hit", "overlap").contains(idCol),
       "idCol collides with an output column name; rename it first")
+    def distinctGrams(c: Column) = array_distinct(
+      call_function("word_shingles", words(c), lit(n)))
     val grams = corpus.select(col(idCol),
-      explode(array_distinct(wordShingles(col(body), n))).as("__g"))
+      explode(distinctGrams(col(body))).as("__g"))
     val bgrams = benchmark
-      .select(explode(array_distinct(wordShingles(col(body), n))).as("__g"))
+      .select(explode(distinctGrams(col(body))).as("__g"))
       .distinct()
       .withColumn("__hit", lit(1))
-    grams.join(bgrams, Seq("__g"), "left")
+    // The benchmark gram set is small by the same contract as
+    // decontaminate's anti join — broadcast it so the corpus-scale
+    // gram stream never shuffles on its way into the hit join.
+    grams.join(broadcast(bgrams), Seq("__g"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))

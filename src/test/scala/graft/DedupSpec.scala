@@ -27,6 +27,35 @@ class DedupSpec extends SparkSpec {
     assert(sh(1) == Seq.empty)
   }
 
+  test("word_shingles native == windowed == HOF, zero-shuffle plan") {
+    val tricky = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), "the quick brown fox jumps"),
+      Row(Long.box(2), "ab"),                       // fewer than n words
+      Row(Long.box(3), "xin chào thế giới nhé"),    // multi-byte UTF-8
+      Row(Long.box(4), ""),                         // empty text
+      Row(Long.box(5), "a b c"))
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val native = pairs(Dedup.explodedShingles(tricky, "doc_id", "text", 3)
+      .toDF("doc_id", "g"))
+    val windowed = pairs(
+      Dedup.explodedShinglesWindowed(tricky, "doc_id", "text", 3)
+        .toDF("doc_id", "g"))
+    val hof = pairs(tricky.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.wordShingles(col("text"), 3))
+        .as("g")))
+    assert(native == windowed && native == hof,
+      s"formulations disagree:\n$native\n$windowed\n$hof")
+    assert(native.count(_._1 == 1L) == 3 && !native.exists(_._1 == 2L))
+    // The native stream never shuffles and stays in codegen.
+    val plan = Dedup.explodedShingles(tricky, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gram stream must not shuffle:\n$plan")
+    // "*(n)" prefixes are the whole-stage-codegen markers in the
+    // simple plan string.
+    assert(plan.contains("*(1)"), s"expected codegen:\n$plan")
+  }
+
   test("minhash signatures: identical docs share all values; near-dups share some") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", k = 4, n = 3)
       .collect().map(r => r.getLong(0) ->
