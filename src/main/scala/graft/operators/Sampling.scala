@@ -106,19 +106,33 @@ object Sampling {
     */
   def deterministicShuffle(df: DataFrame, keyCol: String, salt: String,
       posCol: String = "pos"): DataFrame = {
+    val ordC = graft.functions.ColumnLib.freeColumn(df, "__ord")
+    globalPositions(
+        df.withColumn(ordC,
+          md5(concat(lit(salt + ":"), col(keyCol).cast("string")))),
+        Seq(col(ordC), col(keyCol)), posCol)
+      .drop(ordC)
+  }
+
+  /** 0-based global positions under an arbitrary TOTAL order (callers
+    * must include a unique tiebreak column): range-partitioned
+    * parallel sort + RDD `zipWithIndex` — the scalable replacement for
+    * an unpartitioned `row_number()` window, shared by
+    * [[deterministicShuffle]] and [[lengthBucketedBatches]]. Positions
+    * depend only on the order, never on partition layout or retries.
+    */
+  private[graft] def globalPositions(df: DataFrame, order: Seq[Column],
+      posCol: String): DataFrame = {
     require(!df.columns.contains(posCol),
       s"input already has a '$posCol' column; rename it first")
     val spark = df.sparkSession
-    val ordC = graft.functions.ColumnLib.freeColumn(df, "__ord")
     // The sorted frame is materialized ONCE (localCheckpoint, the q55
     // posture): zipWithIndex launches a counting job over every
     // partition before the consumer's own job, and without the cut the
     // corpus-wide range sort would run twice.
     val sorted = df
-      .withColumn(ordC,
-        md5(concat(lit(salt + ":"), col(keyCol).cast("string"))))
-      .repartitionByRange(col(ordC), col(keyCol))
-      .sortWithinPartitions(col(ordC), col(keyCol))
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
       .localCheckpoint(true)
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
@@ -126,7 +140,29 @@ object Sampling {
     val withPos = sorted.rdd.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
     }
-    spark.createDataFrame(withPos, schema).drop(ordC)
+    spark.createDataFrame(withPos, schema)
+  }
+
+  /** Length-bucketed batching — the minimal-padding batch layout for
+    * inference or padded training: rows get global positions under the
+    * (length DESC, key ASC) total order and batch id = pos DIV
+    * `batchSize`, so every batch holds `batchSize` near-equal-length
+    * rows and padding waste (batch max − row length) is near zero
+    * everywhere except across bucket boundaries. Longest batches come
+    * first — the OOM-probing order serving stacks prefer. Same scale
+    * posture as [[deterministicShuffle]]: a range-partitioned sort,
+    * never a global window.
+    */
+  def lengthBucketedBatches(df: DataFrame, keyCol: String,
+      lengthCol: String, batchSize: Int,
+      batchCol: String = "batch"): DataFrame = {
+    require(batchSize > 0, "need a positive batch size")
+    require(!df.columns.contains(batchCol),
+      s"input already has a '$batchCol' column; rename it first")
+    val posC = graft.functions.ColumnLib.freeColumn(df, "__pos")
+    globalPositions(df, Seq(col(lengthCol).desc, col(keyCol).asc), posC)
+      .withColumn(batchCol, floor(col(posC) / batchSize))
+      .drop(posC)
   }
 
   /** Weighted mixture: deterministically subsample each source by its
@@ -142,6 +178,29 @@ object Sampling {
     sources.zipWithIndex.map { case ((df, w), i) =>
       deterministicSample(df, keyCol, w, s"$salt/$i")
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Deterministic token-budget subset: "give me a ~1B-token slice of
+    * the corpus" — rows are taken in the md5(salt:key) shuffle order
+    * until the cumulative token count reaches `budget`, so the subset
+    * is unbiased (order is hash-random), reproducible, and grows
+    * MONOTONICALLY with the budget (a 2B slice contains the 1B slice —
+    * the property scaling-law runs need). The cumulative sum runs
+    * two-pass over hash-order buckets ([[Packing.packTwoPass]] with a
+    * constant group), so no single task ever sees the whole corpus;
+    * membership is decided by `end_offset ≤ budget`, which includes
+    * the boundary-crossing row iff it finishes inside the budget.
+    */
+  def tokenBudgetSample(df: DataFrame, keyCol: String, tokensCol: String,
+      budget: Long, salt: String): DataFrame = {
+    require(budget > 0, "need a positive token budget")
+    val posC = graft.functions.ColumnLib.freeColumn(df, "__pos")
+    val grpC = graft.functions.ColumnLib.freeColumn(df, "__grp")
+    val ordered = deterministicShuffle(df, keyCol, salt, posC)
+      .withColumn(grpC, lit(1))
+    Packing.packTwoPass(ordered, grpC, posC, tokensCol, nBuckets = 64)
+      .filter(col("end_offset") <= budget)
+      .drop(posC, grpC, "end_offset")
   }
 
   /** Temperature-flattened mixture at T = 2 (α = 1/2): down-sample each

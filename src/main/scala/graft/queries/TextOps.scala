@@ -806,6 +806,68 @@ object TextOps {
         FROM t LEFT JOIN kept USING (lang), ms
         ORDER BY lang""")),
 
+    // ---- token-budget subset: the scaling-law slice (q102) --------------
+    // "A ~20k-token slice of the corpus": docs taken in the
+    // hash-shuffle order until the cumulative token count hits the
+    // budget — unbiased, reproducible, and monotone in the budget (a
+    // bigger budget's slice contains this one). The cumulative sum is
+    // the two-pass packer over a constant group (no single-task window
+    // anywhere; ShuffleSpec pins the position machinery); the oracle
+    // restates it as the one-window cumulative form.
+    QueryDef("q102_token_budget",
+      (s, dir) => {
+        graft.operators.Sampling.tokenBudgetSample(
+            docs(s, dir).select(col("doc_id"),
+              tokenCountWs(col("text")).as("n_tokens")),
+            "doc_id", "n_tokens", budget = 20000L, salt = "bud1")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""
+        WITH ord AS (
+          SELECT doc_id, len(string_split(text,' ')) AS n,
+                 row_number() OVER (
+                   ORDER BY md5('bud1:'||CAST(doc_id AS VARCHAR)), doc_id) - 1
+                   AS pos
+          FROM documents),
+        cum AS (SELECT doc_id,
+                       SUM(n) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS e
+                FROM ord)
+        SELECT doc_id FROM cum WHERE e <= 20000 ORDER BY doc_id""")),
+
+    // ---- length-bucketed batching: minimal-padding layout (q103) --------
+    // The inference/padded-training batch layout: global positions
+    // under (length DESC, doc_id) — a range-partitioned sort, never a
+    // global window — and batch = pos DIV 32, so each batch holds
+    // near-equal-length docs and the padding column (batch max − row
+    // length, summed) is near zero except across boundaries. The
+    // datasheet output is what a serving stack reviews before fixing
+    // the layout.
+    QueryDef("q103_length_batches",
+      (s, dir) => {
+        graft.operators.Sampling.lengthBucketedBatches(
+            docs(s, dir).select(col("doc_id"),
+              tokenCountWs(col("text")).cast("long").as("n_tokens")),
+            "doc_id", "n_tokens", batchSize = 32)
+          .groupBy("batch")
+          .agg(count(lit(1)).as("n_rows"),
+            max(col("n_tokens")).as("max_len"),
+            sum(col("n_tokens")).as("sum_len"))
+          .withColumn("padding",
+            col("max_len") * col("n_rows") - col("sum_len"))
+          .orderBy("batch")
+      },
+      Some("""
+        WITH ord AS (
+          SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n,
+                 CAST(floor((row_number() OVER (
+                   ORDER BY len(string_split(text,' ')) DESC, doc_id) - 1)
+                   / 32) AS BIGINT) AS batch
+          FROM documents)
+        SELECT batch, count(*) AS n_rows,
+               max(n) AS max_len, CAST(sum(n) AS BIGINT) AS sum_len,
+               max(n) * count(*) - CAST(sum(n) AS BIGINT) AS padding
+        FROM ord GROUP BY 1 ORDER BY 1""")),
+
     // ---- distribution drift: snapshot-vs-batch monitor (q101) -----------
     // The ingest guardrail: per-language shares of the existing corpus
     // (doc_id % 5 <> 0) vs the incoming batch (doc_id % 5 = 0) and the

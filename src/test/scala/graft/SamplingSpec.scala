@@ -102,6 +102,49 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no global window expected:\n$plan")
   }
 
+  test("tokenBudgetSample: monotone in budget, boundary-exact, stable") {
+    import graft.Tables
+    val d = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+    def take(b: Long) = Sampling
+      .tokenBudgetSample(d, "doc_id", "n_tokens", b, "bud1")
+      .collect().map(_.getLong(0)).toSet
+    val small = take(3000); val big = take(9000)
+    assert(small.subsetOf(big), "a bigger budget must contain the smaller slice")
+    assert(small.nonEmpty && big.size > small.size)
+    // Boundary-exact: kept tokens ≤ budget, and adding the FIRST
+    // excluded doc (in shuffle order) would overflow it.
+    val ordered = Sampling.deterministicShuffle(d, "doc_id", "bud1")
+      .orderBy("pos").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val keptTok = ordered.filter(r => small(r._1)).map(_._2).sum
+    val firstOut = ordered.find(r => !small(r._1)).get
+    assert(keptTok <= 3000 && keptTok + firstOut._2 > 3000)
+    assert(take(3000) == small, "same budget + salt must reproduce the slice")
+  }
+
+  test("lengthBucketedBatches: equal-length grouping, no global window") {
+    import graft.Tables
+    val d = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val out = Sampling.lengthBucketedBatches(d, "doc_id", "n_tokens", 8)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Every batch is full (last may be ragged) and batches partition
+    // the corpus in non-increasing length order.
+    val byBatch = rows.groupBy(_._3).toSeq.sortBy(_._1)
+    byBatch.init.foreach { case (b, rs) =>
+      assert(rs.length == 8, s"batch $b has ${rs.length} rows") }
+    val mins = byBatch.map(_._2.map(_._2).min)
+    val maxs = byBatch.map(_._2.map(_._2).max)
+    mins.zip(maxs.tail).foreach { case (lo, nextHi) =>
+      assert(nextHi <= lo, "later batches must not hold longer docs") }
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "batch layout must not use a global window")
+  }
+
   test("sqrtFlattenSample: smallest group keeps all, kept ∝ √N, stable") {
     import graft.Tables
     val d = Tables.table(spark, "/root/testdata/sf0.001", "documents")
