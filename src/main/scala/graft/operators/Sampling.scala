@@ -194,6 +194,10 @@ object Sampling {
   def tokenBudgetSample(df: DataFrame, keyCol: String, tokensCol: String,
       budget: Long, salt: String): DataFrame = {
     require(budget > 0, "need a positive token budget")
+    // The packer's working column would silently shadow (and this
+    // operator then DROP) a caller's own end_offset.
+    require(!df.columns.contains("end_offset"),
+      "input already has an 'end_offset' column; rename it first")
     val posC = graft.functions.ColumnLib.freeColumn(df, "__pos")
     val grpC = graft.functions.ColumnLib.freeColumn(df, "__grp")
     val ordered = deterministicShuffle(df, keyCol, salt, posC)

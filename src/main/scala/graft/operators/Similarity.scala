@@ -504,6 +504,8 @@ object Similarity {
   def pqCodebook(vecs: DataFrame, vecCol: String, m: Int,
       subDim: Int): DataFrame = {
     require(m > 0 && subDim >= 4, "need m ≥ 1 subspaces of ≥ 4 dims")
+    require(vecCol != "sub" && vecCol != "sv",
+      "vector column collides with the subspace working names")
     val pairs = Seq((1, subDim / 2 + 1), (subDim / 4 + 1, 3 * subDim / 4 + 1))
     val sv = subVectors(vecs.select(col(vecCol)), vecCol, m, subDim)
       .select(col("sub"), col("sv"), signBucket(col("sv"), pairs).as("cluster"))
@@ -522,6 +524,9 @@ object Similarity {
     */
   def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame, m: Int, subDim: Int): DataFrame = {
+    require(!Seq("sub", "sv", "cluster", "centroid").contains(idCol) &&
+      !Seq("sub", "sv").contains(vecCol),
+      "id/vector columns collide with the codebook working names")
     val sv = subVectors(vecs.select(col(idCol), col(vecCol)), vecCol, m, subDim)
       .withColumn("__svn", dot(col("sv"), col("sv")))
     val cb = codebook.withColumn("__cn", dot(col("centroid"), col("centroid")))
