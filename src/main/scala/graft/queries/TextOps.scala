@@ -900,7 +900,7 @@ object TextOps {
                round(abs(CAST(coalesce(n_a, 0) AS DOUBLE) / ta.t -
                          CAST(coalesce(n_b, 0) AS DOUBLE) / tb.t), 9)
                  AS share_diff
-        FROM a FULL OUTER JOIN b ON a.key = b.key, ta, tb
+        FROM a FULL OUTER JOIN b ON a.key IS NOT DISTINCT FROM b.key, ta, tb
         ORDER BY key""")),
 
     // ---- deterministic corpus shuffle (q91) ------------------------------

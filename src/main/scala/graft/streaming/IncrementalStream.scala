@@ -121,9 +121,12 @@ object IncrementalStream {
     * non-minimum ids of [[Dedup.nearDupPairs]] components at batch
     * scale, which is small by the micro-batch premise).
     *
-    * Exactly-once posture: the batch transform is deterministic
-    * (md5/minhash — no rand), so a replayed batch re-derives the same
-    * survivors; Spark's batch-id checkpointing guards the appends.
+    * Exactly-once posture: foreachBatch is AT-LEAST-once, and these
+    * are plain appends — so the sink makes the replay idempotent
+    * itself: the batch transform is deterministic (md5/minhash — no
+    * rand), survivors are anti-joined against ids already in the
+    * corpus (a column-pruned scan riding the same read the probe
+    * needs), and a replayed batch therefore appends nothing.
     */
   def dedupIngestSink(writer: DataStreamWriter[Row],
       spark: SparkSession, idCol: String, textCol: String,
@@ -143,19 +146,34 @@ object IncrementalStream {
             .select(col("node").as(idCol))
           val fresh = b.join(losersIn, Seq(idCol), "left_anti")
           // Cross-corpus dedup: probe the persisted index (if the
-          // stream has ingested anything yet).
+          // stream has ingested anything yet). The id anti-join makes
+          // a REPLAYED batch a no-op — its survivors already sit in
+          // the corpus — which is what turns the at-least-once
+          // foreachBatch appends into exactly-once ingest.
           val survivors =
             if (Storage.exists(spark, indexPath)) {
+              val corpus = spark.read.parquet(corpusPath)
               val dup = Dedup.incrementalNearDupPairs(spark, indexPath,
-                  spark.read.parquet(corpusPath), fresh, idCol, textCol,
-                  minJaccard = minJaccard)
+                  corpus, fresh, idCol, textCol, minJaccard = minJaccard)
                 .select(col("new_id").as(idCol)).distinct()
               fresh.join(dup, Seq(idCol), "left_anti")
+                .join(corpus.select(col(idCol)), Seq(idCol), "left_anti")
             } else fresh
           val kept = survivors.localCheckpoint(true)
           kept.write.mode("append").parquet(corpusPath)
+          // Index catch-up: bands for every corpus doc the index
+          // LACKS — on a clean run exactly this batch's survivors,
+          // and after a crash between the corpus and index writes it
+          // also heals the gap a survivors-derived append would
+          // leave permanently unindexed.
+          val unindexed =
+            if (Storage.exists(spark, indexPath))
+              spark.read.parquet(corpusPath)
+                .join(spark.read.parquet(indexPath).select(col(idCol)),
+                  Seq(idCol), "left_anti")
+            else spark.read.parquet(corpusPath)
           Dedup.lshBands(
-              Dedup.minhashSignatures(kept, idCol, textCol, k = 4, n = 3),
+              Dedup.minhashSignatures(unindexed, idCol, textCol, k = 4, n = 3),
               idCol, k = 4, bandWidth = 2)
             .write.mode("append").parquet(indexPath)
         }

@@ -142,6 +142,22 @@ class StreamingSpec extends SparkSpec {
       "doc 4 must die against the persisted index; doc 5 must land")
     // The index now covers every accepted doc (2 bands each).
     assert(spark.read.parquet(index).select("doc_id").distinct().count() == 3)
+    // Replay: foreachBatch is at-least-once, so the SAME rows arriving
+    // again (fresh checkpoint = forced re-delivery) must append
+    // nothing — the id anti-join makes the ingest idempotent.
+    val mem3 = MemoryStream[(Long, String)]
+    mem3.addData(
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "unrelated content that matches nothing else at all"))
+    val q3 = IncrementalStream.runAvailableNow(
+      IncrementalStream.dedupIngestSink(
+        mem3.toDF().toDF("doc_id", "text").writeStream,
+        spark, "doc_id", "text", corpus, index, s"$base/ckpt3"))
+    q3.awaitTermination(60000); q3.stop()
+    assert(spark.read.parquet(corpus).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L),
+      "a replayed batch must not duplicate corpus rows")
+    assert(spark.read.parquet(index).select("doc_id").distinct().count() == 3)
   }
 
   test("dailyCounts windows by event-time day") {
