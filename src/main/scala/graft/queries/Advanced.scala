@@ -57,6 +57,35 @@ object Advanced {
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""")),
 
+    // ---- explicit GROUPING SETS + grouping_id (q104) --------------------
+    // The grouping-set shapes ROLLUP/CUBE can't express: two DISJOINT
+    // single-column sets in one pass over the fact table (one scan
+    // feeding both aggregation levels — at 100 TB that halves the scan
+    // cost vs two GROUP BYs unioned). grouping_id() disambiguates a
+    // NULL that means "aggregated away" from a NULL data value — the
+    // standard-bit encoding both engines share.
+    QueryDef("q104_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping_id().cast(LongType).as("gid"),
+            count(lit(1)).as("n"),
+            exactSum(col("o_totalprice")).as("total"))
+          .orderBy(col("gid"),
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY gid, 1 NULLS FIRST, 2 NULLS FIRST""")),
+
     // ---- window-function family: rank/dense_rank/lag/lead/frames ------
     // Total order within each partition (acctbal desc, custkey) keeps
     // every function deterministic; the running sum accumulates in
