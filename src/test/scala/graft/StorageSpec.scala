@@ -103,6 +103,43 @@ class StorageSpec extends SparkSpec {
       Seq((0L, 25L), (1L, 25L), (2L, 10L)))
   }
 
+  test("training-set materialization: clean → dedup → shuffle → shard → manifest") {
+    // The capstone composition a training run consumes: quality-kept,
+    // near-dup-free docs in a deterministic shuffle order, sharded
+    // with a verifiable manifest. Each stage is the already-gated
+    // operator; this pins the END-TO-END contract (counts conserve,
+    // order survives the shard files, manifest tells the truth).
+    import graft.operators.{Dedup, Sampling}
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    // Clean: drop docs under 20 words (q46's length gate).
+    val kept0 = docs.filter(size(split(col("text"), " ")) >= 20)
+    // Dedup: drop near-dup losers (non-minimum component members).
+    val losers = Dedup.connectedComponents(
+        Dedup.nearDupPairs(kept0, "doc_id", "text", minJaccard = 0.5))
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    val kept = kept0.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val nKept = kept.count()
+    // Order + shard + manifest.
+    val dir = java.nio.file.Files
+      .createTempDirectory("trainset").toString + "/shards"
+    Sampling.deterministicShuffle(kept, "doc_id", "run1")
+      .transform(d => { Storage.writeShards(d, "pos", 40, dir); d })
+    val manifest = Storage.readShardManifest(spark, dir)
+    assert(manifest.map(_._2).sum == nKept, "manifest must count every doc")
+    assert(manifest.init.forall(_._2 == 40), "only the tail shard is ragged")
+    // Replaying shard dirs in order replays the corpus in train order:
+    // positions are contiguous from 0 and position-sorted within files.
+    // Partition-dir values type-infer as INT on read-back.
+    val back = spark.read.parquet(dir)
+      .select("shard", "pos").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1))).sortBy(_._2)
+    assert(back.map(_._2).toSeq == (0L until nKept).toSeq)
+    back.foreach { case (shard, pos) => assert(shard == pos / 40) }
+  }
+
   test("exists requires data files, not just a directory") {
     val dir = java.nio.file.Files.createTempDirectory("exists").toString
     assert(!Storage.exists(spark, dir + "/missing"))
