@@ -534,6 +534,111 @@ object TextOps {
                      (CAST(sum(n) AS DOUBLE) * 1000000.0), 9) AS avg_nll
         FROM sc GROUP BY 1 ORDER BY 1""")),
 
+    // ---- interpolated bigram LM scoring (q105) ---------------------------
+    // The step past q64's unigram scorer — the classic interpolated
+    // bigram model: p(w2|w1) = 0.7·c12/ctx(w1) + 0.3·p_uni(w2), with
+    // p_uni falling back to the q64 half-count smoothing for OOV and
+    // the λ term vanishing for unseen contexts. Same portability
+    // recipe as q64: every probability is a fixed-order chain of
+    // divides/multiplies/adds over exact integer counts, ln is
+    // engine-identical on those doubles, and the per-doc accumulation
+    // happens in integer MICRO-NATS — order-free and exact. Shapes:
+    // bigram counts are one (w1,w2) shuffle with map-side combine;
+    // context counts reduce the bigram table again (not the corpus);
+    // scoring joins per-doc bigram counts against the model tables on
+    // their natural keys — the canonical distributed LM-scoring plan.
+    // Docs with fewer than 2 words have no bigrams and drop out in
+    // both engines.
+    QueryDef("q105_bigram_lm",
+      (s, dir) => {
+        // 0.3 is written LITERALLY, never as 1 - 0.7: the subtraction
+        // yields 0.30000000000000004 while the oracle's literal 0.3 is
+        // a different double — the interpolation weights must be the
+        // same bits in both engines.
+        val (lam, lamC) = (lit(0.7), lit(0.3))
+        val d = graft.operators.Sampling.hashSplit(docs(s, dir), "doc_id",
+          "exp1", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        def bigrams(src: DataFrame): DataFrame = src
+          .select(col("doc_id"), explode(
+            call_function("word_shingles", words(col("text")), lit(2))).as("g"))
+          .select(col("doc_id"),
+            element_at(split(col("g"), " "), 1).as("w1"),
+            element_at(split(col("g"), " "), 2).as("w2"))
+        val train = d.filter(col("split") === "train")
+        val bgTrain = bigrams(train)
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+          .localCheckpoint(true) // read twice: scoring join + ctx reduce
+        val ctx = bgTrain.groupBy("w1").agg(sum(col("c12")).as("cctx"))
+        val uni = train
+          .select(explode(words(col("text"))).as("w2"))
+          .groupBy("w2").agg(count(lit(1)).as("c2"))
+          .localCheckpoint(true) // read twice: total + scoring join
+        val tot = uni.agg(sum(col("c2")).as("nn"))
+        val dt = bigrams(d).groupBy("doc_id", "w1", "w2")
+          .agg(count(lit(1)).as("n"))
+        val pUni = coalesce(
+          col("c2").cast("double") / col("nn").cast("double"),
+          lit(0.5) / col("nn").cast("double"))
+        val p = when(col("c12").isNotNull,
+          lam * (col("c12").cast("double") / col("cctx").cast("double"))
+            + lamC * pUni)
+          .otherwise(lamC * pUni)
+        dt.join(bgTrain, Seq("w1", "w2"), "left")
+          .join(ctx, Seq("w1"), "left")
+          .join(uni, Seq("w2"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("n"),
+            round(log(p) * lit(1e6)).cast("long").as("lp_fp"))
+          .groupBy("doc_id")
+          .agg(sum(col("n")).as("n_bigrams"),
+            sum(col("n") * col("lp_fp")).as("nll_fp"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(-col("nll_fp").cast("double") /
+              (col("n_bigrams").cast("double") * lit(1e6)), 9).as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, text,
+                     CASE WHEN substr(md5('exp1:'||CAST(doc_id AS VARCHAR)),1,4) < 'cccd'
+                            THEN 'train'
+                          WHEN substr(md5('exp1:'||CAST(doc_id AS VARCHAR)),1,4) < 'e666'
+                            THEN 'val'
+                          ELSE 'test' END AS split
+                   FROM documents),
+        bg AS (SELECT doc_id, split, l[i] AS w1, l[i+1] AS w2
+               FROM (SELECT doc_id, split, l,
+                       unnest(range(1, len(l))) AS i
+                     FROM (SELECT doc_id, split, string_split(text,' ') AS l
+                           FROM d))),
+        b12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM bg WHERE split = 'train' GROUP BY 1, 2),
+        ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS cctx
+                FROM b12 GROUP BY 1),
+        uni AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM
+                  (SELECT unnest(string_split(text,' ')) AS w2
+                   FROM d WHERE split = 'train')
+                GROUP BY 1),
+        tot AS (SELECT CAST(sum(c2) AS BIGINT) AS nn FROM uni),
+        dt AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n
+               FROM bg GROUP BY 1, 2, 3),
+        sc AS (SELECT dt.doc_id, dt.n,
+                 CAST(round(ln(
+                   CASE WHEN b12.c12 IS NOT NULL
+                        THEN 0.7 * (CAST(b12.c12 AS DOUBLE) / CAST(ctx.cctx AS DOUBLE))
+                             + 0.3 * coalesce(CAST(uni.c2 AS DOUBLE) / CAST(tot.nn AS DOUBLE),
+                                              0.5 / CAST(tot.nn AS DOUBLE))
+                        ELSE 0.3 * coalesce(CAST(uni.c2 AS DOUBLE) / CAST(tot.nn AS DOUBLE),
+                                            0.5 / CAST(tot.nn AS DOUBLE))
+                   END) * 1000000) AS BIGINT) AS lp_fp
+               FROM dt
+               LEFT JOIN b12 ON b12.w1 = dt.w1 AND b12.w2 = dt.w2
+               LEFT JOIN ctx ON ctx.w1 = dt.w1
+               LEFT JOIN uni ON uni.w2 = dt.w2, tot)
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+               round(-CAST(sum(n*lp_fp) AS DOUBLE) /
+                     (CAST(sum(n) AS DOUBLE) * 1000000.0), 9) AS avg_nll
+        FROM sc GROUP BY 1 ORDER BY 1""")),
+
     // ---- fixed-size stratified sample (q65) -------------------------------
     // "n docs per (source, lang) cell", deterministically: rank by
     // md5(salt:doc_id) and keep the 3 smallest per stratum on the
