@@ -534,6 +534,82 @@ object TextOps {
                      (CAST(sum(n) AS DOUBLE) * 1000000.0), 9) AS avg_nll
         FROM sc GROUP BY 1 ORDER BY 1""")),
 
+    // ---- chunk-level content segmentation + majority vote (q106) --------
+    // Code-switching / mixed-content detection: q22 classifies whole
+    // docs, but a real crawl doc interleaves prose and code — so
+    // classify 20-word CHUNKS (q27's stride windows) with q22's
+    // scorer, then majority-vote per doc and flag docs whose chunks
+    // disagree. All map-side except the per-(doc, class) count and the
+    // bounded per-doc vote; the tie-break (count desc, class asc) is a
+    // shared total order, so the majority label is deterministic in
+    // both engines.
+    QueryDef("q106_content_segments",
+      (s, dir) => {
+        val width = 20
+        val ch = docs(s, dir)
+          .select(col("doc_id"), words(col("text")).as("__w"))
+          .select(col("doc_id"),
+            explode(sequence(lit(1),
+              greatest(org.apache.spark.sql.functions.size(col("__w")), lit(1)),
+              lit(width))).as("start"), col("__w"))
+          .select(col("doc_id"), col("start"),
+            concat_ws(" ", slice(col("__w"), col("start"), lit(width)))
+              .as("chunk"))
+        val scored = ch.select(col("doc_id"), col("start"),
+            wordHits(col("chunk"), stopwords).as("s_stop"),
+            wordHits(col("chunk"), codeWords).as("s_code"),
+            wordHits(col("chunk"), bizWords).as("s_biz"))
+          .withColumn("cls",
+            when(col("s_code") >= col("s_biz") &&
+              col("s_code") >= col("s_stop"), "code")
+              .when(col("s_biz") >= col("s_stop"), "business")
+              .otherwise("prose"))
+        val perClass = scored.groupBy("doc_id", "cls")
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // read twice: vote + per-doc rollup
+        val vote = graft.functions.ColumnLib.latestWins(perClass,
+            Seq("doc_id"), Seq(col("n").desc, col("cls").asc))
+          .select(col("doc_id"), col("cls").as("majority"))
+        perClass.groupBy("doc_id")
+          .agg(sum(col("n")).as("n_chunks"),
+            count(lit(1)).as("n_classes"))
+          .join(vote, Seq("doc_id"))
+          .withColumn("is_mixed", col("n_classes") > 1)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH ch AS (
+          SELECT doc_id, start,
+                 array_to_string(l[start:start+19], ' ') AS chunk
+          FROM (SELECT doc_id, l,
+                  unnest(range(1, greatest(len(l),1)+1, 20)) AS start
+                FROM (SELECT doc_id, string_split(text,' ') AS l
+                      FROM documents))),
+        sc AS (SELECT doc_id, start,
+                 len(list_filter(string_split(chunk,' '),
+                     w -> w IN ('the','a'))) AS s_stop,
+                 len(list_filter(string_split(chunk,' '),
+                     w -> w IN ('spark','hash','vector','query'))) AS s_code,
+                 len(list_filter(string_split(chunk,' '),
+                     w -> w IN ('customer','order','value','line'))) AS s_biz
+               FROM ch),
+        cl AS (SELECT doc_id,
+                 CASE WHEN s_code >= s_biz AND s_code >= s_stop THEN 'code'
+                      WHEN s_biz >= s_stop THEN 'business'
+                      ELSE 'prose' END AS cls
+               FROM sc),
+        pc AS (SELECT doc_id, cls, CAST(count(*) AS BIGINT) AS n
+               FROM cl GROUP BY 1, 2),
+        vote AS (SELECT doc_id, cls AS majority FROM (
+                   SELECT doc_id, cls, row_number() OVER (
+                     PARTITION BY doc_id ORDER BY n DESC, cls ASC) AS rk
+                   FROM pc) WHERE rk = 1)
+        SELECT pc.doc_id, CAST(sum(n) AS BIGINT) AS n_chunks,
+               count(*) AS n_classes, any_value(majority) AS majority,
+               count(*) > 1 AS is_mixed
+        FROM pc JOIN vote ON vote.doc_id = pc.doc_id
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- interpolated bigram LM scoring (q105) ---------------------------
     // The step past q64's unigram scorer — the classic interpolated
     // bigram model: p(w2|w1) = 0.7·c12/ctx(w1) + 0.3·p_uni(w2), with
