@@ -24,6 +24,31 @@ class PropertySpec extends AnyFunSuite {
   private val genInstant: Gen[Instant] =
     Gen.chooseNum(0L, 4102444800L).map(Instant.ofEpochSecond)
 
+  test("WordShingles.compute == sliding-window reference for any words") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val genWord: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.const(""),                       // empty token
+      Gen.const("xin chào"),               // embedded space + multi-byte
+      Gen.const("界"))                     // multi-byte only
+    check(Prop.forAll(Gen.listOf(genWord), Gen.chooseNum(1, 4)) { (ws, n) =>
+      val arr = new GenericArrayData(
+        ws.map(w => UTF8String.fromString(w): Any).toArray)
+      val got = graft.functions.expressions.WordShingles.compute(arr, n)
+      val expect =
+        if (ws.length < n) Seq.empty[String]
+        else ws.sliding(n).map(_.mkString(" ")).toSeq
+      val gotStrs = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString)
+      gotStrs == expect
+    })
+    // Null element → null result (the expression's null contract).
+    val withNull = new GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), null))
+    assert(graft.functions.expressions.WordShingles.compute(withNull, 2) == null)
+  }
+
   test("nextScheduled is strictly future; previousOrCurrent is at-or-before") {
     check(Prop.forAll(genInstant, genSchedule) { (base, sched) =>
       val next = Scheduler.nextScheduled(base, sched)
