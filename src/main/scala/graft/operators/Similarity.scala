@@ -569,6 +569,42 @@ object Similarity {
       .orderBy(col("score").desc_nulls_last, col(idCol))
       .limit(k)
 
+  /** Persisted IVF-PQ index: codes (NOT vectors) partitioned by coarse
+    * cluster — per candidate row the index stores m codes plus the id,
+    * the most compact rung of the index family (float 256 B → SQ8
+    * 64 B → PQ ~4 B per 64-dim vector). Coarse assignment is shared
+    * with [[ivfWrite]]/[[ivfWriteSq8]] (same [[assignNearest]]), so all
+    * three layouts route identically; the PQ codebook rides along from
+    * [[pqEncode]].
+    */
+  def ivfWritePq(vecs: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame, codebook: DataFrame, m: Int, subDim: Int,
+      path: String): Unit =
+    pqEncode(vecs, idCol, vecCol, codebook, m, subDim)
+      .join(assignNearest(vecs, idCol, vecCol, centroidDf)
+        .select(col(idCol), col("cluster").as("__coarse")), idCol)
+      .withColumnRenamed("cluster", "code")
+      .withColumnRenamed("__coarse", "cluster")
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** Probe-limited search over a persisted PQ-code index: rank coarse
+    * probes on the driver ([[ivfSearch]]'s contract), read ONLY the
+    * nprobe cluster partitions, reconstruct candidates from their
+    * codes + the broadcast codebook, and ADC-rank. The scan touches
+    * codes only — at 100 TB of vectors the probed read is ~64× smaller
+    * than the float index's.
+    */
+  def ivfSearchPq(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, centroidDf: DataFrame, codebook: DataFrame,
+      query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val probes = probeClusters(centroidDf, query, nprobe)
+    val pruned = spark.read.parquet(path)
+      .filter(col("cluster").isin(probes.toIndexedSeq: _*))
+      .select(col(idCol), col("sub"), col("code").as("cluster"))
+    pqAdcTopK(pruned, codebook, idCol, query, k)
+  }
+
   /** Batch ADC: many queries against the code table in one plan.
     * Reconstructions are computed ONCE (query-independent) and every
     * query scores them off the broadcast query set; the per-query cut

@@ -247,6 +247,36 @@ class SimilaritySpec extends SparkSpec {
     val top = Similarity.pqAdcTopK(codes, cb, "vec_id",
       v(1, 0, 0, 0, 0, 1, 0, 0), k = 2).collect().map(_.getLong(0)).toSet
     assert(top == Set(1L, 2L))
+    // Persisted IVF-PQ: probing ALL clusters reproduces the in-memory
+    // ADC ranking exactly (the index stores codes, nothing else), and
+    // the probed read is partition-pruned.
+    val cents = Similarity.centroids(
+      d.selectExpr("vec_id % 2 as cluster", "embedding"),
+      "cluster", "embedding")
+    val ipath = java.nio.file.Files
+      .createTempDirectory("ivfpq").toString + "/index"
+    Similarity.ivfWritePq(d, "vec_id", "embedding", cents, cb,
+      m = 2, subDim = 4, ipath)
+    val q1 = v(1, 0, 0, 0, 0, 1, 0, 0)
+    val fromIndex = Similarity.ivfSearchPq(spark, ipath, "vec_id",
+        cents, cb, q1, k = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMemory = Similarity.pqAdcTopK(codes, cb, "vec_id", q1, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex == inMemory,
+      "full-probe persisted search must equal the in-memory ADC ranking")
+    // nprobe=1 scans one cluster partition: results ⊆ the members of
+    // a single coarse cluster as the index itself records them.
+    val membership = spark.read.parquet(ipath)
+      .select("vec_id", "cluster").distinct().collect()
+      .groupBy(_.get(1)).view
+      .mapValues(_.map(_.getLong(0)).toSet).toMap
+    val pruned = Similarity.ivfSearchPq(spark, ipath, "vec_id",
+        cents, cb, q1, k = 4, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned.nonEmpty &&
+      membership.values.exists(m => pruned.subsetOf(m)),
+      s"one-probe results $pruned must sit inside one cluster: $membership")
     // Batch ADC agrees with the single-query path for every query.
     val queries = df("qid BIGINT, qvec ARRAY<FLOAT>",
       Row(Long.box(100), v(1, 0, 0, 0, 0, 1, 0, 0)),
