@@ -83,6 +83,13 @@ object Engine {
         graft.functions.expressions.NgramStats(
           children(0), litInt("ngram_stats")(children(1), "n"))))
     ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.DotProduct].getName,
+        "dot_product"),
+      (children: Seq[Expression]) =>
+        graft.functions.expressions.DotProduct(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(
         classOf[graft.functions.expressions.WordShingles].getName,

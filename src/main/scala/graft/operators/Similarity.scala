@@ -38,6 +38,15 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Inner product via the native codegen'd expression
+    * ([[graft.functions.expressions.DotProduct]]): identical IEEE
+    * result to [[dot]] (same fixed accumulation order), but a
+    * primitive float loop inside whole-stage codegen — the ADC/PQ
+    * score paths use this form.
+    */
+  def dotNative(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+
   /** Cosine via the native codegen'd expression
     * ([[graft.functions.expressions.CosineSimilarity]], registered by
     * [[graft.Engine.extensions]]): identical IEEE result to [[cosine]]
@@ -528,12 +537,13 @@ object Similarity {
       !Seq("sub", "sv").contains(vecCol),
       "id/vector columns collide with the codebook working names")
     val sv = subVectors(vecs.select(col(idCol), col(vecCol)), vecCol, m, subDim)
-      .withColumn("__svn", dot(col("sv"), col("sv")))
-    val cb = codebook.withColumn("__cn", dot(col("centroid"), col("centroid")))
+      .withColumn("__svn", dotNative(col("sv"), col("sv")))
+    val cb = codebook.withColumn("__cn",
+      dotNative(col("centroid"), col("centroid")))
     graft.functions.ColumnLib.latestWins(
         sv.join(broadcast(cb), Seq("sub"))
           .withColumn("__d2",
-            col("__svn") - lit(2.0) * dot(col("sv"), col("centroid")) +
+            col("__svn") - lit(2.0) * dotNative(col("sv"), col("centroid")) +
               col("__cn")),
         Seq(idCol, "sub"), Seq(col("__d2").asc_nulls_last, col("cluster").asc))
       .select(col(idCol), col("sub"), col("cluster"))
@@ -565,7 +575,7 @@ object Similarity {
       query: Seq[Float], k: Int): DataFrame =
     pqReconstruct(codes, codebook, idCol)
       .select(col(idCol),
-        dot(col("recon"), array(query.map(lit): _*)).as("score"))
+        dotNative(col("recon"), array(query.map(lit): _*)).as("score"))
       .orderBy(col("score").desc_nulls_last, col(idCol))
       .limit(k)
 
@@ -621,6 +631,6 @@ object Similarity {
       pqReconstruct(codes, codebook, idCol)
         .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
         .select(col(qidCol), col(idCol),
-          dot(col("recon"), col(qvecCol)).as("score")),
+          dotNative(col("recon"), col(qvecCol)).as("score")),
       Seq(qidCol), Seq(col("score").desc_nulls_last, col(idCol).asc), k)
 }

@@ -29,6 +29,27 @@ class CosineExpressionSpec extends SparkSpec {
     }
   }
 
+  test("dot_product native matches the HOF fold; zero vectors are valid") {
+    val out = vecs.select(col("vec_id"),
+        Similarity.dotNative(col("a"), col("b")).as("native"),
+        Similarity.dot(col("a"), col("b")).as("hof"))
+      .collect()
+    out.foreach { r =>
+      val n = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      r.getLong(0) match {
+        case 1L | 2L | 3L => // zero-norm row 3 has a valid dot (0.0)
+          assert(n.contains(r.getDouble(2)),
+            s"row ${r.getLong(0)}: native $n != hof ${r.getDouble(2)}")
+        case 4L => assert(n.isEmpty, "null side must yield null")
+        case 5L =>
+          // Length mismatch: the native expression refuses (null); the
+          // HOF zip_with silently truncates — the native contract is
+          // the SAFE one, which is why the operators use it.
+          assert(n.isEmpty, "length mismatch must yield null")
+      }
+    }
+  }
+
   test("expression is available from SQL and participates in codegen") {
     vecs.createOrReplaceTempView("v_cos")
     val viaSql = spark.sql(
