@@ -534,6 +534,59 @@ object TextOps {
                      (CAST(sum(n) AS DOUBLE) * 1000000.0), 9) AS avg_nll
         FROM sc GROUP BY 1 ORDER BY 1""")),
 
+    // ---- robust length outliers: median/MAD per source (q107) -----------
+    // The outlier screen that survives heavy-tailed length
+    // distributions where mean/stddev break: per source, the DISCRETE
+    // median and MAD (both order statistics over integers — exact and
+    // portable, no interpolation), then flag docs with
+    // |len − med| > 3·MAD. Both medians run as percentile_disc
+    // AGGREGATES with map-side partial aggregation (q80's discipline —
+    // an aggregate, not a per-group sort window); the per-source
+    // medians broadcast back. Integer arithmetic end to end.
+    QueryDef("q107_length_outliers",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("source"),
+          tokenCountWs(col("text")).cast("long").as("n_tokens"))
+        val med = d.groupBy("source").agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens)")
+            .as("med"))
+        val dev = d.join(broadcast(med), Seq("source"))
+          .withColumn("dev", abs(col("n_tokens") - col("med")))
+        val mad = dev.groupBy("source").agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"))
+        dev.join(broadcast(mad), Seq("source"))
+          .groupBy("source")
+          .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+            count(lit(1)).as("n_docs"),
+            count_if(col("dev") > lit(3) * col("mad")).as("n_outliers"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH d AS (SELECT source,
+                     CAST(len(string_split(text,' ')) AS BIGINT) AS n
+                   FROM documents),
+        r1 AS (SELECT source, n,
+                 row_number() OVER (PARTITION BY source ORDER BY n) AS rn,
+                 count(*) OVER (PARTITION BY source) AS c
+               FROM d),
+        med AS (SELECT source,
+                  max(CASE WHEN rn <= ceil(c * 0.5) THEN n END) AS med
+                FROM r1 GROUP BY 1),
+        dv AS (SELECT d.source, abs(d.n - med.med) AS dev, med.med
+               FROM d JOIN med USING (source)),
+        r2 AS (SELECT source, dev, med,
+                 row_number() OVER (PARTITION BY source ORDER BY dev) AS rn,
+                 count(*) OVER (PARTITION BY source) AS c
+               FROM dv),
+        mad AS (SELECT source,
+                  max(CASE WHEN rn <= ceil(c * 0.5) THEN dev END) AS mad
+                FROM r2 GROUP BY 1)
+        SELECT dv.source, max(dv.med) AS med, max(mad.mad) AS mad,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN dv.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dv JOIN mad USING (source) GROUP BY 1 ORDER BY 1""")),
+
     // ---- chunk-level content segmentation + majority vote (q106) --------
     // Code-switching / mixed-content detection: q22 classifies whole
     // docs, but a real crawl doc interleaves prose and code — so
