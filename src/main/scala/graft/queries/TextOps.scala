@@ -547,13 +547,18 @@ object TextOps {
       (s, dir) => {
         val d = docs(s, dir).select(col("source"),
           tokenCountWs(col("text")).cast("long").as("n_tokens"))
+        // percentile_disc returns DOUBLE even over integer input; the
+        // discrete median of longs IS a long — cast so med/mad stay
+        // integral end to end (the oracle's order-statistic form is
+        // BIGINT, and 53.0 vs 53 hash-mismatch at the driver).
         val med = d.groupBy("source").agg(
           expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens)")
-            .as("med"))
+            .cast("long").as("med"))
         val dev = d.join(broadcast(med), Seq("source"))
           .withColumn("dev", abs(col("n_tokens") - col("med")))
         val mad = dev.groupBy("source").agg(
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"))
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+            .cast("long").as("mad"))
         dev.join(broadcast(mad), Seq("source"))
           .groupBy("source")
           .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),

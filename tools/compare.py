@@ -9,6 +9,7 @@ parquet tables in <sfDir>, and compares with the Spark output parquet at
 <verifyOutDir>/<name>/ — columns sorted by name, rows sorted by all
 columns, exact value equality.
 """
+import decimal
 import glob
 import json
 import math
@@ -31,10 +32,19 @@ def canon(rows, cols):
 
 
 def norm(v):
+    # Numeric values are TYPE-TAGGED: the driver hashes dtype+value, so
+    # 53.0 (Spark DOUBLE) must NOT equal 53 (oracle BIGINT) here —
+    # Python's cross-type `==` masked exactly that in rounds 6 and 7.
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("f", "NaN")
+        return ("f", repr(v))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, decimal.Decimal):
+        return ("d", str(v))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
