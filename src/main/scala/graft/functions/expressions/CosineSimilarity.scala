@@ -59,6 +59,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  // Null-result flag is a fresh LOCAL, copied into ev.isNull exactly
+  // once at the end (the DivModLike convention): ev.isNull must never
+  // be assigned from nested branches of a snippet, because codegen
+  // contexts that resolve isNull to a non-local (split methods,
+  // literal false under refined nullability) can't compile scattered
+  // assignments. See signBucket's scaladoc for the observed failure
+  // mode in Spark's own ElementAt.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n")
@@ -68,10 +75,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val resNull = ctx.freshName("resNull")
+      val res = ctx.freshName("res")
       s"""
+        boolean $resNull = false;
+        double $res = 0.0;
         int $n = $x.numElements();
         if ($n != $y.numElements()) {
-          ${ev.isNull} = true;
+          $resNull = true;
         } else {
           double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
           for (int $i = 0; $i < $n; $i++) {
@@ -80,11 +91,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
             $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
           }
           if ($na == 0.0 || $nb == 0.0) {
-            ${ev.isNull} = true;
+            $resNull = true;
           } else {
-            ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+            $res = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
           }
         }
+        ${ev.isNull} = $resNull;
+        ${ev.value} = $res;
       """
     })
 

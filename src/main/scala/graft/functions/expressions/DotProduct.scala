@@ -55,22 +55,27 @@ case class DotProduct(left: Expression, right: Expression)
     dot
   }
 
+  // Fresh local null flag, single ev.isNull/ev.value assignment at the
+  // end (DivModLike convention) — see [[CosineSimilarity.doGenCode]].
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
+      val resNull = ctx.freshName("resNull")
       s"""
+        boolean $resNull = false;
+        double $dot = 0.0;
         int $n = $x.numElements();
         if ($n != $y.numElements()) {
-          ${ev.isNull} = true;
+          $resNull = true;
         } else {
-          double $dot = 0.0;
           for (int $i = 0; $i < $n; $i++) {
             $dot += (double) $x.getFloat($i) * (double) $y.getFloat($i);
           }
-          ${ev.value} = $dot;
         }
+        ${ev.isNull} = $resNull;
+        ${ev.value} = $dot;
       """
     })
 

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -58,9 +58,14 @@ case class MinHashSignature(child: Expression, k: Int, n: Int)
     nullSafeCodeGen(ctx, ev, w => {
       // The loop lives in the compiled static helper (not interpreted
       // Catalyst); the call stays inside the whole-stage codegen span.
+      // Result lands in a fresh local; ev.isNull/ev.value are assigned
+      // exactly once (see CosineSimilarity.doGenCode for why).
+      val res = ctx.freshName("res")
       s"""
-        ${ev.value} = graft.functions.expressions.MinHashSignature.compute($w, $k, $n);
-        ${ev.isNull} = ${ev.value} == null;
+        ${CodeGenerator.javaType(dataType)} $res =
+          graft.functions.expressions.MinHashSignature.compute($w, $k, $n);
+        ${ev.isNull} = $res == null;
+        ${ev.value} = $res;
       """
     })
 

@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -65,9 +65,14 @@ case class NgramStats(child: Expression, n: Int)
     nullSafeCodeGen(ctx, ev, w => {
       // The loop lives in the compiled static helper (not interpreted
       // Catalyst); the call stays inside the whole-stage codegen span.
+      // Result lands in a fresh local; ev.isNull/ev.value are assigned
+      // exactly once (see CosineSimilarity.doGenCode for why).
+      val res = ctx.freshName("res")
       s"""
-        ${ev.value} = graft.functions.expressions.NgramStats.compute($w, $n);
-        ${ev.isNull} = ${ev.value} == null;
+        ${CodeGenerator.javaType(dataType)} $res =
+          graft.functions.expressions.NgramStats.compute($w, $n);
+        ${ev.isNull} = $res == null;
+        ${ev.value} = $res;
       """
     })
 

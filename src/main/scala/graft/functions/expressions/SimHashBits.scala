@@ -3,7 +3,7 @@ package graft.functions.expressions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -63,9 +63,14 @@ case class SimHashBits(child: Expression, bits: Int)
     nullSafeCodeGen(ctx, ev, w => {
       // The loop lives in the compiled static helper (not interpreted
       // Catalyst); the call stays inside the whole-stage codegen span.
+      // Result lands in a fresh local; ev.isNull/ev.value are assigned
+      // exactly once (see CosineSimilarity.doGenCode for why).
+      val res = ctx.freshName("res")
       s"""
-        ${ev.value} = graft.functions.expressions.SimHashBits.compute($w, $bits);
-        ${ev.isNull} = ${ev.value} == null;
+        ${CodeGenerator.javaType(dataType)} $res =
+          graft.functions.expressions.SimHashBits.compute($w, $bits);
+        ${ev.isNull} = $res == null;
+        ${ev.value} = $res;
       """
     })
 

@@ -70,11 +70,44 @@ object Similarity {
     * fixed positions (a data-independent random-ish hyperplane that needs
     * no model state, so bucketing is reproducible everywhere). `pairs`
     * are 1-based (i, j) index pairs, one per bit.
+    *
+    * A FOLDABLE float-array `vec` (the single-query case: `array(lit..)`)
+    * is folded to a literal bucket string at plan time. That is what
+    * ConstantFolding produces anyway in optimized plans, but doing it
+    * here also covers pre-folding evaluation paths: Spark's
+    * `ConvertToLocalRelation` compiles Filter predicates BEFORE constant
+    * folding, and the built-in `element_at` over a foldable
+    * `CreateArray` mis-generates there (ElementAt.nullable computes
+    * false, so codegen's non-nullable branch drops the `isNull_N`
+    * declaration that ElementAt's own snippet still assigns — Janino
+    * "not an rvalue", silent interpreted fallback). A literal bucket
+    * also gives the planner a pushable `bucket = '10'` predicate — the
+    * partition-pruning shape the IVF layout wants.
     */
   def signBucket(vec: Column, pairs: Seq[(Int, Int)]): Column =
-    concat(pairs.map { case (i, j) =>
-      when(element_at(vec, i) > element_at(vec, j), "1").otherwise("0")
-    }: _*)
+    foldedFloatQuery(vec) match {
+      case Some(vals) if pairs.forall { case (i, j) => i >= 1 && j >= 1 } =>
+        val n = vals.length
+        val bits = pairs.map { case (i, j) =>
+          // Mirror `element_at(vec, i) > element_at(vec, j)` exactly:
+          // out-of-bounds or null element -> NULL condition -> "0";
+          // float order is Spark's SQL ordering (NaN largest).
+          if (i > n || j > n || vals(i - 1) == null || vals(j - 1) == null) "0"
+          else if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+              .compareFloats(vals(i - 1), vals(j - 1)) > 0) "1"
+          else "0"
+        }.mkString
+        lit(bits)
+      case _ => concat(pairs.map { case (i, j) =>
+        when(element_at(vec, i) > element_at(vec, j), "1").otherwise("0")
+      }: _*)
+    }
+
+  /** Element values of a constant float-array Column
+    * (see [[org.apache.spark.sql.graft.ColumnBridge.constantFloatArray]]).
+    */
+  private def foldedFloatQuery(vec: Column): Option[Array[java.lang.Float]] =
+    org.apache.spark.sql.graft.ColumnBridge.constantFloatArray(vec)
 
   val defaultPairs: Seq[(Int, Int)] = Seq((1, 2), (3, 4), (5, 6), (7, 8))
 

@@ -1,0 +1,126 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import graft.operators.Similarity
+import org.apache.logging.log4j.{Level, LogManager}
+import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+import org.apache.logging.log4j.core.appender.AbstractAppender
+import org.apache.logging.log4j.core.config.Property
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Guards against SILENT codegen regressions: Spark compiles generated
+  * Java per-plan and, on a Janino error, logs one WARN and falls back
+  * to interpreted execution — correctness holds, throughput quietly
+  * drops out of whole-stage codegen. These tests attach a log4j2
+  * appender and fail on any codegen-error WARN, which is the only
+  * externally visible signal.
+  *
+  * Round-7 regression pinned here: `annTopK` over a LocalRelation
+  * filtered on `bucket = signBucket(<literal query array>)`.
+  * `ConvertToLocalRelation` compiles Filter predicates BEFORE constant
+  * folding, and Spark's own `element_at` over a foldable
+  * `CreateArray` mis-generates in that context (nullable computes
+  * false → codegen's non-nullable branch drops the isNull declaration
+  * the ElementAt snippet still assigns → "not an rvalue"). signBucket
+  * now folds foldable queries to a literal bucket string at plan time,
+  * so the predicate never contains the broken shape.
+  */
+class CodegenHealthSpec extends SparkSpec {
+
+  /** Collects WARN+ messages from every logger while `body` runs. */
+  private def capturedWarnings(body: => Unit): Seq[String] = {
+    val events = new ConcurrentLinkedQueue[String]()
+    val appender = new AbstractAppender(
+        "graft-codegen-capture", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        events.add(e.getLoggerName + ": " + e.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val root = ctx.getConfiguration.getRootLogger
+    root.addAppender(appender, Level.WARN, null)
+    ctx.updateLoggers()
+    try body
+    finally {
+      root.removeAppender(appender.getName)
+      ctx.updateLoggers()
+      appender.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    events.asScala.toSeq
+  }
+
+  private def assertNoCodegenFallback(warnings: Seq[String]): Unit = {
+    val bad = warnings.filter(w =>
+      w.contains("codegen error") || w.contains("Failed to compile"))
+    assert(bad.isEmpty,
+      s"generated code failed to compile and fell back to interpretation:\n" +
+        bad.mkString("\n"))
+  }
+
+  private def vecs = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+    Row(Long.box(1), Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    Row(Long.box(2), Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    Row(Long.box(3), Seq(1.0f, 1.0f, 0.0f, 0.0f)),
+    Row(Long.box(4), Seq(-1.0f, 0.0f, 0.0f, 0.0f)))
+
+  test("annTopK over a LocalRelation compiles its bucket predicate (r7 regression)") {
+    val q = array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f))
+    val warnings = capturedWarnings {
+      val out = Similarity.annTopK(vecs, "vec_id", "embedding", q, 10,
+        Seq((1, 2), (3, 4))).collect()
+      assert(out.nonEmpty)
+    }
+    assertNoCodegenFallback(warnings)
+  }
+
+  test("signBucket folds a foldable query to a literal bucket") {
+    val q = array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f))
+    // The constant query must be DETECTED as constant (pre-analysis
+    // array(lit..) is not `foldable`; ColumnBridge matches the node)…
+    assert(org.apache.spark.sql.graft.ColumnBridge.constantFloatArray(q)
+      .map(_.toSeq) == Some(Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+    // …and the bucket column must BE a plan-time literal, not an
+    // element_at comparison tree.
+    val bucketCol = Similarity.signBucket(q, Seq((1, 2), (3, 4)))
+    assert(!bucketCol.toString.contains("element_at"), bucketCol.toString)
+    // Same bits as the expression form computes for this vector:
+    // (1>0)=1, (0==0)=0 over pairs (1,2),(3,4).
+    val folded = vecs.select(bucketCol.as("b")).head().getString(0)
+    assert(folded == "10")
+    // Non-foldable input keeps the expression form and agrees with it.
+    val exprForm = vecs.select(
+      Similarity.signBucket(col("embedding"), Seq((1, 2), (3, 4))).as("b"))
+      .collect().map(_.getString(0)).toSeq
+    assert(exprForm == Seq("10", "00", "00", "00"))
+  }
+
+  test("filters over native similarity expressions stay compiled") {
+    val q = array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f))
+    val warnings = capturedWarnings {
+      assert(vecs.filter(Similarity.cosineNative(col("embedding"), q) > 0.5)
+        .count() == 2)
+      assert(vecs.filter(Similarity.dotNative(col("embedding"), q) > 0.5)
+        .count() == 2)
+    }
+    assertNoCodegenFallback(warnings)
+  }
+
+  test("filters over native text expressions stay compiled") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), "alpha beta gamma delta epsilon"),
+      Row(Long.box(2), "one two"),
+      Row(Long.box(3), "x"))
+    val warnings = capturedWarnings {
+      val withSig = docs
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("sig", call_function("minhash_sig", col("words"), lit(4), lit(3)))
+        .withColumn("sh", call_function("word_shingles", col("words"), lit(2)))
+      assert(withSig.filter(size(col("sig")) > 0).count() == 1)
+      assert(withSig.filter(size(col("sh")) > 1).count() == 1)
+    }
+    assertNoCodegenFallback(warnings)
+  }
+}
