@@ -597,18 +597,43 @@ object Similarity {
         flatten(transform(col("__p"), p => p.getField("centroid")))
           .as("recon"))
 
+  /** Per-query ADC lookup table: one row per codebook entry with
+    * `t = ⟨query_sub, centroid⟩` — the m×|clusters| table the classic
+    * ADC recipe precomputes once per query. Built ON the codebook
+    * frame (already bounded/broadcastable), with the query subspace
+    * sliced out of the literal by each row's own `sub`/centroid width.
+    */
+  def pqAdcLut(codebook: DataFrame, query: Seq[Float]): DataFrame = {
+    val qlit = array(query.map(lit): _*)
+    codebook.select(col("sub"), col("cluster"),
+      dotNative(
+        slice(qlit, col("sub") * size(col("centroid")) + lit(1),
+          size(col("centroid"))),
+        col("centroid")).as("t"))
+  }
+
   /** ADC top-k: score = query · reconstruction (asymmetric — the query
-    * stays full-precision, candidates exist only as codes). The
-    * reconstruction join replaces the classic m-way LUT sum: summing
-    * the per-subspace LUT entries and dotting the concatenated
-    * reconstruction are the same arithmetic, and the join form reuses
-    * [[pqReconstruct]] instead of a bespoke per-subspace pivot.
+    * stays full-precision, candidates exist only as codes), computed
+    * the way ADC is meant to run at scale: the per-query lookup table
+    * [[pqAdcLut]] broadcasts, and each candidate costs m table
+    * lookups + adds (a hash join on (sub, cluster) + a plain
+    * map-side-combinable sum) instead of reconstruct-then-dot's
+    * d multiplies over a materialized `recon` array. ~dim/m fewer
+    * FLOPs per candidate, no per-row array allocation, no
+    * collect_list/sort in the hot path.
+    *
+    * Contract: `codes` must carry all m subspaces per id (pqEncode's
+    * output shape) — an id with missing codes scores on its present
+    * subspaces only. Subspace partials accumulate per-subspace then
+    * sum, so low-order float bits can differ from a straight
+    * reconstruct-dot; SimilaritySpec pins the two formulations equal
+    * on exactly-representable fixtures.
     */
   def pqAdcTopK(codes: DataFrame, codebook: DataFrame, idCol: String,
       query: Seq[Float], k: Int): DataFrame =
-    pqReconstruct(codes, codebook, idCol)
-      .select(col(idCol),
-        dotNative(col("recon"), array(query.map(lit): _*)).as("score"))
+    codes.join(broadcast(pqAdcLut(codebook, query)), Seq("sub", "cluster"))
+      .groupBy(col(idCol))
+      .agg(sum(col("t")).as("score"))
       .orderBy(col("score").desc_nulls_last, col(idCol))
       .limit(k)
 
@@ -656,6 +681,12 @@ object Similarity {
     * smaller than vectors, so scanning all of them is the point);
     * when even that is too much, route coarsely first and ADC within
     * probed clusters, exactly as the q99 gate composes it.
+    *
+    * Deliberately NOT the [[pqAdcLut]] form: with a query BATCH the
+    * reconstruction cost amortizes over |Q| (one groupBy over id×m
+    * rows total), while per-query LUTs would put |Q|·m rows through
+    * the code join — the lookup-table trade only wins when one query
+    * scans many codes, which is [[pqAdcTopK]]/[[ivfSearchPq]].
     */
   def pqAdcBatchTopK(codes: DataFrame, codebook: DataFrame, idCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,

@@ -283,7 +283,16 @@ object SimilarityOps {
     * query, and [[pqAdcScores]] restricted to the probed clusters'
     * members.
     */
-  private def ivfPqTop10(s: SparkSession, dir: String): DataFrame = {
+  private def ivfPqTop10(s: SparkSession, dir: String): DataFrame =
+    ivfPqRanked(s, dir)
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+
+  /** The un-truncated IVF-PQ candidate ranking behind q99/q100/q108:
+    * every probed-cluster member with its ADC score. Callers cut to
+    * their own k (q99 top-10; q108's two-stage gate shortlists 4k).
+    */
+  private def ivfPqRanked(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val ex = e
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
@@ -324,8 +333,6 @@ object SimilarityOps {
       .select("vec_id")
     pqAdcScores(s, dir)
       .join(candidates, Seq("vec_id"), "left_semi")
-      .orderBy(col("score").desc, col("vec_id"))
-      .limit(10)
   }
 
   /** DuckDB CTE chain for the IVF-PQ gates: coarse assignment + probe
@@ -1507,6 +1514,105 @@ object SimilarityOps {
                round(CAST((SELECT count(*) FROM ext JOIN adct USING (vec_id))
                           AS DOUBLE) /
                      CAST((SELECT count(*) FROM ext) AS DOUBLE), 9) AS recall""")),
+
+    // ---- two-stage IVF-PQ serving: ADC shortlist + exact re-rank (q108) --
+    // The production IVF-PQ recipe: quantized ADC scores are cheap but
+    // lossy, so serve in two stages — shortlist k' = 4k candidates by
+    // ADC, then re-rank ONLY those k' with exact full-precision dots
+    // and cut to k. The exact stage touches 40 vectors instead of the
+    // corpus, so it costs nothing at scale, and it removes the PQ
+    // quantization error from the final ranking — the residual miss is
+    // probe truncation alone (whatever never entered the probed
+    // clusters cannot be recovered). The gate emits recall@10 for
+    // ADC-only vs ADC+rerank at the SAME probe budget (nprobe=2), so
+    // the rerank's contribution is isolated and measurable.
+    QueryDef("q108_adc_rerank",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val ex = e
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+          .select(col("vec_id"), col("pos"), col("vf").cast(DoubleType).as("v"))
+        val q = ex.filter(col("vec_id") === 0)
+          .select(col("pos"), col("v").as("qv"))
+        // Stage 1: ADC shortlist k' = 4k from the probed clusters
+        // (k' rows; read twice below — once for the ADC-only cut,
+        // once as the re-rank candidate set).
+        val short = ivfPqRanked(s, dir)
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(40).localCheckpoint(true)
+        val adcTop = short.orderBy(col("score").desc, col("vec_id"))
+          .limit(10).select("vec_id")
+        // Stage 2: exact decimal dots for the shortlist ONLY.
+        val rrTop = ex
+          .join(broadcast(short.select("vec_id")), Seq("vec_id"), "left_semi")
+          .join(broadcast(q), "pos")
+          .groupBy("vec_id")
+          .agg(sum((col("v") * col("qv")).cast(D)).as("sd"))
+          .select(col("vec_id"), round(col("sd").cast(DoubleType), 9).as("dot"))
+          .orderBy(col("dot").desc, col("vec_id"))
+          .limit(10).select("vec_id")
+        // Yardstick: the corpus-wide exact top-10.
+        val exactTop = ex.join(broadcast(q), "pos")
+          .groupBy("vec_id")
+          .agg(sum((col("v") * col("qv")).cast(D)).as("sd"))
+          .select(col("vec_id"), round(col("sd").cast(DoubleType), 9).as("dot"))
+          .orderBy(col("dot").desc, col("vec_id"))
+          .limit(10).select("vec_id").localCheckpoint(true)
+        def recallRow(method: String, top: DataFrame): DataFrame =
+          exactTop.join(top.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+            .agg(coalesce(sum(col("hit")), lit(0)).cast(LongType).as("hits"),
+              count(lit(1)).as("total"))
+            .select(lit(method).as("method"), col("hits"), col("total"),
+              round(col("hits").cast(DoubleType) /
+                col("total").cast(DoubleType), 9).as("recall"))
+        recallRow("adc_only", adcTop)
+          .unionByName(recallRow("adc_rerank", rrTop))
+          .orderBy("method")
+      },
+      Some(s"""
+        WITH $ivfPqCte,
+        shortl AS (SELECT vec_id FROM (
+                     SELECT vec_id, row_number() OVER (
+                       ORDER BY score DESC, vec_id) AS rk
+                     FROM pqsc
+                     WHERE vec_id IN (SELECT a.vec_id FROM assign a
+                                      JOIN probes p ON p.label = a.label))
+                   WHERE rk <= 40),
+        adct AS (SELECT vec_id FROM (
+                   SELECT vec_id, row_number() OVER (
+                     ORDER BY score DESC, vec_id) AS rk
+                   FROM pqsc
+                   WHERE vec_id IN (SELECT a.vec_id FROM assign a
+                                    JOIN probes p ON p.label = a.label))
+                 WHERE rk <= 10),
+        exd AS (SELECT ex.vec_id,
+                       round(CAST(SUM(CAST(ex.v * q.qv AS DECIMAL(38,18)))
+                             AS DOUBLE), 9) AS dot
+                FROM ex JOIN q ON q.pos = ex.pos GROUP BY 1),
+        rrt AS (SELECT vec_id FROM (
+                  SELECT exd.vec_id, row_number() OVER (
+                    ORDER BY exd.dot DESC, exd.vec_id) AS rk
+                  FROM exd JOIN shortl USING (vec_id))
+                WHERE rk <= 10),
+        ext AS (SELECT vec_id FROM (
+                  SELECT vec_id, row_number() OVER (
+                    ORDER BY dot DESC, vec_id) AS rk FROM exd)
+                WHERE rk <= 10)
+        SELECT method, hits, total, recall FROM (
+          SELECT 'adc_only' AS method,
+                 (SELECT count(*) FROM ext JOIN adct USING (vec_id)) AS hits,
+                 (SELECT count(*) FROM ext) AS total,
+                 round(CAST((SELECT count(*) FROM ext
+                             JOIN adct USING (vec_id)) AS DOUBLE) /
+                       CAST((SELECT count(*) FROM ext) AS DOUBLE), 9) AS recall
+          UNION ALL
+          SELECT 'adc_rerank' AS method,
+                 (SELECT count(*) FROM ext JOIN rrt USING (vec_id)) AS hits,
+                 (SELECT count(*) FROM ext) AS total,
+                 round(CAST((SELECT count(*) FROM ext
+                             JOIN rrt USING (vec_id)) AS DOUBLE) /
+                       CAST((SELECT count(*) FROM ext) AS DOUBLE), 9) AS recall)
+        ORDER BY method""")),
 
     QueryDef("q69_quantized_ann",
       (s, dir) => {

@@ -247,6 +247,22 @@ class SimilaritySpec extends SparkSpec {
     val top = Similarity.pqAdcTopK(codes, cb, "vec_id",
       v(1, 0, 0, 0, 0, 1, 0, 0), k = 2).collect().map(_.getLong(0)).toSet
     assert(top == Set(1L, 2L))
+    // Table-ADC ≡ reconstruct-ADC: the LUT form (m lookups + adds per
+    // candidate) must score identically to reconstruct-then-dot. The
+    // fixture values (and so the codebook means) are dyadic rationals,
+    // so both accumulation orders are exact — equality is bitwise.
+    val q0 = v(1, 0, 0.5, 0, 0, 1, 0, 0.25)
+    val lutScores = Similarity.pqAdcTopK(codes, cb, "vec_id", q0, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val reconScores = Similarity.pqReconstruct(codes, cb, "vec_id")
+      .select(col("vec_id"), Similarity.dotNative(col("recon"),
+        array(q0.map(lit): _*)).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lutScores == reconScores)
+    // …and the LUT plan must not materialize a reconstruction array.
+    val lutPlan = Similarity.pqAdcTopK(codes, cb, "vec_id", q0, k = 4)
+      .queryExecution.optimizedPlan.toString
+    assert(!lutPlan.contains("recon"), lutPlan)
     // Persisted IVF-PQ: probing ALL clusters reproduces the in-memory
     // ADC ranking exactly (the index stores codes, nothing else), and
     // the probed read is partition-pruned.
