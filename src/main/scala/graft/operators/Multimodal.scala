@@ -8,14 +8,15 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns next to a typed metadata struct; decode /
   * feature-extract / frame-sample run as partition-local batch transforms.
   *
-  * The FEATURE decoding is STUBBED (this container has no codec
-  * libraries): [[StubDecoder]] produces deterministic fake features
-  * from the bytes; swapping in a true decoder is replacing one
-  * [[Decoder]] instance. Image DIMENSIONS, by contrast, are real:
-  * [[imageDims]] parses PNG/JPEG/GIF/BMP headers with the JDK's
-  * dependency-free `javax.imageio`. The Spark-side contract — schema,
-  * batch iteration shape, partitioning behavior — is real and tested
-  * throughout.
+  * IMAGE decoding is REAL: [[imageDims]] parses PNG/JPEG/GIF/BMP
+  * headers and [[ImageHistogramDecoder]] extracts pixel-derived
+  * grayscale-histogram features, both through the JDK's
+  * dependency-free `javax.imageio` (no codec libraries needed).
+  * AUDIO/VIDEO feature decoding remains stubbed ([[StubDecoder]] —
+  * deterministic md5-derived floats; this container has no audio/video
+  * codecs); swapping in a true decoder is replacing one [[Decoder]]
+  * instance. The Spark-side contract — schema, batch iteration shape,
+  * partitioning behavior — is real and tested throughout.
   *
   * Scale notes: decode is embarrassingly parallel (mapPartitions, no
   * shuffle); the binary column should be written to parquet with a
@@ -50,14 +51,84 @@ object Multimodal {
   }
 
   /** STUB decoder — deterministic fake: features are md5-derived floats.
-    * A real deployment replaces this with JNI/javacpp bindings to an
-    * image/audio codec; nothing else in the pipeline changes.
+    * Still the right tool for AUDIO/VIDEO payloads (no JDK codec
+    * exists; a real deployment binds JNI/javacpp and nothing else in
+    * the pipeline changes) and as the [[ImageHistogramDecoder]]
+    * fallback for undecodable bytes. Its md5 formulation is also what
+    * makes the q51 gate SQL-expressible end to end.
     */
   final class StubDecoder(val dim: Int = 8) extends Decoder {
     def decode(payload: Array[Byte]): Array[Float] = {
       val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
       Array.tabulate(dim)(i => ((d(i % d.length) & 0xff).toFloat) / 255.0f)
     }
+  }
+
+  /** REAL image feature decoder — pixel-derived, no stub: a `dim`-bin
+    * grayscale histogram over the decoded image, normalized to
+    * fractions summing to ~1. Luma is integer ITU-R BT.601
+    * (`(299·R + 587·G + 114·B) / 1000`) and binning is exact integer
+    * arithmetic (`lum · dim / 256`), so features are bit-deterministic
+    * across JVMs. Decoding runs through the same dependency-free
+    * `javax.imageio` path as [[decodeDims]] — PNG/JPEG/GIF/BMP out of
+    * the box.
+    *
+    * Payloads no reader understands route to `fallback` (default: the
+    * md5 [[StubDecoder]]) — corrupt media is data, not an error, at
+    * corpus scale, and the fallback keeps the feature column total.
+    * Pixels are fetched a SCANLINE at a time (one reused int buffer),
+    * not per-pixel getRGB calls and not a whole-image copy — the batch
+    * shape a 10-megapixel row must not break.
+    */
+  final class ImageHistogramDecoder(val dim: Int = 8,
+      fallback: Decoder = null) extends Decoder {
+    require(dim >= 1 && dim <= 256, "histogram needs 1..256 bins")
+    private def fb: Decoder = if (fallback != null) fallback else new StubDecoder(dim)
+
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val img = decodeImage(payload)
+      if (img == null) fb.decode(payload)
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0) fb.decode(payload)
+        else {
+          val counts = new Array[Long](dim)
+          val line = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, line, 0, w)
+            var x = 0
+            while (x < w) {
+              val rgb = line(x)
+              val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000
+              counts(lum * dim / 256) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val total = (w.toLong * h).toDouble
+          Array.tabulate(dim)(i => (counts(i) / total).toFloat)
+        }
+      }
+    }
+  }
+
+  /** Full pixel decode via `javax.imageio`, or null for bytes no
+    * installed reader accepts. Same memory-cached stream discipline as
+    * [[decodeDims]] (never a temp file per row).
+    */
+  private[graft] def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    if (bytes == null || bytes.isEmpty) return null
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // ImageIO.read(ImageInputStream) closes the stream itself; a bare
+      // finally-close would throw "IOException: closed" AFTER a
+      // successful read and discard the image into the catch below.
+      try javax.imageio.ImageIO.read(iis)
+      finally try iis.close() catch { case _: java.io.IOException => () }
+    } catch { case _: Exception => null }
   }
 
   /** Wrap a text/binary source table as a media table: payload bytes +

@@ -106,6 +106,12 @@ object Sampling {
     */
   def deterministicShuffle(df: DataFrame, keyCol: String, salt: String,
       posCol: String = "pos"): DataFrame = {
+    // CONTRACT (same as packTwoPass's order key): `keyCol` must be
+    // UNIQUE and NON-NULL — it is the tiebreak that makes the order
+    // total. Duplicate or null keys share a (md5, key) sort key, and
+    // their relative positions would then depend on partition layout,
+    // i.e. the shuffle would no longer be deterministic or
+    // retry-stable. Corpus id columns satisfy this by construction.
     val ordC = graft.functions.ColumnLib.freeColumn(df, "__ord")
     globalPositions(
         df.withColumn(ordC,

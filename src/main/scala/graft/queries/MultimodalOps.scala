@@ -34,20 +34,26 @@ object MultimodalOps {
                to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS head_b64
         FROM documents ORDER BY media_id""")),
 
-    // ---- batch decode (stub decoder) --------------------------------------
-    // The stub decoder derives feature[i] from md5-digest byte i, so the
-    // whole decode IS SQL-expressible: the oracle reconstructs each byte
-    // from the md5 hex string (strpos-based hex-digit arithmetic). The
-    // vector is exploded to (media_id, i, v) rows because the gate
-    // comparator cannot sort array cells; values rounded to 4 decimals
-    // (float32 representation error ~6e-8 is far below the min distance
-    // of k/255 from any 4-decimal half-boundary, ~2e-7, so both engines
+    // ---- batch decode (real decoder, stub fallback) -----------------------
+    // The gate runs the PRODUCTION decoder: ImageHistogramDecoder
+    // attempts a real javax.imageio pixel decode per payload and
+    // extracts a grayscale histogram (spec-gated on generated PNGs in
+    // MultimodalSpec). The synthetic corpus's payloads are text bytes —
+    // not decodable images — so every row routes to the md5
+    // StubDecoder fallback, whose feature[i] = digest byte i IS
+    // SQL-expressible: the oracle reconstructs each byte from the md5
+    // hex string (strpos-based hex-digit arithmetic). The vector is
+    // exploded to (media_id, i, v) rows because the gate comparator
+    // cannot sort array cells; values rounded to 4 decimals (float32
+    // representation error ~6e-8 is far below the min distance of
+    // k/255 from any 4-decimal half-boundary, ~2e-7, so both engines
     // round identically).
     QueryDef("q51_multimodal_decode",
       (s, dir) => {
         val media = Multimodal.asMediaTable(
           Tables.table(s, dir, "documents"), "doc_id", "text", "image")
-        Multimodal.decodeFeatures(media, new Multimodal.StubDecoder(8))
+        Multimodal.decodeFeatures(media,
+          new Multimodal.ImageHistogramDecoder(8, new Multimodal.StubDecoder(8)))
           .select(col("media_id"), posexplode(col("feature")).as(Seq("i", "v")))
           .select(col("media_id"), col("i"),
             round(col("v").cast("double"), 4).as("v"))

@@ -107,10 +107,22 @@ object Storage {
     // FEWER shards would leave the previous export's tail directories
     // in place, and a loader walking shard dirs would replay stale
     // rows. Delete the whole target first (the input must not read
-    // from `path`; shard exports never do).
+    // from `path`; shard exports never do) — but ONLY a target that is
+    // absent, empty, or a prior shard export (has _manifest.jsonl).
+    // An unconditional recursive delete would let one mistyped path
+    // irreversibly destroy arbitrary data.
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(target, true)
+    if (fs.exists(target)) {
+      val isPriorExport =
+        fs.exists(new org.apache.hadoop.fs.Path(target, "_manifest.jsonl"))
+      val isEmpty = !isPriorExport && fs.listStatus(target).isEmpty
+      require(isPriorExport || isEmpty,
+        s"refusing to overwrite '$path': it exists, is non-empty, and has " +
+          "no _manifest.jsonl - not a prior shard export. Delete it " +
+          "explicitly if this is intended.")
+      fs.delete(target, true)
+    }
     val shardC = graft.functions.ColumnLib.freeColumn(df, "shard")
     val sharded = df.withColumn(shardC,
         org.apache.spark.sql.functions.expr(s"`$posCol` DIV $rowsPerShard"))
@@ -150,6 +162,10 @@ object Storage {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    if (lines.isEmpty)
+      throw new IllegalStateException(
+        s"empty shard manifest at $p: the export did not complete " +
+          "(a manifest is written only after all shard data is on disk)")
     val shardRe = """\{"shard":(\d+),"n_rows":(\d+)\}""".r
     val totalRe = """\{"total_shards":(\d+),"total_rows":(\d+)\}""".r
     val shards = lines.init.map {

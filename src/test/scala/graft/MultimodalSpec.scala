@@ -70,6 +70,52 @@ class MultimodalSpec extends SparkSpec {
       "undecodable payloads must yield NULL dims, not fail the batch")
   }
 
+  test("ImageHistogramDecoder extracts real pixel histograms; fallback for garbage") {
+    // Generated PNGs with KNOWN pixel content — the de-stubbed feature
+    // path: black pixels land in bin 0, white in the last bin, and a
+    // half/half image splits the mass 0.5/0.5. Deterministic by
+    // construction (integer luma + integer binning).
+    def png(colors: Int*): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        colors.length, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      colors.zipWithIndex.foreach { case (c, i) => img.setRGB(i, 0, c) }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val dec = new Multimodal.ImageHistogramDecoder(8)
+    assert(dec.decode(png(0x000000, 0x000000)).toSeq ==
+      Seq(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))
+    assert(dec.decode(png(0xffffff, 0xffffff)).toSeq ==
+      Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 1.0f))
+    assert(dec.decode(png(0x000000, 0xffffff)).toSeq ==
+      Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f))
+    // Mid-gray 0x808080: luma 128 -> bin 128*8/256 = 4.
+    assert(dec.decode(png(0x808080)).toSeq ==
+      Seq(0f, 0f, 0f, 0f, 1.0f, 0f, 0f, 0f))
+    // Undecodable bytes route to the fallback decoder (md5 stub here),
+    // so the feature column stays total over a corrupt-media corpus.
+    val garbage = "not an image".getBytes("UTF-8")
+    assert(dec.decode(garbage).toSeq ==
+      new Multimodal.StubDecoder(8).decode(garbage).toSeq)
+    // End-to-end through the batch decode shape: real image rows get
+    // histogram features, garbage rows get stub features, one plan.
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Long.box(1), png(0x000000, 0xffffff)),
+        Row(Long.box(2), garbage)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+    val feats = Multimodal.decodeFeatures(rows,
+        new Multimodal.ImageHistogramDecoder(8))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L) == Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f))
+    assert(feats(2L) == new Multimodal.StubDecoder(8).decode(garbage).toSeq)
+  }
+
   test("frameSample slices payload at stride with cap; short payload yields none") {
     val m = Multimodal.asMediaTable(base, "id", "payload", "video")
     val out = Multimodal.frameSample(m, frameBytes = 4, stride = 2, maxFrames = 3)

@@ -103,6 +103,36 @@ class StorageSpec extends SparkSpec {
       Seq((0L, 25L), (1L, 25L), (2L, 10L)))
   }
 
+  test("writeShards refuses to delete a target that is not a prior export") {
+    // The delete guard: a mistyped path pointing at unrelated data must
+    // refuse, not recursively destroy it. Absent and empty targets, and
+    // prior exports (have _manifest.jsonl), overwrite fine (covered
+    // above); only the dangerous case errors.
+    val dir = java.nio.file.Files.createTempDirectory("notexport").toString
+    val victim = new java.io.File(dir, "precious.txt")
+    java.nio.file.Files.write(victim.toPath, "do not delete".getBytes)
+    val rows = spark.range(10).toDF("pos")
+    val e = intercept[IllegalArgumentException] {
+      Storage.writeShards(rows, "pos", 5, dir)
+    }
+    assert(e.getMessage.contains("refusing to overwrite"))
+    assert(victim.exists, "the non-export target must be left untouched")
+    // An EMPTY existing directory is fine.
+    val empty = java.nio.file.Files.createTempDirectory("emptytgt").toString
+    Storage.writeShards(rows, "pos", 5, empty)
+    assert(Storage.readShardManifest(spark, empty) == Seq((0L, 5L), (1L, 5L)))
+  }
+
+  test("readShardManifest fails loudly on an empty manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("emptymani").toString
+    java.nio.file.Files.write(
+      new java.io.File(dir, "_manifest.jsonl").toPath, Array.empty[Byte])
+    val e = intercept[IllegalStateException] {
+      Storage.readShardManifest(spark, dir)
+    }
+    assert(e.getMessage.contains("empty shard manifest"))
+  }
+
   test("training-set materialization: clean → dedup → shuffle → shard → manifest") {
     // The capstone composition a training run consumes: quality-kept,
     // near-dup-free docs in a deterministic shuffle order, sharded
