@@ -673,6 +673,64 @@ object Similarity {
     pqAdcTopK(pruned, codebook, idCol, query, k)
   }
 
+  /** Batch search over a persisted PQ-code index: [[ivfSearchBatch]]'s
+    * distributed shape (bounded-heap probe selection per query, one
+    * equality join against the cluster-partitioned index, bounded-heap
+    * top-k) with [[pqAdcTopK]]'s lookup-table score path generalized
+    * to a query BATCH: the LUT becomes (qid, sub, code) → t — |Q|·m·
+    * |clusters| rows, built once from the query set × the broadcast
+    * codebook — and each candidate row costs one LUT hash-lookup + a
+    * map-side-combinable sum, never a reconstruction array. With
+    * `broadcastLut = false` (query sets too large to broadcast the
+    * LUT) scoring falls back to joining the broadcast CODEBOOK
+    * (always tiny) and slicing the query inline — d FLOPs per
+    * candidate instead of m lookups, same results, no broadcast of
+    * anything query-sized. Same self-exclusion contract (and
+    * null-unsafe `=!=` corollaries) as [[ivfSearchBatch]].
+    */
+  def ivfSearchBatchPq(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, centroidDf: DataFrame,
+      codebook: DataFrame, queries: DataFrame, qidCol: String,
+      qvecCol: String, k: Int, nprobe: Int,
+      broadcastLut: Boolean = true): DataFrame = {
+    require(Seq("cluster", "centroid", "sub", "code", "__t")
+        .forall(c => !queries.columns.contains(c)),
+      "queries frame collides with the index working columns; rename first")
+    val csimC = graft.functions.ColumnLib.freeColumn(queries, "__csim")
+    val probes0 = TopK.perGroup(
+      queries.crossJoin(broadcast(centroidDf))
+        .withColumn(csimC, cosineNative(col(qvecCol), col("centroid"))),
+      Seq(qidCol), Seq(col(csimC).desc_nulls_last, col("cluster").asc),
+      nprobe)
+      .select(col(qidCol), col(qvecCol), col("cluster"))
+    val qsub = (cb: Column) =>
+      slice(col(qvecCol), col("sub") * size(cb) + lit(1), size(cb))
+    val candidates = spark.read.parquet(path)
+      .join(broadcast(probes0.select(col(qidCol), col("cluster"))),
+        Seq("cluster"))
+      .filter(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol), col("sub"), col("code"))
+    val scored =
+      if (broadcastLut) {
+        val lut = probes0.select(col(qidCol), col(qvecCol)).distinct()
+          .crossJoin(broadcast(codebook))
+          .select(col(qidCol), col("sub"), col("cluster").as("code"),
+            dotNative(qsub(col("centroid")), col("centroid")).as("__t"))
+        candidates.join(broadcast(lut), Seq(qidCol, "sub", "code"))
+      } else {
+        candidates
+          .join(broadcast(probes0.select(col(qidCol), col(qvecCol)).distinct()),
+            qidCol)
+          .join(broadcast(codebook.withColumnRenamed("cluster", "code")),
+            Seq("sub", "code"))
+          .withColumn("__t", dotNative(qsub(col("centroid")), col("centroid")))
+      }
+    TopK.perGroup(
+      scored.groupBy(col(qidCol), col(idCol))
+        .agg(sum(col("__t")).as("score")),
+      Seq(qidCol), Seq(col("score").desc_nulls_last, col(idCol).asc), k)
+  }
+
   /** Batch ADC: many queries against the code table in one plan.
     * Reconstructions are computed ONCE (query-independent) and every
     * query scores them off the broadcast query set; the per-query cut

@@ -308,5 +308,28 @@ class SimilaritySpec extends SparkSpec {
       assert(batch(q.getLong(0)) == single,
         s"batch and single ADC disagree for query ${q.getLong(0)}")
     }
+    // Batch search over the persisted index: full-probe batch results
+    // must match the single-query persisted search per query (minus
+    // self-exclusion, which the batch applies and the single does
+    // not), and the LUT and codebook-inline score paths must agree.
+    val idxQueries = df("qid BIGINT, qvec ARRAY<FLOAT>",
+      Row(Long.box(1), v(9, 0, 1, 0, 0, 8, 0, 1)),
+      Row(Long.box(3), v(0, 9, 0, 1, 7, 0, 1, 0)))
+    def batchPq(lut: Boolean) =
+      Similarity.ivfSearchBatchPq(spark, ipath, "vec_id", cents, cb,
+          idxQueries, "qid", "qvec", k = 2, nprobe = 2, broadcastLut = lut)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+    val viaLut = batchPq(lut = true)
+    assert(viaLut == batchPq(lut = false),
+      "LUT and codebook-inline batch PQ scoring must agree")
+    idxQueries.collect().foreach { q =>
+      val single = Similarity.ivfSearchPq(spark, ipath, "vec_id", cents, cb,
+          q.getSeq[Float](1), k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .filter(_._1 != q.getLong(0)).take(2).toSet
+      assert(viaLut(q.getLong(0)) == single,
+        s"batch and single persisted PQ search disagree for ${q.getLong(0)}")
+    }
   }
 }
