@@ -87,21 +87,30 @@ object Similarity {
   def signBucket(vec: Column, pairs: Seq[(Int, Int)]): Column =
     foldedFloatQuery(vec) match {
       case Some(vals) if pairs.forall { case (i, j) => i >= 1 && j >= 1 } =>
-        val n = vals.length
-        val bits = pairs.map { case (i, j) =>
-          // Mirror `element_at(vec, i) > element_at(vec, j)` exactly:
-          // out-of-bounds or null element -> NULL condition -> "0";
-          // float order is Spark's SQL ordering (NaN largest).
-          if (i > n || j > n || vals(i - 1) == null || vals(j - 1) == null) "0"
-          else if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
-              .compareFloats(vals(i - 1), vals(j - 1)) > 0) "1"
-          else "0"
-        }.mkString
-        lit(bits)
+        lit(signBits(vals, pairs))
       case _ => concat(pairs.map { case (i, j) =>
         when(element_at(vec, i) > element_at(vec, j), "1").otherwise("0")
       }: _*)
     }
+
+  /** Driver-side restatement of signBucket's expression form — MUST
+    * mirror `when(element_at(vec, i) > element_at(vec, j), "1")
+    * .otherwise("0")` bit for bit: out-of-bounds or null element makes
+    * the condition NULL → "0", and float order is Spark's SQL ordering
+    * (`SQLOrderingUtil.compareFloats` — exactly what the generated
+    * comparison calls, NaN largest). PropertySpec-grade equivalence is
+    * pinned in CodegenHealthSpec over randomized vectors.
+    */
+  private[graft] def signBits(vals: Array[java.lang.Float],
+      pairs: Seq[(Int, Int)]): String = {
+    val n = vals.length
+    pairs.map { case (i, j) =>
+      if (i > n || j > n || vals(i - 1) == null || vals(j - 1) == null) "0"
+      else if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+          .compareFloats(vals(i - 1), vals(j - 1)) > 0) "1"
+      else "0"
+    }.mkString
+  }
 
   /** Element values of a constant float-array Column
     * (see [[org.apache.spark.sql.graft.ColumnBridge.constantFloatArray]]).

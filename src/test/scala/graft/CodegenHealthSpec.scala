@@ -97,6 +97,37 @@ class CodegenHealthSpec extends SparkSpec {
     assert(exprForm == Seq("10", "00", "00", "00"))
   }
 
+  test("signBucket fold == expression form over randomized vectors") {
+    // The literal fold must be indistinguishable from the element_at
+    // comparison tree for ANY input — including the float specials
+    // (NaN sorts largest in Spark's SQL order, -0.0 == 0.0), null
+    // elements, and arrays shorter than the pair indexes (both are a
+    // NULL condition -> "0"). Seeded RNG: deterministic, no flake.
+    val rnd = new scala.util.Random(20260813L)
+    val specials = Array[java.lang.Float](
+      Float.NaN, 0.0f, -0.0f, Float.MinValue, Float.MaxValue,
+      Float.NegativeInfinity, Float.PositiveInfinity, null)
+    val vecs: Seq[Seq[java.lang.Float]] = (1 to 60).map { _ =>
+      val len = 1 + rnd.nextInt(4) // 1..4: exercises out-of-bounds pairs
+      Seq.tabulate(len) { _ =>
+        if (rnd.nextInt(4) == 0) specials(rnd.nextInt(specials.length))
+        else java.lang.Float.valueOf(rnd.nextFloat() * 2 - 1)
+      }
+    }
+    val pairs = Seq((1, 2), (3, 4))
+    val rows = vecs.zipWithIndex.map { case (v, i) =>
+      Row(Long.box(i.toLong), v)
+    }
+    val exprForm = df("id BIGINT, v ARRAY<FLOAT>", rows: _*)
+      .select(col("id"), Similarity.signBucket(col("v"), pairs).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val folded = Similarity.signBits(v.toArray, pairs)
+      assert(folded == exprForm(i.toLong),
+        s"vec $i $v: fold '$folded' != expression '${exprForm(i.toLong)}'")
+    }
+  }
+
   test("filters over native similarity expressions stay compiled") {
     val q = array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f))
     val warnings = capturedWarnings {
