@@ -715,4 +715,126 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("sz1") + col("sz2") - col("n_inter")).cast("double")).as("jaccard"))
   }
+
+  /** Cross-source content-overlap matrix: for every source pair
+    * (src1 < src2), how many distinct word `n`-gram shingles the two
+    * sources share, each source's distinct-shingle count, and the
+    * Jaccard overlap of the two shingle sets. The corpus diagnostic a
+    * multi-source training run wants BEFORE choosing dedup order and
+    * mixture weights: a hot pair means cross-source duplication
+    * (mirrored crawls, syndication) that per-source dedup cannot see.
+    *
+    * Physical shape: ONE data-sized exchange. Shingles stream out of
+    * the native gram expression ([[explodedShingles]]) straight into a
+    * groupBy(gram) whose only aggregate is the distinct source set —
+    * bounded by the source count, not the corpus, so the map-side
+    * partial stays tiny. Each per-gram source set then expands locally
+    * into ordered source pairs PLUS one single-source record per
+    * member, and a single count over (a, b) yields both the pair
+    * intersections (b set) and the per-source set sizes (b null) — the
+    * sizes never need a second pass over the grams. That combined
+    * count is O(sources²) rows and is localCheckpoint'd, so the heavy
+    * subtree executes exactly once: without the barrier, Catalyst
+    * pushes each branch's null/not-null split below the aggregate,
+    * the three subtrees stop canonicalizing to one exchange, and the
+    * shingle pipeline runs three times (observed; DedupSpec pins the
+    * checkpointed shape — zero shingle scans downstream). A gram
+    * self-join (the naive shape) would likewise run the shingle
+    * pipeline twice and shuffle the gram stream twice.
+    *
+    * No bucket cap, unlike [[lshCandidatePairs]]: a "bucket" here is a
+    * gram's source set, whose size the source count bounds by
+    * construction — and dropping hot grams would silently understate
+    * exactly the overlap this matrix exists to measure.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, sourceCol: String, body: String,
+      n: Int = 3): DataFrame = {
+    val grams = explodedShingles(
+      docs.select(col(sourceCol).as("__src"), col(body)), "__src", body, n)
+    val items = col("__srcs")
+    val pairRecs = flatten(transform(items, (x, i) =>
+      transform(slice(items, i + lit(2), greatest(size(items) - i - 1, lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+    val singleRecs = transform(items,
+      x => struct(x.as("a"), lit(null).cast("string").as("b")))
+    val recs = grams.groupBy(col("__g"))
+      .agg(sort_array(collect_set(col("__src"))).as("__srcs"))
+      .select(explode(concat(pairRecs, singleRecs)).as("p"))
+      .groupBy(col("p.a").as("s1"), col("p.b").as("s2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val sizes1 = recs.filter(col("s2").isNull)
+      .select(col("s1").as("src1"), col("n").as("n1"))
+    val sizes2 = recs.filter(col("s2").isNull)
+      .select(col("s1").as("src2"), col("n").as("n2"))
+    recs.filter(col("s2").isNotNull)
+      .select(col("s1").as("src1"), col("s2").as("src2"), col("n").as("n_shared"))
+      .join(sizes1, "src1")
+      .join(sizes2, "src2")
+      .select(col("src1"), col("src2"), col("n1"), col("n2"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n1") + col("n2") - col("n_shared")).cast("double")).as("overlap"))
+  }
+
+  /** MinHash estimator calibration: for every doc pair, the number of
+    * agreeing signature components (`agree` of `k`) against the TRUE
+    * n-gram Jaccard, aggregated per agreement level — pair count, total
+    * true Jaccard mass, and total/max absolute estimator error, all in
+    * exact integer micro-units so the table is engine-portable. This is
+    * the dedup analog of the ANN recall gates: the signature is only as
+    * good as its agreement-vs-similarity curve, and this measures that
+    * curve instead of assuming the textbook E[agree/k] = J.
+    *
+    * Verification tier (like [[ngramJaccardPairs]]): the pair universe
+    * is all-pairs over `docs`, so cap the input to a sampled slice — at
+    * scale the curve is calibrated on a sample, never the corpus. The
+    * all-pairs signature join is a broadcast nested-loop by design; the
+    * exact-Jaccard side reuses [[ngramJaccardPairs]], and pairs sharing
+    * no gram enter as true Jaccard 0 (LEFT join), so low-agreement mass
+    * is measured, not truncated.
+    */
+  def minhashCalibration(docs: DataFrame, id: String, body: String,
+      k: Int, n: Int): DataFrame = {
+    val sig = minhashSignatures(docs, id, body, k, n)
+    val a = sig.alias("a")
+    val b = sig.alias("b")
+    val agree = (0 until k).map(i =>
+      when(col(s"a.h$i") === col(s"b.h$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val pairs = a.join(b, col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"), agree.as("agree"))
+    val jac = coalesce(col("jaccard"), lit(0.0))
+    val errMicro = floor(abs(col("agree").cast("double") / lit(k.toDouble) - jac)
+      * lit(1e6)).cast("long")
+    pairs.join(ngramJaccardPairs(docs, id, body, n), Seq("id1", "id2"), "left")
+      .groupBy(col("agree"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor(jac * lit(1e6)).cast("long")).as("sum_jac_micro"),
+        sum(errMicro).as("sum_abs_err_micro"),
+        max(errMicro).as("max_abs_err_micro"))
+      .orderBy("agree")
+  }
+
+  /** One gate row measuring a candidate-generation rung against a truth
+    * pair set: counts plus recall/precision in integer micro-units
+    * (floor(1e6 · ratio), engine-portable). `truth` and `cand` carry
+    * (id1, id2) with id1 < id2. The dedup counterpart of the ANN recall
+    * gates — every near-dup rung (LSH bands, SimHash bands) gets its
+    * candidate recall measured against exact Jaccard truth, not assumed
+    * from the banding math. Aggregates are three 1-row frames
+    * cross-joined; pass a localCheckpoint'd `truth` when composing
+    * several rungs against the same (expensive, all-pairs) truth set.
+    */
+  def candidateRecall(rung: String, truth: DataFrame, cand: DataFrame): DataFrame = {
+    val t = truth.select("id1", "id2")
+    val c = cand.select("id1", "id2")
+    val hit = c.join(t, Seq("id1", "id2"), "left_semi")
+    t.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(c.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(lit(rung).as("rung"), col("n_truth"), col("n_cand"), col("n_hit"),
+        floor(col("n_hit").cast("double") / col("n_truth").cast("double")
+          * lit(1e6)).cast("long").as("recall_micro"),
+        floor(col("n_hit").cast("double") / col("n_cand").cast("double")
+          * lit(1e6)).cast("long").as("precision_micro"))
+  }
 }

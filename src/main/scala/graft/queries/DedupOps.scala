@@ -576,5 +576,183 @@ object DedupOps {
         FROM inter
         JOIN sizes s1 ON s1.doc_id = id1
         JOIN sizes s2 ON s2.doc_id = id2
-        ORDER BY 1, 2""")))
+        ORDER BY 1, 2""")),
+
+    // ---- cross-source content-overlap matrix ----------------------------
+    // Which sources duplicate each other's content (distinct-trigram
+    // Jaccard per source pair) — the diagnostic that decides dedup order
+    // and mixture weights before a multi-source run. One data-sized
+    // exchange; see [[graft.operators.Dedup.sourceOverlapMatrix]].
+    QueryDef("q109_source_overlap",
+      (s, dir) => {
+        Dedup.sourceOverlapMatrix(docs(s, dir), "source", "text", n = 3)
+          .orderBy("src1", "src2")
+      },
+      Some("""
+        WITH grams AS (
+          SELECT DISTINCT source AS src, g FROM (
+            SELECT source, unnest(list_transform(range(1, len(l)-1),
+                   i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
+            FROM (SELECT source, string_split(text,' ') AS l FROM documents))),
+        sizes AS (SELECT src, count(*) AS n_fp FROM grams GROUP BY 1),
+        shared AS (
+          SELECT a.src AS src1, b.src AS src2, count(*) AS n_shared
+          FROM grams a JOIN grams b ON a.g = b.g AND a.src < b.src
+          GROUP BY 1, 2)
+        SELECT src1, src2, s1.n_fp AS n1, s2.n_fp AS n2, n_shared,
+               CAST(n_shared AS DOUBLE) /
+               CAST(s1.n_fp + s2.n_fp - n_shared AS DOUBLE) AS overlap
+        FROM shared
+        JOIN sizes s1 ON s1.src = src1
+        JOIN sizes s2 ON s2.src = src2
+        ORDER BY 1, 2""")),
+
+    // ---- MinHash estimator calibration (verification tier) --------------
+    // Agreement level vs TRUE trigram Jaccard over a capped id range:
+    // the measured agreement-vs-similarity curve behind every LSH
+    // threshold choice, in exact integer micro-units. Pairs sharing no
+    // gram count as true Jaccard 0 (LEFT join), so the agree=0 mass is
+    // measured, not truncated.
+    QueryDef("q110_minhash_calibration",
+      (s, dir) => {
+        Dedup.minhashCalibration(
+          docs(s, dir).filter(col("doc_id") < 300), "doc_id", "text",
+          k = 4, n = 3)
+      },
+      Some(s"""
+        WITH sig AS (
+          SELECT doc_id,
+            min(substr(md5('0:'||g),1,16)) AS h0, min(substr(md5('1:'||g),1,16)) AS h1,
+            min(substr(md5('2:'||g),1,16)) AS h2, min(substr(md5('3:'||g),1,16)) AS h3
+          FROM (SELECT doc_id,
+                  unnest(list_transform(range(1, len(l)-1),
+                         i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
+                FROM (SELECT doc_id, string_split(text,' ') AS l
+                      FROM documents WHERE doc_id < 300))
+          GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 CAST(CASE WHEN a.h0=b.h0 THEN 1 ELSE 0 END
+                    + CASE WHEN a.h1=b.h1 THEN 1 ELSE 0 END
+                    + CASE WHEN a.h2=b.h2 THEN 1 ELSE 0 END
+                    + CASE WHEN a.h3=b.h3 THEN 1 ELSE 0 END AS BIGINT) AS agree
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+        grams AS (SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(l)-1),
+                 i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
+          FROM (SELECT doc_id, string_split(text,' ') AS l
+                FROM documents WHERE doc_id < 300))),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+                  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        exact AS (SELECT id1, id2,
+                    CAST(n_inter AS DOUBLE) / CAST(s1.sz + s2.sz - n_inter AS DOUBLE) AS jaccard
+                  FROM inter
+                  JOIN sizes s1 ON s1.doc_id = id1
+                  JOIN sizes s2 ON s2.doc_id = id2),
+        j AS (SELECT p.agree,
+                coalesce(e.jaccard, 0.0) AS jac,
+                abs(CAST(p.agree AS DOUBLE)/4.0 - coalesce(e.jaccard, 0.0)) AS err
+              FROM pairs p LEFT JOIN exact e USING (id1, id2))
+        SELECT agree, count(*) AS n_pairs,
+               CAST(sum(CAST(floor(jac*1000000.0) AS BIGINT)) AS BIGINT) AS sum_jac_micro,
+               CAST(sum(CAST(floor(err*1000000.0) AS BIGINT)) AS BIGINT) AS sum_abs_err_micro,
+               max(CAST(floor(err*1000000.0) AS BIGINT)) AS max_abs_err_micro
+        FROM j GROUP BY 1 ORDER BY 1""")),
+
+    // ---- near-dup candidate recall gate (two rungs) ---------------------
+    // Candidate recall/precision of the two production banding rungs
+    // against exact trigram-Jaccard >= 0.5 truth on a capped range: the
+    // dedup analog of the ANN recall gates (q57/q58/q88/q97/q100). The
+    // planted near-dup pairs are word-level edits, so 2-band MinHash
+    // catches them all while 64-bit SimHash at the 4-band pigeonhole
+    // bound (Hamming <= 3) measurably does not — the gate exists to
+    // surface exactly that kind of rung difference as a number.
+    QueryDef("q111_dedup_recall",
+      (s, dir) => {
+        val capped = docs(s, dir).filter(col("doc_id") < 300)
+        // One all-pairs truth computation shared by both rungs (4
+        // consumers: two semi-joins + two counts) — checkpointed, as
+        // the recall gates do for their exact baselines.
+        val truth = Dedup.ngramJaccardPairs(capped, "doc_id", "text", n = 3)
+          .filter(col("jaccard") >= 0.5)
+          .select("id1", "id2")
+          .localCheckpoint()
+        Dedup.candidateRecall("minhash_lsh_k4w2", truth,
+            Dedup.lshCandidatePairs(capped, "doc_id", "text",
+              k = 4, n = 3, bandWidth = 2))
+          .unionByName(Dedup.candidateRecall("simhash64_h3", truth,
+            Dedup.simhashNearDupPairs64(capped, "doc_id", "text", maxHamming = 3)))
+          .orderBy("rung")
+      },
+      Some {
+        val bits = bits64Sql
+        val hamming = (1 to 64).map(i =>
+          s"CASE WHEN substr(a.s64,$i,1) <> substr(b.s64,$i,1) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH sig AS (
+          SELECT doc_id,
+            min(substr(md5('0:'||g),1,16)) AS h0, min(substr(md5('1:'||g),1,16)) AS h1,
+            min(substr(md5('2:'||g),1,16)) AS h2, min(substr(md5('3:'||g),1,16)) AS h3
+          FROM (SELECT doc_id,
+                  unnest(list_transform(range(1, len(l)-1),
+                         i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
+                FROM (SELECT doc_id, string_split(text,' ') AS l
+                      FROM documents WHERE doc_id < 300))
+          GROUP BY 1),
+        bands AS (
+          SELECT doc_id, 0 AS band_id, md5(h0||h1) AS band_key FROM sig
+          UNION ALL SELECT doc_id, 1, md5(h2||h3) FROM sig),
+        ok AS (SELECT band_id, band_key FROM bands
+               GROUP BY 1, 2 HAVING count(*) <= 1000),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a
+          JOIN ok o ON a.band_id = o.band_id AND a.band_key = o.band_key
+          JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        sig64 AS (
+          SELECT doc_id, $bits AS s64
+          FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                FROM documents WHERE doc_id < 300)
+          GROUP BY doc_id),
+        cand2 AS (
+          SELECT id1, id2 FROM (
+            SELECT a.doc_id AS id1, b.doc_id AS id2, $hamming AS hamming
+            FROM sig64 a JOIN sig64 b ON a.doc_id < b.doc_id)
+          WHERE hamming <= 3),
+        grams AS (SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(l)-1),
+                 i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
+          FROM (SELECT doc_id, string_split(text,' ') AS l
+                FROM documents WHERE doc_id < 300))),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+                  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        truth AS (SELECT id1, id2
+                  FROM inter
+                  JOIN sizes s1 ON s1.doc_id = id1
+                  JOIN sizes s2 ON s2.doc_id = id2
+                  WHERE CAST(n_inter AS DOUBLE)
+                        / CAST(s1.sz + s2.sz - n_inter AS DOUBLE) >= 0.5),
+        g1 AS (SELECT 'minhash_lsh_k4w2' AS rung,
+                 (SELECT count(*) FROM truth) AS n_truth,
+                 (SELECT count(*) FROM cand) AS n_cand,
+                 (SELECT count(*) FROM cand c JOIN truth t USING (id1, id2)) AS n_hit),
+        g2 AS (SELECT 'simhash64_h3' AS rung,
+                 (SELECT count(*) FROM truth) AS n_truth,
+                 (SELECT count(*) FROM cand2) AS n_cand,
+                 (SELECT count(*) FROM cand2 c JOIN truth t USING (id1, id2)) AS n_hit)
+        SELECT rung, n_truth, n_cand, n_hit,
+               CAST(floor(CAST(n_hit AS DOUBLE)/CAST(n_truth AS DOUBLE)*1000000.0) AS BIGINT)
+                 AS recall_micro,
+               CAST(floor(CAST(n_hit AS DOUBLE)/CAST(n_cand AS DOUBLE)*1000000.0) AS BIGINT)
+                 AS precision_micro
+        FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+        ORDER BY rung"""
+      }))
 }

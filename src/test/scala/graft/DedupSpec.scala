@@ -341,4 +341,70 @@ class DedupSpec extends SparkSpec {
     assert(nd > 0.0 && nd < 1.0)
     assert(!j.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
+
+  test("sourceOverlapMatrix: counts match brute force; one heavy pass") {
+    val srcDocs = df("source STRING, text STRING",
+      Row("a", "w1 w2 w3 w4"),        // grams: {w1 w2 w3, w2 w3 w4}
+      Row("a", "w1 w2 w3"),           // duplicate gram within source a
+      Row("b", "w1 w2 w3 x"),         // shares "w1 w2 w3" with a and c
+      Row("c", "w1 w2 w3 w4 y"),      // shares both of a's grams
+      Row("d", "p q r"))              // no overlap with anyone
+    val m = Dedup.sourceOverlapMatrix(srcDocs, "source", "text", n = 3)
+    val rows = m.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // Distinct gram sets: a={w1w2w3, w2w3w4}, b={w1w2w3, w2w3x},
+    // c={w1w2w3, w2w3w4, w3w4y}, d={pqr}.
+    assert(rows(("a", "b")) == ((2L, 2L, 1L, 1.0 / 3.0)))
+    assert(rows(("a", "c")) == ((2L, 3L, 2L, 2.0 / 3.0)))
+    assert(rows(("b", "c")) == ((2L, 3L, 1L, 0.25)))
+    assert(!rows.keySet.exists(p => p._1 == "d" || p._2 == "d"),
+      "a source sharing no gram must not appear")
+    assert(rows.keySet.forall(p => p._1 < p._2))
+    // The checkpoint barrier leaves ZERO shingle work downstream: the
+    // heavy explode+aggregate ran exactly once, at materialization.
+    val plan = m.queryExecution.executedPlan.toString
+    assert(!plan.contains("word_shingles"),
+      s"shingle pipeline must not re-execute downstream:\n$plan")
+  }
+
+  test("minhashCalibration matches the brute-force curve; 6 pairs covered") {
+    val cal = Dedup.minhashCalibration(docs, "doc_id", "text", k = 4, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // Brute-force restatement from the component operators.
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", k = 4, n = 3)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ids = sig.keys.toSeq.sorted
+    val perPair = for {
+      i <- ids; j <- ids if i < j
+      agree = sig(i).zip(sig(j)).count { case (a, b) => a == b }.toLong
+      t = jac.getOrElse((i, j), 0.0)
+    } yield (agree, math.floor(t * 1e6).toLong,
+      math.floor(math.abs(agree / 4.0 - t) * 1e6).toLong)
+    assert(perPair.size == 6, "4 eligible docs -> 6 pairs")
+    val expected = perPair.groupBy(_._1).map { case (a, g) =>
+      a -> (g.size.toLong, g.map(_._2).sum, g.map(_._3).sum, g.map(_._3).max)
+    }
+    assert(cal == expected, s"curve mismatch:\n$cal\n$expected")
+    // The exact dup (1,4) pins the top of the curve: its level carries
+    // a full 1e6 of true-jaccard mass with zero estimator error there.
+    assert(cal(4L)._2 >= 1000000L && perPair.exists(p => p._1 == 4L && p._3 == 0L))
+  }
+
+  test("candidateRecall: exact counts and floored micro ratios") {
+    val truth = df("id1 BIGINT, id2 BIGINT",
+      Row(Long.box(1), Long.box(2)), Row(Long.box(3), Long.box(4)),
+      Row(Long.box(5), Long.box(6)))
+    val cand = df("id1 BIGINT, id2 BIGINT",
+      Row(Long.box(1), Long.box(2)), Row(Long.box(3), Long.box(4)),
+      Row(Long.box(7), Long.box(8)), Row(Long.box(9), Long.box(10)))
+    val r = Dedup.candidateRecall("rung_x", truth, cand).collect()(0)
+    assert(r.getString(0) == "rung_x")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 4L, 2L)))
+    assert(r.getLong(4) == math.floor(2.0 / 3.0 * 1e6).toLong) // 666666
+    assert(r.getLong(5) == 500000L)
+  }
 }
