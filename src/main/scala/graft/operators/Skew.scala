@@ -119,4 +119,35 @@ object Skew {
       df.withColumn(c, lit(null)))
     matchable.unionByName(nullsPadded.select(matchable.columns.map(col): _*))
   }
+
+  /** Sketch-based corpus profile — the 100 TB shape of "how many
+    * distinct tokens / what's the median length per group". Exact
+    * distinct-token counting shuffles every distinct token and exact
+    * medians sort whole partitions; the sketches (HLL++ cardinality,
+    * quantile summary) are one-scan aggregates with small mergeable
+    * per-group state, so the exchange carries O(groups · sketch) bytes
+    * no matter the corpus size. Per group: exact doc count (free on
+    * the same scan), HLL distinct-token estimate over word tokens of
+    * `body`, and the approximate median of `lenCol`.
+    *
+    * Two scans by necessity (doc-level stats vs token-level
+    * cardinality — the explode changes the row universe), joined on
+    * the group key: a broadcast of one tiny side. Accuracy is a
+    * CONTRACT, not a hope: q112 gates `rsd` (±3σ) and the quantile
+    * error against exact recomputation in the oracle, the same
+    * measured-accuracy posture as the ANN/dedup recall gates.
+    */
+  def sketchProfile(docs: DataFrame, groupCol: String, body: String,
+      lenCol: String, rsd: Double = 0.05, pctAccuracy: Int = 10000): DataFrame = {
+    val docAgg = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col(lenCol), lit(0.5), lit(pctAccuracy))
+          .as("p50_len_approx"))
+    val tokAgg = docs
+      .select(col(groupCol),
+        explode(graft.functions.TextFunctions.words(col(body))).as("__w"))
+      .groupBy(col(groupCol))
+      .agg(approx_count_distinct(col("__w"), rsd).as("n_tok_approx"))
+    docAgg.join(tokAgg, Seq(groupCol))
+  }
 }

@@ -1374,5 +1374,60 @@ object TextOps {
                        THEN 'val'
                      ELSE 'test' END AS split
               FROM documents)
-        GROUP BY split ORDER BY split""")))
+        GROUP BY split ORDER BY split""")),
+
+    // ---- sketch-accuracy gate: HLL++ and quantile summaries -------------
+    // The 100 TB profiling path runs on sketches (approx_count_distinct,
+    // percentile_approx), not exact aggregates — this gate pins each
+    // sketch against exact recomputation, per source: the HLL token
+    // cardinality must sit within its ±3σ advertised bound (rsd 0.05 →
+    // 15%) and the approximate median within 5% (or ±1) of the true
+    // discrete median. The oracle recomputes the exact numbers and
+    // asserts the contract booleans — the same measured-accuracy
+    // posture as the ANN (q57...) and dedup (q111) recall gates, for
+    // the sketch tier. Both sketches are order-independent at gate
+    // sizes (HLL registers are max-merged; the quantile summary stays
+    // uncompressed below its accuracy window), so the booleans are
+    // deterministic.
+    QueryDef("q112_sketch_profile",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val prof = graft.operators.Skew.sketchProfile(
+          d, "source", "text", "n_chars", rsd = 0.05, pctAccuracy = 10000)
+        val exactDoc = d.groupBy("source").agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+            .cast("long").as("p50_chars"))
+        val exactTok = d
+          .select(col("source"), explode(words(col("text"))).as("__w"))
+          .groupBy("source")
+          .agg(countDistinct(col("__w")).as("n_tok_exact"))
+        prof.join(exactDoc, Seq("source")).join(exactTok, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_tok_exact"),
+            col("p50_chars"),
+            (abs(col("n_tok_approx").cast("double") -
+                col("n_tok_exact").cast("double"))
+              <= lit(0.15) * col("n_tok_exact").cast("double")).as("hll_ok"),
+            (abs(col("p50_len_approx").cast("double") -
+                col("p50_chars").cast("double"))
+              <= greatest(lit(1.0),
+                lit(0.05) * col("p50_chars").cast("double"))).as("p50_ok"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, count(DISTINCT w) AS n_tok_exact
+          FROM (SELECT source, unnest(string_split(text,' ')) AS w
+                FROM documents)
+          GROUP BY 1),
+        r1 AS (SELECT source, n_chars,
+                 row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+                 count(*) OVER (PARTITION BY source) AS c
+               FROM documents),
+        doc AS (SELECT source, max(c) AS n_docs,
+                  max(CASE WHEN rn <= ceil(c * 0.5) THEN n_chars END) AS p50_chars
+                FROM r1 GROUP BY 1)
+        SELECT d.source, d.n_docs, t.n_tok_exact, d.p50_chars,
+               true AS hll_ok, true AS p50_ok
+        FROM doc d JOIN tok t ON t.source = d.source
+        ORDER BY d.source""")))
 }

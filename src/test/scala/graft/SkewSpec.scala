@@ -94,4 +94,25 @@ class SkewSpec extends SparkSpec {
     assert(rowSet(routed) == rowSet(plain))
     assert(routed.count() == 2)
   }
+
+  test("sketchProfile: HLL within rsd bound, small-group median exact") {
+    // 3 docs in g1 (distinct tokens t1..t5; lengths 10, 20, 30 ->
+    // discrete median 20), 1 doc in g2.
+    val docs = df("g STRING, text STRING, len BIGINT",
+      Row("g1", "t1 t2 t3", Long.box(10)),
+      Row("g1", "t2 t3 t4", Long.box(20)),
+      Row("g1", "t4 t5", Long.box(30)),
+      Row("g2", "x1 x2", Long.box(7)))
+    val p = Skew.sketchProfile(docs, "g", "text", "len", rsd = 0.05)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(p("g1")._1 == 3L && p("g2")._1 == 1L)
+    // Below the accuracy window the quantile summary holds every value:
+    // the approximate median IS the discrete median.
+    assert(p("g1")._2 == 20L && p("g2")._2 == 7L)
+    // HLL at these cardinalities sits far inside the ±3σ (15%) bound
+    // the q112 gate enforces.
+    assert(math.abs(p("g1")._3 - 5L) <= 1L, s"g1 hll=${p("g1")._3}")
+    assert(math.abs(p("g2")._3 - 2L) <= 1L, s"g2 hll=${p("g2")._3}")
+  }
 }
