@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   import org.apache.spark.sql.functions._
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
@@ -23,6 +23,14 @@ object Tables {
     if (name == "events" && df.schema.fieldNames.contains("ts") &&
         df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Some generator versions emit ts as parquet TIMESTAMP_NTZ (naive wall
+    // clock). The session timezone is pinned to UTC (Engine.builder), so the
+    // cast maps wall time → the identical instant, matching DuckDB's
+    // epoch_ms(naive_ts) — and restores TIMESTAMP inputs for functions like
+    // unix_millis that reject NTZ.
+    else if (name == "events" && df.schema.fieldNames.contains("ts") &&
+        df.schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 }
