@@ -32,13 +32,23 @@ object AsofJoin {
     * @param rightTime  effective-time column on `right`
     * @param valueCols  right columns to carry (default: all non-key,
     *                   non-time columns)
-    * @param tolerance  max lookback in the time column's units; None =
-    *                   unbounded
+    * @param tolerance  max time distance in the time column's units
+    *                   (inclusive); None = unbounded
+    * @param direction  `backward` (latest right ≤ t, the default),
+    *                   `forward` (earliest right ≥ t), or `nearest`
+    *                   (closer of the two; exact tie → backward, the
+    *                   pandas merge_asof convention). Forward/nearest
+    *                   add a second within-partition sort (opposite
+    *                   tie order), never a second shuffle — both
+    *                   windows share the key partitioning.
     */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       valueCols: Seq[String] = Nil,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asof direction must be backward|forward|nearest, got '$direction'")
     val values =
       if (valueCols.nonEmpty) valueCols
       else right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
@@ -58,28 +68,58 @@ object AsofJoin {
         leftCols.filterNot(keys.contains).map(col): _*)
 
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    // Carry the latest right ROW as one struct (never per-column): the
+    // Carry the matched right ROW as one struct (never per-column): the
     // match must be the whole most-recent right row even when some of
     // its value columns are null — per-column last_value(ignoreNulls)
     // would stitch values from DIFFERENT rows and leak data older than
     // the tolerance.
     val rightRow = when(col("__side") === 0,
       struct(col("__ts").as("__rts") +: values.map(c => col(s"__v_$c")): _*))
-    val carried = unioned.withColumn("__asof",
-      last(rightRow, ignoreNulls = true).over(w))
 
-    val withinTolerance = tolerance match {
-      case Some(t) => col("__asof").isNotNull &&
-        (col("__ts").cast("long") -
-          col("__asof").getField("__rts").cast("long")) <= t
-      case None => lit(true)
+    // Backward: right rows sort BEFORE left rows at the same instant
+    // (side 0 < 1) so a right row effective AT the event time is
+    // visible in the trailing frame. Forward mirrors it: left first at
+    // equal instants, leading frame.
+    val wBack = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val carried = direction match {
+      case "backward" => unioned
+        .withColumn("__back", last(rightRow, ignoreNulls = true).over(wBack))
+      case "forward" => unioned
+        .withColumn("__fwd", first(rightRow, ignoreNulls = true).over(wFwd))
+      case "nearest" => unioned
+        .withColumn("__back", last(rightRow, ignoreNulls = true).over(wBack))
+        .withColumn("__fwd", first(rightRow, ignoreNulls = true).over(wFwd))
+    }
+
+    val lts = col("__ts").cast("long")
+    def okBack(c: Column): Column = tolerance match {
+      case Some(t) => c.isNotNull && (lts - c.getField("__rts").cast("long")) <= t
+      case None => c.isNotNull
+    }
+    def okFwd(c: Column): Column = tolerance match {
+      case Some(t) => c.isNotNull && (c.getField("__rts").cast("long") - lts) <= t
+      case None => c.isNotNull
+    }
+    val chosen = direction match {
+      case "backward" => when(okBack(col("__back")), col("__back"))
+      case "forward" => when(okFwd(col("__fwd")), col("__fwd"))
+      case "nearest" =>
+        val distBack = lts - col("__back").getField("__rts").cast("long")
+        val distFwd = col("__fwd").getField("__rts").cast("long") - lts
+        val bOk = okBack(col("__back"))
+        val fOk = okFwd(col("__fwd"))
+        when(bOk && (!fOk || distBack <= distFwd), col("__back"))
+          .when(fOk, col("__fwd"))
     }
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ values.map(c =>
-        when(withinTolerance, col("__asof").getField(s"__v_$c")).as(c)): _*)
+        chosen.getField(s"__v_$c").as(c)): _*)
   }
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.functions.expressions.BloomMightContain
+
+/** Semi-join reduction via a bloom runtime filter — the standard lever
+  * for the 100 TB join where the dim side is too big to broadcast-join
+  * but its KEY SET summarizes into a few MB.
+  *
+  * Shape: one pass over the dim keys builds the filter distributively
+  * (`df.stat.bloomFilter` → per-partition sketches, treeAggregate
+  * merge — no key list ever lands on the driver), the probe expression
+  * rides down to the fact scan and drops non-joining rows BEFORE the
+  * shuffle, then the equi-join runs on the surviving fraction. With a
+  * selective dim, the shuffle shrinks by orders of magnitude; false
+  * positives (rate `fpp`) pass the pre-filter and are removed by the
+  * join itself, so results are exactly the plain join's.
+  *
+  * Only join types where dropping provably-unmatched FACT rows is
+  * sound are accepted: `inner`, `left_semi`, and `right` (the fact is
+  * the left/stream side in all three). An outer type that must keep
+  * unmatched fact rows would change results — rejected loudly.
+  */
+object BloomJoin {
+
+  private val sound = Set("inner", "left_semi", "leftsemi", "right",
+    "right_outer", "rightouter")
+
+  /** Build a bloom filter over `dim`'s join-key column. `expectedItems`
+    * is a capacity hint (distinct keys); oversizing costs bits, not
+    * correctness. One distributed aggregate, driver holds only the
+    * merged bitmap.
+    */
+  def buildKeyFilter(dim: DataFrame, dimKey: String,
+      expectedItems: Long, fpp: Double = 0.01): BloomFilter =
+    dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+
+  /** Probe column: true/false = maybe/definitely-not in the key set;
+    * null key → null (matches equi-join semantics under a filter).
+    */
+  def mightContain(bloom: BloomFilter, key: Column): Column =
+    ColumnBridge.columnOf(BloomMightContain(ColumnBridge.exprOf(key), bloom))
+
+  /** `fact ⋈ dim` with the fact side pre-reduced by a bloom over the
+    * dim keys. Result is EXACTLY the plain join (the join clears the
+    * filter's false positives); only the shuffled volume changes.
+    */
+  def reduceJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, joinType: String = "inner",
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(sound.exists(_.replace("_", "") == jt),
+      s"bloom reduction drops fact rows pre-join; unsound for '$joinType' " +
+        "(allowed: inner, left_semi, right_outer)")
+    val bloom = buildKeyFilter(dim, dimKey, expectedItems, fpp)
+    fact.filter(mightContain(bloom, fact(factKey)))
+      .join(dim, fact(factKey) === dim(dimKey), joinType)
+  }
+}

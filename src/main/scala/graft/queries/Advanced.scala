@@ -185,6 +185,51 @@ object Advanced {
           ON ev.user_id = q.user_id AND ev.ms >= q.ms
         ORDER BY ev.event_id""")),
 
+    // ---- AS-OF join directions: forward + nearest, with tolerance ------
+    // Same construction as q75 but exercising the two non-default
+    // directions under a 10-minute tolerance. The oracle runs DuckDB's
+    // native ASOF with the inequality flipped for forward, and derives
+    // nearest from both candidates with the same tie rule (exact tie →
+    // backward, the pandas merge_asof convention).
+    QueryDef("q116_asof_directions",
+      (s, dir) => {
+        val ev = eventsMs(s, dir)
+        val quotes = ev.filter(col("event_id") % 20 === 0)
+          .select(col("user_id"), col("ms"), col("value").as("quote"))
+        val left = ev.select("event_id", "user_id", "ms")
+        val fwd = AsofJoin.asof(left, quotes,
+            keys = Seq("user_id"), leftTime = "ms", rightTime = "ms",
+            tolerance = Some(600000L), direction = "forward")
+          .select(col("event_id"), col("user_id"),
+            col("quote").as("fwd_quote"))
+        val near = AsofJoin.asof(left, quotes,
+            keys = Seq("user_id"), leftTime = "ms", rightTime = "ms",
+            tolerance = Some(600000L), direction = "nearest")
+          .select(col("event_id"), col("quote").as("nearest_quote"))
+        fwd.join(near, "event_id")
+          .select("event_id", "user_id", "fwd_quote", "nearest_quote")
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, value FROM events),
+        q AS (SELECT user_id, ms, value AS quote FROM ev WHERE event_id % 20 = 0),
+        b AS (SELECT ev.event_id, ev.user_id, ev.ms, q.ms AS bms, q.quote AS bq
+              FROM ev ASOF LEFT JOIN q
+                ON ev.user_id = q.user_id AND ev.ms >= q.ms),
+        f AS (SELECT ev.event_id, q.ms AS fms, q.quote AS fq
+              FROM ev ASOF LEFT JOIN q
+                ON ev.user_id = q.user_id AND ev.ms <= q.ms)
+        SELECT b.event_id, b.user_id,
+               CASE WHEN fms IS NOT NULL AND fms - ms <= 600000
+                    THEN fq END AS fwd_quote,
+               CASE WHEN bms IS NOT NULL AND ms - bms <= 600000
+                         AND (fms IS NULL OR fms - ms > 600000
+                              OR ms - bms <= fms - ms) THEN bq
+                    WHEN fms IS NOT NULL AND fms - ms <= 600000 THEN fq
+               END AS nearest_quote
+        FROM b JOIN f USING (event_id)
+        ORDER BY event_id""")),
+
     // ---- range (band) join: value → band dimension ---------------------
     // Bands are tiny ⇒ broadcast nested-loop, the sane physical plan for
     // an inequality join.

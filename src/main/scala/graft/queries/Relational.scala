@@ -473,5 +473,35 @@ object Relational {
                        ORDER BY c.cnt DESC, c.value ASC NULLS FIRST) AS rk
               FROM c JOIN tt USING (key_col))
         SELECT key_col, value, cnt, frac FROM r
-        WHERE rk <= 5 ORDER BY key_col, cnt DESC, value""")))
+        WHERE rk <= 5 ORDER BY key_col, cnt DESC, value""")),
+
+    // ---- bloom-reduced join ≡ plain join (runtime-filter, gate-proven) --
+    // The 100 TB semi-join reduction: a distributed bloom over the
+    // selective dim's keys rides to the fact scan and drops non-joining
+    // rows BEFORE the shuffle; the join clears the bloom's false
+    // positives, so the oracle is simply the plain join. Companion to
+    // q43 (salting) in the join-hardening family; the operator itself is
+    // graft.operators.BloomJoin, probe expression BloomMightContain
+    // (native, stays in whole-stage codegen).
+    QueryDef("q113_bloom_join",
+      (s, dir) => {
+        val dim = t(s, dir, "supplier")
+          .filter(col("s_nationkey") < 3)
+          .select(col("s_suppkey"), col("s_name"))
+        val fact = t(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_extendedprice"))
+        graft.operators.BloomJoin.reduceJoin(
+            fact, dim, "l_suppkey", "s_suppkey", expectedItems = 10000L)
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("n"),
+            graft.functions.ColumnLib.exactSum(col("l_extendedprice"))
+              .as("sum_price"))
+          .orderBy("s_name")
+      },
+      Some("""
+        SELECT s_name, count(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey < 3
+        GROUP BY 1 ORDER BY 1""")))
 }

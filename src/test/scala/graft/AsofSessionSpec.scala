@@ -59,6 +59,64 @@ class AsofSessionSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("sym", "t", "qty", "px"))
   }
 
+  private def px(d: org.apache.spark.sql.DataFrame): Map[(String, Long), Any] =
+    d.collect().map(r => (r.getString(0), r.getLong(1)) ->
+      (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+
+  test("asof forward: earliest at-or-after match per key") {
+    val out = px(AsofJoin.asof(trades, quotes, Seq("sym"), "t", "t",
+      direction = "forward"))
+    assert(out(("A", 100L)) == 10.0, "tie at the same instant matches")
+    assert(out(("A", 50L)) == 10.0, "earliest later quote wins")
+    assert(out(("A", 205L)) == null, "nothing after → null")
+    assert(out(("B", 100L)) == null)
+  }
+
+  test("asof forward honors tolerance") {
+    val out = px(AsofJoin.asof(trades, quotes, Seq("sym"), "t", "t",
+      direction = "forward", tolerance = Some(40L)))
+    assert(out(("A", 50L)) == null, "gap 50 > 40 → voided")
+    assert(out(("A", 100L)) == 10.0)
+  }
+
+  test("asof nearest: closer side wins; exact tie → backward") {
+    // trade t=150 sits exactly between quotes at 100 and 200.
+    val tr = df("sym STRING, t BIGINT",
+      Row("A", Long.box(150)), Row("A", Long.box(160)), Row("A", Long.box(140)))
+    val out = tr.transform(l =>
+        AsofJoin.asof(l, quotes, Seq("sym"), "t", "t", direction = "nearest"))
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(out(150L) == 10.0, "exact tie picks the backward match")
+    assert(out(160L) == 20.0, "forward closer")
+    assert(out(140L) == 10.0, "backward closer")
+  }
+
+  test("asof nearest falls back across tolerance asymmetrically") {
+    // backward gap 55 (too old), forward gap 50 (within) → forward.
+    val tr = df("sym STRING, t BIGINT", Row("A", Long.box(155)))
+    val out = px2(AsofJoin.asof(tr, quotes, Seq("sym"), "t", "t",
+      direction = "nearest", tolerance = Some(50L)))
+    assert(out(155L) == 20.0)
+    // neither side in tolerance → null.
+    val far = px2(AsofJoin.asof(
+      df("sym STRING, t BIGINT", Row("A", Long.box(260))),
+      quotes, Seq("sym"), "t", "t",
+      direction = "nearest", tolerance = Some(10L)))
+    assert(far(260L) == null)
+  }
+
+  private def px2(d: org.apache.spark.sql.DataFrame): Map[Long, Any] =
+    d.collect().map(r => r.getLong(1) ->
+      (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+
+  test("asof rejects unknown directions") {
+    intercept[IllegalArgumentException] {
+      AsofJoin.asof(trades, quotes, Seq("sym"), "t", "t",
+        direction = "sideways")
+    }
+  }
+
   test("sessionize splits on gaps strictly greater than gapMs") {
     val ev = df("u STRING, t BIGINT",
       Row("x", Long.box(0)), Row("x", Long.box(100)),   // session 0
