@@ -674,6 +674,83 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings coarsely, then prune
+    * near-duplicates WITHIN clusters only — the recipe that makes
+    * semantic dedup tractable at corpus scale because the quadratic
+    * pair stage runs per cluster (Σ|cluster|², never n²; cluster count
+    * is the cost knob, grown with the corpus).
+    *
+    * Deterministic formulation, oracle-portable end to end:
+    *  1. clusters = sign-LSH buckets over `bucketPairs` (the same
+    *     per-row, zero-shuffle coarse quantizer the ANN family uses;
+    *     a learned k-means assignment drops in unchanged);
+    *  2. per-cluster centroid = decimal-exact per-dimension mean on
+    *     the 1e-9 grid, carried as FLOAT (bit-identical across
+    *     engines);
+    *  3. every member scores `sim_centroid` = 1e-9-rounded decimal
+    *     cosine to its centroid; keep-priority within a cluster is
+    *     LOWEST sim first (SemDeDup keeps the member least like the
+    *     centroid — the most informative representative), id
+    *     tiebreak;
+    *  4. near-dup pairs = within-cluster pairs with rounded cosine
+    *     ≥ `eps`; every pair drops its lower-priority member (the
+    *     one-pass dominance rule: a member survives iff NO
+    *     higher-priority near-duplicate exists in its cluster —
+    *     order-free, so it needs no sequential greedy scan).
+    *
+    * Zero-norm / null vectors carry no direction and are excluded up
+    * front (both engines identically). Returns the SURVIVORS:
+    * (id, cluster, sim_centroid).
+    */
+  def semDedup(vecs: DataFrame, id: String, vecCol: String,
+      bucketPairs: Seq[(Int, Int)], eps: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    val D = DecimalType(38, 18)
+    def dotExact(a: Column, b: Column): Column = call_function("dot_exact", a, b)
+    val b = Similarity.signLshBuckets(vecs.select(col(id), col(vecCol)),
+        vecCol, bucketPairs)
+      .select(col(id), col("bucket"), col(vecCol).as("__v"),
+        dotExact(col(vecCol), col(vecCol)).as("__nn"))
+      .filter(col("__nn") > 0)
+    val cent = b
+      .select(col("bucket"), posexplode(col("__v")).as(Seq("pos", "vf")))
+      .select(col("bucket"), col("pos"), col("vf").cast(DoubleType).as("v"))
+      .groupBy("bucket", "pos")
+      .agg(round(sum(col("v").cast(D)).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType), 9).cast(FloatType).as("c"))
+      .groupBy("bucket")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("__p"))
+      .select(col("bucket"),
+        transform(col("__p"), p => p.getField("c")).as("__cent"))
+    // Centroids are one row per cluster — broadcast, no shuffle of the
+    // member table. A zero-norm centroid (all dims average to exactly 0
+    // on the grid) yields a null sim; NULLS FIRST keeps the rule total.
+    val withSim = b.join(broadcast(
+        cent.withColumn("__cnn", dotExact(col("__cent"), col("__cent")))),
+        "bucket")
+      .withColumn("sim_centroid",
+        when(col("__cnn") > 0,
+          round(dotExact(col("__v"), col("__cent")) /
+            (sqrt(col("__nn")) * sqrt(col("__cnn"))), 9)))
+    val ranked = withSim.withColumn("__rk", row_number().over(
+      Window.partitionBy(col("bucket"))
+        .orderBy(col("sim_centroid").asc_nulls_first, col(id).asc)))
+    val nearDup = ranked.alias("a").join(ranked.alias("c"),
+        col("a.bucket") === col("c.bucket") && col(s"a.$id") < col(s"c.$id"))
+      .select(col(s"a.$id").as("id1"), col(s"c.$id").as("id2"),
+        col("a.__rk").as("rk1"), col("c.__rk").as("rk2"),
+        round(dotExact(col("a.__v"), col("c.__v")) /
+          (sqrt(col("a.__nn")) * sqrt(col("c.__nn"))), 9).as("cosine"))
+      .filter(col("cosine") >= eps)
+    val dropped = nearDup.select(
+      when(col("rk1") < col("rk2"), col("id2")).otherwise(col("id1")).as(id))
+      .distinct()
+    ranked.join(dropped, Seq(id), "left_anti")
+      .select(col(id), col("bucket").as("cluster"), col("sim_centroid"))
+  }
+
   /** Interpreted zip_with/aggregate restatement of the decimal-exact dot
     * product — the independent formulation the native `dot_exact`
     * expression is spec-verified against. The merge re-casts to D

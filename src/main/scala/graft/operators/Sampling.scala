@@ -230,6 +230,62 @@ object Sampling {
     * their own group (null-safe join), like everywhere else in this
     * module.
     */
+  /** DSIR-style hashed-n-gram importance log-weights (Xie et al. 2023,
+    * arXiv:2302.03169): score every document by how much more likely
+    * its features are under a TARGET distribution than under the raw
+    * corpus — the data-selection step that tilts a pre-training mix
+    * toward a domain without training a classifier.
+    *
+    * Features are word unigrams + bigrams hashed into 256 buckets
+    * (`substr(md5(tagged_gram), 1, 2)` — a string bucket, restatable
+    * in any engine with md5; the `u:`/`b:` tags keep a unigram from
+    * colliding with the identical bigram). Both bucket distributions
+    * come out of ONE corpus scan (the target is a subset of the raw
+    * corpus, so its counts are a conditional sum in the same
+    * aggregate). Laplace-smoothed log-probs are quantized to integer
+    * micro-nats exactly as the LM gates do (q64/q105): a floating sum
+    * over grams would be order-dependent — the per-bucket weight
+    * `lp_fp - lq_fp` is an exact integer, the per-doc score an exact
+    * integer dot of (count × weight).
+    *
+    * Scale shape: gram stream is the native zero-shuffle
+    * `word_shingles` path; per-bucket aggregation collapses map-side
+    * to ≤ 256 rows per mapper; the weight table (≤ 256 rows)
+    * broadcasts back; per-doc scoring is one (doc, bucket) aggregate.
+    * Returns (id, n_feats, log_weight) per document — selection (top-k
+    * or threshold) composes downstream.
+    */
+  def dsirLogWeights(docs: DataFrame, id: String, body: String,
+      isTarget: Column): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val nBuckets = 256
+    val feats = docs.select(col(id), isTarget.as("__tgt"),
+        explode(concat(
+          transform(words(col(body)), w => concat(lit("u:"), w)),
+          transform(call_function("word_shingles", words(col(body)), lit(2)),
+            g => concat(lit("b:"), g)))).as("__f"))
+      .select(col(id), col("__tgt"),
+        substring(md5(col("__f")), 1, 2).as("__b"))
+    val dist = feats.groupBy("__b").agg(
+      count(lit(1)).as("__nraw"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ntgt"))
+    val totals = dist.agg(sum("__nraw").as("__traw"), sum("__ntgt").as("__ttgt"))
+    val w = dist.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (round(log((col("__ntgt") + lit(1.0)) /
+            (col("__ttgt") + lit(nBuckets.toDouble))) * lit(1e6)).cast("long") -
+          round(log((col("__nraw") + lit(1.0)) /
+            (col("__traw") + lit(nBuckets.toDouble))) * lit(1e6)).cast("long"))
+          .as("__w_fp"))
+    feats.groupBy(col(id), col("__b")).agg(count(lit(1)).as("__n"))
+      .join(broadcast(w), "__b")
+      .groupBy(col(id))
+      .agg(sum("__n").as("n_feats"),
+        sum(col("__n") * col("__w_fp")).as("__s"))
+      .select(col(id), col("n_feats"),
+        round(col("__s").cast("double") / lit(1e6), 9).as("log_weight"))
+  }
+
   def sqrtFlattenSample(df: DataFrame, keyCol: String, groupCol: String,
       salt: String): DataFrame = {
     val nC = graft.functions.ColumnLib.freeColumn(df, "__n")

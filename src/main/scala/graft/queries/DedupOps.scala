@@ -754,5 +754,70 @@ object DedupOps {
                  AS precision_micro
         FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
         ORDER BY rung"""
+      }),
+
+    // ---- SemDeDup: cluster-then-prune semantic dedup --------------------
+    // The scale recipe for embedding dedup (Abbas et al. 2023): the
+    // quadratic pair stage runs only WITHIN coarse clusters, keep-rule
+    // is least-like-centroid-first. Oracle restates the whole chain —
+    // sign buckets, decimal-grid float centroids, 1e-9-rounded decimal
+    // cosines, the dominance drop — declaratively. Survivors only.
+    QueryDef("q114_semdedup",
+      (s, dir) => {
+        graft.operators.Dedup.semDedup(
+            Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+            graft.operators.Similarity.defaultPairs, eps = 0.15)
+          .orderBy("vec_id")
+      },
+      Some {
+        val bucket = graft.operators.Similarity.defaultPairs.map { case (i, j) =>
+          s"CASE WHEN m.embedding[$i] > m.embedding[$j] THEN '1' ELSE '0' END"
+        }.mkString(" || ")
+        s"""
+        WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                          generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings),
+        vn AS (SELECT vec_id, CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+               FROM e GROUP BY 1),
+        b AS (SELECT m.vec_id, $bucket AS cluster
+              FROM embeddings m JOIN vn ON vn.vec_id = m.vec_id AND vn.nn > 0),
+        c AS (SELECT b.cluster, e.pos,
+                     CAST(round(CAST(SUM(CAST(e.v AS DECIMAL(38,18))) AS DOUBLE)
+                       / count(*), 9) AS REAL) AS cf
+              FROM e JOIN b USING (vec_id) GROUP BY 1, 2),
+        cd AS (SELECT cluster, pos, CAST(cf AS DOUBLE) AS c FROM c),
+        cn AS (SELECT cluster, CAST(SUM(CAST(c*c AS DECIMAL(38,18))) AS DOUBLE) AS nn
+               FROM cd GROUP BY 1),
+        dd AS (SELECT b.vec_id, b.cluster,
+                      CAST(SUM(CAST(e.v*cd.c AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM b JOIN e USING (vec_id)
+               JOIN cd ON cd.cluster = b.cluster AND cd.pos = e.pos
+               GROUP BY 1, 2),
+        sc AS (SELECT dd.vec_id, dd.cluster,
+                      CASE WHEN cn.nn > 0
+                           THEN round(dd.dot/(sqrt(vn.nn)*sqrt(cn.nn)), 9)
+                      END AS sim_centroid
+               FROM dd JOIN vn USING (vec_id) JOIN cn USING (cluster)),
+        pr AS (SELECT vec_id, cluster, sim_centroid,
+                      row_number() OVER (PARTITION BY cluster
+                        ORDER BY sim_centroid ASC NULLS FIRST, vec_id) AS rk
+               FROM sc),
+        pd AS (SELECT a.vec_id AS id1, c2.vec_id AS id2,
+                      CAST(SUM(CAST(e1.v*e2.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM b a JOIN b c2 ON a.cluster = c2.cluster
+                                 AND a.vec_id < c2.vec_id
+               JOIN e e1 ON e1.vec_id = a.vec_id
+               JOIN e e2 ON e2.vec_id = c2.vec_id AND e2.pos = e1.pos
+               GROUP BY 1, 2),
+        nd AS (SELECT id1, id2 FROM pd
+               JOIN vn n1 ON n1.vec_id = id1 JOIN vn n2 ON n2.vec_id = id2
+               WHERE round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) >= 0.15),
+        dropped AS (SELECT DISTINCT CASE WHEN p1.rk < p2.rk THEN nd.id2
+                                         ELSE nd.id1 END AS vec_id
+                    FROM nd JOIN pr p1 ON p1.vec_id = nd.id1
+                            JOIN pr p2 ON p2.vec_id = nd.id2)
+        SELECT vec_id, cluster, sim_centroid FROM pr
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        ORDER BY vec_id"""
       }))
 }

@@ -503,5 +503,51 @@ object Relational {
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         WHERE s_nationkey < 3
-        GROUP BY 1 ORDER BY 1""")))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- z-order layout: multi-dim clustering stats (gate-proven) -------
+    // The data-skipping layout lever (graft.operators.ZOrder): bucket
+    // (l_suppkey, l_partkey) to 8 bits each, interleave to a 16-bit
+    // Morton value, split the z-space into 16 fixed ranges (z >> 12 —
+    // deterministic, unlike sampling-based repartitionByRange, hence
+    // gateable), and emit per-range min/max of BOTH dims: every range
+    // covers ~1/4 of each dimension — the tight per-file stats a
+    // z-clustered write gives a scan to prune on. The oracle restates
+    // bucket + interleave bit-by-bit with integer shifts.
+    QueryDef("q117_zorder_layout",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_partkey"))
+        graft.operators.ZOrder.withZValue(
+            li, Seq("l_suppkey", "l_partkey"), bits = 8, zCol = "__z")
+          .select(col("l_suppkey"), col("l_partkey"),
+            shiftright(col("__z"), 12).as("pid"))
+          .groupBy("pid")
+          .agg(count(lit(1)).as("n"),
+            min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"),
+            min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
+          .orderBy("pid")
+      },
+      Some {
+        def bucket(c: String, mn: String, mx: String): String =
+          s"""CASE WHEN $mx <= $mn THEN 0
+              ELSE CAST(floor((CAST($c AS DOUBLE) - CAST($mn AS DOUBLE)) * 255.0
+                / (CAST($mx AS DOUBLE) - CAST($mn AS DOUBLE))) AS BIGINT) END"""
+        val terms = (for {
+          i <- 0 until 8
+          (d, b) <- Seq(0 -> "bs", 1 -> "bp")
+        } yield s"((($b >> $i) & 1) << ${i * 2 + d})").mkString(" + ")
+        s"""
+        WITH bd AS (SELECT min(l_suppkey) AS mns, max(l_suppkey) AS mxs,
+                           min(l_partkey) AS mnp, max(l_partkey) AS mxp
+                    FROM lineitem),
+        zb AS (SELECT l_suppkey, l_partkey,
+                      ${bucket("l_suppkey", "mns", "mxs")} AS bs,
+                      ${bucket("l_partkey", "mnp", "mxp")} AS bp
+               FROM lineitem, bd),
+        z AS (SELECT l_suppkey, l_partkey, ($terms) >> 12 AS pid FROM zb)
+        SELECT pid, count(*) AS n,
+               min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp,
+               min(l_partkey) AS min_part, max(l_partkey) AS max_part
+        FROM z GROUP BY 1 ORDER BY 1"""
+      }))
 }

@@ -1429,5 +1429,56 @@ object TextOps {
         SELECT d.source, d.n_docs, t.n_tok_exact, d.p50_chars,
                true AS hll_ok, true AS p50_ok
         FROM doc d JOIN tok t ON t.source = d.source
-        ORDER BY d.source""")))
+        ORDER BY d.source""")),
+
+    // ---- DSIR importance weighting: domain-targeted selection (q115) ----
+    // Hashed-n-gram importance log-weights against a target domain
+    // (sources src0/src1), top-100 selection — the classifier-free
+    // data-selection recipe. Distributions, smoothing, and micro-nat
+    // quantization are restated declaratively in the oracle; the
+    // integer per-doc dot makes the score order-free and
+    // engine-portable (q64's discipline).
+    QueryDef("q115_dsir_weights",
+      (s, dir) => {
+        val d = docs(s, dir)
+        graft.operators.Sampling.dsirLogWeights(d, "doc_id", "text",
+            col("source").isin("src0", "src1"))
+          .join(d.select("doc_id", "source"), "doc_id")
+          .select(col("doc_id"), col("source"), col("n_feats"),
+            col("log_weight"))
+          .orderBy(col("log_weight").desc, col("doc_id"))
+          .limit(100)
+      },
+      Some("""
+        WITH l AS (SELECT doc_id, source, string_split(text,' ') AS l
+                   FROM documents),
+        f AS (
+          SELECT doc_id, source, substr(md5('u:'||w),1,2) AS b
+          FROM (SELECT doc_id, source, unnest(l) AS w FROM l)
+          UNION ALL
+          SELECT doc_id, source, substr(md5('b:'||g),1,2)
+          FROM (SELECT doc_id, source,
+                  unnest(list_transform(range(1, len(l)),
+                         i -> l[i]||' '||l[i+1])) AS g
+                FROM l)),
+        r AS (SELECT b, CAST(count(*) AS BIGINT) AS nraw,
+                     CAST(sum(CASE WHEN source IN ('src0','src1')
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS ntgt
+              FROM f GROUP BY 1),
+        t AS (SELECT CAST(sum(nraw) AS BIGINT) AS traw,
+                     CAST(sum(ntgt) AS BIGINT) AS ttgt FROM r),
+        w AS (SELECT b,
+                CAST(round(ln((ntgt+1.0)/(ttgt+256.0))*1000000) AS BIGINT) -
+                CAST(round(ln((nraw+1.0)/(traw+256.0))*1000000) AS BIGINT)
+                  AS w_fp
+              FROM r, t),
+        dt AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+               FROM f GROUP BY 1, 2),
+        sc AS (SELECT dt.doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+                      CAST(sum(n*w_fp) AS BIGINT) AS s
+               FROM dt JOIN w USING (b) GROUP BY 1)
+        SELECT sc.doc_id, d.source, sc.n_feats,
+               round(CAST(s AS DOUBLE)/1000000.0, 9) AS log_weight
+        FROM sc JOIN documents d USING (doc_id)
+        ORDER BY log_weight DESC, doc_id LIMIT 100""")))
 }

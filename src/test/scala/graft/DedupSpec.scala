@@ -407,4 +407,63 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(4) == math.floor(2.0 / 3.0 * 1e6).toLong) // 666666
     assert(r.getLong(5) == 500000L)
   }
+
+  // ---- semDedup -------------------------------------------------------
+
+  private def vecRow(id: Long, v: Double*): Row =
+    Row(Long.box(id), v.map(_.toFloat))
+
+  // Bucket "1111" (every odd dim > its even neighbor): a trio of
+  // near-identical vectors + one orthogonal-ish vector; a zero vector;
+  // and a near-copy of the trio shape in bucket "0111" (first pair
+  // swapped).
+  private lazy val semVecs = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+    vecRow(1, 2, 1, 2, 1, 2, 1, 2, 1.0),
+    vecRow(2, 2, 1, 2, 1, 2, 1, 2, 1.1),
+    vecRow(3, 2, 1, 2, 1, 2, 1, 2, 0.9),
+    vecRow(4, 1, -2, 1, -2, 1, -2, 1, -2),
+    vecRow(5, 0, 0, 0, 0, 0, 0, 0, 0),
+    vecRow(6, 1, 2, 2, 1, 2, 1, 2, 1))
+
+  test("semDedup: prunes within-cluster near-dups, keeps one representative") {
+    val out = Dedup.semDedup(semVecs, "vec_id", "embedding",
+      graft.operators.Similarity.defaultPairs, eps = 0.5)
+    val byId = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // zero vector excluded entirely
+    assert(!byId.contains(5L))
+    // orthogonal vector (cos ~0 to the trio) survives in its bucket
+    assert(byId.contains(4L))
+    // exactly one of the near-identical trio survives
+    assert(Seq(1L, 2L, 3L).count(byId.contains) === 1)
+    // the cross-bucket near-copy survives: pruning is cluster-scoped
+    // (cos(v6, v1) ≈ 0.95 ≥ eps, but v6 lives in bucket "0111")
+    assert(byId.get(6L) === Some("0111"))
+  }
+
+  test("semDedup keep-rule: survivor is the least-like-centroid member") {
+    val out = Dedup.semDedup(semVecs, "vec_id", "embedding",
+      graft.operators.Similarity.defaultPairs, eps = 0.5)
+    val survivors = out.collect().map(_.getLong(0)).toSet
+    // Independent recompute: cluster "1111" = {1,2,3,4}; the trio all
+    // near-dup each other, none near-dups 4; survivor of the trio must
+    // be its min-(sim_centroid, id) member by the dominance rule.
+    def v(r: Row): Array[Double] = r.getSeq[Float](1).map(_.toDouble).toArray
+    val m = semVecs.collect().map(r => r.getLong(0) -> v(r)).toMap
+    val cluster = Seq(1L, 2L, 3L, 4L).map(m)
+    val cent = Array.tabulate(8)(i =>
+      math.rint(cluster.map(_(i)).sum / cluster.size * 1e9) / 1e9)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val trioBest = Seq(1L, 2L, 3L).minBy(id => (cos(m(id), cent), id))
+    assert(survivors.intersect(Set(1L, 2L, 3L)) === Set(trioBest))
+  }
+
+  test("semDedup: eps above all pair similarities keeps everything") {
+    val out = Dedup.semDedup(semVecs, "vec_id", "embedding",
+      graft.operators.Similarity.defaultPairs, eps = 0.9999)
+    // all but the zero vector survive (trio cosines ~0.9997)
+    assert(out.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L, 6L))
+  }
 }

@@ -176,4 +176,28 @@ class SamplingSpec extends SparkSpec {
       d.repartition(7), "doc_id", "lang", "t1")
     assert(rowSet(again) == rowSet(kept))
   }
+
+  test("dsirLogWeights: target-like docs score higher; features exact") {
+    import org.apache.spark.sql.Row
+    val corpus = df("doc_id BIGINT, source STRING, text STRING",
+      Row(Long.box(1), "tgt", "alpha beta gamma"),
+      Row(Long.box(2), "tgt", "alpha beta delta"),
+      Row(Long.box(3), "raw", "alpha beta gamma"),
+      Row(Long.box(4), "raw", "omega psi chi"),
+      Row(Long.box(5), "raw", "omega psi chi"))
+    val w = Sampling.dsirLogWeights(corpus, "doc_id", "text",
+        col("source") === "tgt")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // n_feats = unigrams + bigrams = 3 + 2 for every 3-word doc
+    assert(w.values.forall(_._1 == 5L))
+    // identical text ⇒ identical weight, regardless of membership
+    assert(w(1L)._2 === w(3L)._2)
+    // target-vocabulary doc outscores the off-domain docs
+    assert(w(1L)._2 > w(4L)._2 && w(2L)._2 > w(4L)._2)
+    // deterministic under repartitioning (integer micro-nat sums)
+    val again = Sampling.dsirLogWeights(corpus.repartition(5), "doc_id",
+        "text", col("source") === "tgt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.map { case (k, v) => k -> v._2 } === again)
+  }
 }
