@@ -734,9 +734,15 @@ object Dedup {
         when(col("__cnn") > 0,
           round(dotExact(col("__v"), col("__cent")) /
             (sqrt(col("__nn")) * sqrt(col("__cnn"))), 9)))
+    // Materialized once: `ranked` feeds the pair self-join TWICE and the
+    // survivor anti-join — without the checkpoint the scan + centroid
+    // aggregate + window sort would run three times (verified in the
+    // q114 physical plan). One row per vector, same footprint class as
+    // the q64 vocab checkpoint.
     val ranked = withSim.withColumn("__rk", row_number().over(
       Window.partitionBy(col("bucket"))
         .orderBy(col("sim_centroid").asc_nulls_first, col(id).asc)))
+      .localCheckpoint(true)
     val nearDup = ranked.alias("a").join(ranked.alias("c"),
         col("a.bucket") === col("c.bucket") && col(s"a.$id") < col(s"c.$id"))
       .select(col(s"a.$id").as("id1"), col(s"c.$id").as("id2"),

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.ColumnLib._
-import graft.operators.{AsofJoin, Sessionize}
+import graft.operators.{AsofJoin, IntervalJoin, Sessionize}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -229,6 +229,52 @@ object Advanced {
                END AS nearest_quote
         FROM b JOIN f USING (event_id)
         ORDER BY event_id""")),
+
+    // ---- interval-overlap join: bucketized equi-join (q118) ------------
+    // Spark's plan for a raw overlap theta-join is a nested loop; the
+    // operator (graft.operators.IntervalJoin) explodes intervals into
+    // fixed 30-min buckets and meets candidates in an ordinary hash
+    // join, emitting each true pair once from the first shared bucket.
+    // The oracle IS the naive theta join — the gate proves the
+    // bucketized plan computes exactly it. Left: 25 overlapping 90-min
+    // maintenance windows anchored at the corpus min; right: 10-min
+    // event intervals (every 20th event).
+    QueryDef("q118_interval_join",
+      (s, dir) => {
+        val ev = eventsMs(s, dir).filter(col("event_id") % 20 === 0)
+          .select(col("event_id"), col("value"),
+            col("ms").as("ev_s"), (col("ms") + 600000L).as("ev_e"))
+        // 1-row scalar collected to the driver (the Upsert min/max
+        // pattern): windows anchored via a literal keep the window
+        // table's lineage DISJOINT from ev — a crossJoin of an
+        // ev-derived aggregate would make overlap() an ambiguous
+        // self-join.
+        val mnVal = ev.agg(min("ev_s")).head().getLong(0)
+        val w = t(s, dir, "nation")
+          .select(col("n_nationkey").cast(LongType).as("w_id"),
+            (lit(mnVal) + col("n_nationkey").cast(LongType) * 3600000L).as("w_s"),
+            (lit(mnVal) + col("n_nationkey").cast(LongType) * 3600000L + 5400000L)
+              .as("w_e"))
+        IntervalJoin.overlap(w, ev, "w_s", "w_e", "ev_s", "ev_e",
+            bucketWidth = 1800000L)
+          .groupBy("w_id")
+          .agg(count(lit(1)).as("n"),
+            graft.functions.ColumnLib.exactSum(col("value")).as("sum_val"))
+          .orderBy("w_id")
+      },
+      Some("""
+        WITH ev AS (SELECT event_id, value, epoch_ms(ts) AS ev_s,
+                           epoch_ms(ts) + 600000 AS ev_e
+                    FROM events WHERE event_id % 20 = 0),
+        mn AS (SELECT min(ev_s) AS mn FROM ev),
+        w AS (SELECT CAST(n_nationkey AS BIGINT) AS w_id,
+                     mn + CAST(n_nationkey AS BIGINT) * 3600000 AS w_s,
+                     mn + CAST(n_nationkey AS BIGINT) * 3600000 + 5400000 AS w_e
+              FROM nation, mn)
+        SELECT w_id, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_val
+        FROM w JOIN ev ON w.w_s < ev.ev_e AND ev.ev_s < w.w_e
+        GROUP BY 1 ORDER BY 1""")),
 
     // ---- range (band) join: value → band dimension ---------------------
     // Bands are tiny ⇒ broadcast nested-loop, the sane physical plan for
