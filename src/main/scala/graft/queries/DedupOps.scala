@@ -762,15 +762,18 @@ object DedupOps {
     // is least-like-centroid-first. Oracle restates the whole chain —
     // sign buckets, decimal-grid float centroids, 1e-9-rounded decimal
     // cosines, the dominance drop — declaratively. Survivors only.
+    // finePairs (256 clusters): cluster count is the quadratic-stage
+    // knob and must GROW with the corpus — the 16-bucket variant was
+    // the slowest query in the suite at sf0.1 (9.2 s, ~780k pairs).
     QueryDef("q114_semdedup",
       (s, dir) => {
         graft.operators.Dedup.semDedup(
             Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
-            graft.operators.Similarity.defaultPairs, eps = 0.15)
+            graft.operators.Similarity.finePairs, eps = 0.15)
           .orderBy("vec_id")
       },
       Some {
-        val bucket = graft.operators.Similarity.defaultPairs.map { case (i, j) =>
+        val bucket = graft.operators.Similarity.finePairs.map { case (i, j) =>
           s"CASE WHEN m.embedding[$i] > m.embedding[$j] THEN '1' ELSE '0' END"
         }.mkString(" || ")
         s"""

@@ -139,6 +139,17 @@ class CodegenHealthSpec extends SparkSpec {
     assertNoCodegenFallback(warnings)
   }
 
+  test("bloom probe filters stay compiled") {
+    val keys = df("k BIGINT", (1L to 50L).map(i => Row(Long.box(i))): _*)
+    val bloom = graft.operators.BloomJoin.buildKeyFilter(keys, "k", 100L)
+    val warnings = capturedWarnings {
+      val n = keys.filter(
+        graft.operators.BloomJoin.mightContain(bloom, col("k"))).count()
+      assert(n == 50)
+    }
+    assertNoCodegenFallback(warnings)
+  }
+
   test("filters over native text expressions stay compiled") {
     val docs = df("doc_id BIGINT, text STRING",
       Row(Long.box(1), "alpha beta gamma delta epsilon"),
