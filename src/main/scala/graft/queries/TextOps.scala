@@ -20,6 +20,73 @@ object TextOps {
   private val codeWords = Seq("spark", "hash", "vector", "query")
   private val bizWords = Seq("customer", "order", "value", "line")
 
+  /** Per-doc unigram-LM scores (doc_id, n_tokens, avg_nll) — the q64
+    * chain, single-sourced so q119's buckets score with the IDENTICAL
+    * model: train a unigram LM on the q24 train split, score every doc
+    * by mean negative log-prob in integer micro-nats (order-free,
+    * engine-portable; see q64's scaladoc for the fixed-point
+    * rationale). The vocab table is read three times (total, log-prob
+    * projection, scoring join); materialized once so the corpus is
+    * scanned exactly twice.
+    */
+  private def unigramNll(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.operators.Sampling.hashSplit(docs(s, dir), "doc_id",
+      "exp1", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val toks = d.select(col("doc_id"), col("split"),
+      explode(words(col("text"))).as("token"))
+    val vocab = toks.filter(col("split") === "train")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val lp = vocab.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("cnt") / col("total")) * lit(1e6))
+          .cast("long").as("lp_fp"))
+    val dt = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+    dt.join(lp, Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n"),
+        coalesce(col("lp_fp"),
+          round(log(lit(0.5) / col("total")) * lit(1e6)).cast("long"))
+          .as("lp_fp"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("lp_fp")).as("nll_fp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-col("nll_fp").cast("double") /
+          (col("n_tokens").cast("double") * lit(1e6)), 9).as("avg_nll"))
+  }
+
+  /** DuckDB CTE chain ending in `nll(doc_id, n_tokens, avg_nll)` — the
+    * declarative restatement of [[unigramNll]], shared by the q64 and
+    * q119 oracles.
+    */
+  private val unigramNllSql: String = """
+        d AS (SELECT doc_id, text,
+                     CASE WHEN substr(md5('exp1:'||CAST(doc_id AS VARCHAR)),1,4) < 'cccd'
+                            THEN 'train'
+                          WHEN substr(md5('exp1:'||CAST(doc_id AS VARCHAR)),1,4) < 'e666'
+                            THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents),
+        toks AS (SELECT doc_id, split, unnest(string_split(text,' ')) AS token
+                 FROM d),
+        vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+                  FROM toks WHERE split='train' GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+        lp AS (SELECT token, CAST(round(ln(cnt/total)*1000000) AS BIGINT) AS lp_fp
+               FROM vocab, tot),
+        dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+               FROM toks GROUP BY 1, 2),
+        sc AS (SELECT dt.doc_id, dt.n,
+                      coalesce(lp.lp_fp,
+                        CAST(round(ln(0.5/total)*1000000) AS BIGINT)) AS lp_fp
+               FROM dt LEFT JOIN lp USING (token), tot),
+        nll AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+                       round(-CAST(sum(n*lp_fp) AS DOUBLE) /
+                             (CAST(sum(n) AS DOUBLE) * 1000000.0), 9) AS avg_nll
+                FROM sc GROUP BY 1)"""
+
   /** q55's signal stage — everything up to (but excluding) packing:
     * near-dup losers (distributed anti-join), quality signals, keep
     * predicate, deterministic split, and the keep-conditional token
@@ -476,63 +543,58 @@ object TextOps {
     // broadcasts it when small). OOV tokens take a half-count smoothed
     // log-prob from the same broadcast total.
     QueryDef("q64_unigram_lm",
+      (s, dir) => unigramNll(s, dir).orderBy("doc_id"),
+      Some(s"""
+        WITH $unigramNllSql
+        SELECT doc_id, n_tokens, avg_nll FROM nll ORDER BY 1""")),
+
+    // ---- CCNet-style perplexity buckets (q119) --------------------------
+    // The head/middle/tail split of CCNet (Wenzek et al. 2020): score
+    // every doc with the q64 unigram LM, cut the corpus at the exact
+    // 1/3 and 2/3 NLL order statistics (percentile_disc — q107's
+    // portable discrete convention), and profile sources by bucket —
+    // the standard triage that keeps 'head' for pre-training. One LM
+    // chain shared with q64 (single-sourced Spark helper + SQL CTE so
+    // the two gates cannot drift).
+    QueryDef("q119_ccnet_buckets",
       (s, dir) => {
-        val d = graft.operators.Sampling.hashSplit(docs(s, dir), "doc_id",
-          "exp1", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        val toks = d.select(col("doc_id"), col("split"),
-          explode(words(col("text"))).as("token"))
-        // The vocab table is read three times (the total, the log-prob
-        // projection, the scoring join); materialize it once so the
-        // corpus is scanned exactly twice — the train-count pass and
-        // the scoring pass — instead of once per vocab consumer.
-        val vocab = toks.filter(col("split") === "train")
-          .groupBy("token").agg(count(lit(1)).as("cnt"))
-          .localCheckpoint(true)
-        val total = vocab.agg(sum(col("cnt")).as("total"))
-        val lp = vocab.crossJoin(broadcast(total))
-          .select(col("token"),
-            round(log(col("cnt") / col("total")) * lit(1e6))
-              .cast("long").as("lp_fp"))
-        val dt = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
-        dt.join(lp, Seq("token"), "left")
-          .crossJoin(broadcast(total))
-          .select(col("doc_id"), col("n"),
-            coalesce(col("lp_fp"),
-              round(log(lit(0.5) / col("total")) * lit(1e6)).cast("long"))
-              .as("lp_fp"))
-          .groupBy("doc_id")
-          .agg(sum(col("n")).as("n_tokens"),
-            sum(col("n") * col("lp_fp")).as("nll_fp"))
-          .select(col("doc_id"), col("n_tokens"),
-            round(-col("nll_fp").cast("double") /
-              (col("n_tokens").cast("double") * lit(1e6)), 9).as("avg_nll"))
-          .orderBy("doc_id")
+        // Two consumers (threshold agg + bucketing join): materialize
+        // the per-doc scores once, like the q64 vocab checkpoint.
+        val nll = unigramNll(s, dir).localCheckpoint(true)
+        val th = nll.agg(
+          expr("percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY avg_nll)")
+            .as("t1"),
+          expr("percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY avg_nll)")
+            .as("t2"))
+        nll.join(docs(s, dir).select("doc_id", "source"), "doc_id")
+          .crossJoin(broadcast(th))
+          .withColumn("bucket",
+            when(col("avg_nll") <= col("t1"), "head")
+              .when(col("avg_nll") <= col("t2"), "middle")
+              .otherwise("tail"))
+          .groupBy("source", "bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+          .orderBy("source", "bucket")
       },
-      Some("""
-        WITH d AS (SELECT doc_id, text,
-                     CASE WHEN substr(md5('exp1:'||CAST(doc_id AS VARCHAR)),1,4) < 'cccd'
-                            THEN 'train'
-                          WHEN substr(md5('exp1:'||CAST(doc_id AS VARCHAR)),1,4) < 'e666'
-                            THEN 'val'
-                          ELSE 'test' END AS split
-                   FROM documents),
-        toks AS (SELECT doc_id, split, unnest(string_split(text,' ')) AS token
-                 FROM d),
-        vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
-                  FROM toks WHERE split='train' GROUP BY 1),
-        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
-        lp AS (SELECT token, CAST(round(ln(cnt/total)*1000000) AS BIGINT) AS lp_fp
-               FROM vocab, tot),
-        dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
-               FROM toks GROUP BY 1, 2),
-        sc AS (SELECT dt.doc_id, dt.n,
-                      coalesce(lp.lp_fp,
-                        CAST(round(ln(0.5/total)*1000000) AS BIGINT)) AS lp_fp
-               FROM dt LEFT JOIN lp USING (token), tot)
-        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
-               round(-CAST(sum(n*lp_fp) AS DOUBLE) /
-                     (CAST(sum(n) AS DOUBLE) * 1000000.0), 9) AS avg_nll
-        FROM sc GROUP BY 1 ORDER BY 1""")),
+      Some(s"""
+        WITH $unigramNllSql,
+        r AS (SELECT avg_nll, row_number() OVER (ORDER BY avg_nll) AS rn,
+                     count(*) OVER () AS c
+              FROM nll),
+        th AS (SELECT max(CASE WHEN rn <= ceil(c * (1.0/3.0))
+                               THEN avg_nll END) AS t1,
+                      max(CASE WHEN rn <= ceil(c * (2.0/3.0))
+                               THEN avg_nll END) AS t2
+               FROM r),
+        b AS (SELECT d.source,
+                     CASE WHEN nll.avg_nll <= th.t1 THEN 'head'
+                          WHEN nll.avg_nll <= th.t2 THEN 'middle'
+                          ELSE 'tail' END AS bucket,
+                     nll.n_tokens
+              FROM nll JOIN documents d USING (doc_id), th)
+        SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // ---- robust length outliers: median/MAD per source (q107) -----------
     // The outlier screen that survives heavy-tailed length
