@@ -98,6 +98,16 @@ object Engine {
         graft.functions.expressions.WordShingles(
           children(0), litInt("word_shingles")(children(1), "n"))))
     ext.injectFunction((
+      FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.WinnowFingerprints].getName,
+        "winnow_fp"),
+      (children: Seq[Expression]) => {
+        val p = litInt("winnow_fp") _
+        graft.functions.expressions.WinnowFingerprints(
+          children(0), p(children(1), "k"), p(children(2), "w"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("simhash"),
       new ExpressionInfo(
         classOf[graft.functions.expressions.SimHashBits].getName,

@@ -1,0 +1,121 @@
+package graft.functions.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native winnowing fingerprint selector: `winnow_fp(text, k, w)`
+  * returns the DISTINCT selected fingerprints (md5 hex of char
+  * `k`-grams, minimum per `w`-gram window, first-occurrence order —
+  * exactly `array_distinct(transform(windows, j ->
+  * array_min(slice(grams, j, w))))`, the HOF restatement kept as the
+  * spec differential in [[graft.operators.Dedup]]).
+  *
+  * Why a custom expression (SURVEY.md §7.3 tier b): the HOF chain
+  * runs interpreted per row and re-scans every window — O(n·w)
+  * UTF8String comparisons plus a slice allocation per window; q120
+  * was the suite's slowest query on it (8.6 s at sf0.1). This is one
+  * per-row loop in whole-stage codegen: each gram hashed once, the
+  * sliding minimum maintained by a monotonic deque (amortized O(n)
+  * total comparisons), zero shuffle.
+  *
+  * Contract mirrors the HOF form exactly: text shorter than
+  * k + w − 1 chars (or null) yields an EMPTY array on the callers'
+  * length guard — here null text → null, and the operator's `where`
+  * drops it identically.
+  */
+@ExpressionDescription(
+  usage = "_FUNC_(text, k, w) - winnowing fingerprints (md5 of char k-grams, min per w-window).")
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k >= 2 && w >= 2, "winnow_fp needs k >= 2 and w >= 2")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_fp"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"text must be string, got $other")
+    }
+
+  override def nullSafeEval(textVal: Any): Any =
+    WinnowFingerprints.compute(textVal.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val res = ctx.freshName("res")
+      s"""
+        ${CodeGenerator.javaType(dataType)} $res =
+          graft.functions.expressions.WinnowFingerprints.compute($t, $k, $w);
+        ${ev.isNull} = $res == null;
+        ${ev.value} = $res;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** Static so generated code can call it without captured references. */
+  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val n = text.numChars()
+    val nGrams = n - k + 1
+    if (nGrams < w) return new GenericArrayData(Array.empty[Any])
+    val md = MessageDigest.getInstance("MD5")
+    val grams = new Array[UTF8String](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      // substringSQL is 1-based and char-indexed — identical to the
+      // HOF form's `substr(text, i, k)`.
+      md.reset()
+      val d = md.digest(text.substringSQL(i + 1, k).getBytes)
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HEX((d(b) >> 4) & 0xf)
+        hex(2 * b + 1) = HEX(d(b) & 0xf)
+        b += 1
+      }
+      grams(i) = UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    // Monotonic deque of candidate indices: front always holds the
+    // index of the window minimum. Ties keep the EARLIER index (strict
+    // > pops), matching array_min which returns the min VALUE — equal
+    // values are identical strings, so tie choice cannot differ.
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // exclusive
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && grams(deque(tail - 1)).compareTo(grams(i)) > 0)
+        tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) seen.add(grams(deque(head)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+}

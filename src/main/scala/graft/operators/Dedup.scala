@@ -757,6 +757,70 @@ object Dedup {
       .select(col(id), col("bucket").as("cluster"), col("sim_centroid"))
   }
 
+  /** Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    * algorithm) — the alignment-robust form of exact-substring
+    * duplicate detection: hash every char `k`-gram, then from every
+    * window of `w` consecutive gram hashes keep the minimum. The
+    * guarantee: two documents sharing ANY substring of length
+    * ≥ w + k − 1 select at least one IDENTICAL fingerprint, no matter
+    * how the copies are aligned — which a strided gram sample cannot
+    * promise (its grids shift independently per document).
+    *
+    * Per-row, zero-shuffle: grams, windows, and min-selection are one
+    * HOF chain inside the row; only the (id, fp) stream leaves the
+    * mapper. Returns DISTINCT (id, fp) pairs; downstream joins (df
+    * counts, pair candidates, decontamination) shuffle fingerprints —
+    * 16-byte digests, never text. Documents shorter than w + k − 1
+    * chars emit nothing.
+    */
+  def winnowingFingerprints(docs: DataFrame, id: String, body: String,
+      k: Int = 20, w: Int = 8): DataFrame =
+    // Native per-row winnow ([[graft.functions.expressions.WinnowFingerprints]]):
+    // one gram-hash pass + monotonic-deque sliding min inside
+    // whole-stage codegen. The HOF restatement below stays as the spec
+    // differential (DedupSpec pins native ≡ HOF).
+    docs.where(col(body).isNotNull && length(col(body)) >= k + w - 1)
+      .select(col(id),
+        explode(call_function("winnow_fp", col(body), lit(k), lit(w)))
+          .as("fp"))
+
+  /** The interpreted HOF restatement of [[winnowingFingerprints]] —
+    * O(n·w) window re-scans; differential formulation only.
+    */
+  private[graft] def winnowingFingerprintsHof(docs: DataFrame, id: String,
+      body: String, k: Int = 20, w: Int = 8): DataFrame = {
+    require(k >= 2 && w >= 2, s"winnowing needs k >= 2 and w >= 2, got k=$k w=$w")
+    val grams = transform(
+      sequence(lit(1), length(col(body)) - lit(k - 1)),
+      i => md5(col(body).substr(i, lit(k))))
+    val mins = transform(
+      sequence(lit(1), size(col("__g")) - lit(w - 1)),
+      j => array_min(slice(col("__g"), j, lit(w))))
+    docs.where(col(body).isNotNull && length(col(body)) >= k + w - 1)
+      .select(col(id), grams.as("__g"))
+      .select(col(id), explode(array_distinct(mins)).as("fp"))
+  }
+
+  /** Per-document substring-sharing profile over winnowing
+    * fingerprints: how many fingerprints each doc selected and how
+    * many of them appear in at least one OTHER document — the triage
+    * number behind "this doc is X% copied text". One fingerprint
+    * shuffle for the document-frequency count, one broadcast-friendly
+    * join back.
+    */
+  def winnowingShareStats(docs: DataFrame, id: String, body: String,
+      k: Int = 20, w: Int = 8): DataFrame = {
+    val fps = winnowingFingerprints(docs, id, body, k, w)
+    val df = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+    fps.join(df, "fp")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col(id), col("n_fp"), col("n_shared"),
+        floor(col("n_shared") * lit(1000000L) / col("n_fp")).cast("long")
+          .as("shared_micro"))
+  }
+
   /** Interpreted zip_with/aggregate restatement of the decimal-exact dot
     * product — the independent formulation the native `dot_exact`
     * expression is spec-verified against. The merge re-casts to D

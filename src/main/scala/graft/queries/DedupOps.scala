@@ -822,5 +822,38 @@ object DedupOps {
         SELECT vec_id, cluster, sim_centroid FROM pr
         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         ORDER BY vec_id"""
-      }))
+      }),
+
+    // ---- winnowing substring-share profile (q120) -----------------------
+    // Char-level exact-substring duplication (the Lee et al. dedup
+    // axis word n-grams miss), detected alignment-robustly via MOSS
+    // winnowing: k=20 char grams, min-of-8 windows — any shared
+    // substring ≥ 27 chars yields an identical fingerprint in both
+    // docs. The oracle restates grams, windows, min-select, distinct,
+    // df, and the floored micro ratio declaratively.
+    QueryDef("q120_winnowing",
+      (s, dir) => {
+        graft.operators.Dedup.winnowingShareStats(
+            docs(s, dir), "doc_id", "text", k = 20, w = 8)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH g AS (SELECT doc_id,
+                     list_transform(range(1, len(text) - 20 + 2),
+                       i -> md5(substr(text, CAST(i AS INTEGER), 20))) AS gr
+                   FROM documents
+                   WHERE text IS NOT NULL AND len(text) >= 27),
+        sel AS (SELECT DISTINCT doc_id, fp FROM (
+                  SELECT doc_id,
+                         unnest(list_transform(range(1, len(gr) - 8 + 2),
+                           j -> list_min(gr[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)]))) AS fp
+                  FROM g)),
+        df AS (SELECT fp, CAST(count(*) AS BIGINT) AS df FROM sel GROUP BY 1),
+        per AS (SELECT sel.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+                       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_shared
+                FROM sel JOIN df USING (fp) GROUP BY 1)
+        SELECT doc_id, n_fp, n_shared,
+               CAST(floor(n_shared * 1000000 / n_fp) AS BIGINT) AS shared_micro
+        FROM per ORDER BY doc_id""")))
 }

@@ -408,6 +408,57 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(5) == 500000L)
   }
 
+  // ---- winnowing ------------------------------------------------------
+
+  test("winnowing: shared >=k+w-1 substring detected at ANY alignment") {
+    val stolen = "the quick brown fox jumps over the lazy dog tonight"
+    val corpus = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), s"AAA $stolen BBB unrelated tail content here"),
+      // different prefix length => gram grids shifted by 7 chars
+      Row(Long.box(2), s"zzzzzzzzzz $stolen completely different ending"),
+      Row(Long.box(3), "nothing in common with the others at all, truly x"))
+    val stats = Dedup.winnowingShareStats(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats(1L)._2 >= 1, "copy source must share fingerprints")
+    assert(stats(2L)._2 >= 1, "shifted copy must share fingerprints")
+    assert(stats(3L)._2 === 0, "unrelated doc shares nothing")
+  }
+
+  test("winnowing: identical docs share every fingerprint; shorts emit none") {
+    val t = "some reasonably long body of text for fingerprinting purposes"
+    val corpus = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), t), Row(Long.box(2), t),
+      Row(Long.box(3), "too short"), Row(Long.box(4), null))
+    val stats = Dedup.winnowingShareStats(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(stats.keySet === Set(1L, 2L))
+    assert(stats(1L)._2 === 1000000L && stats(2L)._2 === 1000000L)
+  }
+
+  test("winnowing: native winnow_fp ≡ HOF formulation on randomized text") {
+    val rnd = new scala.util.Random(20260813L)
+    val alpha = "abcde fgh"
+    val rows = (1 to 40).map { i =>
+      val len = 20 + rnd.nextInt(120) // spans the k+w-1=27 guard boundary
+      Row(Long.box(i.toLong),
+        (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val corpus = df("doc_id BIGINT, text STRING", rows: _*)
+    val native = rowSet(Dedup.winnowingFingerprints(corpus, "doc_id", "text"))
+    val hof = rowSet(Dedup.winnowingFingerprintsHof(corpus, "doc_id", "text"))
+    assert(native === hof)
+    assert(native.nonEmpty)
+  }
+
+  test("winnowing fingerprints are a subset of gram hashes, distinct per doc") {
+    val corpus = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), "abcdefghijklmnopqrstuvwxyz0123456789 abcdefghij"))
+    val fps = Dedup.winnowingFingerprints(corpus, "doc_id", "text")
+      .collect().map(_.getString(1)).toSeq
+    assert(fps.distinct.size === fps.size)
+    assert(fps.nonEmpty)
+  }
+
   // ---- semDedup -------------------------------------------------------
 
   private def vecRow(id: Long, v: Double*): Row =
