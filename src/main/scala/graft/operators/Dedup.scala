@@ -784,6 +784,37 @@ object Dedup {
         explode(call_function("winnow_fp", col(body), lit(k), lit(w)))
           .as("fp"))
 
+  /** Edit-distance verification rung: score candidate pairs with
+    * EXACT (bounded) Levenshtein similarity — the final, most precise
+    * verifier of the dedup ladder (bands propose, Jaccard/SimHash
+    * estimate, edit distance decides). Never run all-pairs: callers
+    * feed band/LSH candidates, so the quadratic per-pair cost touches
+    * only proposed pairs.
+    *
+    * `maxChars` caps the per-pair O(len²) DP on a prefix (the standard
+    * bounded-verify trade; similarity is then over the prefixes —
+    * stated, not hidden). Similarity = 1 − lev/max(len_a, len_b) on
+    * the capped texts, rounded to the 1e-9 grid; pairs below `minSim`
+    * are dropped. Built-in `levenshtein` on both engines: codegen'd
+    * here, identical semantics in the oracle.
+    */
+  def editVerifiedPairs(docs: DataFrame, id: String, body: String,
+      candidates: DataFrame, maxChars: Int = 500,
+      minSim: Double = 0.5): DataFrame = {
+    require(maxChars >= 1, s"maxChars must be positive, got $maxChars")
+    val t = docs.select(col(id),
+      substring(col(body), 1, maxChars).as("__t"))
+    val a = t.select(col(id).as("id1"), col("__t").as("__ta"))
+    val b = t.select(col(id).as("id2"), col("__t").as("__tb"))
+    candidates.select("id1", "id2").join(a, "id1").join(b, "id2")
+      .select(col("id1"), col("id2"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("lev"),
+        round(lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") /
+          greatest(length(col("__ta")), length(col("__tb"))).cast("double"),
+          9).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** The interpreted HOF restatement of [[winnowingFingerprints]] —
     * O(n·w) window re-scans; differential formulation only.
     */

@@ -12,6 +12,35 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** DuckDB CTE chain ending in `cand(id1, id2)` — the declarative
+    * restatement of `Dedup.lshCandidatePairs(k=4, n=3, bandWidth=2,
+    * maxBucket=1000)` over `doc_id < 300`, shared by the q111 and
+    * q121 oracles so the candidate sets cannot drift.
+    */
+  private val lshCandSql: String = """
+        sig AS (
+          SELECT doc_id,
+            min(substr(md5('0:'||g),1,16)) AS h0, min(substr(md5('1:'||g),1,16)) AS h1,
+            min(substr(md5('2:'||g),1,16)) AS h2, min(substr(md5('3:'||g),1,16)) AS h3
+          FROM (SELECT doc_id,
+                  unnest(list_transform(range(1, len(l)-1),
+                         i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
+                FROM (SELECT doc_id, string_split(text,' ') AS l
+                      FROM documents WHERE doc_id < 300))
+          GROUP BY 1),
+        bands AS (
+          SELECT doc_id, 0 AS band_id, md5(h0||h1) AS band_key FROM sig
+          UNION ALL SELECT doc_id, 1, md5(h2||h3) FROM sig),
+        ok AS (SELECT band_id, band_key FROM bands
+               GROUP BY 1, 2 HAVING count(*) <= 1000),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a
+          JOIN ok o ON a.band_id = o.band_id AND a.band_key = o.band_key
+          JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id)"""
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
@@ -692,28 +721,7 @@ object DedupOps {
           s"CASE WHEN substr(a.s64,$i,1) <> substr(b.s64,$i,1) THEN 1 ELSE 0 END")
           .mkString(" + ")
         s"""
-        WITH sig AS (
-          SELECT doc_id,
-            min(substr(md5('0:'||g),1,16)) AS h0, min(substr(md5('1:'||g),1,16)) AS h1,
-            min(substr(md5('2:'||g),1,16)) AS h2, min(substr(md5('3:'||g),1,16)) AS h3
-          FROM (SELECT doc_id,
-                  unnest(list_transform(range(1, len(l)-1),
-                         i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
-                FROM (SELECT doc_id, string_split(text,' ') AS l
-                      FROM documents WHERE doc_id < 300))
-          GROUP BY 1),
-        bands AS (
-          SELECT doc_id, 0 AS band_id, md5(h0||h1) AS band_key FROM sig
-          UNION ALL SELECT doc_id, 1, md5(h2||h3) FROM sig),
-        ok AS (SELECT band_id, band_key FROM bands
-               GROUP BY 1, 2 HAVING count(*) <= 1000),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-          FROM bands a
-          JOIN ok o ON a.band_id = o.band_id AND a.band_key = o.band_key
-          JOIN bands b
-            ON a.band_id = b.band_id AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id),
+        WITH $lshCandSql,
         sig64 AS (
           SELECT doc_id, $bits AS s64
           FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
@@ -855,5 +863,32 @@ object DedupOps {
                 FROM sel JOIN df USING (fp) GROUP BY 1)
         SELECT doc_id, n_fp, n_shared,
                CAST(floor(n_shared * 1000000 / n_fp) AS BIGINT) AS shared_micro
-        FROM per ORDER BY doc_id""")))
+        FROM per ORDER BY doc_id""")),
+
+    // ---- edit-distance verification rung (q121) -------------------------
+    // The last rung of the dedup ladder: LSH bands PROPOSE (the q111
+    // candidate set, single-sourced CTE), exact bounded Levenshtein
+    // DECIDES. The O(len²) DP runs only on proposed pairs and only on
+    // 500-char prefixes — never all-pairs, never unbounded.
+    QueryDef("q121_edit_verify",
+      (s, dir) => {
+        val capped = docs(s, dir).filter(col("doc_id") < 300)
+        graft.operators.Dedup.editVerifiedPairs(capped, "doc_id", "text",
+            graft.operators.Dedup.lshCandidatePairs(capped, "doc_id", "text",
+              k = 4, n = 3, bandWidth = 2))
+          .orderBy("id1", "id2")
+      },
+      Some(s"""
+        WITH $lshCandSql,
+        t AS (SELECT doc_id, substr(text, 1, 500) AS t FROM documents),
+        lv AS (SELECT c.id1, c.id2,
+                      levenshtein(ta.t, tb.t) AS lev,
+                      greatest(len(ta.t), len(tb.t)) AS mx
+               FROM cand c JOIN t ta ON ta.doc_id = c.id1
+                           JOIN t tb ON tb.doc_id = c.id2)
+        SELECT id1, id2, CAST(lev AS BIGINT) AS lev,
+               round(1.0 - CAST(lev AS DOUBLE)/CAST(mx AS DOUBLE), 9) AS sim
+        FROM lv
+        WHERE round(1.0 - CAST(lev AS DOUBLE)/CAST(mx AS DOUBLE), 9) >= 0.5
+        ORDER BY 1, 2""")))
 }

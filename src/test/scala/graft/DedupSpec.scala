@@ -459,6 +459,32 @@ class DedupSpec extends SparkSpec {
     assert(fps.nonEmpty)
   }
 
+  // ---- edit-distance verification -------------------------------------
+
+  test("editVerifiedPairs: exact Levenshtein decides; cap + threshold honored") {
+    val corpus = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), "the quick brown fox"),
+      Row(Long.box(2), "the quick brown cat"),   // lev 3, sim 1-3/19
+      Row(Long.box(3), "entirely different body"),
+      Row(Long.box(4), "x" * 600 + "tail-a"),
+      Row(Long.box(5), "x" * 600 + "tail-b"))    // differs past the cap
+    val cands = df("id1 BIGINT, id2 BIGINT",
+      Row(Long.box(1), Long.box(2)), Row(Long.box(1), Long.box(3)),
+      Row(Long.box(4), Long.box(5)))
+    val out = Dedup.editVerifiedPairs(corpus, "doc_id", "text", cands)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // near pair verified with the exact distance
+    assert(out((1L, 2L))._1 === 3L)
+    assert(math.abs(out((1L, 2L))._2 - (1.0 - 3.0 / 19.0)) < 1e-8)
+    // dissimilar pair cut by the threshold
+    assert(!out.contains((1L, 3L)))
+    // prefix cap: texts identical in their first 500 chars ⇒ sim 1.0
+    assert(out((4L, 5L)) === ((0L, 1.0)))
+    // only proposed pairs are scored — (2,3) was never a candidate
+    assert(!out.contains((2L, 3L)))
+  }
+
   // ---- semDedup -------------------------------------------------------
 
   private def vecRow(id: Long, v: Double*): Row =
