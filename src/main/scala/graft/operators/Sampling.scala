@@ -286,6 +286,57 @@ object Sampling {
         round(col("__s").cast("double") / lit(1e6), 9).as("log_weight"))
   }
 
+  /** UniMax-style epoch-capped budget allocation (Chung et al. 2023,
+    * arXiv:2304.09151): split a token budget as uniformly as possible
+    * across groups (languages, sources) while capping every group at
+    * `maxEpochs` passes over its data — the waterfilling answer to
+    * "don't upsample a low-resource language a hundred epochs".
+    *
+    * Waterfilling, deterministically: sort groups by capacity
+    * C_g = maxEpochs·N_g ascending; group at rank r is CAPPED iff
+    * `C_r·(n−r) ≤ T − prefix_r` — a PURE-INTEGER inequality (both
+    * sides exact longs), so both engines choose the identical
+    * boundary; the uncapped groups then share the leftover equally:
+    * λ = (T − Σ capped C)/(#uncapped), one double division of exact
+    * integers. Monotone in r for sorted capacities, so the capped set
+    * is a prefix — no iteration, one window pass.
+    *
+    * Input is the per-group COUNT table (already aggregated — group
+    * cardinality, not data); the windows here run over that dimension
+    * table, never over rows. Returns (group, n_tokens, capacity,
+    * alloc, epochs) with alloc/epochs on the 1e-9 grid.
+    */
+  def epochCappedAllocation(counts: DataFrame, groupCol: String,
+      tokensCol: String, budgetTokens: Long, maxEpochs: Long): DataFrame = {
+    require(budgetTokens >= 0 && maxEpochs >= 1,
+      s"need budget >= 0 and maxEpochs >= 1, got $budgetTokens/$maxEpochs")
+    import org.apache.spark.sql.expressions.Window
+    val byCap = Window.orderBy(col("capacity").asc, col(groupCol).asc)
+    val all = Window.partitionBy()
+    val c = counts.select(col(groupCol), col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("capacity", col("n_tokens") * maxEpochs)
+      .withColumn("__rn", row_number().over(byCap))
+      .withColumn("__prefix",
+        sum(col("capacity")).over(byCap.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(all))
+    val t = lit(math.min(budgetTokens, Long.MaxValue))
+    // Capped iff C_r·(n−r) ≤ T − prefix_r (λ over the n−r groups above
+    // rank r). When ΣC ≤ T this holds at every rank — the degenerate
+    // all-capped case needs no special branch.
+    val capped = col("capacity") * (col("__n") - col("__rn")) <=
+      t - col("__prefix")
+    val cappedSum = sum(when(capped, col("capacity")).otherwise(0L)).over(all)
+    val nUncapped = sum(when(capped, 0L).otherwise(1L)).over(all)
+    val lambda = (t - cappedSum).cast("double") / nUncapped.cast("double")
+    c.withColumn("alloc",
+        round(when(capped, col("capacity").cast("double")).otherwise(lambda), 9))
+      .withColumn("epochs",
+        round(col("alloc") / col("n_tokens").cast("double"), 9))
+      .select(col(groupCol), col("n_tokens"), col("capacity"),
+        col("alloc"), col("epochs"))
+  }
+
   def sqrtFlattenSample(df: DataFrame, keyCol: String, groupCol: String,
       salt: String): DataFrame = {
     val nC = graft.functions.ColumnLib.freeColumn(df, "__n")

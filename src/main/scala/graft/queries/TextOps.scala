@@ -1493,6 +1493,50 @@ object TextOps {
         FROM doc d JOIN tok t ON t.source = d.source
         ORDER BY d.source""")),
 
+    // ---- UniMax epoch-capped budget allocation (q122) -------------------
+    // Waterfilling a 90% token budget across languages with a 1-epoch
+    // cap (graft.operators.Sampling.epochCappedAllocation): small
+    // languages cap at their full capacity, the leftover splits
+    // equally among the rest. The capped/uncapped boundary is a
+    // pure-integer inequality — bit-identical in both engines — and λ
+    // is one double division of exact longs. The budget scalar is a
+    // 1-row driver agg (the Upsert min/max pattern).
+    QueryDef("q122_unimax_alloc",
+      (s, dir) => {
+        val counts = docs(s, dir).groupBy("lang")
+          .agg(sum(tokenCountWs(col("text")).cast("long")).as("n_toks"))
+        val total = counts.agg(sum("n_toks")).head().getLong(0)
+        graft.operators.Sampling.epochCappedAllocation(counts, "lang",
+            "n_toks", budgetTokens = total * 9 / 10, maxEpochs = 1)
+          .orderBy("lang")
+      },
+      Some("""
+        WITH c AS (SELECT lang,
+                     CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY 1),
+        t AS (SELECT CAST(sum(n_tokens) AS BIGINT) * 9 // 10 AS t FROM c),
+        p AS (SELECT lang, n_tokens, n_tokens * 1 AS capacity,
+                     row_number() OVER (ORDER BY n_tokens * 1 ASC, lang ASC) AS rn,
+                     sum(n_tokens * 1) OVER (ORDER BY n_tokens * 1 ASC, lang ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+                     count(*) OVER () AS n
+              FROM c),
+        f AS (SELECT p.*, (p.capacity * (p.n - p.rn) <= t.t - p.prefix) AS capped
+              FROM p, t),
+        agg AS (SELECT CAST(sum(CASE WHEN capped THEN capacity ELSE 0 END) AS BIGINT)
+                         AS capsum,
+                       CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT)
+                         AS nunc
+                FROM f),
+        o AS (SELECT f.lang, f.n_tokens, f.capacity,
+                     round(CASE WHEN f.capped THEN CAST(f.capacity AS DOUBLE)
+                                ELSE CAST(t.t - agg.capsum AS DOUBLE)
+                                     / CAST(agg.nunc AS DOUBLE) END, 9) AS alloc
+              FROM f, agg, t)
+        SELECT lang, n_tokens, capacity, alloc,
+               round(alloc / CAST(n_tokens AS DOUBLE), 9) AS epochs
+        FROM o ORDER BY lang""")),
+
     // ---- DSIR importance weighting: domain-targeted selection (q115) ----
     // Hashed-n-gram importance log-weights against a target domain
     // (sources src0/src1), top-100 selection — the classifier-free

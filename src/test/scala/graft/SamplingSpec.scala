@@ -177,6 +177,43 @@ class SamplingSpec extends SparkSpec {
     assert(rowSet(again) == rowSet(kept))
   }
 
+  test("epochCappedAllocation: waterfilling invariants hold") {
+    import org.apache.spark.sql.Row
+    val counts = df("g STRING, n BIGINT",
+      Row("tiny", Long.box(100)), Row("small", Long.box(500)),
+      Row("mid", Long.box(2000)), Row("big", Long.box(10000)))
+    // budget 6000, maxEpochs 2: capacities 200/1000/4000/20000 sorted
+    // asc. The boundary is checked via the waterfilling INVARIANTS
+    // (budget exhausted, caps respected, one shared λ, capped ≤ λ)
+    // rather than a hand-picked expected table.
+    val out = Sampling.epochCappedAllocation(counts, "g", "n", 6000L, 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val allocs = out.values.map(_._3)
+    // budget exhausted exactly (ΣC = 25200 > T)
+    assert(math.abs(allocs.sum - 6000.0) < 1e-6)
+    // nobody exceeds its capacity or the cap on epochs
+    assert(out.values.forall { case (_, cap, a, e) =>
+      a <= cap + 1e-6 && e <= 2.0 + 1e-9 })
+    // capped groups sit exactly at capacity; uncapped share one λ
+    val lambda = out.values.filter { case (_, cap, a, _) => a < cap - 1e-6 }
+      .map(_._3).toSeq
+    assert(lambda.distinct.size <= 1, s"uncapped shares differ: $lambda")
+    // every capped capacity ≤ λ (waterfilling optimality)
+    if (lambda.nonEmpty)
+      assert(out.values.filter { case (_, cap, a, _) => a >= cap - 1e-6 }
+        .forall(_._2 <= lambda.head + 1e-6))
+  }
+
+  test("epochCappedAllocation: budget above total capacity caps everyone") {
+    import org.apache.spark.sql.Row
+    val counts = df("g STRING, n BIGINT",
+      Row("a", Long.box(10)), Row("b", Long.box(20)))
+    val out = Sampling.epochCappedAllocation(counts, "g", "n", 1000L, 3L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out("a") === ((30L, 30.0)) && out("b") === ((60L, 60.0)))
+  }
+
   test("dsirLogWeights: target-like docs score higher; features exact") {
     import org.apache.spark.sql.Row
     val corpus = df("doc_id BIGINT, source STRING, text STRING",
