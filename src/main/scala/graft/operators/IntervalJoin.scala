@@ -38,11 +38,21 @@ object IntervalJoin {
     *                  sides (co-partitioning keys; bucket join runs
     *                  per key)
     * @param bucketWidth fixed bucket width in the interval unit
+    * @param maxBucketsPerInterval loud-failure guard: an interval
+    *                  spanning more buckets than this raises at
+    *                  runtime instead of silently exploding the row
+    *                  (the 100 TB failure mode of an unbounded
+    *                  interval is an OOM three stages later — fail at
+    *                  the source with the offending span in the
+    *                  message)
     */
   def overlap(left: DataFrame, right: DataFrame,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
-      keys: Seq[String] = Nil, bucketWidth: Long): DataFrame = {
+      keys: Seq[String] = Nil, bucketWidth: Long,
+      maxBucketsPerInterval: Int = 100000): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
     val lCols = left.columns.toSeq
     val rCols = right.columns.toSeq
     val dup = (lCols.toSet & rCols.toSet) -- keys
@@ -56,12 +66,22 @@ object IntervalJoin {
     def idiv(c: Column, w: Long): Column =
       ((c - pmod(c, lit(w))) / lit(w)).cast("long")
 
-    def buckets(s: Column, e: Column): Column =
+    def buckets(s: Column, e: Column): Column = {
       // [s div W, (e-1) div W] — half-open intervals never touch the
       // bucket their exclusive end lands on. Empty/negative-length or
       // null intervals explode to nothing and match nothing.
+      val span = idiv(e - lit(1), bucketWidth) - idiv(s, bucketWidth) + lit(1)
       when(s.isNotNull && e.isNotNull && s < e,
-        sequence(idiv(s, bucketWidth), idiv(e - lit(1), bucketWidth)))
+        when(span > maxBucketsPerInterval,
+          // assert_true raises with the offending span; the array
+          // branch below is never reached for such a row.
+          assert_true(span <= maxBucketsPerInterval,
+            concat(lit(s"interval spans more than $maxBucketsPerInterval " +
+              s"buckets at width $bucketWidth (span="), span,
+              lit(") — widen bucketWidth or cap open-ended intervals")))
+            .cast("array<bigint>"))
+          .otherwise(sequence(idiv(s, bucketWidth), idiv(e - lit(1), bucketWidth))))
+    }
 
     val lb = left.withColumn("__bkt",
       explode(buckets(col(lStart), col(lEnd))))

@@ -80,6 +80,21 @@ class IntervalJoinSpec extends SparkSpec {
       bucketWidth = 16L).count() === 0)
   }
 
+  test("oversized interval raises loudly instead of exploding") {
+    val l = df("lid BIGINT, ls BIGINT, le BIGINT",
+      Row(Long.box(1), Long.box(0), Long.box(10000000L)))
+    val r = df("rid BIGINT, rs BIGINT, re BIGINT",
+      Row(Long.box(1), Long.box(0), Long.box(10)))
+    val e = intercept[Exception] {
+      IntervalJoin.overlap(l, r, "ls", "le", "rs", "re",
+        bucketWidth = 2L, maxBucketsPerInterval = 1000).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("buckets at width")), e.toString)
+  }
+
   test("colliding non-key columns are rejected") {
     val l = df("id BIGINT, s BIGINT, e BIGINT", Row(Long.box(1), Long.box(0), Long.box(1)))
     intercept[IllegalArgumentException] {
