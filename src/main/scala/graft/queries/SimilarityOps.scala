@@ -402,7 +402,8 @@ object SimilarityOps {
     * q57 recall gate.
     */
   private def batchBucketedTop3(s: SparkSession, dir: String,
-      probeHamming: Int): DataFrame = {
+      probeHamming: Int,
+      band: Option[(Double, Double)] = None): DataFrame = {
     def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
     val base = emb(s, dir).select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
@@ -418,7 +419,12 @@ object SimilarityOps {
         round(dot(col("embedding"), col("qvec")) /
           (col("nrm") * col("qnrm")), 9).as("cosine"))
       .filter(col("cosine").isNotNull)
-    graft.operators.TopK.perGroup(scored, Seq("qid"),
+    // Hard-negative band: keep candidates similar enough to inform
+    // the loss but below the near-duplicate bar (q123); applied to
+    // the ROUNDED cosine so the cut is engine-portable.
+    val banded = band.fold(scored) { case (lo, hi) =>
+      scored.filter(col("cosine") >= lo && col("cosine") <= hi) }
+    graft.operators.TopK.perGroup(banded, Seq("qid"),
       Seq(col("cosine").desc, col("vec_id").asc), k = 3)
   }
 
@@ -608,6 +614,50 @@ object SimilarityOps {
                       row_number() OVER (PARTITION BY qid
                         ORDER BY cosine DESC, vec_id) AS rk
                FROM cos)
+        SELECT qid, vec_id, cosine FROM rk WHERE rk <= 3
+        ORDER BY qid, cosine DESC, vec_id""")),
+
+    // ---- hard-negative mining for retrieval training (q123) -------------
+    // The contrastive-training recipe: per query, the top candidates
+    // in the 0.2 ≤ cos ≤ 0.9 band — similar enough to be informative
+    // negatives, excluded above 0.9 (those are positives/near-dups)
+    // and below 0.2 (uninformative easy negatives). Same multi-probe
+    // bucketed candidate plan as q56; the band is one extra predicate
+    // on the rounded cosine, so the mining run costs what the ANN run
+    // costs.
+    QueryDef("q123_hard_negatives",
+      (s, dir) => batchBucketedTop3(s, dir, probeHamming = 1,
+          band = Some((0.2, 0.9)))
+        .orderBy(col("qid"), col("cosine").desc, col("vec_id")),
+      Some(s"""
+        WITH b AS (SELECT vec_id, ${bucketSql("embeddings")} AS bucket
+                   FROM embeddings),
+        qs AS (SELECT vec_id AS qid, bucket AS qbucket FROM b
+               WHERE vec_id % 97 = 0),
+        cand AS (SELECT q.qid, b.vec_id
+                 FROM b JOIN qs q
+                 ON ${hammingLeSql("b.bucket", "q.qbucket", 1)}
+                    AND b.vec_id <> q.qid),
+        e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings),
+        n AS (SELECT vec_id, CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+              FROM e GROUP BY 1),
+        d AS (SELECT c.qid, c.vec_id,
+                     CAST(SUM(CAST(e1.v*e2.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+              FROM cand c
+              JOIN e e1 ON e1.vec_id = c.qid
+              JOIN e e2 ON e2.vec_id = c.vec_id AND e2.pos = e1.pos
+              GROUP BY 1, 2),
+        cos AS (SELECT qid, d.vec_id,
+                       round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) AS cosine
+                FROM d JOIN n n1 ON n1.vec_id = d.qid
+                       JOIN n n2 ON n2.vec_id = d.vec_id
+                WHERE n1.nn > 0 AND n2.nn > 0),
+        rk AS (SELECT qid, vec_id, cosine,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY cosine DESC, vec_id) AS rk
+               FROM cos WHERE cosine >= 0.2 AND cosine <= 0.9)
         SELECT qid, vec_id, cosine FROM rk WHERE rk <= 3
         ORDER BY qid, cosine DESC, vec_id""")),
 
