@@ -163,6 +163,53 @@ object Advanced {
           AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 50000)
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- correlated subqueries: EXISTS / NOT EXISTS / scalar-in-SELECT --
+    // The decorrelation surface q74 doesn't reach: a correlated EXISTS,
+    // its NOT EXISTS complement, and a correlated scalar aggregate in
+    // the projection. Catalyst rewrites all three to joins (semi, anti,
+    // and left-outer aggregate); the oracle states them verbatim.
+    QueryDef("q124_correlated_subqueries",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("v_customer")
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        s.sql("""
+          SELECT c.c_mktsegment,
+                 count(*) AS n_customers,
+                 CAST(SUM(CASE WHEN EXISTS (
+                       SELECT 1 FROM v_orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+                 CAST(SUM(CASE WHEN NOT EXISTS (
+                       SELECT 1 FROM v_orders o
+                       WHERE o.o_custkey = c.c_custkey)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive,
+                 CAST(SUM((SELECT count(*) FROM v_orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_totalprice > 100000)) AS BIGINT)
+                   AS n_big_orders
+          FROM v_customer c
+          GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""
+        SELECT c.c_mktsegment,
+               count(*) AS n_customers,
+               CAST(SUM(CASE WHEN EXISTS (
+                     SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+               CAST(SUM(CASE WHEN NOT EXISTS (
+                     SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive,
+               CAST(SUM((SELECT count(*) FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 100000)) AS BIGINT)
+                 AS n_big_orders
+        FROM customer c
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- AS-OF join (point-in-time enrichment) -------------------------
     // Quotes = every 20th event; each event picks the latest quote at or
     // before its time per user. Oracle uses DuckDB's native ASOF JOIN.
