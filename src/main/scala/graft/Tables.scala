@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   import org.apache.spark.sql.functions._
-  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, TimestampNTZType, TimestampType}
 
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
@@ -31,6 +31,17 @@ object Tables {
     else if (name == "events" && df.schema.fieldNames.contains("ts") &&
         df.schema("ts").dataType == TimestampNTZType)
       df.withColumn("ts", col("ts").cast(TimestampType))
+    // The similarity tier (native expressions, IVF/PQ indexes) is typed
+    // to array<float>; normalize a generator flip to double parquet
+    // lists here rather than in 40 queries. (Same defense class as the
+    // ts flavors above — the round-8 regen changed a column type and
+    // broke three queries.)
+    else if (name == "embeddings" && df.schema.fieldNames.contains("embedding") &&
+        (df.schema("embedding").dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        }))
+      df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
     else df
   }
 }

@@ -39,6 +39,22 @@ class TablesSpec extends SparkSpec {
     assert(byId === Map(0L -> 1577836800000L, 1L -> 1577840400123L))
   }
 
+  test("embeddings array<double> is normalized to array<float>") {
+    val dir = Files.createTempDirectory("tables-spec").toString
+    spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(0L, Seq(0.5d, -1.25d)), Row(1L, Seq(2.0d, 3.5d))),
+        StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(DoubleType)))))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Tables.table(spark, dir, "embeddings")
+    assert(got.schema("embedding").dataType === ArrayType(FloatType))
+    val v = got.orderBy("vec_id").collect().map(_.getSeq[Float](1))
+    assert(v(0) === Seq(0.5f, -1.25f) && v(1) === Seq(2.0f, 3.5f))
+  }
+
   test("TIMESTAMP ts passes through unchanged") {
     val dir = writeEvents(TimestampType,
       ms => java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(ms)))
