@@ -37,7 +37,14 @@ object BloomJoin {
     */
   def buildKeyFilter(dim: DataFrame, dimKey: String,
       expectedItems: Long, fpp: Double = 0.01): BloomFilter =
-    dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    // `stat.bloomFilter` NPEs on an EMPTY input (no partition ever
+    // serializes a filter, and readFrom gets null bytes — Spark 4.1).
+    // An empty key set is a legitimate dim (over-selective predicate),
+    // so pre-check with a limit-1 probe and hand back a fresh zero-bit
+    // filter: mightContain is then false everywhere — exactly right,
+    // the reduced join is as empty as the plain join.
+    if (dim.isEmpty) BloomFilter.create(expectedItems, fpp)
+    else dim.stat.bloomFilter(dimKey, expectedItems, fpp)
 
   /** Probe column: true/false = maybe/definitely-not in the key set;
     * null key → null (matches equi-join semantics under a filter).

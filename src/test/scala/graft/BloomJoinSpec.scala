@@ -58,6 +58,14 @@ class BloomJoinSpec extends SparkSpec {
     assert(kept.filter(col("k").isNull).count() === 0)
   }
 
+  test("empty dim side: probe rejects everything, join is empty") {
+    val empty = dim.filter(col("dk") < 0)
+    val bloom = BloomJoin.buildKeyFilter(empty, "dk", expectedItems = 100L)
+    assert(fact.filter(BloomJoin.mightContain(bloom, col("k"))).count() === 0)
+    assert(BloomJoin.reduceJoin(fact, empty, "k", "dk",
+      expectedItems = 100L).count() === 0)
+  }
+
   test("outer join types that keep unmatched fact rows are rejected") {
     intercept[IllegalArgumentException] {
       BloomJoin.reduceJoin(fact, dim, "k", "dk", "left")
