@@ -35,13 +35,30 @@ object Tables {
     // to array<float>; normalize a generator flip to double parquet
     // lists here rather than in 40 queries. (Same defense class as the
     // ts flavors above — the round-8 regen changed a column type and
-    // broke three queries.)
+    // broke three queries.) The narrowing is only sound while every
+    // value is exactly float-representable — the DuckDB oracles read
+    // the same parquet at full double precision, so a silently lossy
+    // cast would skew every cosine/centroid gate by sub-ulp amounts
+    // the 1e-9 rounding can't absorb. Assert losslessness per value
+    // (float round-trip identity, inside codegen): a generator that
+    // starts emitting true double-precision embeddings fails LOUDLY
+    // here instead of producing quiet hash mismatches downstream.
     else if (name == "embeddings" && df.schema.fieldNames.contains("embedding") &&
         (df.schema("embedding").dataType match {
           case ArrayType(DoubleType, _) => true
           case _ => false
         }))
-      df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      df.withColumn("embedding",
+        transform(col("embedding"), d =>
+          when(d.isNull || d.cast(FloatType).cast(DoubleType) === d,
+            d.cast(FloatType))
+          .otherwise(raise_error(concat(
+            lit("embeddings.embedding: double value "), d.cast("string"),
+            lit(" is not float-representable; the array<float> " +
+              "normalization would silently diverge from the " +
+              "double-precision oracle — regenerate float parquet or " +
+              "widen the similarity tier to double")))
+            .cast(FloatType))))
     else df
   }
 }

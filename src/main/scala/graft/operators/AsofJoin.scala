@@ -60,7 +60,13 @@ object AsofJoin {
 
     // Right rows sort before left rows at the same instant (side 0 < 1)
     // so a right row effective AT the event time is visible to it.
-    val taggedRight = right.select(
+    // A right row with NULL effective time has no position on the
+    // timeline and can never be a meaningful as-of match — drop it
+    // up front. (Unfiltered, NULLS FIRST ordering would let it ride
+    // the unbounded backward window as the "latest" match whenever
+    // tolerance is None, and skew the nearest tie logic; the filter
+    // makes all three directions treat it identically: absent.)
+    val taggedRight = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(col(rightTime).as("__ts"), lit(0).as("__side")) ++
         values.map(c => col(c).as(s"__v_$c")): _*)
     val taggedLeft = left.select(

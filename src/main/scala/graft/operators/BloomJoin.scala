@@ -55,6 +55,20 @@ object BloomJoin {
   /** `fact ⋈ dim` with the fact side pre-reduced by a bloom over the
     * dim keys. Result is EXACTLY the plain join (the join clears the
     * filter's false positives); only the shuffled volume changes.
+    *
+    * EAGER at call time, unlike a plain DataFrame transform: building
+    * the bloom runs two Spark jobs here and now (an `isEmpty` probe
+    * plus the distributed `stat.bloomFilter` aggregate), and the
+    * resulting bitmap is frozen into the returned plan. Consequences:
+    * callers pay the dim scan at DEFINITION time, not first action,
+    * and if the dim's underlying source mutates between this call and
+    * execution the pre-filter reflects the OLD key set. Keys DELETED
+    * after the build stay harmless (the stale bloom admits their fact
+    * rows, the live join drops them), but keys ADDED after the build
+    * are rejected BEFORE the join — their matches silently vanish from
+    * a result the plain join would contain. Build the filter as close
+    * to the action as the pipeline allows, and never reuse it across
+    * a dim refresh.
     */
   def reduceJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String, joinType: String = "inner",

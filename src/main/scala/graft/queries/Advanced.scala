@@ -296,7 +296,10 @@ object Advanced {
         // table's lineage DISJOINT from ev — a crossJoin of an
         // ev-derived aggregate would make overlap() an ambiguous
         // self-join.
-        val mnVal = ev.agg(min("ev_s")).head().getLong(0)
+        val mnRow = ev.agg(min("ev_s")).head()
+        // Empty ev ⇒ min is NULL; any anchor makes the join empty, so a
+        // benign 0 keeps the (empty) result well-defined instead of NPE.
+        val mnVal = if (mnRow.isNullAt(0)) 0L else mnRow.getLong(0)
         val w = t(s, dir, "nation")
           .select(col("n_nationkey").cast(LongType).as("w_id"),
             (lit(mnVal) + col("n_nationkey").cast(LongType) * 3600000L).as("w_s"),

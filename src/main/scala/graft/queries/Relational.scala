@@ -528,8 +528,11 @@ object Relational {
           .orderBy("pid")
       },
       Some {
+        // NULL input → bucket 0, mirroring ZOrder.minMaxBucket's
+        // convention (nulls cluster at the z-space origin) so the gate
+        // holds even on nullable clustering columns.
         def bucket(c: String, mn: String, mx: String): String =
-          s"""CASE WHEN $mx <= $mn THEN 0
+          s"""CASE WHEN $c IS NULL OR $mx <= $mn THEN 0
               ELSE CAST(floor((CAST($c AS DOUBLE) - CAST($mn AS DOUBLE)) * 255.0
                 / (CAST($mx AS DOUBLE) - CAST($mn AS DOUBLE))) AS BIGINT) END"""
         val terms = (for {

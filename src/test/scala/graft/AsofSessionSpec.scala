@@ -53,6 +53,28 @@ class AsofSessionSpec extends SparkSpec {
     assert(tol(("A", 205L)) == null) // matched row ts=200, gap 5 <= 10, px null
   }
 
+  test("asof ignores right rows with a null time column in every direction") {
+    // A timeless right row must never be carried as a match: unfiltered,
+    // NULLS FIRST ordering would make it the unbounded backward window's
+    // "latest" value for early trades when tolerance is None.
+    val q3 = df("sym STRING, t BIGINT, px DOUBLE",
+      Row("A", null, Double.box(99.0)),           // no effective time
+      Row("A", Long.box(200), Double.box(20.0)))
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = AsofJoin.asof(trades, q3, Seq("sym"), "t", "t", direction = dir)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+      assert(!out.values.exists(_ == 99.0),
+        s"direction=$dir leaked a null-time right row as a match")
+      assert(out(("B", 100L)) == null, s"direction=$dir")
+    }
+    // Backward specifically: the early trade has no real match left.
+    val back = AsofJoin.asof(trades, q3, Seq("sym"), "t", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(back(("A", 50L)) == null && back(("A", 205L)) == 20.0)
+  }
+
   test("asof preserves all left rows and columns") {
     val out = AsofJoin.asof(trades, quotes, Seq("sym"), "t", "t")
     assert(out.count() == 4)

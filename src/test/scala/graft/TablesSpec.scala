@@ -55,6 +55,28 @@ class TablesSpec extends SparkSpec {
     assert(v(0) === Seq(0.5f, -1.25f) && v(1) === Seq(2.0f, 3.5f))
   }
 
+  test("embeddings narrowing fails loudly on a non-float-representable double") {
+    // 0.1 has no exact float: silently narrowing it would make Spark
+    // compute cosines on different values than the double-reading
+    // oracle. The load-time assertion must raise, not round.
+    val dir = Files.createTempDirectory("tables-spec").toString
+    spark.createDataFrame(
+        java.util.Arrays.asList(Row(0L, Seq(0.5d, 0.1d))),
+        StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(DoubleType)))))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ex = intercept[Exception] {
+      Tables.table(spark, dir, "embeddings").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("not float-representable")),
+      s"expected the lossy-narrowing error, got: $ex")
+  }
+
   test("TIMESTAMP ts passes through unchanged") {
     val dir = writeEvents(TimestampType,
       ms => java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(ms)))
