@@ -894,6 +894,37 @@ object Dedup {
           (col("sz1") + col("sz2") - col("n_inter")).cast("double")).as("jaccard"))
   }
 
+  /** Asymmetric n-gram containment for id pairs (id1 < id2):
+    * C(a→b) = |Sa ∩ Sb| / |Sa|, both directions, plus the raw set
+    * sizes. The sub-document-duplication detector Jaccard structurally
+    * misses: a short doc fully embedded in a long one has
+    * containment(short→long) = 1.0 while Jaccard ≈ |short|/|long| ≈ 0,
+    * so a Jaccard threshold never fires. Same physical shape as
+    * [[ngramJaccardPairs]] (distinct shingles → self-join on gram →
+    * size join); at corpus scale both run on LSH candidate pairs, not
+    * all pairs.
+    */
+  def ngramContainmentPairs(docs: DataFrame, id: String, body: String,
+      n: Int): DataFrame = {
+    val grams = explodedShingles(docs, id, body, n)
+      .select(col(id), col("__g").as("g")).distinct()
+    val sizes = grams.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val a = grams.alias("ga")
+    val b = grams.alias("gb")
+    val inter = a.join(b,
+        col("ga.g") === col("gb.g") && col(s"ga.$id") < col(s"gb.$id"))
+      .groupBy(col(s"ga.$id").as("id1"), col(s"gb.$id").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+    val s1 = sizes.select(col(id).as("id1"), col("sz").as("sz1"))
+    val s2 = sizes.select(col(id).as("id2"), col("sz").as("sz2"))
+    inter.join(s1, "id1").join(s2, "id2")
+      .select(col("id1"), col("id2"), col("n_inter"), col("sz1"), col("sz2"),
+        (col("n_inter").cast("double") / col("sz1").cast("double"))
+          .as("cont_12"),
+        (col("n_inter").cast("double") / col("sz2").cast("double"))
+          .as("cont_21"))
+  }
+
   /** Cross-source content-overlap matrix: for every source pair
     * (src1 < src2), how many distinct word `n`-gram shingles the two
     * sources share, each source's distinct-shingle count, and the

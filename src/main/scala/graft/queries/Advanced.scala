@@ -460,5 +460,93 @@ object Advanced {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                min(ms) AS session_start, max(ms) AS session_end,
                max(ms) - min(ms) AS duration_ms, count(*) AS n_events
-        FROM sessioned GROUP BY 1, 2 ORDER BY 1, 2""")))
+        FROM sessioned GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- ordered funnel: view → click → purchase ------------------------
+    // Sequence-sensitive conversion counting: a click only counts after
+    // the user's FIRST view, a purchase only after that click — plain
+    // per-type counts can't express the ordering. Physical shape: each
+    // stage is a groupBy(user) min, and every subsequent stage joins on
+    // user_id — all three aggregates and both joins hash-partition on
+    // the SAME key, so Spark plans ONE exchange per side and reuses it
+    // (no re-shuffle between stages). Per-user state is two longs, so
+    // a hot user costs nothing; delays are summed exactly in BIGINT
+    // (stage delay = first-qualifying-event time minus funnel start).
+    QueryDef("q125_funnel",
+      (s, dir) => {
+        val ev = eventsMs(s, dir).select("user_id", "event_type", "ms")
+        def stage(tp: String) = ev.filter(col("event_type") === tp)
+        val v = stage("view").groupBy("user_id").agg(min("ms").as("t1"))
+        val c = stage("click").join(v, "user_id")
+          .filter(col("ms") >= col("t1"))
+          .groupBy("user_id", "t1").agg(min("ms").as("t2"))
+        val p = stage("purchase").join(c, "user_id")
+          .filter(col("ms") >= col("t2"))
+          .groupBy("user_id", "t1").agg(min("ms").as("t3"))
+        val r1 = v.agg(count(lit(1)).as("n_users"),
+          lit(0L).as("sum_delay_ms")).withColumn("stage", lit("1_view"))
+        val r2 = c.agg(count(lit(1)).as("n_users"),
+          coalesce(sum(col("t2") - col("t1")), lit(0L)).as("sum_delay_ms"))
+          .withColumn("stage", lit("2_click"))
+        val r3 = p.agg(count(lit(1)).as("n_users"),
+          coalesce(sum(col("t3") - col("t1")), lit(0L)).as("sum_delay_ms"))
+          .withColumn("stage", lit("3_purchase"))
+        r1.unionByName(r2).unionByName(r3)
+          .select(col("stage"), col("n_users"), col("sum_delay_ms"))
+          .orderBy("stage")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        v AS (SELECT user_id, min(ms) AS t1 FROM ev
+              WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, t1, min(ms) AS t2
+              FROM ev e JOIN v USING (user_id)
+              WHERE event_type = 'click' AND ms >= t1 GROUP BY 1, 2),
+        p AS (SELECT e.user_id, c.t1, min(ms) AS t3
+              FROM ev e JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND ms >= t2 GROUP BY 1, 2)
+        SELECT '1_view' AS stage, count(*) AS n_users,
+               CAST(0 AS BIGINT) AS sum_delay_ms FROM v
+        UNION ALL
+        SELECT '2_click', count(*),
+               CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) FROM c
+        UNION ALL
+        SELECT '3_purchase', count(*),
+               CAST(COALESCE(SUM(t3 - t1), 0) AS BIGINT) FROM p
+        ORDER BY stage""")),
+
+    // ---- cohort retention matrix ---------------------------------------
+    // Users cohorted by the epoch-week of their first signup; each
+    // (cohort_week, weeks-since-signup) cell counts distinct returning
+    // users. Week ids come from exact integer division of epoch millis
+    // (`div` / `//`) — no timezone or week-start convention to keep in
+    // sync across engines, and no double rounding at bucket edges. The
+    // cohort aggregate and the activity join share the user_id hash
+    // partitioning (one exchange each side); the final distinct-count
+    // grid is bounded by weeks², not data.
+    QueryDef("q126_retention_cohort",
+      (s, dir) => {
+        val wk = 604800000L
+        val ev = eventsMs(s, dir).select("user_id", "event_type", "ms")
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ms").as("t0"))
+          .select(col("user_id"), expr(s"t0 div $wk").as("cohort_week"))
+        ev.select(col("user_id"), expr(s"ms div $wk").as("week"))
+          .join(su, "user_id")
+          .filter(col("week") >= col("cohort_week"))
+          .groupBy(col("cohort_week"),
+            (col("week") - col("cohort_week")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        su AS (SELECT user_id, min(ms) // 604800000 AS cohort_week
+               FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        act AS (SELECT user_id, ms // 604800000 AS week FROM ev)
+        SELECT cohort_week, week - cohort_week AS week_offset,
+               count(DISTINCT a.user_id) AS n_users
+        FROM act a JOIN su USING (user_id)
+        WHERE week >= cohort_week
+        GROUP BY 1, 2 ORDER BY 1, 2""")))
 }

@@ -607,6 +607,40 @@ object DedupOps {
         JOIN sizes s2 ON s2.doc_id = id2
         ORDER BY 1, 2""")),
 
+    // ---- asymmetric containment (sub-document duplication) --------------
+    // C(a→b) = |Sa∩Sb|/|Sa| in both directions per pair — catches a
+    // short doc embedded verbatim in a long one, which Jaccard (q34)
+    // structurally under-scores (≈ |short|/|long|). Same capped
+    // verification tier as q34: at corpus scale this runs on LSH
+    // candidates, not all pairs. Operator:
+    // [[graft.operators.Dedup.ngramContainmentPairs]].
+    QueryDef("q128_containment",
+      (s, dir) => {
+        Dedup.ngramContainmentPairs(
+            docs(s, dir).filter(col("doc_id") < 80), "doc_id", "text", n = 3)
+          .orderBy("id1", "id2")
+      },
+      Some("""
+        WITH grams AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+              unnest(list_transform(range(1, len(l)-1),
+                     i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
+            FROM (SELECT doc_id, string_split(text,' ') AS l
+                  FROM documents WHERE doc_id < 80))),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id1, id2, n_inter, s1.sz AS sz1, s2.sz AS sz2,
+               CAST(n_inter AS DOUBLE) / CAST(s1.sz AS DOUBLE) AS cont_12,
+               CAST(n_inter AS DOUBLE) / CAST(s2.sz AS DOUBLE) AS cont_21
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        ORDER BY 1, 2""")),
+
     // ---- cross-source content-overlap matrix ----------------------------
     // Which sources duplicate each other's content (distinct-trigram
     // Jaccard per source pair) — the diagnostic that decides dedup order

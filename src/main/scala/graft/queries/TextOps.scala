@@ -1586,5 +1586,94 @@ object TextOps {
         SELECT sc.doc_id, d.source, sc.n_feats,
                round(CAST(s AS DOUBLE)/1000000.0, 9) AS log_weight
         FROM sc JOIN documents d USING (doc_id)
-        ORDER BY log_weight DESC, doc_id LIMIT 100""")))
+        ORDER BY log_weight DESC, doc_id LIMIT 100""")),
+
+    // ---- rendezvous (HRW) sharding + resize-stability gate --------------
+    // Stable doc→shard routing (graft.operators.Rendezvous): per-shard
+    // doc and char volumes under 8-shard HRW, plus how many of each
+    // shard's docs WOULD move when a 9th shard is added. HRW's defining
+    // property — only the keys the new shard's score WINS relocate,
+    // ~1/9 of the corpus, vs ~8/9 for `hash % n` — is exactly what the
+    // n_moved column measures; the oracle recomputes both assignments
+    // relationally (cross join shards × docs, arg_max). Spark side is
+    // pure codegen column math (16 md5s + 2 array_max), zero shuffle
+    // before the final 8-group aggregate.
+    QueryDef("q127_rendezvous_shard",
+      (s, dir) => {
+        import graft.operators.Rendezvous
+        docs(s, dir)
+          .select(col("doc_id"), length(col("text")).as("n_chars"),
+            Rendezvous.shard(col("doc_id"), 8).as("shard"),
+            Rendezvous.shard(col("doc_id"), 9).as("shard9"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("n_chars"),
+            sum(when(col("shard9") =!= col("shard"), 1L).otherwise(0L))
+              .as("n_moved"))
+          .orderBy("shard")
+      },
+      Some("""
+        WITH s8 AS (
+          SELECT doc_id, arg_max(s, md5('hrw:'||CAST(s AS VARCHAR)||':'||
+                                        CAST(doc_id AS VARCHAR))) AS shard
+          FROM documents, (SELECT unnest(range(8)) AS s) t GROUP BY doc_id),
+        s9 AS (
+          SELECT doc_id, arg_max(s, md5('hrw:'||CAST(s AS VARCHAR)||':'||
+                                        CAST(doc_id AS VARCHAR))) AS shard9
+          FROM documents, (SELECT unnest(range(9)) AS s) t GROUP BY doc_id)
+        SELECT shard, count(*) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               CAST(SUM(CASE WHEN shard9 <> shard THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_moved
+        FROM documents JOIN s8 USING (doc_id) JOIN s9 USING (doc_id)
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- winsorized robust stats per language ---------------------------
+    // The outlier-robust profiling step before length-based filtering:
+    // per-language exact p05/p95 of the whitespace token count, the
+    // plain mean, and the winsorized mean (values clamped into
+    // [p05, p95] before averaging). Two passes over the (tiny)
+    // per-language percentile table: pass 1 computes the exact
+    // percentiles, pass 2 broadcasts them back onto the rows for the
+    // clamp — at 100 TB the percentile pass would swap to
+    // percentile_approx without touching the query shape. Both means
+    // are decimal-accumulated then rounded (the float-compare
+    // convention from the verify skill); percentiles follow the
+    // q92 percentile↔quantile_cont pairing.
+    QueryDef("q129_winsorize",
+      (s, dir) => {
+        val base = docs(s, dir)
+          .select(col("lang"), tokenCountWs(col("text")).cast("double")
+            .as("n_tokens"))
+        val pcts = base.groupBy("lang").agg(
+          round(expr("percentile(n_tokens, 0.05)"), 9).as("p05"),
+          round(expr("percentile(n_tokens, 0.95)"), 9).as("p95"))
+        val clamped = base.join(broadcast(pcts), "lang")
+          .withColumn("w_tokens",
+            least(greatest(col("n_tokens"), col("p05")), col("p95")))
+        clamped.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            first(col("p05")).as("p05"), first(col("p95")).as("p95"),
+            round(graft.functions.ColumnLib.exactSum(col("n_tokens")) /
+              count(lit(1)), 9).as("mean_tokens"),
+            round(graft.functions.ColumnLib.exactSum(col("w_tokens")) /
+              count(lit(1)), 9).as("wmean_tokens"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH base AS (
+          SELECT lang, CAST(len(string_split(text,' ')) AS DOUBLE) AS n_tokens
+          FROM documents),
+        pcts AS (
+          SELECT lang, round(quantile_cont(n_tokens, 0.05), 9) AS p05,
+                 round(quantile_cont(n_tokens, 0.95), 9) AS p95
+          FROM base GROUP BY 1)
+        SELECT lang, count(*) AS n_docs, p05, p95,
+               round(CAST(SUM(CAST(n_tokens AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*), 9) AS mean_tokens,
+               round(CAST(SUM(CAST(
+                   least(greatest(n_tokens, p05), p95) AS DECIMAL(28,6)))
+                 AS DOUBLE) / count(*), 9) AS wmean_tokens
+        FROM base JOIN pcts USING (lang)
+        GROUP BY lang, p05, p95 ORDER BY lang""")))
 }
