@@ -466,12 +466,18 @@ object Advanced {
     // Sequence-sensitive conversion counting: a click only counts after
     // the user's FIRST view, a purchase only after that click — plain
     // per-type counts can't express the ordering. Physical shape: each
-    // stage is a groupBy(user) min, and every subsequent stage joins on
-    // user_id — all three aggregates and both joins hash-partition on
-    // the SAME key, so Spark plans ONE exchange per side and reuses it
-    // (no re-shuffle between stages). Per-user state is two longs, so
-    // a hot user costs nothing; delays are summed exactly in BIGINT
-    // (stage delay = first-qualifying-event time minus funnel start).
+    // stage shuffles ONLY its own event type's rows (the event_type
+    // filter pushes to the parquet scan), and every stage aggregate
+    // groups on user_id ALONE — t1/t2 are functionally dependent on
+    // the user, carried as min() of a per-user constant — so no
+    // composite-key (user_id, t1) re-exchange ever appears
+    // (PlanShapeSpec pins its absence). When the per-user stage tables
+    // fit the broadcast threshold AQE probes them against the next
+    // stage's scan with zero probe-side shuffle; past it, the SMJ path
+    // shuffles each stage's filtered rows exactly once on user_id.
+    // Per-user state is two longs, so a hot user costs nothing; delays
+    // are summed exactly in BIGINT (stage delay = first-qualifying-
+    // event time minus funnel start).
     QueryDef("q125_funnel",
       (s, dir) => {
         val ev = eventsMs(s, dir).select("user_id", "event_type", "ms")
@@ -479,10 +485,12 @@ object Advanced {
         val v = stage("view").groupBy("user_id").agg(min("ms").as("t1"))
         val c = stage("click").join(v, "user_id")
           .filter(col("ms") >= col("t1"))
-          .groupBy("user_id", "t1").agg(min("ms").as("t2"))
+          .groupBy("user_id")
+          .agg(min("ms").as("t2"), min("t1").as("t1"))
         val p = stage("purchase").join(c, "user_id")
           .filter(col("ms") >= col("t2"))
-          .groupBy("user_id", "t1").agg(min("ms").as("t3"))
+          .groupBy("user_id")
+          .agg(min("ms").as("t3"), min("t1").as("t1"))
         val r1 = v.agg(count(lit(1)).as("n_users"),
           lit(0L).as("sum_delay_ms")).withColumn("stage", lit("1_view"))
         val r2 = c.agg(count(lit(1)).as("n_users"),

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan gates for the scale properties the engine is designed
+  * around — the "would this survive 100×" checks, pinned so a refactor
+  * that silently de-optimizes a plan fails a test instead of a
+  * benchmark round later. Uses the sf0.001 fixtures: plan SHAPE is
+  * scale-independent even where AQE's join choice is not, so each
+  * assertion targets a shape property that holds at any SF.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filters and projections push down to the parquet scan") {
+    val p = Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") < 80).select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,80)]"),
+      s"scan must receive the pushed filter:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"scan must prune to the 2 projected columns:\n$p")
+  }
+
+  test("q127 HRW sharding: scoring is shuffle-free, 2 exchanges total") {
+    // 16 md5 scores + 2 array_max per row all inside one Project over
+    // the scan; the only exchanges are the final aggregate's hash
+    // partitioning and the presentation sort's range partitioning.
+    val p = plan("q127_rendezvous_shard")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1, p)
+    assert("Exchange rangepartitioning".r.findAllMatchIn(p).size == 1, p)
+    assert(!p.contains("BroadcastExchange") && !p.contains("Window"), p)
+    // and the scan reads only the two columns the query needs
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("q125 funnel: stage aggregates never re-exchange on a composite key") {
+    // t1/t2 are per-user constants; grouping on (user_id, t1) would add
+    // a composite-key shuffle per stage (measured: 11 exchanges vs 8).
+    val p = plan("q125_funnel")
+    val composite = "hashpartitioning\\([^)]*user_id[^)]*t[0-9]".r
+    assert(composite.findFirstIn(p).isEmpty,
+      s"stage aggregate re-exchanged on a composite key:\n$p")
+    // each stage's scan receives its event_type filter
+    assert(p.contains("EqualTo(event_type,view)"),
+      s"event_type filter must reach the scan:\n$p")
+  }
+
+  test("q129 winsorize: the percentile table joins back via broadcast") {
+    // The per-language percentile table is rows=|langs|; shipping it as
+    // a broadcast keeps the clamp pass shuffle-free on the data side.
+    val p = plan("q129_winsorize")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast join for the tiny percentile table:\n$p")
+  }
+}
