@@ -76,6 +76,12 @@ object Bench {
     val loadJson =
       s""","loadavg":{"start":"$loadStart","mid":"$loadMid","end":"$loadEnd"}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr$filterJson$loadJson,"sf":"$sfDir"}""")
+    // The driver captures only the TAIL of stdout; with 120+ queries the
+    // per-query map pushes the leading "metric":"total" key out of the
+    // captured window, leaving the round artifact machine-unparseable
+    // (BENCH_r03..r09 all record parsed:null). Re-print a compact summary
+    // LAST so the total always survives tail truncation.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErr$filterJson$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

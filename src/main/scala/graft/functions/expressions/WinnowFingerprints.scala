@@ -52,13 +52,22 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def nullSafeEval(textVal: Any): Any =
     WinnowFingerprints.compute(textVal.asInstanceOf[UTF8String], k, w)
 
+  // Null-result flag is a fresh LOCAL, copied into ev.isNull exactly
+  // once at the end (the DivModLike convention shared by every sibling
+  // expression — see CosineSimilarity's scaladoc): ev.isNull must never
+  // be assigned from computed sub-expressions of a snippet, because
+  // codegen contexts that resolve isNull to a non-local (split methods,
+  // literal false under refined nullability) can't compile the
+  // assignment and silently fall back to interpretation.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t => {
       val res = ctx.freshName("res")
+      val resNull = ctx.freshName("resNull")
       s"""
         ${CodeGenerator.javaType(dataType)} $res =
           graft.functions.expressions.WinnowFingerprints.compute($t, $k, $w);
-        ${ev.isNull} = $res == null;
+        boolean $resNull = ($res == null);
+        ${ev.isNull} = $resNull;
         ${ev.value} = $res;
       """
     })

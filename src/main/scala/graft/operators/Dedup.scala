@@ -702,9 +702,15 @@ object Dedup {
     * Zero-norm / null vectors carry no direction and are excluded up
     * front (both engines identically). Returns the SURVIVORS:
     * (id, cluster, sim_centroid).
+    *
+    * `maxCluster` caps the quadratic within-cluster pair stage:
+    * clusters above it skip pair generation (members kept verbatim)
+    * and the hit is surfaced via an observed metric — see the guard
+    * comment inline.
     */
   def semDedup(vecs: DataFrame, id: String, vecCol: String,
-      bucketPairs: Seq[(Int, Int)], eps: Double): DataFrame = {
+      bucketPairs: Seq[(Int, Int)], eps: Double,
+      maxCluster: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
     val D = DecimalType(38, 18)
@@ -743,7 +749,25 @@ object Dedup {
       Window.partitionBy(col("bucket"))
         .orderBy(col("sim_centroid").asc_nulls_first, col(id).asc)))
       .localCheckpoint(true)
-    val nearDup = ranked.alias("a").join(ranked.alias("c"),
+    // Hot-cluster guard (same posture as lshCandidatePairs' maxBucket):
+    // the pair stage below is Σ|cluster|² — a degenerate clustering
+    // (one bucket swallowing the corpus) would go quadratic silently.
+    // Clusters above `maxCluster` SKIP pair generation entirely: their
+    // members are kept verbatim (a guard must never delete data through
+    // an unverified path), and the event is surfaced as a
+    // `semdedup_clusters_<n>` observation (hot_clusters,
+    // max_cluster_size) readable from queryExecution.observedMetrics.
+    // The size table is one row per cluster — broadcast, no member
+    // shuffle.
+    val csz = ranked.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__csz"))
+      .observe(s"semdedup_clusters_${observationSeq.incrementAndGet()}",
+        sum(when(col("__csz") > maxCluster, 1).otherwise(0)).as("hot_clusters"),
+        max(col("__csz")).as("max_cluster_size"))
+    val pairable = ranked.join(
+      broadcast(csz.filter(col("__csz") <= maxCluster).select(col("bucket"))),
+      "bucket")
+    val nearDup = pairable.alias("a").join(pairable.alias("c"),
         col("a.bucket") === col("c.bucket") && col(s"a.$id") < col(s"c.$id"))
       .select(col(s"a.$id").as("id1"), col(s"c.$id").as("id2"),
         col("a.__rk").as("rk1"), col("c.__rk").as("rk2"),

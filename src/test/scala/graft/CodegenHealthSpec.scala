@@ -150,6 +150,24 @@ class CodegenHealthSpec extends SparkSpec {
     assertNoCodegenFallback(warnings)
   }
 
+  test("winnow_fp under a filter predicate stays compiled") {
+    // winnow_fp used in a Predicate context (filter over its size) is
+    // exactly the shape the local-null-flag codegen convention exists
+    // for: a scattered ev.isNull assignment would fail to compile when
+    // the predicate context resolves isNull to a non-local.
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), "the quick brown fox jumps over the lazy dog today"),
+      Row(Long.box(2), "ab"),
+      Row(Long.box(3), null))
+    val warnings = capturedWarnings {
+      val n = docs
+        .filter(size(call_function("winnow_fp", col("text"), lit(5), lit(4))) > 0)
+        .count()
+      assert(n == 1)
+    }
+    assertNoCodegenFallback(warnings)
+  }
+
   test("filters over native text expressions stay compiled") {
     val docs = df("doc_id BIGINT, text STRING",
       Row(Long.box(1), "alpha beta gamma delta epsilon"),

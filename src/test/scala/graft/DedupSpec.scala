@@ -543,4 +543,19 @@ class DedupSpec extends SparkSpec {
     // all but the zero vector survive (trio cosines ~0.9997)
     assert(out.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L, 6L))
   }
+
+  test("semDedup: hot-cluster guard skips the quadratic stage, keeps members") {
+    // Cluster "1111" holds 4 members (the trio + the orthogonal v4);
+    // cap it at 3: pair generation must be SKIPPED for that cluster —
+    // every member survives verbatim — while the under-cap cluster
+    // "0111" (v6 alone) is untouched. The guard must never delete data.
+    val out = Dedup.semDedup(semVecs, "vec_id", "embedding",
+      graft.operators.Similarity.defaultPairs, eps = 0.5, maxCluster = 3)
+    assert(out.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L, 6L))
+    // And with the cap above the cluster size, dedup applies as normal.
+    val normal = Dedup.semDedup(semVecs, "vec_id", "embedding",
+      graft.operators.Similarity.defaultPairs, eps = 0.5, maxCluster = 4)
+    assert(Seq(1L, 2L, 3L).count(
+      normal.collect().map(_.getLong(0)).toSet) === 1)
+  }
 }
