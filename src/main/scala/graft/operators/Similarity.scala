@@ -764,4 +764,157 @@ object Similarity {
         .select(col(qidCol), col(idCol),
           dotNative(col("recon"), col(qvecCol)).as("score")),
       Seq(qidCol), Seq(col("score").desc_nulls_last, col(idCol).asc), k)
+
+  // ---- incremental index ingest ---------------------------------------
+  // At 100 TB the index BUILD is the expensive job; re-running it for
+  // every arriving embedding batch is the one cost a production vector
+  // store cannot pay. The append path is the FAISS add-after-train
+  // recipe: the coarse quantizer (and PQ codebook) stay FROZEN, new
+  // vectors are assigned to the existing centroids and their payload
+  // rows appended into the cluster-partitioned layout. Because routing
+  // depends only on the frozen centroids, search-after-append is
+  // IDENTICAL to search-after-full-rebuild over the same rows
+  // (SimilaritySpec pins it for all three layouts) — no index
+  // invalidation, no re-encode of old data.
+  //
+  // What appending CANNOT give is adaptation: if the data distribution
+  // drifts, frozen centroids describe new batches worse and worse —
+  // recall decays silently. So every append (and optionally the build)
+  // records ASSIGNMENT TIGHTNESS — n, mean and min cosine of each
+  // vector to its assigned centroid — into a 1-row-per-batch sidecar
+  // at `path + "_stats"`, measured by an [[org.apache.spark.sql.Observation]]
+  // on the very rows being written (zero extra scan). [[ivfStats]]
+  // exposes the per-batch drift vs the build baseline; a pipeline
+  // triggers re-train when it exceeds tolerance (q131 gates the
+  // measurement; SimilaritySpec pins that a shifted batch shows it).
+
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def statsSchema = "batch STRING, n LONG, mean_sim DOUBLE, min_sim DOUBLE"
+
+  /** One stats row per written batch, from the observed aggregates of
+    * the write itself. `overwrite` only for a fresh build.
+    */
+  private def writeStatsRow(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: String, row: Map[String, Any],
+      overwrite: Boolean): Unit = {
+    import org.apache.spark.sql.Row
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(batch,
+        row("n").asInstanceOf[Long],
+        Option(row("mean_sim")).map(_.asInstanceOf[Double]).orNull,
+        Option(row("min_sim")).map(_.asInstanceOf[Double]).orNull)),
+      org.apache.spark.sql.types.StructType.fromDDL(statsSchema))
+    df.coalesce(1).write.mode(if (overwrite) "overwrite" else "append")
+      .parquet(path + "_stats")
+  }
+
+  /** Attaches the tightness observation to an assigned frame and
+    * returns (observedFrame, completion) where `completion` writes the
+    * sidecar row once the caller's write action has run.
+    */
+  private def observeTightness(assigned: DataFrame, path: String,
+      batch: String, overwrite: Boolean): (DataFrame, () => Unit) = {
+    val obs = org.apache.spark.sql.Observation(
+      s"ivf_ingest_${obsSeq.incrementAndGet()}")
+    val observed = assigned.observe(obs,
+      count(lit(1)).as("n"),
+      avg(col("sim")).as("mean_sim"),
+      min(col("sim")).as("min_sim"))
+    (observed, () => writeStatsRow(assigned.sparkSession, path, batch,
+      obs.get, overwrite))
+  }
+
+  /** Append a new embedding batch into an existing [[ivfWrite]] float
+    * index: assign to the FROZEN centroids (the exact [[assignNearest]]
+    * the build used, so placement can never disagree), append the
+    * cluster-partitioned rows, and record the batch's assignment
+    * tightness under `batch` in the `_stats` sidecar. O(|batch|) work:
+    * one broadcast-join scan of the new rows + one cluster-local
+    * shuffle — the existing index is never read or rewritten.
+    */
+  def ivfAppend(vecs: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame, path: String, batch: String): Unit = {
+    val (observed, done) = observeTightness(
+      assignNearest(vecs, idCol, vecCol, centroidDf), path, batch,
+      overwrite = false)
+    observed.select(col(idCol), col(vecCol), col("cluster"))
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(path)
+    done()
+  }
+
+  /** [[ivfAppend]] for the SQ8 layout: same frozen-centroid routing,
+    * int8 payload ([[quantizeInt8]] + hoisted self-norm, exactly the
+    * build's columns).
+    */
+  def ivfAppendSq8(vecs: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame, path: String, batch: String): Unit = {
+    val (observed, done) = observeTightness(
+      assignNearest(vecs, idCol, vecCol, centroidDf), path, batch,
+      overwrite = false)
+    quantizeInt8(observed, vecCol)
+      .select(col(idCol), col("qvec"), col("scale"),
+        int8SelfNorm(col("qvec")).as("nrm2"), col("cluster"))
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(path)
+    done()
+  }
+
+  /** [[ivfAppend]] for the PQ-code layout: frozen coarse centroids AND
+    * frozen codebook — new vectors are encoded with the build-time
+    * codebook ([[pqEncode]]) and their code rows appended. Tightness is
+    * observed on the coarse assignment (the routing that governs which
+    * partitions a search reads).
+    */
+  def ivfAppendPq(vecs: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame, codebook: DataFrame, m: Int, subDim: Int,
+      path: String, batch: String): Unit = {
+    val (observed, done) = observeTightness(
+      assignNearest(vecs, idCol, vecCol, centroidDf), path, batch,
+      overwrite = false)
+    pqEncode(vecs, idCol, vecCol, codebook, m, subDim)
+      .join(observed.select(col(idCol), col("cluster").as("__coarse")), idCol)
+      .withColumnRenamed("cluster", "code")
+      .withColumnRenamed("__coarse", "cluster")
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(path)
+    done()
+  }
+
+  /** Record the BUILD's own tightness baseline for an index written by
+    * [[ivfWrite]]/[[ivfWriteSq8]]/[[ivfWritePq]] — run it over the same
+    * `vecs`/`centroidDf` the build used (one broadcast-join scan + a
+    * 1-row aggregate; kept out of the builders so index builds that
+    * never append pay nothing). Overwrites the sidecar: a rebuild
+    * resets the drift baseline.
+    */
+  def ivfRecordBuildStats(vecs: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame, path: String): Unit = {
+    val assigned = assignNearest(vecs, idCol, vecCol, centroidDf)
+    val row = assigned.agg(
+      count(lit(1)).as("n"),
+      avg(col("sim")).as("mean_sim"),
+      min(col("sim")).as("min_sim")).head()
+    writeStatsRow(vecs.sparkSession, path, "build", Map(
+      "n" -> row.getLong(0),
+      "mean_sim" -> (if (row.isNullAt(1)) null else row.getDouble(1)),
+      "min_sim" -> (if (row.isNullAt(2)) null else row.getDouble(2))),
+      overwrite = true)
+  }
+
+  /** The drift ledger: one row per recorded batch with `drift` =
+    * build-time mean tightness − batch mean tightness (positive =
+    * the frozen centroids fit this batch worse than the data they
+    * were trained on). The sidecar is one row per batch — broadcast.
+    */
+  def ivfStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val s = spark.read.parquet(path + "_stats")
+    val base = s.filter(col("batch") === "build")
+      .select(col("mean_sim").as("__build_mean"))
+    s.join(broadcast(base), lit(true), "left")
+      .withColumn("drift", col("__build_mean") - col("mean_sim"))
+      .drop("__build_mean")
+  }
 }

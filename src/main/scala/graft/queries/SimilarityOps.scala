@@ -1664,6 +1664,173 @@ object SimilarityOps {
                        CAST((SELECT count(*) FROM ext) AS DOUBLE), 9) AS recall)
         ORDER BY method""")),
 
+    // ---- incremental IVF ingest ----------------------------------------
+    // The production vector store never rebuilds for an arriving batch:
+    // the coarse quantizer is FROZEN at build time, new vectors are
+    // assigned to the existing centroids and appended into the
+    // cluster-partitioned layout (Similarity.ivfAppend — FAISS's
+    // add-after-train). q130 gates the core equivalence END TO END:
+    // build on the even half, append the odd half, search — and the
+    // oracle restates a search over ONE index of all vectors routed by
+    // the build-half centroids. The oracle knows nothing about the
+    // split, so a hash match proves search-after-append ≡
+    // search-after-full-rebuild against an independent engine (the
+    // in-engine form of the same claim is SimilaritySpec's three-layout
+    // pin). Decimal-grid centroids + the family's portable rerank, as
+    // q54/q59/q67.
+    QueryDef("q130_ivf_append",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val build = e.filter(col("vec_id") % 2 === 0)
+        val delta = e.filter(col("vec_id") % 2 === 1)
+        val cents = decimalGridCentroids(build, "label").localCheckpoint(true)
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_ivf_q130_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        Similarity.ivfWrite(build.select("vec_id", "embedding"), "vec_id",
+          "embedding", cents, path)
+        Similarity.ivfAppend(delta.select("vec_id", "embedding"), "vec_id",
+          "embedding", cents, path, "delta")
+        val qvec = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val hits = Similarity.ivfSearch(s, path, "vec_id", "embedding",
+          cents, qvec, k = 50, nprobe = 2)
+        decimalRerankTop10(e, hits.select("vec_id"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                          generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings),
+        cent AS (SELECT label, pos,
+                        CAST(round(CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE)
+                          / count(*), 9) AS REAL) AS cf
+                 FROM e WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+        centd AS (SELECT label, pos, CAST(cf AS DOUBLE) AS c FROM cent),
+        cn AS (SELECT label, CAST(SUM(CAST(c*c AS DECIMAL(38,18))) AS DOUBLE) AS nn
+               FROM centd GROUP BY 1),
+        vn AS (SELECT vec_id, CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+               FROM e GROUP BY 1),
+        vc AS (SELECT e.vec_id, cd.label,
+                      CAST(SUM(CAST(e.v*cd.c AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM e JOIN centd cd ON cd.pos = e.pos GROUP BY 1, 2),
+        assign AS (SELECT vec_id, label FROM (
+                     SELECT vc.vec_id, vc.label,
+                            row_number() OVER (PARTITION BY vc.vec_id
+                              ORDER BY vc.dot/(sqrt(vn.nn)*sqrt(cn.nn)) DESC,
+                                       vc.label) AS rk
+                     FROM vc JOIN vn USING (vec_id) JOIN cn USING (label))
+                   WHERE rk = 1),
+        q AS (SELECT pos, v FROM e WHERE vec_id = 0),
+        qn AS (SELECT CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn FROM q),
+        pc AS (SELECT cd.label,
+                      CAST(SUM(CAST(cd.c*q.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM centd cd JOIN q ON q.pos = cd.pos GROUP BY 1),
+        probes AS (SELECT pc.label FROM pc JOIN cn USING (label), qn
+                   ORDER BY pc.dot/(sqrt(cn.nn)*sqrt(qn.nn)) DESC, pc.label
+                   LIMIT 2),
+        d AS (SELECT e.vec_id,
+                     CAST(SUM(CAST(e.v*q.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+              FROM e JOIN q ON q.pos = e.pos
+              WHERE e.vec_id IN (SELECT a.vec_id FROM assign a
+                                 JOIN probes USING (label))
+              GROUP BY 1)
+        SELECT vec_id, round(dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) AS cosine
+        FROM d JOIN vn USING (vec_id), qn
+        WHERE vn.nn > 0 AND qn.nn > 0
+        ORDER BY round(dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) DESC, vec_id
+        LIMIT 10""")),
+
+    // What appending cannot give is adaptation: frozen centroids fit a
+    // drifted batch worse and worse, and recall decays SILENTLY unless
+    // the drift is measured. q131 gates the measurement itself — the
+    // exact per-batch assignment-tightness statistic the ivfAppend
+    // sidecar records (mean cosine to the assigned centroid), restated
+    // on the portable decimal grid over three batches: the build half,
+    // an in-distribution append (the odd half), and a deliberately
+    // SHIFTED append (the odd half with every embedding reversed —
+    // norm-preserving, so only the direction distribution moves). The
+    // gate proves the statistic separates them: build drift 0, b1
+    // drift ~0, b2 drift visibly positive. The sidecar plumbing
+    // (Observation on the written rows, ivfStats ledger) is pinned in
+    // SimilaritySpec.
+    QueryDef("q131_ivf_drift",
+      (s, dir) => {
+        def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
+        val e = emb(s, dir)
+        val odd = e.filter(col("vec_id") % 2 === 1)
+        val batches =
+          e.filter(col("vec_id") % 2 === 0)
+            .select(lit("build").as("batch"), col("vec_id"), col("embedding"))
+          .union(odd.select(lit("b1").as("batch"), col("vec_id"),
+            col("embedding")))
+          .union(odd.select(lit("b2").as("batch"), col("vec_id"),
+            reverse(col("embedding")).as("embedding")))
+        val cents = decimalGridCentroids(e.filter(col("vec_id") % 2 === 0),
+          "label").localCheckpoint(true)
+        val cn = broadcast(cents.withColumn("__cn",
+          sqrt(dot(col("centroid"), col("centroid")))))
+        val assigned = graft.functions.ColumnLib.latestWins(
+          batches
+            .withColumn("__vn", sqrt(dot(col("embedding"), col("embedding"))))
+            .crossJoin(cn)
+            .withColumn("sim",
+              round(dot(col("embedding"), col("centroid")) /
+                (col("__vn") * col("__cn")), 9)),
+          Seq("batch", "vec_id"),
+          Seq(col("sim").desc_nulls_last, col("cluster").asc))
+        val per = assigned.filter(col("sim").isNotNull)
+          .groupBy("batch")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("sim").cast(D)).cast(DoubleType) /
+              count(lit(1)).cast(DoubleType), 9).as("mean_sim"))
+        val base = per.filter(col("batch") === "build")
+          .select(col("mean_sim").as("__bm"))
+        per.crossJoin(broadcast(base))
+          .select(col("batch"), col("n"), col("mean_sim"),
+            round(col("__bm") - col("mean_sim"), 9).as("drift"))
+          .orderBy("batch")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                          generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings),
+        dims AS (SELECT vec_id, len(embedding) AS nd FROM embeddings),
+        cent AS (SELECT label, pos,
+                        CAST(round(CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE)
+                          / count(*), 9) AS REAL) AS cf
+                 FROM e WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+        centd AS (SELECT label, pos, CAST(cf AS DOUBLE) AS c FROM cent),
+        cn AS (SELECT label, CAST(SUM(CAST(c*c AS DECIMAL(38,18))) AS DOUBLE) AS nn
+               FROM centd GROUP BY 1),
+        b AS (SELECT 'build' AS batch, vec_id, pos, v FROM e WHERE vec_id % 2 = 0
+              UNION ALL
+              SELECT 'b1', vec_id, pos, v FROM e WHERE vec_id % 2 = 1
+              UNION ALL
+              SELECT 'b2', e.vec_id, dims.nd + 1 - e.pos AS pos, v
+              FROM e JOIN dims USING (vec_id) WHERE vec_id % 2 = 1),
+        bn AS (SELECT batch, vec_id,
+                      CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+               FROM b GROUP BY 1, 2),
+        bc AS (SELECT b.batch, b.vec_id, cd.label,
+                      CAST(SUM(CAST(b.v*cd.c AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM b JOIN centd cd ON cd.pos = b.pos GROUP BY 1, 2, 3),
+        sims AS (SELECT batch, vec_id, sim FROM (
+                   SELECT bc.batch, bc.vec_id,
+                          round(bc.dot/(sqrt(bn.nn)*sqrt(cn.nn)), 9) AS sim,
+                          row_number() OVER (PARTITION BY bc.batch, bc.vec_id
+                            ORDER BY round(bc.dot/(sqrt(bn.nn)*sqrt(cn.nn)), 9)
+                              DESC, bc.label) AS rk
+                   FROM bc JOIN bn USING (batch, vec_id) JOIN cn USING (label)
+                   WHERE bn.nn > 0 AND cn.nn > 0)
+                 WHERE rk = 1),
+        per AS (SELECT batch, count(*) AS n,
+                       round(CAST(SUM(CAST(sim AS DECIMAL(38,18))) AS DOUBLE)
+                         / count(*), 9) AS mean_sim
+                FROM sims GROUP BY 1)
+        SELECT per.batch, per.n, per.mean_sim,
+               round(base.mean_sim - per.mean_sim, 9) AS drift
+        FROM per, (SELECT mean_sim FROM per WHERE batch = 'build') base
+        ORDER BY per.batch""")),
+
     QueryDef("q69_quantized_ann",
       (s, dir) => {
         def int8(e: DataFrame): DataFrame =

@@ -332,4 +332,103 @@ class SimilaritySpec extends SparkSpec {
         s"batch and single persisted PQ search disagree for ${q.getLong(0)}")
     }
   }
+
+  // ---- incremental index ingest ---------------------------------------
+
+  private def tmpIndex(tag: String): String =
+    sys.props("java.io.tmpdir") + s"/graft_spec_ivf_$tag/index"
+
+  test("ivfAppend: search-after-append == search-after-full-rebuild (float/SQ8/PQ)") {
+    val e = emb.select("vec_id", "embedding")
+    val half1 = e.filter(col("vec_id") % 2 === 0)
+    val half2 = e.filter(col("vec_id") % 2 === 1)
+    // Frozen coarse quantizer trained on the FIRST half only — the
+    // append contract is that routing never changes after build.
+    val cents = Similarity.centroids(
+      Similarity.signLshBuckets(half1, "embedding")
+        .select(col("bucket").as("cluster"), col("embedding")),
+      "cluster", "embedding").localCheckpoint(true)
+    val q = e.filter(col("vec_id") === 3).head().getSeq[Float](1)
+
+    // float layout
+    val pApp = tmpIndex("app_f"); val pFull = tmpIndex("full_f")
+    Similarity.ivfWrite(half1, "vec_id", "embedding", cents, pApp)
+    Similarity.ivfAppend(half2, "vec_id", "embedding", cents, pApp, "b1")
+    Similarity.ivfWrite(e, "vec_id", "embedding", cents, pFull)
+    def hits(p: String) =
+      Similarity.ivfSearch(spark, p, "vec_id", "embedding", cents, q,
+        k = 20, nprobe = 2).collect().map(_.getLong(0)).toSeq
+    assert(hits(pApp) == hits(pFull),
+      "appended float index must search identically to a full rebuild")
+
+    // SQ8 layout
+    val pApp8 = tmpIndex("app_s"); val pFull8 = tmpIndex("full_s")
+    Similarity.ivfWriteSq8(half1, "vec_id", "embedding", cents, pApp8)
+    Similarity.ivfAppendSq8(half2, "vec_id", "embedding", cents, pApp8, "b1")
+    Similarity.ivfWriteSq8(e, "vec_id", "embedding", cents, pFull8)
+    def hits8(p: String) =
+      Similarity.ivfSearchSq8(spark, p, "vec_id", cents, q,
+        k = 20, nprobe = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hits8(pApp8) == hits8(pFull8),
+      "appended SQ8 index must search identically to a full rebuild")
+
+    // PQ layout: codebook frozen at build time too.
+    val cb = Similarity.pqCodebook(half1, "embedding", m = 16, subDim = 4)
+      .localCheckpoint(true)
+    val pAppP = tmpIndex("app_p"); val pFullP = tmpIndex("full_p")
+    Similarity.ivfWritePq(half1, "vec_id", "embedding", cents, cb, 16, 4, pAppP)
+    Similarity.ivfAppendPq(half2, "vec_id", "embedding", cents, cb, 16, 4,
+      pAppP, "b1")
+    Similarity.ivfWritePq(e, "vec_id", "embedding", cents, cb, 16, 4, pFullP)
+    def hitsP(p: String) =
+      Similarity.ivfSearchPq(spark, p, "vec_id", cents, cb, q,
+        k = 20, nprobe = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hitsP(pAppP) == hitsP(pFullP),
+      "appended PQ index must search identically to a full rebuild")
+  }
+
+  test("ivfStats: drift ledger separates in-distribution from shifted batches") {
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // Build corpus: tight clusters on the +e1 and +e2 axes — the
+    // centroids ARE (near) the axes.
+    val build = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      Row(Long.box(1), v(10, 0, 0, 0, 1, 0, 0, 0)),
+      Row(Long.box(2), v(10, 0, 0, 0, 0, 1, 0, 0)),
+      Row(Long.box(3), v(0, 10, 0, 0, 1, 0, 0, 0)),
+      Row(Long.box(4), v(0, 10, 0, 0, 0, 1, 0, 0)))
+    // b1: same distribution. b2: 45-degree vectors no build centroid
+    // points at — assignment tightness must visibly drop.
+    val b1 = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      Row(Long.box(11), v(10, 0, 0, 0, 1, 0, 0, 0)),
+      Row(Long.box(12), v(0, 10, 0, 0, 0, 1, 0, 0)))
+    val b2 = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      Row(Long.box(21), v(7, 7, 7, 7, 0, 0, 0, 0)),
+      Row(Long.box(22), v(7, 7, -7, 7, 0, 0, 0, 0)))
+    val cents = Similarity.centroids(
+      Similarity.signLshBuckets(build, "embedding")
+        .select(col("bucket").as("cluster"), col("embedding")),
+      "cluster", "embedding").localCheckpoint(true)
+    val p = tmpIndex("drift")
+    Similarity.ivfWrite(build, "vec_id", "embedding", cents, p)
+    Similarity.ivfRecordBuildStats(build, "vec_id", "embedding", cents, p)
+    Similarity.ivfAppend(b1, "vec_id", "embedding", cents, p, "b1")
+    Similarity.ivfAppend(b2, "vec_id", "embedding", cents, p, "b2")
+    val stats = Similarity.ivfStats(spark, p).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats.keySet == Set("build", "b1", "b2"))
+    assert(stats("build").getLong(1) == 4 && stats("b1").getLong(1) == 2)
+    val driftOf = (b: String) => stats(b).getDouble(4)
+    // build row drifts from itself by exactly 0; the in-distribution
+    // batch stays within noise of the baseline; the shifted batch is
+    // measurably worse — the re-train signal.
+    assert(math.abs(driftOf("build")) < 1e-12)
+    assert(driftOf("b2") > driftOf("b1") + 0.05,
+      s"shifted batch must show drift: ${stats.view.mapValues(_.toSeq).toMap}")
+    // And the appended rows are actually searchable (the ledger isn't
+    // a side effect of a failed write).
+    val got = Similarity.ivfSearch(spark, p, "vec_id", "embedding", cents,
+      v(10, 0, 0, 0, 1, 0, 0, 0), k = 3, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.contains(11L))
+  }
 }
