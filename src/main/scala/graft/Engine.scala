@@ -108,6 +108,16 @@ object Engine {
           children(0), p(children(1), "k"), p(children(2), "w"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("winnow_fp_pos"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.WinnowFingerprintPositions].getName,
+        "winnow_fp_pos"),
+      (children: Seq[Expression]) => {
+        val p = litInt("winnow_fp_pos") _
+        graft.functions.expressions.WinnowFingerprintPositions(
+          children(0), p(children(1), "k"), p(children(2), "w"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("simhash"),
       new ExpressionInfo(
         classOf[graft.functions.expressions.SimHashBits].getName,

@@ -876,6 +876,103 @@ object Dedup {
           .as("shared_micro"))
   }
 
+  /** Position-aware winnowing fingerprints: (id, fp, pos) — `pos` the
+    * 1-based char index where the selected `k`-gram starts. The
+    * positions are what span REMOVAL needs; the fp-only face
+    * ([[winnowingFingerprints]]) stays the profiling shape. Same
+    * per-row zero-shuffle posture (native codegen expression).
+    */
+  def winnowingFingerprintPositions(docs: DataFrame, id: String, body: String,
+      k: Int = 20, w: Int = 8): DataFrame =
+    docs.where(col(body).isNotNull && length(col(body)) >= k + w - 1)
+      .select(col(id),
+        explode(call_function("winnow_fp_pos", col(body), lit(k), lit(w)))
+          .as("__h"))
+      .select(col(id), col("__h.fp").as("fp"), col("__h.pos").as("pos"))
+
+  /** Substring-span REMOVAL — the RefinedWeb/CCNet rewrite step that
+    * [[winnowingShareStats]] only detects: excise from each document
+    * the spans whose winnowing fingerprints also appear in a
+    * HIGHER-PRIORITY document (lowest id keeps; the canonical
+    * provenance rule), and re-emit the cleaned text with removal
+    * stats.
+    *
+    * Mechanics, all set-oriented (no per-doc driver loop):
+    *  1. fingerprint positions per doc ([[winnowingFingerprintPositions]],
+    *     map-side);
+    *  2. fingerprint OWNER = min(id) over docs selecting it — one
+    *     fingerprint-keyed aggregate (16-byte digests shuffle, never
+    *     text);
+    *  3. a doc's hit ranges = [pos, pos+k−1] for positions whose fp is
+    *     owned by a smaller id — every such range is EXACT duplicated
+    *     text (an identical k-gram in the owner);
+    *  4. ranges merge into spans while the gap between them is
+    *     ≤ `maxGap` chars (gaps-and-islands: one window pass per doc;
+    *     default w+k = winnowing's selection-distance bound, so hits
+    *     from ONE shared substring always fuse into one span);
+    *  5. rewrite = concat of the inter-span segments — a single
+    *     `aggregate` HOF over the doc's sorted span array (bounded by
+    *     len/k spans), zero extra shuffle beyond the span collect.
+    *
+    * Approximation contract (inherent to fingerprint sampling, NOT a
+    * bug): up to w−1 chars of duplicated text can survive at each span
+    * edge (the selection guarantee starts one window in), and a
+    * ≤ `maxGap` sliver of unique text BETWEEN two duplicated ranges is
+    * excised with them. DedupSpec pins both bounds on a planted copy.
+    *
+    * Returns (id, text_clean, n_spans, removed_chars, orig_chars).
+    * Null/short texts pass through unchanged with zero stats.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, id: String, body: String,
+      k: Int = 20, w: Int = 8, maxGap: Int = 28): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowingFingerprintPositions(docs, id, body, k, w)
+    val owner = fps.groupBy("fp").agg(min(col(id)).as("__owner"))
+    val ranges = fps.join(owner, "fp")
+      .filter(col("__owner") < col(id))
+      .select(col(id), col("pos").as("s"), (col("pos") + lit(k - 1)).as("e"))
+      .distinct()
+    // Gaps-and-islands: a range opens a new span iff the gap to the
+    // running max end exceeds maxGap. Running max (not lag) so a range
+    // contained in its predecessor can't split the island.
+    val byPos = Window.partitionBy(col(id)).orderBy(col("s"), col("e"))
+    val spans = ranges
+      .withColumn("__brk",
+        when(col("s") - max(col("e")).over(
+            byPos.rowsBetween(Window.unboundedPreceding, -1)) - 1 <= maxGap,
+          0).otherwise(1))
+      .withColumn("__isl", sum(col("__brk")).over(byPos))
+      .groupBy(col(id), col("__isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col(id))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("__spans"))
+    // Rebuild: walk the sorted spans once, concatenating the kept
+    // segments. Char-indexed substr throughout (multi-byte safe).
+    val body0 = col(body)
+    val rebuilt = aggregate(
+      col("__spans"),
+      struct(lit(1).as("cur"), lit("").as("acc")),
+      (st, sp) => struct(
+        (sp.getField("e") + lit(1)).as("cur"),
+        concat(st.getField("acc"),
+          body0.substr(st.getField("cur"),
+            sp.getField("s") - st.getField("cur"))).as("acc")),
+      st => concat(st.getField("acc"),
+        body0.substr(st.getField("cur"),
+          length(body0) - st.getField("cur") + lit(1))))
+    docs.join(spans, Seq(id), "left")
+      .select(col(id),
+        when(col("__spans").isNull, body0).otherwise(rebuilt).as("text_clean"),
+        // size(null) is -1 under Spark's legacy sizeOfNull, not null —
+        // an explicit null branch, not coalesce.
+        when(col("__spans").isNull, lit(0))
+          .otherwise(size(col("__spans"))).as("n_spans"),
+        coalesce(aggregate(col("__spans"), lit(0),
+          (acc, sp) => acc + sp.getField("e") - sp.getField("s") + lit(1)),
+          lit(0)).as("removed_chars"),
+        coalesce(length(body0), lit(0)).as("orig_chars"))
+  }
+
   /** Interpreted zip_with/aggregate restatement of the decimal-exact dot
     * product — the independent formulation the native `dot_exact`
     * expression is spec-verified against. The merge re-casts to D

@@ -924,5 +924,83 @@ object DedupOps {
                round(1.0 - CAST(lev AS DOUBLE)/CAST(mx AS DOUBLE), 9) AS sim
         FROM lv
         WHERE round(1.0 - CAST(lev AS DOUBLE)/CAST(mx AS DOUBLE), 9) >= 0.5
-        ORDER BY 1, 2""")))
+        ORDER BY 1, 2""")),
+
+    // ---- substring-span REMOVAL (q132) ----------------------------------
+    // q120 detects shared substrings; this is the REWRITE — the
+    // RefinedWeb/CCNet action: spans whose winnowing fingerprints also
+    // appear in a lower-id (higher-priority) document are excised and
+    // the cleaned text re-emitted. The oracle restates the whole
+    // pipeline declaratively: position-aware window argmin
+    // (list_position of the window min = the deque's earliest-index
+    // tie rule), min-id fingerprint owners, gaps-and-islands span
+    // merge (running-max window), and segment reassembly via
+    // string_agg. Cleaned text is compared by md5 so the artifact
+    // stays row-shaped.
+    QueryDef("q132_span_removal",
+      (s, dir) => {
+        graft.operators.Dedup.removeDuplicatedSpans(
+            docs(s, dir), "doc_id", "text", k = 20, w = 8, maxGap = 28)
+          .select(col("doc_id"),
+            md5(col("text_clean")).as("clean_md5"),
+            col("n_spans").cast("long").as("n_spans"),
+            col("removed_chars").cast("long").as("removed_chars"),
+            col("orig_chars").cast("long").as("orig_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH gr AS (SELECT doc_id,
+                      list_transform(range(1, len(text) - 20 + 2),
+                        i -> md5(substr(text, CAST(i AS INTEGER), 20))) AS gr
+                    FROM documents
+                    WHERE text IS NOT NULL AND len(text) >= 27),
+        sel AS (SELECT DISTINCT doc_id, pos FROM (
+                  SELECT doc_id,
+                         unnest(list_transform(range(1, len(gr) - 8 + 2),
+                           j -> CAST(j AS INTEGER) - 1 +
+                                list_position(
+                                  gr[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)],
+                                  list_min(gr[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)]))))
+                           AS pos
+                  FROM gr)),
+        fp AS (SELECT s.doc_id, s.pos, g.gr[s.pos] AS fp
+               FROM sel s JOIN gr g USING (doc_id)),
+        own AS (SELECT fp, min(doc_id) AS owner FROM fp GROUP BY 1),
+        r AS (SELECT DISTINCT f.doc_id, f.pos AS s, f.pos + 19 AS e
+              FROM fp f JOIN own USING (fp) WHERE own.owner < f.doc_id),
+        o AS (SELECT doc_id, s, e,
+                CASE WHEN s - max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 1 <= 28
+                     THEN 0 ELSE 1 END AS brk
+              FROM r),
+        isl AS (SELECT doc_id, s, e,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+                FROM o),
+        sp AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e
+               FROM isl GROUP BY 1, 2),
+        sp2 AS (SELECT doc_id, s, e,
+                  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+                FROM sp),
+        mx AS (SELECT doc_id, max(e) AS me FROM sp GROUP BY 1),
+        pieces AS (
+          SELECT sp2.doc_id, sp2.pe AS ord,
+                 substr(d.text, sp2.pe + 1, sp2.s - sp2.pe - 1) AS piece
+          FROM sp2 JOIN documents d USING (doc_id)
+          UNION ALL
+          SELECT mx.doc_id, mx.me AS ord, substr(d.text, mx.me + 1) AS piece
+          FROM mx JOIN documents d USING (doc_id)),
+        clean AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS text_clean
+                  FROM pieces GROUP BY 1),
+        st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                      CAST(SUM(e - s + 1) AS BIGINT) AS removed_chars
+               FROM sp GROUP BY 1)
+        SELECT d.doc_id,
+               md5(coalesce(c.text_clean, d.text)) AS clean_md5,
+               coalesce(st.n_spans, 0) AS n_spans,
+               coalesce(st.removed_chars, 0) AS removed_chars,
+               CAST(coalesce(len(d.text), 0) AS BIGINT) AS orig_chars
+        FROM documents d
+        LEFT JOIN clean c USING (doc_id)
+        LEFT JOIN st USING (doc_id)
+        ORDER BY doc_id""")))
 }

@@ -459,6 +459,82 @@ class DedupSpec extends SparkSpec {
     assert(fps.nonEmpty)
   }
 
+  test("winnow_fp_pos: every (fp, pos) is the md5 of the k-gram at pos; fps match winnow_fp") {
+    val rnd = new scala.util.Random(20260814L)
+    val alpha = "abcde fgh"
+    val rows = (1 to 25).map { i =>
+      val len = 20 + rnd.nextInt(120)
+      Row(Long.box(i.toLong),
+        (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val corpus = df("doc_id BIGINT, text STRING", rows: _*)
+    val texts = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    val withPos = Dedup.winnowingFingerprintPositions(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(withPos.nonEmpty)
+    val mdd = java.security.MessageDigest.getInstance("MD5")
+    withPos.foreach { case (id, fp, pos) =>
+      val gram = texts(id).substring(pos - 1, pos - 1 + 20)
+      mdd.reset()
+      val hex = mdd.digest(gram.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(fp == hex, s"doc $id pos $pos: fp is not the gram's md5")
+    }
+    // The position variant selects exactly the fingerprint SET the
+    // fp-only native form selects.
+    val fpOnly = rowSet(Dedup.winnowingFingerprints(corpus, "doc_id", "text"))
+    assert(withPos.map(t => Seq[Any](t._1, t._2)).toSet === fpOnly)
+  }
+
+  test("removeDuplicatedSpans: planted copied paragraph excised from the later doc") {
+    val para = "this entire paragraph was copied verbatim from document one " +
+      "and it is long enough that winnowing must fingerprint it densely " +
+      "across every window of the selection schedule without exception"
+    val prefixB = "doc two begins with its own unique opening words 12345 "
+    val suffixB = " and doc two also ends with entirely original closing material 67890"
+    val corpus = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), s"source document alpha: $para :end of alpha"),
+      Row(Long.box(2), prefixB + para + suffixB),
+      Row(Long.box(3), "an unrelated document with no copied content at all in it"))
+    val out = Dedup.removeDuplicatedSpans(corpus, "doc_id", "text",
+        k = 20, w = 8, maxGap = 28)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    // Owner (doc 1) and the unrelated doc are untouched.
+    assert(out(1L)._2 == 0 && out(1L)._1.contains(para))
+    assert(out(3L)._2 == 0)
+    // The later doc loses the copied core. Approximation contract:
+    // up to w-1 chars can survive at each span edge, and merged gaps
+    // can excise <= maxGap chars of unique text between hits — but
+    // hits exist only inside the copy, so the unique prefix/suffix
+    // survive verbatim.
+    val (clean, nSpans, removed, orig) = out(2L)
+    assert(nSpans >= 1)
+    assert(clean.startsWith(prefixB) && clean.endsWith(suffixB))
+    assert(!clean.contains(para.substring(30, para.length - 30)),
+      "the copied core must be gone")
+    assert(removed >= para.length - 2 * (20 + 8) && removed <= para.length,
+      s"removed $removed chars of a ${para.length}-char copy")
+    assert(orig == (prefixB + para + suffixB).length)
+  }
+
+  test("removeDuplicatedSpans: identical docs — first kept verbatim, second gutted") {
+    val t = "completely identical body text repeated across two documents " +
+      "so that every single fingerprint of the second is owned by the first"
+    val corpus = df("doc_id BIGINT, text STRING",
+      Row(Long.box(10), t), Row(Long.box(20), t),
+      Row(Long.box(30), null), Row(Long.box(40), "short"))
+    val out = Dedup.removeDuplicatedSpans(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), r.getInt(2), r.getInt(3))).toMap
+    assert(out(10L) == ((Some(t), 0, 0)))
+    // Second doc: one merged span covering (almost) everything.
+    assert(out(20L)._2 == 1 && out(20L)._3 >= t.length - 2 * (20 + 8))
+    // Nulls and short texts pass through with zero stats.
+    assert(out(30L) == ((None, 0, 0)))
+    assert(out(40L) == ((Some("short"), 0, 0)))
+  }
+
   // ---- edit-distance verification -------------------------------------
 
   test("editVerifiedPairs: exact Levenshtein decides; cap + threshold honored") {
