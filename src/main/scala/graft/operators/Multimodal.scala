@@ -12,11 +12,14 @@ import org.apache.spark.sql.types._
   * headers and [[ImageHistogramDecoder]] extracts pixel-derived
   * grayscale-histogram features, both through the JDK's
   * dependency-free `javax.imageio` (no codec libraries needed).
-  * AUDIO/VIDEO feature decoding remains stubbed ([[StubDecoder]] —
-  * deterministic md5-derived floats; this container has no audio/video
-  * codecs); swapping in a true decoder is replacing one [[Decoder]]
-  * instance. The Spark-side contract — schema, batch iteration shape,
-  * partitioning behavior — is real and tested throughout.
+  * AUDIO decoding is REAL too: [[WavFeatureDecoder]] parses WAV/AIFF/AU
+  * through `javax.sound.sampled` and emits PCM statistics (q133 gates
+  * it against an independent analytic recomputation). Only VIDEO
+  * remains stubbed ([[StubDecoder]] — deterministic md5-derived
+  * floats; no JDK video codec exists); swapping in a true decoder is
+  * replacing one [[Decoder]] instance. The Spark-side contract —
+  * schema, batch iteration shape, partitioning behavior — is real and
+  * tested throughout.
   *
   * Scale notes: decode is embarrassingly parallel (mapPartitions, no
   * shuffle); the binary column should be written to parquet with a
@@ -112,6 +115,142 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** REAL audio feature decoder — no stub: parses WAV/AIFF/AU through
+    * the JDK's dependency-free `javax.sound.sampled` (the audio
+    * analogue of the `javax.imageio` posture; only VIDEO still rides
+    * the md5 [[StubDecoder]] — no JDK video codec exists). Features
+    * are 8 deterministic channel-0 PCM statistics:
+    *
+    *   [n_samples, mean, mean_abs, zero_crossings, min, max,
+    *    mean_square, sample_rate]
+    *
+    * — integer sums divided by the sample count, so for fixtures with
+    * power-of-two length and bounded amplitude every feature is
+    * float-EXACT and the q133 gate can recompute them analytically in
+    * SQL from first principles (the strongest check a real decoder can
+    * get: DuckDB never sees the bytes, only the waveform definition).
+    * Zero crossings count strict sign flips (a 0 sample carries the
+    * previous sign). Non-PCM/compressed payloads and parse failures
+    * route to `fallback`, as [[ImageHistogramDecoder]] does.
+    */
+  final class WavFeatureDecoder(fallback: Decoder = null) extends Decoder {
+    val dim = 8
+    private def fb: Decoder = if (fallback != null) fallback else new StubDecoder(dim)
+
+    def decode(payload: Array[Byte]): Array[Float] = {
+      if (payload == null || payload.isEmpty) return fb.decode(payload)
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          val bits = fmt.getSampleSizeInBits
+          val ch = fmt.getChannels
+          val enc = fmt.getEncoding
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          if ((!signed && !unsigned) || (bits != 8 && bits != 16) || ch < 1)
+            return fb.decode(payload)
+          val data = ais.readAllBytes()
+          val bytesPerSample = bits / 8
+          val frameBytes = bytesPerSample * ch
+          val n = data.length / frameBytes
+          if (n == 0) return fb.decode(payload)
+          var i = 0
+          var sum = 0L; var sumAbs = 0L; var sumSq = 0L
+          var mn = Int.MaxValue; var mx = Int.MinValue
+          var zc = 0L; var prevNeg = false
+          while (i < n) {
+            val off = i * frameBytes // channel 0 of the frame
+            val s =
+              if (bits == 8) {
+                if (signed) data(off).toInt else (data(off) & 0xff) - 128
+              } else {
+                val lo = data(off) & 0xff
+                val hi = data(off + 1) & 0xff
+                val raw =
+                  if (fmt.isBigEndian) (lo << 8) | hi else (hi << 8) | lo
+                val sgn = if (signed) raw.toShort.toInt else raw - 32768
+                sgn
+              }
+            sum += s; sumAbs += math.abs(s).toLong
+            sumSq += s.toLong * s
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+            val neg = s < 0
+            if (i > 0 && neg != prevNeg && s != 0) zc += 1
+            if (s != 0) prevNeg = neg
+            else if (i == 0) prevNeg = false
+            i += 1
+          }
+          val nd = n.toDouble
+          Array(
+            n.toFloat,
+            (sum / nd).toFloat,
+            (sumAbs / nd).toFloat,
+            zc.toFloat,
+            mn.toFloat,
+            mx.toFloat,
+            (sumSq / nd).toFloat,
+            fmt.getSampleRate)
+        } finally ais.close()
+      } catch { case _: Exception => fb.decode(payload) }
+    }
+  }
+
+  /** Minimal RIFF/WAVE writer: 16-bit signed little-endian mono PCM —
+    * the test-fixture and synthetic-gate generator ([[WavFeatureDecoder]]
+    * decodes it back through the real `javax.sound.sampled` path).
+    */
+  def syntheticWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)             // PCM
+      .putShort(1.toShort)             // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)          // byte rate
+      .putShort(2.toShort)             // block align
+      .putShort(16.toShort)            // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Deterministic per-id square wave: 1024 samples, half-period
+    * `4 + (id mod 7)·2`, amplitude `1000 + (id mod 13)·100`, 16 kHz —
+    * parameters chosen so every [[WavFeatureDecoder]] feature is
+    * float-exact (n a power of two, A² < 2²⁴) and the q133 oracle can
+    * regenerate the waveform in SQL. Exposed for the gate and specs.
+    */
+  def squareWaveSamples(id: Long): Array[Short] = {
+    val h = (4 + (java.lang.Math.floorMod(id, 7L)) * 2).toInt
+    val a = (1000 + java.lang.Math.floorMod(id, 13L) * 100).toInt
+    Array.tabulate(1024)(i =>
+      (if ((i / h) % 2 == 0) a else -a).toShort)
+  }
+
+  /** Media table of genuine WAV payloads, one per input id — the
+    * partition-local generator feeding the q133 real-decode gate.
+    */
+  def syntheticWavTable(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.select(col(idCol).cast(LongType))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          org.apache.spark.sql.Row(id,
+            syntheticWav(squareWaveSamples(id), 16000))
+        }
+      }(enc)
   }
 
   /** Full pixel decode via `javax.imageio`, or null for bytes no

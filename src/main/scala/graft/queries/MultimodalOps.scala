@@ -67,5 +67,55 @@ object MultimodalOps {
                       + (strpos('0123456789abcdef', substr(h.hx, idx.i*2+2, 1)) - 1))
                      / 255.0, 4) AS v
         FROM h CROSS JOIN idx
+        ORDER BY 1, 2""")),
+
+    // ---- REAL audio decode (q133) ---------------------------------------
+    // Unlike q51 (whose corpus payloads fall back to the md5 stub),
+    // this gate exercises the real javax.sound.sampled decode path
+    // end to end against an INDEPENDENT recomputation: each doc_id
+    // deterministically defines a square wave (1024 samples,
+    // half-period 4 + id%7·2, amplitude 1000 + id%13·100, 16 kHz);
+    // Spark writes genuine RIFF/WAVE bytes and must parse them back
+    // through AudioSystem to produce the 8 PCM statistics, while
+    // DuckDB regenerates the waveform from first principles and
+    // aggregates — it never sees a byte of WAV. Parameters keep every
+    // feature float-exact (n = 2¹⁰ so means are binary shifts;
+    // A² < 2²⁴), so round(·, 6) is bit-identical across engines.
+    QueryDef("q133_audio_decode",
+      (s, dir) => {
+        val ids = Tables.table(s, dir, "documents").select("doc_id")
+        val wav = Multimodal.syntheticWavTable(ids, "doc_id")
+        Multimodal.decodeFeatures(wav, new Multimodal.WavFeatureDecoder())
+          .select(col("media_id"), posexplode(col("feature")).as(Seq("i", "v")))
+          .select(col("media_id"), col("i"),
+            round(col("v").cast("double"), 6).as("v"))
+          .orderBy("media_id", "i")
+      },
+      Some("""
+        WITH p AS (SELECT doc_id,
+                          CAST(4 + (doc_id % 7) * 2 AS INTEGER) AS h,
+                          CAST(1000 + (doc_id % 13) * 100 AS INTEGER) AS a
+                   FROM documents),
+        idx AS (SELECT CAST(unnest(range(1024)) AS INTEGER) AS i),
+        s AS (SELECT p.doc_id, idx.i,
+                     CASE WHEN ((idx.i // p.h) % 2) = 0 THEN p.a ELSE -p.a END AS v
+              FROM p CROSS JOIN idx),
+        sl AS (SELECT doc_id, i, v,
+                      lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+               FROM s),
+        f AS (SELECT doc_id,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     CAST(SUM(CAST(v AS BIGINT)) AS DOUBLE) / count(*) AS mean,
+                     CAST(SUM(CAST(abs(v) AS BIGINT)) AS DOUBLE) / count(*) AS mean_abs,
+                     CAST(SUM(CASE WHEN pv IS NOT NULL AND sign(v) <> sign(pv)
+                                   THEN 1 ELSE 0 END) AS DOUBLE) AS zc,
+                     CAST(min(v) AS DOUBLE) AS mn,
+                     CAST(max(v) AS DOUBLE) AS mx,
+                     CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE) / count(*) AS mean_sq
+              FROM sl GROUP BY 1)
+        SELECT doc_id AS media_id, fi.i, round(fi.v, 6) AS v FROM f,
+          LATERAL (VALUES (0, f.n), (1, f.mean), (2, f.mean_abs), (3, f.zc),
+                          (4, f.mn), (5, f.mx), (6, f.mean_sq),
+                          (7, CAST(16000 AS DOUBLE))) AS fi(i, v)
         ORDER BY 1, 2""")))
 }

@@ -116,6 +116,48 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L) == new Multimodal.StubDecoder(8).decode(garbage).toSeq)
   }
 
+  test("WavFeatureDecoder: hand-computed features from a real WAV roundtrip") {
+    // 8 samples: +100 +100 -100 -100 +100 +100 -100 -100
+    val samples = Array[Short](100, 100, -100, -100, 100, 100, -100, -100)
+    val wav = Multimodal.syntheticWav(samples, 16000)
+    // Sanity: the bytes are a genuine WAV the JDK itself can identify.
+    val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(wav))
+    assert(fmt.getType == javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    val f = new Multimodal.WavFeatureDecoder().decode(wav).toSeq
+    // [n, mean, mean_abs, zero_crossings, min, max, mean_square, rate]
+    assert(f == Seq(8f, 0f, 100f, 3f, -100f, 100f, 10000f, 16000f))
+    // Garbage and truncated payloads route to the md5 stub fallback.
+    val garbage = Array.fill[Byte](64)(7)
+    assert(new Multimodal.WavFeatureDecoder().decode(garbage).toSeq ==
+      new Multimodal.StubDecoder(8).decode(garbage).toSeq)
+    val truncated = wav.take(20)
+    assert(new Multimodal.WavFeatureDecoder().decode(truncated).toSeq ==
+      new Multimodal.StubDecoder(8).decode(truncated).toSeq)
+  }
+
+  test("WavFeatureDecoder: zero samples carry the previous sign; squareWave exactness") {
+    // +A 0 -A: one sign flip (the zero is transparent), not two.
+    val wav = Multimodal.syntheticWav(Array[Short](500, 0, -500), 8000)
+    val f = new Multimodal.WavFeatureDecoder().decode(wav).toSeq
+    assert(f(3) == 1f, s"zero-crossings: $f")
+    assert(f(7) == 8000f)
+    // The q133 generator's features are float-exact by construction:
+    // decode == direct integer recomputation for a sampling of ids.
+    Seq(0L, 1L, 5L, 12L, 90L).foreach { id =>
+      val s = Multimodal.squareWaveSamples(id)
+      val dec = new Multimodal.WavFeatureDecoder()
+        .decode(Multimodal.syntheticWav(s, 16000)).toSeq
+      val n = s.length
+      val mean = s.map(_.toLong).sum.toDouble / n
+      val meanAbs = s.map(x => math.abs(x.toLong)).sum.toDouble / n
+      val zc = s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      val meanSq = s.map(x => x.toLong * x).sum.toDouble / n
+      assert(dec == Seq(n.toFloat, mean.toFloat, meanAbs.toFloat, zc.toFloat,
+        s.min.toFloat, s.max.toFloat, meanSq.toFloat, 16000f), s"id $id")
+    }
+  }
+
   test("frameSample slices payload at stride with cap; short payload yields none") {
     val m = Multimodal.asMediaTable(base, "id", "payload", "video")
     val out = Multimodal.frameSample(m, frameBytes = 4, stride = 2, maxFrames = 3)
