@@ -56,11 +56,28 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
     }
+    // Fixed calibration workload timed at each pass boundary: a
+    // constant shuffle+aggregate whose cost is machine-load-dependent
+    // but CODE-INDEPENDENT, so round-over-round artifacts can be
+    // normalized for ambient load after the fact (calib ratio ≈ load
+    // inflation factor). Runs once untimed first to absorb its own
+    // codegen cost.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(2000000).selectExpr("id % 1000 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // warm
     val loadStart = loadavg()
+    val calib1 = calibrate()
     val pass1 = named.map { case (name, fn) => pass(name, fn) }
     val loadMid = loadavg()
+    val calib2 = calibrate()
     val pass2 = named.map { case (name, fn) => pass(name, fn) }
     val loadEnd = loadavg()
+    val calib3 = calibrate()
     // A query is an error only if it NEVER ran: a transient failure in
     // one pass must not discard the other pass's valid measurement.
     val results = named.zip(pass1.zip(pass2)).map { case ((name, _), (t1, t2)) =>
@@ -74,7 +91,8 @@ object Bench {
     // a full one in round-over-round BENCH artifacts.
     val filterJson = only.map(f => s""","filter":"${f.mkString(",")}"""").getOrElse("")
     val loadJson =
-      s""","loadavg":{"start":"$loadStart","mid":"$loadMid","end":"$loadEnd"}"""
+      s""","loadavg":{"start":"$loadStart","mid":"$loadMid","end":"$loadEnd"}""" +
+        s""","calib_sec":[$calib1,$calib2,$calib3]"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr$filterJson$loadJson,"sf":"$sfDir"}""")
     // The driver captures only the TAIL of stdout; with 120+ queries the
     // per-query map pushes the leading "metric":"total" key out of the

@@ -61,4 +61,47 @@ class ZOrderSpec extends SparkSpec {
     assert(avgSx <= 16.0, s"x spans too wide: avg $avgSx")
     assert(avgSy <= 16.0, s"y spans too wide: avg $avgSy")
   }
+
+  test("file skipping: z-order write prunes files on the NON-leading dim; linear cannot") {
+    // The layout claim made concrete at the FILE level, the unit every
+    // stats-based scan planner (parquet row groups, lakehouse file
+    // stats) prunes by: write the same table z-clustered and
+    // linear-sorted into 16 files each, then count the files whose
+    // [min,max] y-range intersects a narrow y-only predicate — the
+    // worst case for a linear sort on x, which leaves y spanning the
+    // whole domain in EVERY file (zero skippable), while the z-layout
+    // confines y per file.
+    val grid = spark.range(4096).select(
+      (col("id") / 64).cast("long").as("x"),
+      (col("id") % 64).cast("long").as("y"))
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_spec_zskip_${System.nanoTime()}"
+    ZOrder.cluster(grid, Seq("x", "y"), numPartitions = 16)
+      .write.parquet(s"$base/z")
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x", "y")
+      .write.parquet(s"$base/linear")
+    val (yLo, yHi) = (24L, 31L) // a 12.5% stripe of y, unconstrained x
+    def overlappingFiles(dir: String): (Int, Int) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+      val hit = files.count { f =>
+        val r = spark.read.parquet(f).agg(min("y"), max("y")).head()
+        !r.isNullAt(0) && r.getLong(0) <= yHi && r.getLong(1) >= yLo
+      }
+      (hit, files.length)
+    }
+    val (zHit, zTotal) = overlappingFiles(s"$base/z")
+    val (linHit, linTotal) = overlappingFiles(s"$base/linear")
+    assert(zTotal >= 8 && linTotal >= 8, s"want real file counts: $zTotal/$linTotal")
+    // Linear layout: every file spans all of y — nothing skippable.
+    assert(linHit == linTotal, s"linear should overlap everywhere: $linHit/$linTotal")
+    // Z layout: the y-stripe touches a strict minority of files.
+    assert(zHit * 2 < zTotal, s"z-order must skip most files: $zHit/$zTotal")
+    // And skipping is sound: the pruned scan returns identical rows.
+    def q(dir: String) =
+      spark.read.parquet(dir).filter(col("y").between(yLo, yHi))
+        .groupBy("y").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q(s"$base/z") == q(s"$base/linear"))
+  }
 }
