@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis battery over the `documents` table: token counting,
@@ -1675,5 +1675,216 @@ object TextOps {
                    least(greatest(n_tokens, p05), p95) AS DECIMAL(28,6)))
                  AS DOUBLE) / count(*), 9) AS wmean_tokens
         FROM base JOIN pcts USING (lang)
-        GROUP BY lang, p05, p95 ORDER BY lang""")))
+        GROUP BY lang, p05, p95 ORDER BY lang""")),
+
+    // ---- Gopher repetition filters (q134) -------------------------------
+    // Rae et al. 2021's repetition screens: the fraction of a
+    // document's characters covered by its single most frequent word
+    // n-gram (n = 1, 2, 3) — the signal that catches degenerate
+    // "keyword keyword keyword" spam q25's distinct-ratio smooths
+    // over. Per-doc and bounded by doc length, so the whole metric is
+    // MAP-SIDE HOF arithmetic over the words array (native
+    // word_shingles builds the gram lists in codegen): zero shuffle,
+    // the correct 100 TB shape for a per-document statistic. Ties on
+    // count break to the LONGEST gram; ratios in floored micro units
+    // (integer-exact cross-engine); the flag applies Gopher-style
+    // thresholds (0.20/0.18/0.16).
+    QueryDef("q134_gopher_repetition",
+      (s, dir) => {
+        val ws = words(col("text"))
+        def topMicro(n: Int): Column = {
+          val grams = call_function("word_shingles", ws, lit(n))
+          val dg = array_distinct(grams)
+          val cntOf = (g: Column) => size(filter(grams, x => x === g))
+          val maxCnt = array_max(transform(dg, g => cntOf(g)))
+          val maxLen = array_max(transform(
+            filter(dg, g => cntOf(g) === maxCnt), g => length(g)))
+          when(size(grams) > 0,
+            floor(maxCnt.cast("long") * maxLen.cast("long") * lit(1000000L) /
+              length(col("text")).cast("long")).cast("long"))
+            .otherwise(lit(0L))
+        }
+        docs(s, dir).select(col("doc_id"),
+            topMicro(1).as("top1_micro"),
+            topMicro(2).as("top2_micro"),
+            topMicro(3).as("top3_micro"))
+          .withColumn("flagged",
+            col("top1_micro") > 200000L || col("top2_micro") > 180000L ||
+              col("top3_micro") > 160000L)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH l AS (SELECT doc_id, len(text) AS nc, string_split(text, ' ') AS w
+                   FROM documents),
+        g AS (SELECT doc_id, nc,
+                     list_transform(range(1, len(w) + 1), i -> w[CAST(i AS INTEGER)]) AS g1,
+                     list_transform(range(1, len(w)),
+                       i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER)+1]) AS g2,
+                     list_transform(range(1, len(w) - 1),
+                       i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER)+1]
+                            || ' ' || w[CAST(i AS INTEGER)+2]) AS g3
+              FROM l),
+        t AS (SELECT doc_id, nc, g1, g2, g3,
+                     list_max(list_transform(list_distinct(g1),
+                       x -> len(list_filter(g1, y -> y = x)))) AS m1,
+                     list_max(list_transform(list_distinct(g2),
+                       x -> len(list_filter(g2, y -> y = x)))) AS m2,
+                     list_max(list_transform(list_distinct(g3),
+                       x -> len(list_filter(g3, y -> y = x)))) AS m3
+              FROM g),
+        f AS (SELECT doc_id, nc,
+                     CASE WHEN len(g1) > 0 THEN m1 * list_max(list_transform(
+                       list_filter(list_distinct(g1),
+                         x -> len(list_filter(g1, y -> y = x)) = m1),
+                       x -> len(x))) ELSE NULL END AS p1,
+                     CASE WHEN len(g2) > 0 THEN m2 * list_max(list_transform(
+                       list_filter(list_distinct(g2),
+                         x -> len(list_filter(g2, y -> y = x)) = m2),
+                       x -> len(x))) ELSE NULL END AS p2,
+                     CASE WHEN len(g3) > 0 THEN m3 * list_max(list_transform(
+                       list_filter(list_distinct(g3),
+                         x -> len(list_filter(g3, y -> y = x)) = m3),
+                       x -> len(x))) ELSE NULL END AS p3
+              FROM t)
+        SELECT doc_id,
+               CAST(coalesce(p1 * 1000000 // nc, 0) AS BIGINT) AS top1_micro,
+               CAST(coalesce(p2 * 1000000 // nc, 0) AS BIGINT) AS top2_micro,
+               CAST(coalesce(p3 * 1000000 // nc, 0) AS BIGINT) AS top3_micro,
+               (coalesce(p1 * 1000000 // nc, 0) > 200000 OR
+                coalesce(p2 * 1000000 // nc, 0) > 180000 OR
+                coalesce(p3 * 1000000 // nc, 0) > 160000) AS flagged
+        FROM f ORDER BY doc_id""")),
+
+    // ---- T5 span corruption (q135) --------------------------------------
+    // The denoising-objective data transform (Raffel et al. 2020):
+    // word blocks of 3 are masked on a deterministic per-doc grid
+    // (block b masked iff b ≡ doc_id mod 7 — ~14% corruption, mean
+    // span 3), each masked block collapsing to one sentinel
+    // <extra_id_K> in the input while the target interleaves the
+    // sentinels with the masked-out words. The sentinel ordinal K has
+    // the closed form (b − r) / 7, so the whole rewrite is one
+    // map-side HOF pass over the words array — no shuffle, no UDF,
+    // and the oracle restates it verbatim.
+    QueryDef("q135_span_corruption",
+      (s, dir) => {
+        val ws = words(col("text"))
+        val nb = ceil(size(ws).cast("double") / 3.0).cast("int")
+        val r = pmod(col("doc_id"), lit(7)).cast("int")
+        val blockIdx = sequence(lit(0), nb - 1)
+        val blockTxt = (b: Column) => array_join(slice(ws, b * 3 + 1, lit(3)), " ")
+        val sentinel = (b: Column) =>
+          concat(lit("<extra_id_"), ((b - r) / 7).cast("int"), lit(">"))
+        val masked = (b: Column) => pmod(b, lit(7)) === r
+        docs(s, dir).select(col("doc_id"),
+            when(size(ws) > 0, array_join(
+              transform(blockIdx, b =>
+                when(masked(b), sentinel(b)).otherwise(blockTxt(b))), " "))
+              .otherwise(lit("")).as("input_text"),
+            when(size(ws) > 0, array_join(
+              transform(filter(blockIdx, b => masked(b)), b =>
+                concat(sentinel(b), lit(" "), blockTxt(b))), " "))
+              .otherwise(lit("")).as("target_text"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH l AS (SELECT doc_id, CAST(doc_id % 7 AS INTEGER) AS r,
+                          string_split(text, ' ') AS w
+                   FROM documents),
+        b AS (SELECT doc_id, r, w,
+                     CAST(ceil(len(w) / 3.0) AS INTEGER) AS nb
+              FROM l)
+        SELECT doc_id,
+               CASE WHEN len(w) > 0 THEN array_to_string(
+                 list_transform(range(nb), b2 ->
+                   CASE WHEN CAST(b2 AS INTEGER) % 7 = r
+                        THEN '<extra_id_' ||
+                             CAST((CAST(b2 AS INTEGER) - r) // 7 AS VARCHAR) || '>'
+                        ELSE array_to_string(
+                          w[CAST(b2 AS INTEGER)*3+1:CAST(b2 AS INTEGER)*3+3], ' ')
+                   END), ' ') ELSE '' END AS input_text,
+               CASE WHEN len(w) > 0 THEN coalesce(array_to_string(
+                 list_transform(
+                   list_filter(range(nb), b2 -> CAST(b2 AS INTEGER) % 7 = r),
+                   b2 -> '<extra_id_' ||
+                         CAST((CAST(b2 AS INTEGER) - r) // 7 AS VARCHAR) || '> ' ||
+                         array_to_string(
+                           w[CAST(b2 AS INTEGER)*3+1:CAST(b2 AS INTEGER)*3+3], ' ')),
+                 ' '), '') ELSE '' END AS target_text
+        FROM b ORDER BY doc_id""")),
+
+    // ---- BM25 retrieval scoring (q136) ----------------------------------
+    // The standard retrieval ranker for corpus curation (find the
+    // documents most relevant to a probe query — e.g. domain selection
+    // before DSIR): Okapi BM25 with k1=1.2, b=0.75. q63's tf·idf is
+    // the linear ancestor; BM25 adds tf saturation and length
+    // normalization, which is what makes it the de-facto sparse
+    // ranker. Shape: per-doc tf/dl are map-side HOFs; the corpus
+    // constants (N, avgdl, per-term df — a 1-row frame) broadcast
+    // back; the final score sums the per-term contributions in a FIXED
+    // expression order with idf snapped to the 1e-9 grid first, so
+    // both engines round identical doubles (q63's discipline).
+    QueryDef("q136_bm25",
+      (s, dir) => {
+        val terms = Seq("spark", "query", "merge")
+        val ws = words(col("text"))
+        val base = docs(s, dir).select(
+          (col("doc_id") +: col("text").as("text") +:
+            size(ws).cast("long").as("dl") +:
+            terms.map(t =>
+              size(filter(ws, x => x === lit(t))).cast("long").as(s"tf_$t"))): _*)
+        val aggCols = count(lit(1)).cast("long").as("n_docs") +:
+          sum(col("dl")).cast("long").as("sum_dl") +:
+          terms.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+        val consts = base.agg(aggCols.head, aggCols.tail: _*)
+        val scored = base.crossJoin(broadcast(consts))
+          .withColumn("avgdl",
+            col("sum_dl").cast("double") / col("n_docs").cast("double"))
+        val contrib = terms.map { t =>
+          val tf = col(s"tf_$t").cast("double")
+          val idf = round(log(
+            (col("n_docs").cast("double") - col(s"df_$t") + 0.5) /
+              (col(s"df_$t") + 0.5) + 1.0), 9)
+          idf * (tf * lit(2.2)) /
+            (tf + lit(1.2) * (lit(0.25) +
+              lit(0.75) * col("dl").cast("double") / col("avgdl")))
+        }
+        scored.select(col("doc_id"),
+            round(contrib.reduce(_ + _), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(25)
+      },
+      Some("""
+        WITH base AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
+                             len(list_filter(string_split(text,' '),
+                               x -> x = 'spark')) AS tf_spark,
+                             len(list_filter(string_split(text,' '),
+                               x -> x = 'query')) AS tf_query,
+                             len(list_filter(string_split(text,' '),
+                               x -> x = 'merge')) AS tf_merge
+                      FROM documents),
+        c AS (SELECT count(*) AS n_docs, SUM(dl) AS sum_dl,
+                     SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+                     SUM(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS df_query,
+                     SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+              FROM base)
+        SELECT doc_id,
+               round(
+                 round(ln((CAST(n_docs AS DOUBLE) - df_spark + 0.5)
+                          / (df_spark + 0.5) + 1.0), 9)
+                   * (CAST(tf_spark AS DOUBLE) * 2.2)
+                   / (CAST(tf_spark AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                      CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                 + round(ln((CAST(n_docs AS DOUBLE) - df_query + 0.5)
+                          / (df_query + 0.5) + 1.0), 9)
+                   * (CAST(tf_query AS DOUBLE) * 2.2)
+                   / (CAST(tf_query AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                      CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                 + round(ln((CAST(n_docs AS DOUBLE) - df_merge + 0.5)
+                          / (df_merge + 0.5) + 1.0), 9)
+                   * (CAST(tf_merge AS DOUBLE) * 2.2)
+                   / (CAST(tf_merge AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                      CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))),
+                 6) AS bm25
+        FROM base, c
+        ORDER BY bm25 DESC, doc_id LIMIT 25""")))
 }
