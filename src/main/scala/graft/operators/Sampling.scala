@@ -337,6 +337,55 @@ object Sampling {
         col("alloc"), col("epochs"))
   }
 
+  /** Deterministic negative sampling for implicit-feedback training
+    * sets (the BPR/word2vec negatives recipe): for every user with at
+    * least one positive, draw `k` items the user has NOT interacted
+    * with, reproducibly. Candidates come from a keyed hash over
+    * (salt, user, slot) — `k·overdraw` slots per user so that hash
+    * collisions with the user's positives (or between slots) still
+    * leave ≥ k survivors for any realistic positive density; the
+    * per-user candidate list is tiny and bounded by construction.
+    *
+    * Shape at 100 TB: one distinct over positives (their natural
+    * shuffle), a slot explode over the USER dimension only (k·overdraw
+    * rows per user, never |users|×|items|), one anti-join back against
+    * positives on (user, item), and a bounded-heap top-k by slot
+    * order. Items are addressed by a dense [0, nItems) ordinal — the
+    * id space of a dimension table; map through the dim beforehand if
+    * ids are sparse.
+    *
+    * `slotItem` maps (user, slot) → candidate ordinal; the default is
+    * a 16-bit md5 nibble hash mod nItems, chosen because it restates
+    * verbatim in ANSI SQL (the q137 oracle). Swap in
+    * `pmod(xxhash64(u, s), nItems)` when hashing cost matters more
+    * than portability.
+    *
+    * Returns (userCol, item, slot) — slot is the draw ordinal, kept so
+    * downstream epoch-mixing can subsample deterministically.
+    */
+  def negativeSamples(positives: DataFrame, userCol: String, itemCol: String,
+      nItems: Long, k: Int, salt: String = "neg", overdraw: Int = 3,
+      slotItem: (Column, Column) => Column = null): DataFrame = {
+    require(k >= 1 && overdraw >= 1 && nItems >= 1,
+      s"need k >= 1, overdraw >= 1, nItems >= 1; got $k, $overdraw, $nItems")
+    val mix: (Column, Column) => Column =
+      if (slotItem != null) slotItem
+      else (u, s) => pmod(
+        conv(substring(md5(concat_ws(":", lit(salt), u.cast("string"),
+          s.cast("string"))), 1, 4), 16, 10).cast("long"),
+        lit(nItems))
+    val pos = positives.select(col(userCol), col(itemCol).as("item")).distinct()
+    val cand = pos.select(col(userCol)).distinct()
+      .select(col(userCol),
+        explode(sequence(lit(0), lit(k * overdraw - 1))).as("slot"))
+      .withColumn("item", mix(col(userCol), col("slot")))
+    cand.join(pos, Seq(userCol, "item"), "left_anti")
+      .groupBy(col(userCol), col("item"))
+      .agg(min(col("slot")).as("slot")) // collided slots keep the first draw
+      .transform(d => TopK.perGroup(d, Seq(userCol),
+        Seq(col("slot").asc, col("item").asc), k))
+  }
+
   def sqrtFlattenSample(df: DataFrame, keyCol: String, groupCol: String,
       salt: String): DataFrame = {
     val nC = graft.functions.ColumnLib.freeColumn(df, "__n")

@@ -556,5 +556,110 @@ object Advanced {
                count(DISTINCT a.user_id) AS n_users
         FROM act a JOIN su USING (user_id)
         WHERE week >= cohort_week
-        GROUP BY 1, 2 ORDER BY 1, 2""")))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- deterministic negative sampling (q137) -------------------------
+    // The implicit-feedback training-set constructor (BPR/word2vec
+    // negatives): k reproducible non-interacted items per customer.
+    // Positives = distinct (o_custkey, l_partkey) from orders⋈lineitem;
+    // the item space is the part dimension's dense 0-based key. The
+    // operator's whole pipeline is gated — slot explode over users
+    // only, 16-bit md5 candidate hash, anti-join against positives,
+    // collided-slot dedup (min slot), bounded top-k by draw order.
+    QueryDef("q137_negative_sampling",
+      (s, dir) => {
+        val pos = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("user_id"), col("l_partkey").as("item"))
+        val nItems = t(s, dir, "part").count() // dimension-sized scalar
+        graft.operators.Sampling.negativeSamples(pos, "user_id", "item",
+            nItems, k = 5, salt = "neg1", overdraw = 3)
+          .orderBy("user_id", "slot")
+      },
+      Some("""
+        WITH pos AS (SELECT DISTINCT o.o_custkey AS user_id,
+                            l.l_partkey AS item
+                     FROM lineitem l
+                     JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        np AS (SELECT count(*) AS n FROM part),
+        slots AS (SELECT u.user_id, CAST(t.s AS INTEGER) AS slot
+                  FROM (SELECT DISTINCT user_id FROM pos) u,
+                       (SELECT unnest(range(15)) AS s) t),
+        cand AS (SELECT user_id, slot,
+                        ((CAST((strpos('0123456789abcdef', substr(h,1,1)) - 1)
+                           AS BIGINT) * 4096 +
+                          (strpos('0123456789abcdef', substr(h,2,1)) - 1) * 256 +
+                          (strpos('0123456789abcdef', substr(h,3,1)) - 1) * 16 +
+                          (strpos('0123456789abcdef', substr(h,4,1)) - 1)) % np.n)
+                          AS item
+                 FROM (SELECT user_id, slot,
+                              md5('neg1:'||CAST(user_id AS VARCHAR)||':'||
+                                  CAST(slot AS VARCHAR)) AS h
+                       FROM slots), np),
+        surv AS (SELECT c.user_id, c.item, c.slot FROM cand c
+                 WHERE NOT EXISTS (SELECT 1 FROM pos p
+                                   WHERE p.user_id = c.user_id
+                                     AND p.item = c.item)),
+        dd AS (SELECT user_id, item, CAST(min(slot) AS INTEGER) AS slot
+               FROM surv GROUP BY 1, 2)
+        SELECT user_id, item, slot FROM (
+          SELECT user_id, item, slot,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY slot, item) AS rk
+          FROM dd)
+        WHERE rk <= 5
+        ORDER BY user_id, slot""")),
+
+    // ---- next-event-prediction dataset (q138) ---------------------------
+    // Behavior-sequence training examples straight from the event log:
+    // gap-sessionize (the q77 operator, 30-min cut), then per session
+    // of ≥ 3 events emit input = the event-type sequence minus its
+    // last element, label = the last event's type — the
+    // next-event-prediction dataset constructor. One shuffle
+    // (user-keyed window) shared by sessionization and the sequence
+    // collect; the per-session array is bounded by session length.
+    // Total order inside a session is (ms, event_id) — the unique
+    // tiebreaker the verify skill's window-dedup rule requires.
+    QueryDef("q138_next_event_dataset",
+      (s, dir) => {
+        val ev = eventsMs(s, dir)
+        val sessions = Sessionize.assign(ev, "user_id", "ms", 1800000L)
+        sessions
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(sort_array(collect_list(struct(col("ms"), col("event_id"),
+            col("event_type")))).as("__seq"))
+          .filter(size(col("__seq")) >= 3)
+          .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+            size(col("__seq")).cast("long").as("n_events"),
+            array_join(transform(
+              slice(col("__seq"), lit(1), size(col("__seq")) - 1),
+              x => x.getField("event_type")), " ").as("input_seq"),
+            element_at(col("__seq"), -1).getField("event_type").as("label"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+                   FROM events),
+        b AS (SELECT *, CASE WHEN ms - lag(ms) OVER
+                               (PARTITION BY user_id ORDER BY ms) > 1800000
+                             THEN 1 ELSE 0 END AS brk
+              FROM e),
+        sess AS (SELECT user_id, event_id, event_type, ms,
+                        SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS session_id
+                 FROM b),
+        r AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                          ORDER BY ms DESC, event_id DESC) AS rdesc
+              FROM sess)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               string_agg(CASE WHEN rdesc > 1 THEN event_type END, ' '
+                 ORDER BY ms, event_id) AS input_seq,
+               max(CASE WHEN rdesc = 1 THEN event_type END) AS label
+        FROM r
+        GROUP BY user_id, session_id
+        HAVING count(*) >= 3
+        ORDER BY user_id, session_id""")))
 }

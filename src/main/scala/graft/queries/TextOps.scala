@@ -1682,32 +1682,43 @@ object TextOps {
     // document's characters covered by its single most frequent word
     // n-gram (n = 1, 2, 3) — the signal that catches degenerate
     // "keyword keyword keyword" spam q25's distinct-ratio smooths
-    // over. Per-doc and bounded by doc length, so the whole metric is
-    // MAP-SIDE HOF arithmetic over the words array (native
-    // word_shingles builds the gram lists in codegen): zero shuffle,
-    // the correct 100 TB shape for a per-document statistic. Ties on
-    // count break to the LONGEST gram; ratios in floored micro units
-    // (integer-exact cross-engine); the flag applies Gopher-style
-    // thresholds (0.20/0.18/0.16).
+    // over. Shape: ONE scan explodes the three gram streams (native
+    // word_shingles in codegen), a doc-keyed count aggregate (map-side
+    // partials — the key is (doc, n, gram), so partitions combine
+    // before the exchange), and the per-doc argmax falls out of
+    // max(struct(count, len)) — lexicographic, so count ties break to
+    // the LONGEST gram with no second pass. NOT per-row nested HOFs:
+    // interpreted lambda chains re-evaluate their inputs per element
+    // (Spark executes HigherOrderFunctions outside codegen), which
+    // turned the first cut of this query O(g³)-ish per doc. Ratios in
+    // floored micro units (integer-exact cross-engine); the flag
+    // applies Gopher-style thresholds (0.20/0.18/0.16).
     QueryDef("q134_gopher_repetition",
       (s, dir) => {
+        val d = docs(s, dir)
         val ws = words(col("text"))
-        def topMicro(n: Int): Column = {
-          val grams = call_function("word_shingles", ws, lit(n))
-          val dg = array_distinct(grams)
-          val cntOf = (g: Column) => size(filter(grams, x => x === g))
-          val maxCnt = array_max(transform(dg, g => cntOf(g)))
-          val maxLen = array_max(transform(
-            filter(dg, g => cntOf(g) === maxCnt), g => length(g)))
-          when(size(grams) > 0,
-            floor(maxCnt.cast("long") * maxLen.cast("long") * lit(1000000L) /
-              length(col("text")).cast("long")).cast("long"))
-            .otherwise(lit(0L))
-        }
-        docs(s, dir).select(col("doc_id"),
-            topMicro(1).as("top1_micro"),
-            topMicro(2).as("top2_micro"),
-            topMicro(3).as("top3_micro"))
+        val grams = d.select(col("doc_id"),
+            explode(array((1 to 3).map(n =>
+              struct(lit(n).as("n"),
+                call_function("word_shingles", ws, lit(n)).as("gs"))): _*))
+              .as("x"))
+          .select(col("doc_id"), col("x.n").as("n"), explode(col("x.gs")).as("g"))
+        val tops = grams
+          .groupBy(col("doc_id"), col("n"), col("g"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"), col("n"))
+          .agg(max(struct(col("c"), length(col("g")).cast("long").as("l")))
+            .as("t"))
+          .select(col("doc_id"), col("n"),
+            (col("t.c") * col("t.l")).as("p"))
+        def micro(n: Int): Column =
+          coalesce(floor(max(when(col("n") === n, col("p"))) * lit(1000000L) /
+            first(col("nc"))).cast("long"), lit(0L))
+        d.select(col("doc_id"), length(col("text")).cast("long").as("nc"))
+          .join(tops, Seq("doc_id"), "left")
+          .groupBy("doc_id")
+          .agg(micro(1).as("top1_micro"), micro(2).as("top2_micro"),
+            micro(3).as("top3_micro"))
           .withColumn("flagged",
             col("top1_micro") > 200000L || col("top2_micro") > 180000L ||
               col("top3_micro") > 160000L)

@@ -237,4 +237,37 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(w.map { case (k, v) => k -> v._2 } === again)
   }
+
+  test("negativeSamples: k non-positives per user, deterministic, slot-ordered") {
+    import org.apache.spark.sql.Row
+    // 3 users over a 50-item space; user 30 has MANY positives so some
+    // candidate draws must collide and be anti-joined away.
+    val posRows =
+      (0L until 40L).map(i => Row(Long.box(30), Long.box(i))) ++
+        Seq(Row(Long.box(10), Long.box(3)), Row(Long.box(10), Long.box(7)),
+          Row(Long.box(20), Long.box(0)))
+    val pos = df("user_id BIGINT, item BIGINT", posRows: _*)
+    def run(p: org.apache.spark.sql.DataFrame) =
+      Sampling.negativeSamples(p, "user_id", "item", nItems = 50L, k = 4,
+        salt = "t", overdraw = 8)
+    val out = run(pos).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byUser = out.groupBy(_._1)
+    assert(byUser.keySet == Set(10L, 20L, 30L))
+    val posSet = posRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { case (u, item, _) =>
+      assert(!posSet((u, item)), s"negative ($u, $item) is a positive")
+      assert(item >= 0 && item < 50)
+    }
+    byUser.values.foreach { rows =>
+      assert(rows.length == 4, s"want k=4 negatives: ${rows.toSeq}")
+      // no duplicate items per user; slots strictly increase in output order
+      assert(rows.map(_._2).distinct.length == 4)
+      assert(rows.map(_._3).sorted.toSeq == rows.map(_._3).toSeq.sorted)
+    }
+    // Deterministic under repartitioning — same rows, same slots.
+    val again = run(pos.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == out.toSet)
+  }
 }
