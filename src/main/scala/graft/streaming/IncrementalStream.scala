@@ -181,6 +181,92 @@ object IncrementalStream {
 
   final case class KeyCount(key: String, n: Long)
 
+  /** A completed session's training example — the streaming analog of
+    * the q138 batch constructor's row.
+    */
+  final case class SessionExample(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Long, input_seq: String, label: String)
+
+  /** Buffered open session per user (event millis + type, in arrival
+    * order; sorted at emission).
+    */
+  final case class OpenSession(events: List[(Long, String)])
+
+  /** Streaming next-event-dataset constructor — the
+    * flatMapGroupsWithState rung that `session_window` aggregates
+    * cannot reach: each completed session emits an ARBITRARY payload
+    * (here the ordered event-type sequence split into input/label, the
+    * q138 example shape), not just an aggregate. Per-user state
+    * buffers the open session; a session completes either when a
+    * later in-stream event breaks the gap (emitted immediately) or
+    * when the EVENT-TIME watermark passes `last event + gap` (the
+    * timeout path — so tail sessions emit without needing a successor,
+    * and state is bounded by watermark + gap, never by stream
+    * length). Sessions shorter than 2 events carry no (input, label)
+    * pair and are dropped. Within a session the order is (ms, type) —
+    * callers needing a stronger tiebreak thread a unique id into
+    * `typeCol`.
+    */
+  def sessionExamples(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, gapMs: Long, lateness: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def toExample(u: Long, ev: List[(Long, String)]): Option[SessionExample] = {
+      val s = ev.sorted
+      if (s.size < 2) None
+      else Some(SessionExample(u, s.head._1, s.last._1, s.size.toLong,
+        s.init.map(_._2).mkString(" "), s.last._2))
+    }
+
+    // Split a sorted run into gap-delimited sessions; all but the last
+    // are closed by construction.
+    def sessions(ev: List[(Long, String)]): List[List[(Long, String)]] =
+      ev.sorted.foldLeft(List.empty[List[(Long, String)]]) {
+        case (acc, e) => acc match {
+          case cur :: rest if e._1 - cur.head._1 <= gapMs =>
+            (e :: cur) :: rest // cur is newest-first; head = latest event
+          case _ => List(e) :: acc
+        }
+      }.map(_.reverse).reverse
+
+    val func = (u: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+        state: GroupState[OpenSession]) => {
+      val buffered = state.getOption.map(_.events).getOrElse(Nil)
+      if (state.hasTimedOut) {
+        state.remove()
+        toExample(u, buffered).iterator
+      } else {
+        val all = buffered ++ rows.map(r => (r._2.getTime, r._3)).toList
+        val runs = sessions(all)
+        val open = runs.last
+        state.update(OpenSession(open))
+        // Timeout must sit strictly above the current watermark
+        // (setTimeoutTimestamp rejects the past); an open session the
+        // watermark already passed times out on the next trigger.
+        state.setTimeoutTimestamp(math.max(open.map(_._1).max + gapMs,
+          state.getCurrentWatermarkMs() + 1))
+        runs.init.flatMap(toExample(u, _)).iterator
+      }
+    }
+
+    events
+      // Project FIRST, then attach the watermark to the projected
+      // column: a cast or alias on an already-watermarked attribute
+      // strips the event-time metadata and EventTimeTimeout rejects
+      // the plan. tsCol must already be a timestamp column.
+      .select(col(userCol).cast("long").as("__u"),
+        col(tsCol).as("__ts"),
+        col(typeCol).cast("string").as("__e"))
+      .withWatermark("__ts", lateness)
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(func)
+      .toDF()
+  }
+
   /** Custom per-key state via mapGroupsWithState: a running count per
     * key that survives across micro-batches — the template for any
     * arbitrary-state stream op (dedup caches, session carriers,

@@ -277,4 +277,49 @@ class StreamingSpec extends SparkSpec {
     assert(r3.stagedRows == 0)
     assert(spark.read.parquet(dir.resolve("customer").toString).count() == 120)
   }
+
+  test("sessionExamples: completed sessions emit via gap break AND watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val src = mem.toDF().toDF("user_id", "ts", "event_type")
+    val q = IncrementalStream.sessionExamples(src, "user_id", "ts",
+        "event_type", gapMs = 30 * 60000L, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("sess_ex_out")
+      .outputMode("append").start()
+    // Batch 1: user 1 has an open session of 3 events; user 2 has 1.
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), "view"))
+    q.processAllAvailable()
+    assert(spark.table("sess_ex_out").count() == 0,
+      "open sessions must not emit")
+    // Batch 2: a user-1 event far past the gap breaks the old session —
+    // it must emit IMMEDIATELY (in-stream break, no watermark needed).
+    mem.addData((1L, ts("2024-01-01 12:00:00"), "view"))
+    q.processAllAvailable()
+    val afterBreak = spark.table("sess_ex_out").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(4), r.getString(5)))
+    assert(afterBreak.toSeq == Seq((1L, 3L, "view click", "purchase")),
+      s"gap break must close the first session: ${afterBreak.toSeq}")
+    // Batch 3: advance event time far enough that the watermark
+    // (max event time - 10 min) passes every open session's
+    // last-event + gap; the timeout path must flush them. User 2's
+    // single-event session carries no (input, label) and is dropped;
+    // user 1's open {12:00 view, 12:01 click} session emits. Two
+    // triggers: one to advance the watermark, one to fire timeouts.
+    mem.addData((1L, ts("2024-01-01 12:01:00"), "click"),
+      (3L, ts("2024-01-01 23:00:00"), "view"))
+    q.processAllAvailable()
+    mem.addData((3L, ts("2024-01-01 23:30:00"), "view"))
+    q.processAllAvailable()
+    val all = spark.table("sess_ex_out").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(4), r.getString(5)))
+      .toSet
+    q.stop()
+    assert(all.contains((1L, 2L, "view", "click")),
+      s"watermark timeout must flush the tail session: $all")
+    assert(!all.exists(_._1 == 2L), "singleton sessions carry no example")
+  }
 }
