@@ -926,7 +926,12 @@ object Dedup {
   def removeDuplicatedSpans(docs: DataFrame, id: String, body: String,
       k: Int = 20, w: Int = 8, maxGap: Int = 28): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // fps feeds TWO consumers (the owner aggregate and the range
+    // probe); materialized once so the winnow pass runs once, not
+    // twice — the nearDupPairs/candGrams discipline. Rows are (id,
+    // 16-byte digest, int): far smaller than the text they summarize.
     val fps = winnowingFingerprintPositions(docs, id, body, k, w)
+      .localCheckpoint(true)
     val owner = fps.groupBy("fp").agg(min(col(id)).as("__owner"))
     val ranges = fps.join(owner, "fp")
       .filter(col("__owner") < col(id))

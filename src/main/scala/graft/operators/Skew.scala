@@ -35,6 +35,34 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Exact COUNT(DISTINCT value) per key, salted — the aggregation
+    * analog of [[saltedJoin]]. A plain
+    * `groupBy(key).agg(countDistinct(value))` exchanges the dedup
+    * stage on the KEY alone, so one hot key's entire value set lands
+    * on one reducer — at 100 TB with a 3-value key column that is
+    * three reducers doing all the work. Bucketing the value by a
+    * deterministic hash FIRST makes the dedup exchange partition on
+    * (key, bucket): each hot key spreads over `buckets` reducers, and
+    * because the hash partitions the value space disjointly, the
+    * per-bucket distinct counts SUM to the exact global distinct count
+    * — no approximation, no second scan. The final per-key aggregate
+    * reduces `buckets` rows per key — trivial by construction.
+    *
+    * NULL values hash to a NULL bucket whose countDistinct contributes
+    * 0, matching countDistinct's null-ignoring contract exactly.
+    */
+  def saltedDistinctCount(df: DataFrame, keyCols: Seq[String],
+      valueCol: String, buckets: Int = 64,
+      out: String = "n_distinct"): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    df.select((keyCols.map(col) :+ col(valueCol) :+
+        pmod(xxhash64(col(valueCol)), lit(buckets)).as("__b")): _*)
+      .groupBy((keyCols.map(col) :+ col("__b")): _*)
+      .agg(countDistinct(col(valueCol)).as("__d"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__d")).as(out))
+  }
+
   /** Key-distribution profiler — the "should I salt this join?" number.
     * For each requested column, the top-k values by row count with
     * their fraction of all rows. NULL is a value (and on real fact

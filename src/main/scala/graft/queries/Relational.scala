@@ -475,6 +475,26 @@ object Relational {
         SELECT key_col, value, cnt, frac FROM r
         WHERE rk <= 5 ORDER BY key_col, cnt DESC, value""")),
 
+    // ---- salted exact distinct count (q139) -----------------------------
+    // The aggregation partner of q43/q94: COUNT(DISTINCT ...) under a
+    // hot grouping key. l_returnflag has 3 values over the whole fact
+    // table — a plain distinct aggregate exchanges every (flag, part)
+    // pair onto 3 reducers; Skew.saltedDistinctCount buckets the value
+    // by hash first so the dedup exchange partitions on (flag, bucket)
+    // and each flag spreads over 32 reducers, while disjoint hash
+    // buckets keep the summed count EXACT. The oracle is the plain
+    // COUNT(DISTINCT) — equality is the whole point.
+    QueryDef("q139_salted_distinct",
+      (s, dir) => {
+        graft.operators.Skew.saltedDistinctCount(
+            t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey",
+            buckets = 32)
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // ---- bloom-reduced join ≡ plain join (runtime-filter, gate-proven) --
     // The 100 TB semi-join reduction: a distributed bloom over the
     // selective dim's keys rides to the fact scan and drops non-joining

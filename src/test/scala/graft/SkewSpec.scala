@@ -115,4 +115,28 @@ class SkewSpec extends SparkSpec {
     assert(math.abs(p("g1")._3 - 5L) <= 1L, s"g1 hll=${p("g1")._3}")
     assert(math.abs(p("g2")._3 - 2L) <= 1L, s"g2 hll=${p("g2")._3}")
   }
+
+  test("saltedDistinctCount == plain countDistinct, including null values/keys") {
+    val rnd = new scala.util.Random(20260814L)
+    val rows = (1 to 500).map { _ =>
+      Row(
+        if (rnd.nextInt(10) == 0) null else s"k${rnd.nextInt(3)}",
+        if (rnd.nextInt(8) == 0) null else Long.box(rnd.nextInt(40).toLong))
+    }
+    val d = df("k STRING, v BIGINT", rows: _*)
+    val salted = Skew.saltedDistinctCount(d, Seq("k"), "v", buckets = 7)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val plain = d.groupBy("k").agg(countDistinct(col("v")).as("n"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(salted == plain, s"salted $salted != plain $plain")
+    // The dedup exchange must partition on (key, bucket) — the spread
+    // that is this operator's reason to exist.
+    val plan = Skew.saltedDistinctCount(d, Seq("k"), "v", buckets = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__b"), s"bucket column missing from plan:\n$plan")
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("hashpartitioning")).toSeq
+    assert(exchangeLines.exists(l => l.contains("k#") && l.contains("__b")),
+      s"dedup exchange must carry (key, bucket):\n${exchangeLines.mkString("\n")}")
+  }
 }
