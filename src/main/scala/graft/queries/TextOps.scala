@@ -1897,5 +1897,169 @@ object TextOps {
                       CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))),
                  6) AS bm25
         FROM base, c
-        ORDER BY bm25 DESC, doc_id LIMIT 25""")))
+        ORDER BY bm25 DESC, doc_id LIMIT 25""")),
+
+    // ---- Naive-Bayes quality classifier (q140) --------------------------
+    // Model-based corpus filtering, trained ENTIRELY in-engine — the
+    // CCNet recipe (a linear bag-of-words classifier separating a
+    // curated slice from the rest) without leaving SQL semantics:
+    // multinomial Naive Bayes with add-1 smoothing over word unigrams,
+    // trained on the q24 'exp1' train split to recognize the curated
+    // sources (src1-3), then applied to every doc with per-split
+    // accuracy reported. Everything is integer micro-nats (each ln is
+    // individually rounded to 1e-6 before the integer dot product —
+    // the q64 fixed-point discipline), so scores are bit-identical
+    // across engines. Classification uses only the class-conditional
+    // DIFFERENCE, so the broadcast model is one weight per vocab token
+    // plus two scalars (unseen-token default, prior). Shape: one
+    // vocab-keyed aggregate (train tokens), a (doc, token) aggregate,
+    // one broadcast model join — the inference pass is a map-side
+    // join + sum at any corpus size.
+    QueryDef("q140_nb_classifier",
+      (s, dir) => {
+        val lbl = col("source").isin("src1", "src2", "src3")
+        val d = graft.operators.Sampling.hashSplit(
+            docs(s, dir), "doc_id", "exp1",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select(col("doc_id"), col("split"), lbl.as("y"), col("text"))
+        val toks = d.select(col("doc_id"), col("split"), col("y"),
+          explode(words(col("text"))).as("token"))
+        val cls = toks.filter(col("split") === "train")
+          .groupBy("token")
+          .agg(sum(when(col("y"), 1L).otherwise(0L)).as("cp"),
+            sum(when(!col("y"), 1L).otherwise(0L)).as("cn"))
+          .localCheckpoint(true)
+        val tot = cls.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
+          count(lit(1)).as("v"))
+        def lnFp(num: Column, den: Column): Column =
+          round(log(num.cast("double") / den.cast("double")) * lit(1e6))
+            .cast("long")
+        val w = cls.crossJoin(broadcast(tot)).select(col("token"),
+          (lnFp(col("cp") + 1, col("tp") + col("v")) -
+            lnFp(col("cn") + 1, col("tn") + col("v"))).as("w_fp"))
+        val defaults = tot.select(
+          (lnFp(lit(1), col("tp") + col("v")) -
+            lnFp(lit(1), col("tn") + col("v"))).as("w0_fp"))
+        val priors = d.filter(col("split") === "train")
+          .agg(lnFp(sum(when(col("y"), 1L).otherwise(0L)),
+            sum(when(!col("y"), 1L).otherwise(0L))).as("prior_fp"))
+        val dt = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+        val scored = dt.join(broadcast(w), Seq("token"), "left")
+          .crossJoin(broadcast(defaults))
+          .groupBy("doc_id")
+          .agg(sum(col("n") * coalesce(col("w_fp"), col("w0_fp")))
+            .as("dot_fp"))
+        d.join(scored, Seq("doc_id"), "left")
+          .crossJoin(broadcast(priors))
+          .withColumn("pred",
+            (coalesce(col("dot_fp"), lit(0L)) + col("prior_fp")) > 0)
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("y"), 1L).otherwise(0L)).as("n_actual_pos"),
+            sum(when(col("pred"), 1L).otherwise(0L)).as("n_pred_pos"),
+            sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .orderBy("split")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, text,
+                          source IN ('src1','src2','src3') AS y,
+                          CASE WHEN substr(md5('exp1:'||CAST(doc_id AS VARCHAR)),1,4) < 'cccd'
+                                 THEN 'train'
+                               WHEN substr(md5('exp1:'||CAST(doc_id AS VARCHAR)),1,4) < 'e666'
+                                 THEN 'val'
+                               ELSE 'test' END AS split
+                   FROM documents),
+        toks AS (SELECT doc_id, split, y,
+                        unnest(string_split(text,' ')) AS token
+                 FROM d),
+        cls AS (SELECT token,
+                       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                       CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cn
+                FROM toks WHERE split = 'train' GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp,
+                       CAST(SUM(cn) AS BIGINT) AS tn,
+                       CAST(count(*) AS BIGINT) AS v
+                FROM cls),
+        w AS (SELECT token,
+                     CAST(round(ln(CAST(cp+1 AS DOUBLE)/CAST(tp+v AS DOUBLE))*1000000)
+                       AS BIGINT) -
+                     CAST(round(ln(CAST(cn+1 AS DOUBLE)/CAST(tn+v AS DOUBLE))*1000000)
+                       AS BIGINT) AS w_fp
+              FROM cls, tot),
+        defs AS (SELECT CAST(round(ln(1.0/CAST(tp+v AS DOUBLE))*1000000) AS BIGINT) -
+                        CAST(round(ln(1.0/CAST(tn+v AS DOUBLE))*1000000) AS BIGINT)
+                          AS w0_fp
+                 FROM tot),
+        pri AS (SELECT CAST(round(ln(
+                         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) /
+                         CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS DOUBLE))
+                         *1000000) AS BIGINT) AS prior_fp
+                FROM d WHERE split = 'train'),
+        dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+               FROM toks GROUP BY 1, 2),
+        sc AS (SELECT dt.doc_id,
+                      CAST(SUM(dt.n * coalesce(w.w_fp, defs.w0_fp)) AS BIGINT)
+                        AS dot_fp
+               FROM dt LEFT JOIN w USING (token), defs GROUP BY 1)
+        SELECT d.split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN d.y THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_actual_pos,
+               CAST(SUM(CASE WHEN coalesce(sc.dot_fp, 0) + pri.prior_fp > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+               CAST(SUM(CASE WHEN (coalesce(sc.dot_fp, 0) + pri.prior_fp > 0)
+                                  = d.y THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_correct
+        FROM d LEFT JOIN sc USING (doc_id), pri
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- exact ROC-AUC (q141) -------------------------------------------
+    // Score-quality evaluation without approximation: the ROC-AUC of a
+    // score column against a binary label, via the tie-corrected
+    // rank-sum identity AUC = Σ_s nPos(s)·(2·cumNegBelow(s) + nNeg(s))
+    // / (2·nPos·nNeg) — every term an integer (ties contribute the
+    // exact ½), one double division at the end. Shape: one score-keyed
+    // count aggregate (map-side partials), a window over the DISTINCT
+    // score table (bounded by score cardinality, not rows), and a
+    // 1-row total. Here: does document length separate the curated
+    // sources? — the calibration check run before trusting any
+    // length-based filter.
+    QueryDef("q141_auc",
+      (s, dir) => {
+        val lbl = col("source").isin("src1", "src2", "src3")
+        val g = docs(s, dir)
+          .select(length(col("text")).cast("long").as("score"), lbl.as("y"))
+          .groupBy("score")
+          .agg(sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+            sum(when(!col("y"), 1L).otherwise(0L)).as("nn"))
+        val win = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        g.withColumn("cum_nn", coalesce(sum(col("nn")).over(win), lit(0L)))
+          .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+            sum(col("np") * (lit(2L) * col("cum_nn") + col("nn"))).as("num2"))
+          .select(col("n_pos"), col("n_neg"), col("num2"),
+            round(col("num2").cast("double") /
+              (lit(2.0) * col("n_pos").cast("double") *
+                col("n_neg").cast("double")), 9).as("auc"))
+      },
+      Some("""
+        WITH g AS (SELECT len(text) AS score,
+                          CAST(SUM(CASE WHEN source IN ('src1','src2','src3')
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                          CAST(SUM(CASE WHEN source IN ('src1','src2','src3')
+                                        THEN 0 ELSE 1 END) AS BIGINT) AS nn
+                   FROM documents GROUP BY 1),
+        c AS (SELECT score, np, nn,
+                     coalesce(SUM(nn) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_nn
+              FROM g)
+        SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+               CAST(SUM(nn) AS BIGINT) AS n_neg,
+               CAST(SUM(np * (2*cum_nn + nn)) AS BIGINT) AS num2,
+               round(CAST(SUM(np * (2*cum_nn + nn)) AS DOUBLE) /
+                     (2.0 * SUM(np) * SUM(nn)), 9) AS auc
+        FROM c""")))
 }
