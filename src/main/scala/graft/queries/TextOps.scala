@@ -2061,5 +2061,92 @@ object TextOps {
                CAST(SUM(np * (2*cum_nn + nn)) AS BIGINT) AS num2,
                round(CAST(SUM(np * (2*cum_nn + nn)) AS DOUBLE) /
                      (2.0 * SUM(np) * SUM(nn)), 9) AS auc
-        FROM c""")))
+        FROM c""")),
+
+    // ---- equi-depth histogram (q142) ------------------------------------
+    // The feature-binning partner of q49's equal-WIDTH histogram:
+    // decile bins holding ~equal mass. NOT a global ntile window (a
+    // single-partition sort at corpus scale): the nine cut points come
+    // from percentile_disc AGGREGATES (map-side partials, q107/q119's
+    // portable discrete convention — the value at rank ceil(p·n)), the
+    // 1-row cut table broadcasts back, and bin assignment is a
+    // when-chain in codegen. Values tied across a cut all land in the
+    // lower bin (value-based binning), so masses are approximately —
+    // not artificially exactly — equal under ties.
+    QueryDef("q142_equidepth",
+      (s, dir) => {
+        val base = docs(s, dir)
+          .select(col("doc_id"), length(col("text")).cast("long").as("score"))
+        val cutCols = (1 to 9).map(k => expr(
+          s"percentile_disc(0.${k}) WITHIN GROUP (ORDER BY score)").as(s"c$k"))
+        val cuts = base.agg(cutCols.head, cutCols.tail: _*)
+        val bin = (1 to 9).foldRight(lit(10): Column)((k, rest) =>
+          when(col("score") <= col(s"c$k"), k).otherwise(rest))
+        base.crossJoin(broadcast(cuts))
+          .withColumn("bin", bin.cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), min(col("score")).as("lo"),
+            max(col("score")).as("hi"))
+          .orderBy("bin")
+      },
+      Some {
+        val cutsSelect = (1 to 9).map(k =>
+          s"max(CASE WHEN rn <= ceil(n * 0.$k) THEN score END) AS c$k")
+          .mkString(", ")
+        val binCase = (1 to 9).map(k =>
+          s"WHEN score <= c$k THEN $k").mkString(" ")
+        s"""
+        WITH b AS (SELECT doc_id, len(text) AS score FROM documents),
+        r AS (SELECT score, row_number() OVER (ORDER BY score) AS rn,
+                     count(*) OVER () AS n
+              FROM b),
+        cuts AS (SELECT $cutsSelect FROM r),
+        binned AS (SELECT score, CASE $binCase ELSE 10 END AS bin
+                   FROM b, cuts)
+        SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(min(score) AS BIGINT) AS lo, CAST(max(score) AS BIGINT) AS hi
+        FROM binned GROUP BY 1 ORDER BY 1"""
+      }),
+
+    // ---- per-group z-score normalization (q143) -------------------------
+    // The feature-scaling transform (normalize a metric within its
+    // group before cross-group comparison): z = (x − μ_g)/σ_g with the
+    // sample (n−1) deviation. Portability without decimals: the score
+    // is an INTEGER, so Σx and Σx² are exact BIGINTs; μ and σ² derive
+    // from them through one fixed double expression tree — identical
+    // bits in both engines — and the final z is 1e-9-rounded. One
+    // count aggregate per group (map-side partials), stats broadcast
+    // back, the normalization itself pure map-side arithmetic.
+    QueryDef("q143_group_zscore",
+      (s, dir) => {
+        val b = docs(s, dir).select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("score"))
+        val st = b.groupBy("source").agg(count(lit(1)).as("n"),
+          sum(col("score")).as("sx"),
+          sum(col("score") * col("score")).as("sx2"))
+        b.join(broadcast(st.filter(col("n") > 1)), "source")
+          .withColumn("mean", col("sx").cast("double") / col("n"))
+          .withColumn("vr",
+            (col("sx2").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+              (col("n") - 1))
+          .select(col("doc_id"), col("source"), col("score"),
+            round((col("score").cast("double") - col("mean")) / sqrt(col("vr")),
+              9).as("z"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH b AS (SELECT doc_id, source, len(text) AS score FROM documents),
+        st AS (SELECT source, count(*) AS n,
+                      CAST(SUM(score) AS BIGINT) AS sx,
+                      CAST(SUM(score * score) AS BIGINT) AS sx2
+               FROM b GROUP BY 1)
+        SELECT b.doc_id, b.source, CAST(b.score AS BIGINT) AS score,
+               round((CAST(b.score AS DOUBLE) - CAST(sx AS DOUBLE) / n) /
+                     sqrt((CAST(sx2 AS DOUBLE) -
+                           CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) /
+                          (n - 1)), 9) AS z
+        FROM b JOIN st USING (source)
+        WHERE st.n > 1
+        ORDER BY doc_id""")))
 }

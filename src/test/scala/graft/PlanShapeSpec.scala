@@ -56,4 +56,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"expected a broadcast join for the tiny percentile table:\n$p")
   }
+
+  test("q134 repetition: no interpreted higher-order functions in the plan") {
+    // The first cut computed the top-gram stats with nested per-row
+    // HOFs; Spark runs ArrayFilter/ArrayTransform lambdas INTERPRETED
+    // and re-evaluates their inputs per element, which made the query
+    // O(g³)-ish per document. The rewrite is explode + aggregate;
+    // this pin fails if per-row lambda filtering ever sneaks back.
+    val p = plan("q134_gopher_repetition")
+    assert(!p.contains("array_filter") && !p.contains("ArrayFilter"),
+      s"no per-row lambda filtering in the repetition plan:\n$p")
+    assert(p.contains("Generate"), s"gram explode missing:\n$p")
+  }
+
+  test("q140 classifier: the model ships as broadcasts, never a shuffle join") {
+    // The vocab-weight table, the 1-row default and the 1-row prior
+    // must all broadcast — inference is a map-side join + sum. (The
+    // doc-level eval join is corpus-vs-corpus and may legitimately
+    // shuffle; the pin is on the TOKEN join, which would shuffle the
+    // whole token stream if the model ever stopped broadcasting.)
+    val p = plan("q140_nb_classifier")
+    assert("BroadcastHashJoin \\[token".r.findFirstIn(p).isDefined,
+      s"expected the token->weight join to broadcast:\n$p")
+    assert("SortMergeJoin \\[token".r.findFirstIn(p).isEmpty,
+      s"the token join must never shuffle the token stream:\n$p")
+  }
+
+  test("q137 negatives: slot explode over users only, no cartesian") {
+    val p = plan("q137_negative_sampling")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the anti-join against positives is a real anti join
+    assert(p.contains("LeftAnti"), s"anti-join missing:\n$p")
+  }
 }
