@@ -120,6 +120,39 @@ object Upsert {
     * or the source is newer); order the source dedup by updateTime
     * descending when present, else by name (runner.py:470).
     */
+  /** SCD Type-2 history from a change log — the warehouse pattern for
+    * "what was this attribute at time t": one validity-interval row
+    * per VALUE RUN of each key. Consecutive equal values collapse
+    * (null-safely: a null value is a run like any other), `valid_from`
+    * is the run's first change time, `valid_to` the NEXT run's start
+    * (open interval — null on the current run), `is_current` flags the
+    * open row. Total order within a key is (timeCol, tieCol) — the
+    * unique-tiebreaker discipline every windowed dedup here follows.
+    *
+    * Shape: one key-keyed window pass (lag for run starts, lead for
+    * interval ends) — a single shuffle on the key, no self-join, no
+    * collect. Point-in-time lookups then join with
+    * `valid_from <= t AND (valid_to IS NULL OR t < valid_to)`;
+    * interval-bucket that probe with [[IntervalJoin]] at scale.
+    */
+  def scd2FromChangeLog(changes: DataFrame, keyCols: Seq[String],
+      valueCol: String, timeCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col(tieCol).asc)
+    val runs = changes
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .withColumn("__first", row_number().over(w) === 1)
+      // A run starts at the first row or on a (null-safe) value change.
+      .filter(col("__first") || !(col(valueCol) <=> col("__prev")))
+    val wr = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col(tieCol).asc)
+    runs.select((keyCols.map(col) :+ col(valueCol) :+
+        col(timeCol).as("valid_from") :+
+        lead(col(timeCol), 1).over(wr).as("valid_to")): _*)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   def upsertAuto(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     val common = target.columns.toSet & source.columns.toSet
     val src = source.select(target.columns.filter(common).map(col).toIndexedSeq: _*)

@@ -661,5 +661,38 @@ object Advanced {
         FROM r
         GROUP BY user_id, session_id
         HAVING count(*) >= 3
-        ORDER BY user_id, session_id""")))
+        ORDER BY user_id, session_id""")),
+
+    // ---- SCD Type-2 history from a change log (q144) --------------------
+    // The "what was this attribute at time t" warehouse pattern, built
+    // from the raw event stream: consecutive equal values collapse
+    // into runs (null-safe), each run becomes one validity-interval
+    // row with an open current interval. One key-keyed window pass
+    // (lag detects run starts, lead closes intervals) — a single
+    // shuffle, no self-join. Total order is (ms, event_id).
+    QueryDef("q144_scd2_history",
+      (s, dir) => {
+        graft.operators.Upsert.scd2FromChangeLog(
+            eventsMs(s, dir).select("user_id", "event_id", "event_type", "ms"),
+            Seq("user_id"), "event_type", "ms", "event_id")
+          .orderBy("user_id", "valid_from", "event_type")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+                   FROM events),
+        l AS (SELECT *,
+                lag(event_type) OVER
+                  (PARTITION BY user_id ORDER BY ms, event_id) AS pv,
+                row_number() OVER
+                  (PARTITION BY user_id ORDER BY ms, event_id) AS rn
+              FROM e),
+        runs AS (SELECT user_id, event_id, event_type, ms FROM l
+                 WHERE rn = 1 OR event_type IS DISTINCT FROM pv),
+        h AS (SELECT user_id, event_type, ms AS valid_from,
+                     lead(ms) OVER
+                       (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to
+              FROM runs)
+        SELECT user_id, event_type, valid_from, valid_to,
+               valid_to IS NULL AS is_current
+        FROM h ORDER BY user_id, valid_from, event_type""")))
 }

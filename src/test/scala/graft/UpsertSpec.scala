@@ -241,6 +241,34 @@ class UpsertSpec extends SparkSpec {
     assert(after == Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d4"))
     assert(!bak.exists() && !new java.io.File(dir + "/t.merge-tmp").exists())
   }
+
+  test("scd2FromChangeLog: runs collapse null-safely, intervals chain, tiebreak holds") {
+    def r(k: Long, id: Long, v: String, t: Long) =
+      Row(Long.box(k), Long.box(id), v, Long.box(t))
+    val changes = df("k BIGINT, id BIGINT, v STRING, t BIGINT",
+      // key 1: a a b b null null a  -> runs a@10, b@30, null@50, a@70
+      r(1, 1, "a", 10), r(1, 2, "a", 20), r(1, 3, "b", 30), r(1, 4, "b", 40),
+      r(1, 5, null, 50), r(1, 6, null, 60), r(1, 7, "a", 70),
+      // key 2: same timestamp twice — the id tiebreak orders the runs
+      r(2, 1, "x", 100), r(2, 2, "y", 100),
+      // key 3: single change -> one open row
+      r(3, 9, "z", 5))
+    val out = Upsert.scd2FromChangeLog(changes, Seq("k"), "v", "t", "id")
+      .collect()
+      .map(x => (x.getLong(0), Option(x.getString(1)).orNull,
+        x.getLong(2), if (x.isNullAt(3)) -1L else x.getLong(3),
+        x.getBoolean(4)))
+      .sortBy(x => (x._1, x._3))
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, "a", 10L, 30L, false), (1L, "b", 30L, 50L, false),
+      (1L, null, 50L, 70L, false), (1L, "a", 70L, -1L, true)))
+    // equal timestamps: id order decides run order; x closes at y's start
+    assert(out.filter(_._1 == 2L).toSeq == Seq(
+      (2L, "x", 100L, 100L, false), (2L, "y", 100L, -1L, true)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, "z", 5L, -1L, true)))
+    // exactly one current row per key
+    assert(out.count(_._5) == 3)
+  }
 }
 
 /** Test-only fault-injecting local FileSystem (`graftfault://`): throws
