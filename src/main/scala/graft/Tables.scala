@@ -50,7 +50,11 @@ object Tables {
         }))
       df.withColumn("embedding",
         transform(col("embedding"), d =>
-          when(d.isNull || d.cast(FloatType).cast(DoubleType) === d,
+          // NaN round-trips float<->double losslessly but fails the ===
+          // identity (NaN === NaN is false); let it through explicitly
+          // rather than abort with a wrong "not representable" message.
+          when(d.isNull || isnan(d) ||
+              d.cast(FloatType).cast(DoubleType) === d,
             d.cast(FloatType))
           .otherwise(raise_error(concat(
             lit("embeddings.embedding: double value "), d.cast("string"),

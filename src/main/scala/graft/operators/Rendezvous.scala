@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * (score, shard) structs, fully inside whole-stage codegen — no
   * shuffle, no UDF, no driver state. Struct ordering compares score
   * first, shard second, so ties (md5 collisions, i.e. never) would
-  * break deterministically toward the lower shard id. md5 keeps the
+  * break deterministically toward the HIGHER shard id — array_max of
+  * equal-score structs picks the larger second field. md5 keeps the
   * score portable across engines (the oracle restates it in SQL);
   * swap in xxhash64 for pure-Spark deployments where hashing cost
   * matters more than portability.

@@ -355,10 +355,12 @@ object Sampling {
     * ids are sparse.
     *
     * `slotItem` maps (user, slot) → candidate ordinal; the default is
-    * a 16-bit md5 nibble hash mod nItems, chosen because it restates
-    * verbatim in ANSI SQL (the q137 oracle). Swap in
-    * `pmod(xxhash64(u, s), nItems)` when hashing cost matters more
-    * than portability.
+    * a 48-bit md5 prefix hash mod nItems — wide enough that every
+    * ordinal of any realistic item dimension is reachable (a 16-bit
+    * hash would silently exclude items ≥ 65536 from sampling), and
+    * still restatable in SQL (the q137 oracle casts the same hex
+    * prefix). Swap in `pmod(xxhash64(u, s), nItems)` when hashing
+    * cost matters more than portability.
     *
     * Returns (userCol, item, slot) — slot is the draw ordinal, kept so
     * downstream epoch-mixing can subsample deterministically.
@@ -372,7 +374,7 @@ object Sampling {
       if (slotItem != null) slotItem
       else (u, s) => pmod(
         conv(substring(md5(concat_ws(":", lit(salt), u.cast("string"),
-          s.cast("string"))), 1, 4), 16, 10).cast("long"),
+          s.cast("string"))), 1, 12), 16, 10).cast("long"),
         lit(nItems))
     val pos = positives.select(col(userCol), col(itemCol).as("item")).distinct()
     val cand = pos.select(col(userCol)).distinct()

@@ -48,14 +48,20 @@ object Skew {
     * — no approximation, no second scan. The final per-key aggregate
     * reduces `buckets` rows per key — trivial by construction.
     *
-    * NULL values hash to a NULL bucket whose countDistinct contributes
-    * 0, matching countDistinct's null-ignoring contract exactly.
+    * NULL values are FILTERED before the dedup stage: countDistinct
+    * ignores them anyway, and xxhash64 of a null is the constant seed
+    * — without the filter every null row of a hot key would land on
+    * ONE (key, bucket) reducer, recreating exactly the hot spot the
+    * salting exists to spread. A key whose values are all null
+    * therefore yields no row (a plain countDistinct would report 0);
+    * left-join the key dimension and coalesce if the zero row matters.
     */
   def saltedDistinctCount(df: DataFrame, keyCols: Seq[String],
       valueCol: String, buckets: Int = 64,
       out: String = "n_distinct"): DataFrame = {
     require(buckets > 0, s"need buckets > 0, got $buckets")
-    df.select((keyCols.map(col) :+ col(valueCol) :+
+    df.filter(col(valueCol).isNotNull)
+      .select((keyCols.map(col) :+ col(valueCol) :+
         pmod(xxhash64(col(valueCol)), lit(buckets)).as("__b")): _*)
       .groupBy((keyCols.map(col) :+ col("__b")): _*)
       .agg(countDistinct(col(valueCol)).as("__d"))

@@ -141,15 +141,20 @@ object Upsert {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(timeCol).asc, col(tieCol).asc)
     val runs = changes
+      // A change with no time has no position on the timeline — the
+      // AsofJoin convention: drop it rather than let Spark's
+      // NULLS FIRST order it as the oldest run (and diverge from any
+      // NULLS LAST engine).
+      .filter(col(timeCol).isNotNull)
       .withColumn("__prev", lag(col(valueCol), 1).over(w))
       .withColumn("__first", row_number().over(w) === 1)
       // A run starts at the first row or on a (null-safe) value change.
       .filter(col("__first") || !(col(valueCol) <=> col("__prev")))
-    val wr = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(timeCol).asc, col(tieCol).asc)
+    // Same window spec closes the intervals: the lead() over the runs
+    // frame returns the NEXT run's start.
     runs.select((keyCols.map(col) :+ col(valueCol) :+
         col(timeCol).as("valid_from") :+
-        lead(col(timeCol), 1).over(wr).as("valid_to")): _*)
+        lead(col(timeCol), 1).over(w).as("valid_to")): _*)
       .withColumn("is_current", col("valid_to").isNull)
   }
 

@@ -587,12 +587,7 @@ object Advanced {
                   FROM (SELECT DISTINCT user_id FROM pos) u,
                        (SELECT unnest(range(15)) AS s) t),
         cand AS (SELECT user_id, slot,
-                        ((CAST((strpos('0123456789abcdef', substr(h,1,1)) - 1)
-                           AS BIGINT) * 4096 +
-                          (strpos('0123456789abcdef', substr(h,2,1)) - 1) * 256 +
-                          (strpos('0123456789abcdef', substr(h,3,1)) - 1) * 16 +
-                          (strpos('0123456789abcdef', substr(h,4,1)) - 1)) % np.n)
-                          AS item
+                        CAST('0x' || substr(h, 1, 12) AS BIGINT) % np.n AS item
                  FROM (SELECT user_id, slot,
                               md5('neg1:'||CAST(user_id AS VARCHAR)||':'||
                                   CAST(slot AS VARCHAR)) AS h

@@ -1839,7 +1839,7 @@ object TextOps {
         val terms = Seq("spark", "query", "merge")
         val ws = words(col("text"))
         val base = docs(s, dir).select(
-          (col("doc_id") +: col("text").as("text") +:
+          (col("doc_id") +:
             size(ws).cast("long").as("dl") +:
             terms.map(t =>
               size(filter(ws, x => x === lit(t))).cast("long").as(s"tf_$t"))): _*)
