@@ -689,5 +689,107 @@ object Advanced {
               FROM runs)
         SELECT user_id, event_type, valid_from, valid_to,
                valid_to IS NULL AS is_current
-        FROM h ORDER BY user_id, valid_from, event_type""")))
+        FROM h ORDER BY user_id, valid_from, event_type""")),
+
+    // ---- time-RANGE window frames (q145) --------------------------------
+    // The window capability q72/q79 don't cover: a frame bounded by
+    // VALUE distance, not row count — the 30-minute trailing sum/count
+    // every rate-limit, anomaly, and rolling-metric pipeline needs.
+    // RANGE frames are also the deterministic choice under timestamp
+    // ties: all peers of the current ms are in-frame regardless of
+    // their (arbitrary) sort order among themselves, so no tiebreak
+    // column is needed for the AGGREGATE itself (the output row still
+    // carries event_id for the hash compare). Value sums accumulate in
+    // decimal — exact, order-free.
+    QueryDef("q145_time_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ms"))
+          .rangeBetween(-1800000L, 0L)
+        eventsMs(s, dir).select(col("user_id"), col("event_id"), col("ms"),
+            count(lit(1)).over(w).as("n_30m"),
+            sum(col("value").cast(DecimalType(28, 6))).over(w)
+              .cast(DoubleType).as("sum_30m"))
+          .filter(col("event_id") % 17 === 0)
+          .orderBy("user_id", "ms", "event_id")
+      },
+      Some("""
+        SELECT user_id, event_id, ms,
+               CAST(n_30m AS BIGINT) AS n_30m, sum_30m
+        FROM (
+          SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                 count(*) OVER w AS n_30m,
+                 CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                   AS sum_30m
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                       RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW))
+        WHERE event_id % 17 = 0
+        ORDER BY user_id, ms, event_id""")),
+
+    // ---- fixed-iteration bipartite PageRank (q146) ----------------------
+    // Iterative weighted message passing as synchronized join+aggregate
+    // rounds — the general shape behind PageRank/label-propagation/
+    // HITS on a 100 TB graph (each iteration: one edge join, one
+    // degree-normalized aggregate; k iterations = k shuffles, never a
+    // driver loop over rows). Here: 2 damped iterations over the
+    // supplier↔part co-occurrence graph from lineitem, uniform init.
+    // All mass arithmetic in DECIMAL over exact integer degrees, final
+    // rank rounded — bit-portable without float-order concerns.
+    QueryDef("q146_pagerank2",
+      (s, dir) => {
+        // Numeric discipline (the house convention): every RATIO runs
+        // in DOUBLE through a fixed expression tree — identical IEEE
+        // ops in both engines, so per-edge messages are bit-identical
+        // — and only the order-sensitive SUMS detour through
+        // DECIMAL(38,18) (exact, shuffle-order-free). Chaining decimal
+        // division/multiplication instead would hit Spark's
+        // result-type rules, which collapse a (38,18)x(38,18) product
+        // to scale 6.
+        val D = DecimalType(38, 18)
+        val edges = t(s, dir, "lineitem")
+          .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+          .distinct().localCheckpoint(true)
+        val degS = edges.groupBy("s").agg(count(lit(1)).as("ds"))
+        val degP = edges.groupBy("p").agg(count(lit(1)).as("dp"))
+        val nS = edges.select("s").distinct().count()
+        val nP = edges.select("p").distinct().count()
+        // iteration: part rank <- 0.15/nP + 0.85 * sum(supp_rank/ds)
+        //            supp rank <- 0.15/nS + 0.85 * sum(part_rank/dp)
+        val e1 = edges.join(degS, "s")
+          .select(col("p"),
+            (lit(1.0) / lit(nS.toDouble) / col("ds").cast(DoubleType))
+              .cast(D).as("m"))
+          .groupBy("p").agg(sum(col("m")).cast(D).cast(DoubleType).as("mass"))
+        val pr1 = e1.select(col("p"),
+          (lit(0.15) / lit(nP.toDouble) + lit(0.85) * col("mass")).as("rp"))
+        val e2 = edges.join(degP, "p").join(pr1, "p")
+          .select(col("s"),
+            (col("rp") / col("dp").cast(DoubleType)).cast(D).as("m"))
+          .groupBy("s").agg(sum(col("m")).cast(D).cast(DoubleType).as("mass"))
+        e2.select(col("s"),
+            round(lit(0.15) / lit(nS.toDouble) + lit(0.85) * col("mass"), 12)
+              .as("rank"))
+          .orderBy(col("rank").desc, col("s"))
+          .limit(30)
+      },
+      Some("""
+        WITH edges AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                       FROM lineitem),
+        degs AS (SELECT s, count(*) AS ds FROM edges GROUP BY 1),
+        degp AS (SELECT p, count(*) AS dp FROM edges GROUP BY 1),
+        ns AS (SELECT CAST(count(DISTINCT s) AS DOUBLE) AS n FROM edges),
+        np AS (SELECT CAST(count(DISTINCT p) AS DOUBLE) AS n FROM edges),
+        e1 AS (SELECT e.p,
+                      CAST(SUM(CAST(1.0 / ns.n / CAST(degs.ds AS DOUBLE)
+                        AS DECIMAL(38,18))) AS DOUBLE) AS mass
+               FROM edges e JOIN degs USING (s), ns GROUP BY 1, ns.n),
+        pr1 AS (SELECT p, 0.15 / np.n + 0.85 * mass AS rp
+                FROM e1, np),
+        e2 AS (SELECT e.s,
+                      CAST(SUM(CAST(pr1.rp / CAST(degp.dp AS DOUBLE)
+                        AS DECIMAL(38,18))) AS DOUBLE) AS mass
+               FROM edges e JOIN degp USING (p) JOIN pr1 USING (p) GROUP BY 1)
+        SELECT s, round(0.15 / ns.n + 0.85 * mass, 12) AS rank
+        FROM e2, ns
+        ORDER BY rank DESC, s LIMIT 30""")))
 }
