@@ -751,8 +751,11 @@ object Advanced {
           .distinct().localCheckpoint(true)
         val degS = edges.groupBy("s").agg(count(lit(1)).as("ds"))
         val degP = edges.groupBy("p").agg(count(lit(1)).as("dp"))
-        val nS = edges.select("s").distinct().count()
-        val nP = edges.select("p").distinct().count()
+        // Both vertex-set sizes from ONE job over the checkpointed
+        // edge list (two separate .count() actions = two extra scans).
+        val nRow = edges.agg(countDistinct(col("s")).as("ns"),
+          countDistinct(col("p")).as("np")).head()
+        val (nS, nP) = (nRow.getLong(0), nRow.getLong(1))
         // iteration: part rank <- 0.15/nP + 0.85 * sum(supp_rank/ds)
         //            supp rank <- 0.15/nS + 0.85 * sum(part_rank/dp)
         val e1 = edges.join(degS, "s")
