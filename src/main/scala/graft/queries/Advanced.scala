@@ -794,5 +794,61 @@ object Advanced {
                FROM edges e JOIN degp USING (p) JOIN pr1 USING (p) GROUP BY 1)
         SELECT s, round(0.15 / ns.n + 0.85 * mass, 12) AS rank
         FROM e2, ns
-        ORDER BY rank DESC, s LIMIT 30""")))
+        ORDER BY rank DESC, s LIMIT 30""")),
+
+    // ---- co-purchase association rules (q147) ---------------------------
+    // Market-basket mining, the A-priori first rung: frequent part
+    // PAIRS within orders, with the three rule statistics (support,
+    // confidence p1→p2, lift) from exact integer counts. The pair
+    // self-join is ORDER-KEYED equality — its fan-out is Σ C(|basket|,2),
+    // bounded by the per-order basket size (~7 here), never |items|².
+    // Supports/totals are two aggregates; ratios are fixed double
+    // expressions over exact longs, rounded to the 1e-9 grid.
+    QueryDef("q147_copurchase",
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+          .distinct().localCheckpoint(true)
+        val pairs = items.alias("a").join(items.alias("b"),
+            col("a.o") === col("b.o") && col("a.i") < col("b.i"))
+          .groupBy(col("a.i").as("p1"), col("b.i").as("p2"))
+          .agg(count(lit(1)).as("pair_n"))
+          .filter(col("pair_n") >= 3)
+        val supp = items.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+        val total = items.select("o").distinct().count()
+        pairs
+          .join(supp.select(col("i").as("p1"), col("n_i").as("n1")), "p1")
+          .join(supp.select(col("i").as("p2"), col("n_i").as("n2")), "p2")
+          .select(col("p1"), col("p2"), col("pair_n"),
+            round(col("pair_n").cast(DoubleType) / lit(total.toDouble), 9)
+              .as("support"),
+            round(col("pair_n").cast(DoubleType) / col("n1").cast(DoubleType),
+              9).as("confidence"),
+            round(col("pair_n").cast(DoubleType) * lit(total.toDouble) /
+              (col("n1").cast(DoubleType) * col("n2").cast(DoubleType)), 9)
+              .as("lift"))
+          .orderBy(col("pair_n").desc, col("p1"), col("p2"))
+          .limit(25)
+      },
+      Some("""
+        WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+                       FROM lineitem),
+        pairs AS (SELECT a.i AS p1, b.i AS p2,
+                         CAST(count(*) AS BIGINT) AS pair_n
+                  FROM items a JOIN items b ON a.o = b.o AND a.i < b.i
+                  GROUP BY 1, 2 HAVING count(*) >= 3),
+        supp AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i
+                 FROM items GROUP BY 1),
+        tot AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n FROM items)
+        SELECT p.p1, p.p2, p.pair_n,
+               round(CAST(p.pair_n AS DOUBLE) / tot.n, 9) AS support,
+               round(CAST(p.pair_n AS DOUBLE) / CAST(s1.n_i AS DOUBLE), 9)
+                 AS confidence,
+               round(CAST(p.pair_n AS DOUBLE) * tot.n /
+                     (CAST(s1.n_i AS DOUBLE) * CAST(s2.n_i AS DOUBLE)), 9)
+                 AS lift
+        FROM pairs p
+        JOIN supp s1 ON s1.i = p.p1
+        JOIN supp s2 ON s2.i = p.p2, tot
+        ORDER BY p.pair_n DESC, p.p1, p.p2 LIMIT 25""")))
 }

@@ -518,6 +518,30 @@ class DedupSpec extends SparkSpec {
     assert(orig == (prefixB + para + suffixB).length)
   }
 
+  test("removeDuplicatedSpans property: all-unique corpus passes through verbatim") {
+    // With no cross-document duplication there are no owned
+    // fingerprints to excise: every doc must come out byte-identical
+    // with zero stats — the no-false-positive property of the rewrite.
+    // Seeded random docs over a tiny alphabet maximize the chance of
+    // ACCIDENTAL shared k-grams; k=20 over 9 symbols keeps collisions
+    // improbable while shorter grams would collide constantly.
+    val rnd = new scala.util.Random(20260815L)
+    val alpha = "abcde fgh"
+    val rows = (1 to 30).map { i =>
+      Row(Long.box(i.toLong),
+        (0 until 80 + rnd.nextInt(200))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val corpus = df("doc_id BIGINT, text STRING", rows: _*)
+    val out = Dedup.removeDuplicatedSpans(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    rows.foreach { r =>
+      val (clean, n) = out(r.getLong(0))
+      assert(n == 0 && clean == r.getString(1),
+        s"unique doc ${r.getLong(0)} must be untouched")
+    }
+  }
+
   test("removeDuplicatedSpans: identical docs — first kept verbatim, second gutted") {
     val t = "completely identical body text repeated across two documents " +
       "so that every single fingerprint of the second is owned by the first"
