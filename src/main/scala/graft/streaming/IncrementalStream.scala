@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{Dedup, Upsert}
+import graft.operators.{Dedup, Similarity, Upsert}
 import graft.sources.Storage
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -176,6 +176,39 @@ object IncrementalStream {
               Dedup.minhashSignatures(unindexed, idCol, textCol, k = 4, n = 3),
               idCol, k = 4, bandWidth = 2)
             .write.mode("append").parquet(indexPath)
+        }
+      }
+
+  /** foreachBatch sink composing the FROZEN-quantizer vector-index
+    * ingest ([[graft.operators.Similarity.ivfAppend]]) into a
+    * streaming pipeline: each embedding micro-batch is assigned to the
+    * build-time centroids and appended into the cluster-partitioned
+    * float index, with the batch's assignment tightness recorded in
+    * the drift ledger (`batch` = the micro-batch id, so the ledger
+    * doubles as a per-batch ingest log). Because plain appends under
+    * foreachBatch are AT-LEAST-once, the sink makes replays idempotent
+    * the dedupIngestSink way: arrivals are anti-joined against the ids
+    * already in the index (a column-pruned scan), so a replayed batch
+    * appends nothing — and records a 0-row ledger entry, which is
+    * itself the replay audit trail.
+    */
+  def vectorIngestSink(writer: DataStreamWriter[Row],
+      spark: SparkSession, idCol: String, vecCol: String,
+      centroidDf: DataFrame, indexPath: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    writer
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val arrivals = batch.select(col(idCol), col(vecCol))
+          val fresh =
+            if (Storage.exists(spark, indexPath))
+              arrivals.join(
+                spark.read.parquet(indexPath).select(col(idCol)),
+                Seq(idCol), "left_anti")
+            else arrivals
+          Similarity.ivfAppend(fresh, idCol, vecCol, centroidDf,
+            indexPath, s"b$batchId")
         }
       }
 

@@ -278,6 +278,51 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dir.resolve("customer").toString).count() == 120)
   }
 
+  test("vectorIngestSink: micro-batches append into the IVF index; replay appends nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val all = Seq(
+      1L -> v(10, 0, 0, 0, 1, 0, 0, 0), 2L -> v(9, 1, 0, 0, 1, 0, 0, 0),
+      3L -> v(0, 10, 0, 0, 0, 1, 0, 0), 4L -> v(1, 9, 0, 0, 0, 1, 0, 0))
+    val allDf = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      all.map { case (id, vec) =>
+        org.apache.spark.sql.Row(Long.box(id), vec) }: _*)
+    val cents = Similarity.centroids(
+      Similarity.signLshBuckets(allDf, "embedding")
+        .select(col("bucket").as("cluster"), col("embedding")),
+      "cluster", "embedding").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vis").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.IncrementalStream.vectorIngestSink(
+        mem.toDF().toDF("vec_id", "embedding").writeStream,
+        spark, "vec_id", "embedding", cents, s"$dir/index", s"$dir/ck")
+      .outputMode("append").start()
+    mem.addData(all(0), all(1))
+    q.processAllAvailable()
+    mem.addData(all(2), all(3))
+    // Replayed/duplicate arrival in the same stream: id 1 again.
+    mem.addData(all(0))
+    q.processAllAvailable()
+    q.stop()
+    // Index holds each vector exactly once despite the duplicate.
+    val idx = spark.read.parquet(s"$dir/index")
+    assert(idx.count() == 4 &&
+      idx.select("vec_id").distinct().count() == 4)
+    // Search over the streamed index == search over a bulk build.
+    val bulk = s"$dir/bulk"
+    Similarity.ivfWrite(allDf, "vec_id", "embedding", cents, bulk)
+    def top(p: String) = Similarity.ivfSearch(spark, p, "vec_id",
+        "embedding", cents, v(10, 0, 0, 0, 1, 0, 0, 0), k = 4, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top(s"$dir/index") == top(bulk))
+    // The drift ledger logged every batch, including the 1-row and
+    // replayed arrivals (ledger n counts appended rows only).
+    val ledger = Similarity.ivfStats(spark, s"$dir/index")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ledger.values.sum == 4, s"ledger: $ledger")
+  }
+
   test("sessionExamples: completed sessions emit via gap break AND watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
