@@ -108,6 +108,13 @@ object Engine {
           children(0), p(children(1), "k"), p(children(2), "w"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("nfc"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.NfcNormalize].getName,
+        "nfc"),
+      (children: Seq[Expression]) =>
+        graft.functions.expressions.NfcNormalize(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("winnow_fp_pos"),
       new ExpressionInfo(
         classOf[graft.functions.expressions.WinnowFingerprintPositions].getName,

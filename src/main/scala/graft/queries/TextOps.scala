@@ -2148,5 +2148,40 @@ object TextOps {
                           (n - 1)), 9) AS z
         FROM b JOIN st USING (source)
         WHERE st.n > 1
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // ---- Unicode NFC text normalization (q148) --------------------------
+    // The cleaning step every digest-based operator upstream depends
+    // on: a decomposed e+COMBINING-ACUTE and a precomposed é must
+    // shingle/hash/dedup identically, so normalization must run BEFORE
+    // fingerprinting. Spark has no native normalizer; `nfc` is the
+    // graft codegen expression over java.text.Normalizer, oracled
+    // against DuckDB's independent nfc_normalize. The corpus is ASCII
+    // (NFC is identity there — itself worth gating: a normalizer that
+    // mangled ASCII corrupts everything), so the gate APPENDS a
+    // decomposed suffix in-plan: both engines must compose it to the
+    // same bytes and the same char count (composed é is ONE codepoint)
+    // before the md5.
+    QueryDef("q148_text_normalize",
+      (s, dir) => {
+        // DECOMPOSED suffix (the literal holds e + combining U+0301):
+        // Spark's nfc must genuinely compose it — a precomposed suffix
+        // would leave the expression nothing to do.
+        val raw = concat(col("text"), lit(" café"))
+        val cleaned = trim(regexp_replace(
+          call_function("nfc", raw), " +", " "))
+        docs(s, dir).select(col("doc_id"),
+            md5(cleaned).as("clean_md5"),
+            length(cleaned).cast("long").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                 nfc_normalize(text || ' cafe' || chr(769)), ' +', ' ', 'g')))
+                 AS clean_md5,
+               CAST(len(trim(regexp_replace(
+                 nfc_normalize(text || ' cafe' || chr(769)), ' +', ' ', 'g')))
+                 AS BIGINT) AS n_chars
+        FROM documents ORDER BY doc_id""")))
 }

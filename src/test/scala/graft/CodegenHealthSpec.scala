@@ -168,6 +168,30 @@ class CodegenHealthSpec extends SparkSpec {
     assertNoCodegenFallback(warnings)
   }
 
+  test("nfc composes decomposed text; identity on ASCII; stays compiled") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), "cafe\u0301 au lait"), // decomposed e + U+0301
+      Row(Long.box(2), "caf\u00e9 au lait"),  // precomposed e-acute
+      Row(Long.box(3), "plain ascii"),
+      Row(Long.box(4), null))
+    val warnings = capturedWarnings {
+      val out = docs.select(col("doc_id"),
+          call_function("nfc", col("text")).as("t"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      // decomposed and precomposed collapse to the same NFC string
+      assert(out(1L) == out(2L))
+      assert(out(1L).get.length == "caf_ au lait".length)
+      assert(out(3L) == Some("plain ascii"))
+      assert(out(4L).isEmpty)
+      // idempotence + usable in a Predicate context
+      val n = docs.filter(
+        call_function("nfc", call_function("nfc", col("text"))) ===
+          call_function("nfc", col("text"))).count()
+      assert(n == 3)
+    }
+    assertNoCodegenFallback(warnings)
+  }
+
   test("filters over native text expressions stay compiled") {
     val docs = df("doc_id BIGINT, text STRING",
       Row(Long.box(1), "alpha beta gamma delta epsilon"),
