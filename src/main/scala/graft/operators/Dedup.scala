@@ -781,6 +781,28 @@ object Dedup {
       .select(col(id), col("bucket").as("cluster"), col("sim_centroid"))
   }
 
+  /** Quality-aware survivor selection over near-dup components — the
+    * RefinedWeb keep rule: each duplicate cluster keeps its BEST
+    * member (highest `quality`, id tiebreak), not the lowest id;
+    * min-id keeping silently biases a corpus toward whatever arrived
+    * first. `components` is [[connectedComponents]] output
+    * (node, component); docs in no component survive untouched.
+    * One broadcast-or-shuffle join + a bounded-heap top-1 per
+    * component — no collect, no window over the full corpus (the
+    * per-component cut runs only on clustered docs).
+    */
+  def keepBestPerComponent(docs: DataFrame, id: String, quality: Column,
+      components: DataFrame): DataFrame = {
+    val labeled = docs.join(
+      components.withColumnRenamed("node", id), Seq(id), "left")
+    val winners = graft.functions.ColumnLib.latestWins(
+      labeled.filter(col("component").isNotNull),
+      Seq("component"), Seq(quality.desc, col(id).asc))
+    labeled.filter(col("component").isNull)
+      .unionByName(winners)
+      .drop("component")
+  }
+
   /** Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
     * algorithm) — the alignment-robust form of exact-substring
     * duplicate detection: hash every char `k`-gram, then from every

@@ -456,6 +456,39 @@ object DedupOps {
           SELECT node, min(label) AS component FROM comp GROUP BY node)
         GROUP BY component ORDER BY component""")),
 
+    // ---- quality-aware dedup keep rule (q149) ---------------------------
+    // q38 labels the duplicate clusters; this gate picks the SURVIVORS
+    // the RefinedWeb way — each cluster keeps its longest member
+    // (quality = n_chars, id tiebreak), unclustered docs pass through.
+    // Min-id keeping (q30's convention) biases toward first-arrival;
+    // quality keeping is what a production pipeline ships.
+    QueryDef("q149_quality_dedup",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val comps = Dedup.connectedComponents(
+          Dedup.lshCandidatePairs(d, "doc_id", "text",
+            k = 4, n = 3, bandWidth = 2))
+        Dedup.keepBestPerComponent(
+            d.select(col("doc_id"), length(col("text")).cast("long")
+              .as("n_chars")),
+            "doc_id", col("n_chars"), comps)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $sigCte, $componentCte,
+        cl AS (SELECT node, min(label) AS component FROM comp GROUP BY node),
+        m AS (SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+                     cl.component
+              FROM documents d LEFT JOIN cl ON cl.node = d.doc_id),
+        win AS (SELECT doc_id FROM (
+                  SELECT component, doc_id,
+                         row_number() OVER (PARTITION BY component
+                           ORDER BY n_chars DESC, doc_id) AS rk
+                  FROM m WHERE component IS NOT NULL) WHERE rk = 1)
+        SELECT doc_id, n_chars FROM m
+        WHERE component IS NULL OR doc_id IN (SELECT doc_id FROM win)
+        ORDER BY doc_id""")),
+
     // ---- decontamination: drop docs colliding with a "benchmark" set ----
     // The eval-overlap removal step. The benchmark here is a slice of
     // the same corpus (doc_id % 10 = 0), so collisions include exact

@@ -2162,6 +2162,66 @@ object TextOps {
     // decomposed suffix in-plan: both engines must compose it to the
     // same bytes and the same char count (composed é is ONE codepoint)
     // before the md5.
+    // ---- Zipf-law corpus profile (q150) ---------------------------------
+    // The corpus-health law check: token frequency vs rank on log-log
+    // axes should be near-linear with slope ≈ −1; a slope far off
+    // signals template spam (too flat) or a collapsed vocabulary (too
+    // steep). Closed-form OLS over the top-200 ranks: each ln is
+    // snapped to the 1e-9 grid, the five sums accumulate in decimal
+    // (exact, order-free), and slope/intercept are one fixed double
+    // expression at the end. The rank window runs over the VOCAB
+    // count table (bounded by vocabulary, not corpus).
+    QueryDef("q150_zipf_profile",
+      (s, dir) => {
+        val D2 = org.apache.spark.sql.types.DecimalType(38, 18)
+        val vocab = docs(s, dir)
+          .select(explode(words(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+        val win = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("token").asc)
+        val xy = vocab
+          .withColumn("rank", row_number().over(win))
+          .filter(col("rank") <= 200)
+          .select(
+            round(log(col("rank").cast("double")), 9).as("x"),
+            round(log(col("cnt").cast("double")), 9).as("y"))
+        val sums = xy.agg(
+          count(lit(1)).cast("double").as("r"),
+          sum(col("x").cast(D2)).cast("double").as("sx"),
+          sum(col("y").cast(D2)).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast(D2)).cast("double").as("sxx"),
+          sum((col("x") * col("y")).cast(D2)).cast("double").as("sxy"))
+        sums.select(
+          col("r").cast("long").as("n_ranks"),
+          round((col("r") * col("sxy") - col("sx") * col("sy")) /
+            (col("r") * col("sxx") - col("sx") * col("sx")), 9).as("slope"),
+          round((col("sy") - ((col("r") * col("sxy") - col("sx") * col("sy")) /
+            (col("r") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+            col("r"), 9).as("intercept"))
+      },
+      Some("""
+        WITH vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+                       FROM (SELECT unnest(string_split(text, ' ')) AS token
+                             FROM documents)
+                       GROUP BY 1),
+        ranked AS (SELECT cnt,
+                          row_number() OVER (ORDER BY cnt DESC, token) AS rank
+                   FROM vocab),
+        xy AS (SELECT round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+                      round(ln(CAST(cnt AS DOUBLE)), 9) AS y
+               FROM ranked WHERE rank <= 200),
+        sums AS (SELECT CAST(count(*) AS DOUBLE) AS r,
+                        CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+                        CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+                        CAST(SUM(CAST(x*x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+                        CAST(SUM(CAST(x*y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+                 FROM xy)
+        SELECT CAST(r AS BIGINT) AS n_ranks,
+               round((r*sxy - sx*sy) / (r*sxx - sx*sx), 9) AS slope,
+               round((sy - ((r*sxy - sx*sy) / (r*sxx - sx*sx)) * sx) / r, 9)
+                 AS intercept
+        FROM sums""")),
+
     QueryDef("q148_text_normalize",
       (s, dir) => {
         // DECOMPOSED suffix (the literal holds e + combining U+0301):
