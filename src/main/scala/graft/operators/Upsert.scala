@@ -158,6 +158,35 @@ object Upsert {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Apply a CDC batch (insert/update/delete ops) to a target — the
+    * merge shape [[upsert]] lacks a path for: DELETE. Change rows
+    * carry an op column ('I'/'U'/'D', case-insensitive) and an
+    * ordering column; per key the LATEST change wins (orderCol desc,
+    * op desc as the deterministic tiebreak so 'U' beats 'D' beats 'I'
+    * at identical versions — pass a unique orderCol to make the
+    * tiebreak irrelevant). A winning D removes the key; a winning I/U
+    * replaces the full row with the change's payload (the non-op,
+    * non-order columns, which must match the target schema).
+    *
+    * Shape: one latest-wins cut over the batch (batch-sized window),
+    * one anti-join of the target against ALL touched keys, one union
+    * of the survivors with the winning upserts — the target is
+    * scanned once and only its touched keys move.
+    */
+  def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
+      opCol: String, orderCol: String): DataFrame = {
+    val latest = graft.functions.ColumnLib.latestWins(changes, keys,
+      Seq(col(orderCol).desc, upper(col(opCol)).desc))
+    val payloadCols = target.columns.toSeq
+    require(payloadCols.forall(latest.columns.contains),
+      s"CDC payload must carry every target column; missing " +
+        s"${payloadCols.filterNot(latest.columns.contains).mkString(", ")}")
+    val upserts = latest.filter(upper(col(opCol)) =!= "D")
+      .select(payloadCols.map(col): _*)
+    target.join(latest.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(upserts)
+  }
+
   def upsertAuto(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     val common = target.columns.toSet & source.columns.toSet
     val src = source.select(target.columns.filter(common).map(col).toIndexedSeq: _*)

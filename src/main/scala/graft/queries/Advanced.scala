@@ -850,5 +850,69 @@ object Advanced {
         FROM pairs p
         JOIN supp s1 ON s1.i = p.p1
         JOIN supp s2 ON s2.i = p.p2, tot
-        ORDER BY p.pair_n DESC, p.p1, p.p2 LIMIT 25""")))
+        ORDER BY p.pair_n DESC, p.p1, p.p2 LIMIT 25""")),
+
+    // ---- CDC apply with deletes (q151) ----------------------------------
+    // The merge shape MERGE-without-DELETE can't express: a change
+    // batch of I/U/D ops, latest version per key winning, applied in
+    // one pass (anti-join touched keys + union the non-delete
+    // winners). The batch is derived deterministically from the
+    // customer dimension itself: every 4th key deleted, every
+    // 4k+1 key updated (+100), of those every 8k+1 key RE-deleted at a
+    // later version (latest-wins must override the earlier update),
+    // and a sparse set of fresh keys inserted.
+    QueryDef("q151_cdc_apply",
+      (s, dir) => {
+        val base = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val dbl = org.apache.spark.sql.types.DoubleType
+        val str = org.apache.spark.sql.types.StringType
+        val ch =
+          base.filter(col("c_custkey") % 4 === 0)
+            .select(col("c_custkey"), lit(null).cast(str).as("c_name"),
+              lit(null).cast(dbl).as("c_acctbal"),
+              lit("D").as("op"), lit(1L).as("ver"))
+          .unionByName(base.filter(col("c_custkey") % 4 === 1)
+            .select(col("c_custkey"), col("c_name"),
+              (col("c_acctbal") + 100).as("c_acctbal"),
+              lit("U").as("op"), lit(1L).as("ver")))
+          .unionByName(base.filter(col("c_custkey") % 8 === 1)
+            .select(col("c_custkey"), lit(null).cast(str).as("c_name"),
+              lit(null).cast(dbl).as("c_acctbal"),
+              lit("D").as("op"), lit(2L).as("ver")))
+          .unionByName(base.filter(col("c_custkey") % 100 === 0)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              concat(lit("new_"), col("c_custkey")).as("c_name"),
+              col("c_custkey").cast(dbl).as("c_acctbal"),
+              lit("I").as("op"), lit(1L).as("ver")))
+        graft.operators.Upsert.applyCdc(base, ch, Seq("c_custkey"),
+            "op", "ver")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        ch AS (
+          SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+                 CAST(NULL AS DOUBLE) AS c_acctbal, 'D' AS op, 1 AS ver
+          FROM customer WHERE c_custkey % 4 = 0
+          UNION ALL
+          SELECT c_custkey, c_name, c_acctbal + 100, 'U', 1
+          FROM customer WHERE c_custkey % 4 = 1
+          UNION ALL
+          SELECT c_custkey, NULL, NULL, 'D', 2
+          FROM customer WHERE c_custkey % 8 = 1
+          UNION ALL
+          SELECT c_custkey + 1000000,
+                 'new_' || CAST(c_custkey AS VARCHAR),
+                 CAST(c_custkey AS DOUBLE), 'I', 1
+          FROM customer WHERE c_custkey % 100 = 0),
+        latest AS (SELECT * FROM (
+                     SELECT *, row_number() OVER (PARTITION BY c_custkey
+                       ORDER BY ver DESC, op DESC) AS rk
+                     FROM ch) WHERE rk = 1)
+        SELECT c_custkey, c_name, c_acctbal FROM t
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
+        ORDER BY c_custkey""")))
 }

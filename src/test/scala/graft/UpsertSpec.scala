@@ -269,6 +269,28 @@ class UpsertSpec extends SparkSpec {
     // exactly one current row per key
     assert(out.count(_._5) == 3)
   }
+
+  test("applyCdc: inserts, updates, deletes; latest version wins; op tiebreak") {
+    val target = df("k BIGINT, v STRING",
+      Row(Long.box(1), "a"), Row(Long.box(2), "b"), Row(Long.box(3), "c"))
+    val changes = df("k BIGINT, v STRING, op STRING, ver BIGINT",
+      Row(Long.box(1), "a2", "U", Long.box(1)),      // update
+      Row(Long.box(2), null, "D", Long.box(1)),      // delete
+      Row(Long.box(4), "d", "I", Long.box(1)),       // insert
+      // key 3: updated at v1, deleted at v2 -> delete wins
+      Row(Long.box(3), "c2", "U", Long.box(1)),
+      Row(Long.box(3), null, "D", Long.box(2)),
+      // key 5: D and U at the SAME version -> 'U' > 'D' tiebreak
+      Row(Long.box(5), null, "D", Long.box(1)),
+      Row(Long.box(5), "e", "U", Long.box(1)))
+    val out = Upsert.applyCdc(target, changes, Seq("k"), "op", "ver")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a2", 4L -> "d", 5L -> "e"))
+    // missing payload column fails loudly
+    intercept[IllegalArgumentException] {
+      Upsert.applyCdc(target, changes.drop("v"), Seq("k"), "op", "ver")
+    }
+  }
 }
 
 /** Test-only fault-injecting local FileSystem (`graftfault://`): throws
