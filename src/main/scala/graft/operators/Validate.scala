@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks — the dbt/Great-Expectations tier a
+  * warehouse runs after every load and before every publish: primary-key
+  * uniqueness, null rates, accepted values, referential integrity. Each
+  * check is a DataFrame returning ONE summary row
+  * `(check_name, n_checked, n_violations, pass)`; [[report]] unions a rule
+  * set into a single frame so a pipeline gates on
+  * `report(...).filter(!pass).isEmpty`.
+  *
+  * Scale shape: every check is one scan + one aggregate (uniqueness
+  * adds a key-hashed exchange with map-side partials; referential
+  * integrity is a left-anti join that AQE broadcasts when the parent
+  * side is dimension-sized). Violations are COUNTED, not collected —
+  * a 100 TB table with a billion bad rows reports one number; use the
+  * companion `*Rows` variants to materialize samples for triage.
+  */
+object Validate {
+
+  private def summary(name: String, checked: Column, violations: Column,
+      df: DataFrame): DataFrame =
+    df.agg(checked.as("__c"), violations.as("__v"))
+      .select(lit(name).as("check_name"),
+        col("__c").cast("long").as("n_checked"),
+        col("__v").cast("long").as("n_violations"),
+        (col("__v") === 0).as("pass"))
+
+  /** Duplicate primary keys: #rows − #distinct keys. */
+  def uniqueKey(df: DataFrame, keyCols: Seq[String],
+      name: String = "unique_key"): DataFrame =
+    summary(name, count(lit(1)),
+      count(lit(1)) - count_distinct(struct(keyCols.map(col): _*)), df)
+
+  /** Null (or blank, if `orBlank`) values in a required column. */
+  def notNull(df: DataFrame, c: String, orBlank: Boolean = false,
+      name: String = "not_null"): DataFrame = {
+    val bad =
+      if (orBlank) col(c).isNull || trim(col(c)) === ""
+      else col(c).isNull
+    summary(s"$name($c)", count(lit(1)),
+      sum(when(bad, 1L).otherwise(0L)), df)
+  }
+
+  /** Values outside the accepted set (nulls count as violations — use
+    * [[notNull]] separately if null is acceptable).
+    */
+  def acceptedValues(df: DataFrame, c: String, allowed: Seq[String],
+      name: String = "accepted_values"): DataFrame =
+    summary(s"$name($c)", count(lit(1)),
+      sum(when(col(c).isin(allowed: _*), 0L).otherwise(1L)), df)
+
+  /** Child rows whose foreign key has no parent (orphans). Null FKs are
+    * not orphans (SQL FK semantics); add [[notNull]] if they matter.
+    */
+  def referentialIntegrity(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String,
+      name: String = "ref_integrity"): DataFrame = {
+    // Total and orphan counts from ONE lazy plan (a left join with a
+    // hit marker), not an eager .count() plus a second anti-join scan.
+    val joined = child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct()
+          .withColumn("__hit", lit(1)),
+        Seq(childKey), "left")
+    summary(s"$name($childKey)", count(lit(1)),
+      sum(when(col(childKey).isNotNull && col("__hit").isNull, 1L)
+        .otherwise(0L)), joined)
+  }
+
+  /** Values outside [lo, hi] (nulls are violations). */
+  def inRange(df: DataFrame, c: String, lo: Double, hi: Double,
+      name: String = "in_range"): DataFrame =
+    summary(s"$name($c)", count(lit(1)),
+      sum(when(col(c).isNotNull && col(c).between(lo, hi), 0L)
+        .otherwise(1L)), df)
+
+  /** Union a rule set into one report frame, ordered by check name. */
+  def report(checks: Seq[DataFrame]): DataFrame =
+    checks.reduce(_ unionByName _).orderBy("check_name")
+}

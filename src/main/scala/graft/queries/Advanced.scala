@@ -914,5 +914,83 @@ object Advanced {
         WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
         UNION ALL
         SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
-        ORDER BY c_custkey""")))
+        ORDER BY c_custkey""")),
+
+    // ---- data-quality validation report (q152) --------------------------
+    // The dbt-tier guardrail run after every load: pk uniqueness,
+    // nulls, accepted values, referential integrity, ranges — each one
+    // scan + one aggregate, violations COUNTED never collected. One
+    // check is deliberately made to FAIL (orders referencing a
+    // customer dimension truncated in-plan), so the gate exercises the
+    // violation-counting path, not just the all-green one.
+    QueryDef("q152_dq_report",
+      (s, dir) => {
+        import graft.operators.Validate
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders")
+        val truncatedDim = t(s, dir, "customer")
+          .filter(col("c_custkey") % 10 =!= 0)
+        Validate.report(Seq(
+          Validate.uniqueKey(li, Seq("l_orderkey", "l_linenumber"),
+            "unique_key(lineitem)"),
+          Validate.uniqueKey(ord, Seq("o_orderkey"), "unique_key(orders)"),
+          Validate.notNull(ord, "o_orderstatus"),
+          Validate.acceptedValues(li, "l_returnflag", Seq("A", "N", "R")),
+          Validate.referentialIntegrity(li, "l_orderkey", ord, "o_orderkey"),
+          Validate.referentialIntegrity(ord, "o_custkey",
+            truncatedDim, "c_custkey"),
+          Validate.inRange(li, "l_quantity", 1, 50)))
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'unique_key(lineitem)' AS check_name,
+                 CAST(count(*) AS BIGINT) AS n_checked,
+                 CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                   AS BIGINT) AS n_violations,
+                 count(*) = count(DISTINCT (l_orderkey, l_linenumber)) AS pass
+          FROM lineitem
+          UNION ALL
+          SELECT 'unique_key(orders)', count(*),
+                 count(*) - count(DISTINCT o_orderkey),
+                 count(*) = count(DISTINCT o_orderkey)
+          FROM orders
+          UNION ALL
+          SELECT 'not_null(o_orderstatus)', count(*),
+                 SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                 SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) = 0
+          FROM orders
+          UNION ALL
+          SELECT 'accepted_values(l_returnflag)', count(*),
+                 SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END),
+                 SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) = 0
+          FROM lineitem
+          UNION ALL
+          SELECT 'ref_integrity(l_orderkey)', count(*),
+                 SUM(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+                          THEN 1 ELSE 0 END),
+                 SUM(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+                          THEN 1 ELSE 0 END) = 0
+          FROM lineitem l
+          LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+            ON o.o_orderkey = l.l_orderkey
+          UNION ALL
+          SELECT 'ref_integrity(o_custkey)', count(*),
+                 SUM(CASE WHEN ord.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+                          THEN 1 ELSE 0 END),
+                 SUM(CASE WHEN ord.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+                          THEN 1 ELSE 0 END) = 0
+          FROM orders ord
+          LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+                     WHERE c_custkey % 10 <> 0) c
+            ON c.c_custkey = ord.o_custkey
+          UNION ALL
+          SELECT 'in_range(l_quantity)', count(*),
+                 SUM(CASE WHEN l_quantity IS NOT NULL
+                               AND l_quantity BETWEEN 1 AND 50
+                          THEN 0 ELSE 1 END),
+                 SUM(CASE WHEN l_quantity IS NOT NULL
+                               AND l_quantity BETWEEN 1 AND 50
+                          THEN 0 ELSE 1 END) = 0
+          FROM lineitem)
+        ORDER BY check_name""")))
 }
