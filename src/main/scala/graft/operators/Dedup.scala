@@ -793,6 +793,8 @@ object Dedup {
     */
   def keepBestPerComponent(docs: DataFrame, id: String, quality: Column,
       components: DataFrame): DataFrame = {
+    require(!docs.columns.contains("component"),
+      "docs already has a 'component' column; rename it first")
     val labeled = docs.join(
       components.withColumnRenamed("node", id), Seq(id), "left")
     val winners = graft.functions.ColumnLib.latestWins(

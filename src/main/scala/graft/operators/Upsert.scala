@@ -113,13 +113,6 @@ object Upsert {
     }
   }
 
-  /** Schema-adaptive merge, mirroring the reference's dynamic SQL
-    * generation (runner.py:418-491): work over the columns common to both
-    * sides; build the update guard from whichever of {row_hash,
-    * updateTime} exist (runner.py:450-455: update when the hash differs
-    * or the source is newer); order the source dedup by updateTime
-    * descending when present, else by name (runner.py:470).
-    */
   /** SCD Type-2 history from a change log — the warehouse pattern for
     * "what was this attribute at time t": one validity-interval row
     * per VALUE RUN of each key. Consecutive equal values collapse
@@ -162,11 +155,14 @@ object Upsert {
     * merge shape [[upsert]] lacks a path for: DELETE. Change rows
     * carry an op column ('I'/'U'/'D', case-insensitive) and an
     * ordering column; per key the LATEST change wins (orderCol desc,
-    * op desc as the deterministic tiebreak so 'U' beats 'D' beats 'I'
-    * at identical versions — pass a unique orderCol to make the
-    * tiebreak irrelevant). A winning D removes the key; a winning I/U
-    * replaces the full row with the change's payload (the non-op,
-    * non-order columns, which must match the target schema).
+    * op desc as the deterministic tiebreak — alphabetically
+    * 'U' beats 'I' beats 'D' at identical versions; pass a unique
+    * orderCol to make the tiebreak irrelevant). A winning D removes
+    * the key; a winning I/U replaces the full row with the change's
+    * payload (the non-op, non-order columns, which must match the
+    * target schema). Any op outside I/U/D — including NULL — fails
+    * the job loudly at execution: a malformed op must never silently
+    * delete (NULL fails the =!= filter) or upsert garbage.
     *
     * Shape: one latest-wins cut over the batch (batch-sized window),
     * one anti-join of the target against ALL touched keys, one union
@@ -175,18 +171,32 @@ object Upsert {
     */
   def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
       opCol: String, orderCol: String): DataFrame = {
-    val latest = graft.functions.ColumnLib.latestWins(changes, keys,
-      Seq(col(orderCol).desc, upper(col(opCol)).desc))
+    val opNorm = when(upper(col(opCol)).isin("I", "U", "D"),
+      upper(col(opCol)))
+      .otherwise(raise_error(concat(
+        lit("applyCdc: invalid op '"),
+        coalesce(col(opCol).cast("string"), lit("NULL")),
+        lit("' — only I/U/D are defined"))))
+    val latest = graft.functions.ColumnLib.latestWins(
+      changes.withColumn("__op", opNorm), keys,
+      Seq(col(orderCol).desc, col("__op").desc))
     val payloadCols = target.columns.toSeq
     require(payloadCols.forall(latest.columns.contains),
       s"CDC payload must carry every target column; missing " +
         s"${payloadCols.filterNot(latest.columns.contains).mkString(", ")}")
-    val upserts = latest.filter(upper(col(opCol)) =!= "D")
+    val upserts = latest.filter(col("__op") =!= "D")
       .select(payloadCols.map(col): _*)
     target.join(latest.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(upserts)
   }
 
+  /** Schema-adaptive merge, mirroring the reference's dynamic SQL
+    * generation (runner.py:418-491): work over the columns common to both
+    * sides; build the update guard from whichever of {row_hash,
+    * updateTime} exist (runner.py:450-455: update when the hash differs
+    * or the source is newer); order the source dedup by updateTime
+    * descending when present, else by name (runner.py:470).
+    */
   def upsertAuto(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     val common = target.columns.toSet & source.columns.toSet
     val src = source.select(target.columns.filter(common).map(col).toIndexedSeq: _*)

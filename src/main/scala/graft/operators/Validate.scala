@@ -20,13 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object Validate {
 
+  // Violations coalesce to 0: sum() over an EMPTY table is NULL, and a
+  // NULL n_violations would make pass = NULL — filtered out by the
+  // documented `filter(!pass)` gate, i.e. an empty (failed-load) table
+  // would silently pass every sum-based check.
   private def summary(name: String, checked: Column, violations: Column,
       df: DataFrame): DataFrame =
     df.agg(checked.as("__c"), violations.as("__v"))
       .select(lit(name).as("check_name"),
-        col("__c").cast("long").as("n_checked"),
-        col("__v").cast("long").as("n_violations"),
-        (col("__v") === 0).as("pass"))
+        coalesce(col("__c"), lit(0L)).cast("long").as("n_checked"),
+        coalesce(col("__v"), lit(0L)).cast("long").as("n_violations"),
+        (coalesce(col("__v"), lit(0L)) === 0).as("pass"))
 
   /** Duplicate primary keys: #rows − #distinct keys. */
   def uniqueKey(df: DataFrame, keyCols: Seq[String],
@@ -77,6 +81,10 @@ object Validate {
         .otherwise(1L)), df)
 
   /** Union a rule set into one report frame, ordered by check name. */
-  def report(checks: Seq[DataFrame]): DataFrame =
+  def report(checks: Seq[DataFrame]): DataFrame = {
+    require(checks.nonEmpty,
+      "Validate.report: empty rule set — a DQ gate with no rules must be " +
+        "an explicit decision, not a silent pass")
     checks.reduce(_ unionByName _).orderBy("check_name")
+  }
 }

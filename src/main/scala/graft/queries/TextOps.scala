@@ -2162,6 +2162,28 @@ object TextOps {
     // decomposed suffix in-plan: both engines must compose it to the
     // same bytes and the same char count (composed é is ONE codepoint)
     // before the md5.
+    QueryDef("q148_text_normalize",
+      (s, dir) => {
+        // DECOMPOSED suffix (the literal holds e + combining U+0301):
+        // Spark's nfc must genuinely compose it — a precomposed suffix
+        // would leave the expression nothing to do.
+        val raw = concat(col("text"), lit(" café"))
+        val cleaned = trim(regexp_replace(
+          call_function("nfc", raw), " +", " "))
+        docs(s, dir).select(col("doc_id"),
+            md5(cleaned).as("clean_md5"),
+            length(cleaned).cast("long").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                 nfc_normalize(text || ' cafe' || chr(769)), ' +', ' ', 'g')))
+                 AS clean_md5,
+               CAST(len(trim(regexp_replace(
+                 nfc_normalize(text || ' cafe' || chr(769)), ' +', ' ', 'g')))
+                 AS BIGINT) AS n_chars
+        FROM documents ORDER BY doc_id""")),
     // ---- Zipf-law corpus profile (q150) ---------------------------------
     // The corpus-health law check: token frequency vs rank on log-log
     // axes should be near-linear with slope ≈ −1; a slope far off
@@ -2220,28 +2242,6 @@ object TextOps {
                round((r*sxy - sx*sy) / (r*sxx - sx*sx), 9) AS slope,
                round((sy - ((r*sxy - sx*sy) / (r*sxx - sx*sx)) * sx) / r, 9)
                  AS intercept
-        FROM sums""")),
+        FROM sums""")))
 
-    QueryDef("q148_text_normalize",
-      (s, dir) => {
-        // DECOMPOSED suffix (the literal holds e + combining U+0301):
-        // Spark's nfc must genuinely compose it — a precomposed suffix
-        // would leave the expression nothing to do.
-        val raw = concat(col("text"), lit(" café"))
-        val cleaned = trim(regexp_replace(
-          call_function("nfc", raw), " +", " "))
-        docs(s, dir).select(col("doc_id"),
-            md5(cleaned).as("clean_md5"),
-            length(cleaned).cast("long").as("n_chars"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        SELECT doc_id,
-               md5(trim(regexp_replace(
-                 nfc_normalize(text || ' cafe' || chr(769)), ' +', ' ', 'g')))
-                 AS clean_md5,
-               CAST(len(trim(regexp_replace(
-                 nfc_normalize(text || ' cafe' || chr(769)), ' +', ' ', 'g')))
-                 AS BIGINT) AS n_chars
-        FROM documents ORDER BY doc_id""")))
 }

@@ -187,10 +187,18 @@ object IncrementalStream {
     * the drift ledger (`batch` = the micro-batch id, so the ledger
     * doubles as a per-batch ingest log). Because plain appends under
     * foreachBatch are AT-LEAST-once, the sink makes replays idempotent
-    * the dedupIngestSink way: arrivals are anti-joined against the ids
-    * already in the index (a column-pruned scan), so a replayed batch
-    * appends nothing — and records a 0-row ledger entry, which is
-    * itself the replay audit trail.
+    * the dedupIngestSink way: arrivals dedup WITHIN the batch first
+    * (an at-least-once source can deliver an id twice in one trigger),
+    * then anti-join against the ids already in the index (a
+    * column-pruned scan), so a replayed batch appends nothing.
+    *
+    * Ledger semantics under crashes: the parquet append and the
+    * ledger row are two writes, so a crash between them leaves rows
+    * indexed but unlogged — the replay then records a 0-row entry for
+    * that batch. The ledger is therefore an UNDER-approximation of
+    * ingest per batch (sum(ledger.n) ≤ index rows), exact on any run
+    * without a mid-batch crash; treat the index itself as the source
+    * of truth for row counts.
     */
   def vectorIngestSink(writer: DataStreamWriter[Row],
       spark: SparkSession, idCol: String, vecCol: String,
@@ -200,7 +208,13 @@ object IncrementalStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // dropDuplicates: duplicate ids within one trigger keep one
+          // arbitrary-but-single payload (at-least-once duplicates are
+          // byte-identical in practice; differing payloads for one id
+          // are an upstream bug this sink must not amplify into two
+          // index rows).
           val arrivals = batch.select(col(idCol), col(vecCol))
+            .dropDuplicates(idCol)
           val fresh =
             if (Storage.exists(spark, indexPath))
               arrivals.join(
