@@ -270,6 +270,42 @@ class UpsertSpec extends SparkSpec {
     assert(out.count(_._5) == 3)
   }
 
+  test("scd2 point-in-time probe == as-of backward join (cross-operator consistency)") {
+    // Two independent implementations of "what was v for key k at
+    // time t": the SCD2 validity-interval probe and AsofJoin's
+    // backward union-sort. They must agree on every probe, including
+    // before-first-change (no match) and exactly-at-change (the new
+    // value is effective AT its change time in both formulations).
+    def r(k: Long, id: Long, v: String, t: Long) =
+      Row(Long.box(k), Long.box(id), v, Long.box(t))
+    val changes = df("k BIGINT, id BIGINT, v STRING, t BIGINT",
+      r(1, 1, "a", 10), r(1, 2, "b", 30), r(1, 3, "c", 50),
+      r(2, 4, "x", 100))
+    val probes = df("k BIGINT, pt BIGINT",
+      Row(Long.box(1), Long.box(5)),   // before first change
+      Row(Long.box(1), Long.box(10)),  // exactly at a change
+      Row(Long.box(1), Long.box(29)), Row(Long.box(1), Long.box(30)),
+      Row(Long.box(1), Long.box(99)),
+      Row(Long.box(2), Long.box(100)), Row(Long.box(2), Long.box(500)))
+    val hist = Upsert.scd2FromChangeLog(changes, Seq("k"), "v", "t", "id")
+    val viaHist = probes.alias("p").join(hist.alias("h"),
+        col("p.k") === col("h.k") &&
+          col("h.valid_from") <= col("p.pt") &&
+          (col("h.valid_to").isNull || col("p.pt") < col("h.valid_to")),
+        "left")
+      .select(col("p.k"), col("p.pt"), col("h.v"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        Option(x.getString(2))).toMap
+    val viaAsof = graft.operators.AsofJoin.asof(
+        probes, changes.select("k", "v", "t"), Seq("k"), "pt", "t")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        Option(x.getString(2))).toMap
+    assert(viaHist == viaAsof, s"hist $viaHist != asof $viaAsof")
+    assert(viaHist((1L, 5L)).isEmpty && viaHist((1L, 10L)) == Some("a"))
+    assert(viaHist((1L, 29L)) == Some("a") && viaHist((1L, 30L)) == Some("b"))
+    assert(viaHist((2L, 500L)) == Some("x"))
+  }
+
   test("applyCdc: inserts, updates, deletes; latest version wins; op tiebreak") {
     val target = df("k BIGINT, v STRING",
       Row(Long.box(1), "a"), Row(Long.box(2), "b"), Row(Long.box(3), "c"))
