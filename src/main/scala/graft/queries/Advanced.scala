@@ -916,6 +916,87 @@ object Advanced {
         SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
         ORDER BY c_custkey""")),
 
+    // ---- leave-one-out target encoding (q153) ---------------------------
+    // The categorical-feature encoder gradient models want: replace a
+    // category with the mean target of its OTHER members —
+    // (Σ_g − x) / (n_g − 1) — so a row never sees its own label (the
+    // leakage the naive group-mean encoding commits). Exact decimal
+    // group sums broadcast back; the per-row exclusion is pure
+    // map-side arithmetic through one fixed double expression.
+    // Singleton categories (n_g = 1) have no "others" and yield NULL.
+    QueryDef("q153_loo_encoding",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"))
+        val g = o.groupBy("o_orderpriority").agg(
+          count(lit(1)).as("n_g"),
+          sum(col("o_totalprice").cast(DecimalType(28, 6)))
+            .cast(DoubleType).as("sum_g"))
+        o.join(broadcast(g), "o_orderpriority")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            when(col("n_g") > 1,
+              round((col("sum_g") - col("o_totalprice")) /
+                (col("n_g") - 1).cast(DoubleType), 6))
+              .as("loo_mean_price"))
+          .filter(col("o_orderkey") % 23 === 0)
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH g AS (SELECT o_orderpriority, count(*) AS n_g,
+                          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                            AS DOUBLE) AS sum_g
+                   FROM orders GROUP BY 1)
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN n_g > 1
+                    THEN round((sum_g - o_totalprice)
+                               / CAST(n_g - 1 AS DOUBLE), 6) END
+                 AS loo_mean_price
+        FROM orders JOIN g USING (o_orderpriority)
+        WHERE o_orderkey % 23 = 0
+        ORDER BY o_orderkey""")),
+
+    // ---- last-touch attribution (q154) ----------------------------------
+    // The marketing-analytics standard: credit each purchase to the
+    // user's LAST preceding view/click within a 30-minute lookback —
+    // exactly an as-of backward join with tolerance, composed from the
+    // AsofJoin operator (one union-sort shuffle, never a range
+    // self-join). Purchases with no qualifying touch attribute to
+    // 'none'; attribution counts roll up per touch type.
+    QueryDef("q154_last_touch",
+      (s, dir) => {
+        val ev = eventsMs(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ms"))
+        // Same-(user, ms) touches collapse deterministically (max type)
+        // BEFORE the as-of: the backward pick among exact time ties is
+        // otherwise unspecified in both engines.
+        val touches = ev.filter(col("event_type").isin("view", "click"))
+          .groupBy(col("user_id"), col("ms"))
+          .agg(max(col("event_type")).as("touch_type"))
+        AsofJoin.asof(purchases, touches, Seq("user_id"), "ms", "ms",
+            valueCols = Seq("touch_type"), tolerance = Some(1800000L))
+          .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+          .agg(count(lit(1)).as("n_purchases"))
+          .orderBy("touch_type")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+                    FROM events),
+        p AS (SELECT user_id, event_id, ms FROM ev
+              WHERE event_type = 'purchase'),
+        tch AS (SELECT user_id, ms, max(event_type) AS touch_type FROM ev
+                WHERE event_type IN ('view', 'click') GROUP BY 1, 2),
+        attr AS (SELECT p.event_id,
+                        (SELECT t.touch_type FROM tch t
+                         WHERE t.user_id = p.user_id AND t.ms <= p.ms
+                           AND t.ms >= p.ms - 1800000
+                         ORDER BY t.ms DESC LIMIT 1) AS touch_type
+                 FROM p)
+        SELECT coalesce(touch_type, 'none') AS touch_type,
+               CAST(count(*) AS BIGINT) AS n_purchases
+        FROM attr GROUP BY 1 ORDER BY 1""")),
+
     // ---- data-quality validation report (q152) --------------------------
     // The dbt-tier guardrail run after every load: pk uniqueness,
     // nulls, accepted values, referential integrity, ranges — each one
