@@ -997,6 +997,88 @@ object Advanced {
                CAST(count(*) AS BIGINT) AS n_purchases
         FROM attr GROUP BY 1 ORDER BY 1""")),
 
+    // ---- behavioral entropy (q155) --------------------------------------
+    // The diversity feature behind bot/spam screens: Shannon entropy
+    // of each user's event-type distribution, in integer micro-nats
+    // (each ln of an exact count ratio snapped to 1e-6 and the dot
+    // product pure integer arithmetic — the q64 discipline, so the
+    // number is bit-identical across engines). One (user, type) count
+    // aggregate + one user rollup; a single-behavior user scores 0.
+    QueryDef("q155_user_entropy",
+      (s, dir) => {
+        val ev = eventsMs(s, dir)
+        val byType = ev.groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n_t"))
+        val totals = byType.groupBy("user_id").agg(sum(col("n_t")).as("n"))
+        byType.join(totals, "user_id")
+          .select(col("user_id"), col("n"),
+            (col("n_t") * round(log(col("n_t").cast("double") /
+              col("n").cast("double")) * lit(1e6)).cast("long")).as("term"))
+          .groupBy("user_id")
+          .agg(first(col("n")).as("n_events"), sum(col("term")).as("__s"))
+          // `div`, not `/`: Spark's slash is DOUBLE division, whose
+          // truncated quotient can disagree with DuckDB's exact
+          // integer `//` at representation margins. Both quotients are
+          // positive, so div (truncate) == // (floor).
+          .select(col("user_id"), col("n_events"),
+            expr("(-__s) div n_events").as("entropy_micro"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH bt AS (SELECT user_id, event_type,
+                           CAST(count(*) AS BIGINT) AS n_t
+                    FROM events GROUP BY 1, 2),
+        tot AS (SELECT user_id, CAST(SUM(n_t) AS BIGINT) AS n
+                FROM bt GROUP BY 1)
+        SELECT bt.user_id, tot.n AS n_events,
+               CAST(-SUM(bt.n_t *
+                 CAST(round(ln(CAST(bt.n_t AS DOUBLE)/CAST(tot.n AS DOUBLE))
+                   * 1000000) AS BIGINT)) // tot.n AS BIGINT) AS entropy_micro
+        FROM bt JOIN tot USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1""")),
+
+    // ---- time-decayed aggregates (q156) ---------------------------------
+    // The recency-weighted feature every feature store serves: per
+    // user, count and value-sum with exponential decay
+    // exp(-(T - t)/τ), τ = 7 days, T = the corpus max event time (a
+    // 1-row broadcast — deterministic, no wall clock in the plan).
+    // Portability: each weight is one fixed double expression snapped
+    // to the 1e-9 grid, the weighted sums accumulate in decimal
+    // (exact, shuffle-order-free), and the final values round once.
+    QueryDef("q156_decayed_aggregates",
+      (s, dir) => {
+        val D = DecimalType(38, 18)
+        val ev = eventsMs(s, dir)
+        val tmax = ev.agg(max(col("ms")).as("t_max"))
+        ev.crossJoin(broadcast(tmax))
+          .withColumn("w", round(
+            exp((col("ms") - col("t_max")).cast(DoubleType) /
+              lit(604800000.0)), 9))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("w").cast(D)).cast(DoubleType), 6)
+              .as("decayed_count"),
+            round(sum((col("w") * col("value")).cast(D)).cast(DoubleType), 6)
+              .as("decayed_value"))
+          .filter(col("user_id") % 7 === 0)
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, value, epoch_ms(ts) AS ms FROM events),
+        tm AS (SELECT max(ms) AS t_max FROM ev),
+        w AS (SELECT user_id, value,
+                     round(exp(CAST(ms - tm.t_max AS DOUBLE) / 604800000.0), 9)
+                       AS w
+              FROM ev, tm)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE), 6)
+                 AS decayed_count,
+               round(CAST(SUM(CAST(w * value AS DECIMAL(38,18))) AS DOUBLE), 6)
+                 AS decayed_value
+        FROM w
+        WHERE user_id % 7 = 0
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- data-quality validation report (q152) --------------------------
     // The dbt-tier guardrail run after every load: pk uniqueness,
     // nulls, accepted values, referential integrity, ranges — each one
