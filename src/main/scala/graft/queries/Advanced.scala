@@ -997,6 +997,38 @@ object Advanced {
                CAST(count(*) AS BIGINT) AS n_purchases
         FROM attr GROUP BY 1 ORDER BY 1""")),
 
+    // ---- nested document export (q157) ----------------------------------
+    // The denormalization every document-store/API export needs: each
+    // order with its lineitems as an ORDERED nested array, serialized
+    // to compact JSON. Cross-engine JSON equality is deliberate and
+    // narrow: integer fields only (double formatting differs between
+    // engines), sorted arrays (collect order is nondeterministic),
+    // compact no-space encoding on both sides. One join + one
+    // order-keyed collect aggregate.
+    QueryDef("q157_nested_export",
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            col("l_linenumber").cast(LongType).as("ln"),
+            col("l_partkey").as("pk"))
+        t(s, dir, "orders").filter(col("o_orderkey") % 101 === 0)
+          .select(col("o_orderkey"))
+          .join(items, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_items"),
+            to_json(array_sort(collect_list(struct(col("ln"), col("pk")))))
+              .as("items_json"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+               to_json(list(json_object('ln', l.l_linenumber,
+                                        'pk', l.l_partkey)
+                 ORDER BY l.l_linenumber, l.l_partkey)) AS items_json
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey % 101 = 0
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- behavioral entropy (q155) --------------------------------------
     // The diversity feature behind bot/spam screens: Shannon entropy
     // of each user's event-type distribution, in integer micro-nats
