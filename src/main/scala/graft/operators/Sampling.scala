@@ -388,6 +388,47 @@ object Sampling {
         Seq(col("slot").asc, col("item").asc), k))
   }
 
+  /** Weighted sample WITHOUT replacement, exact size `k` per stratum
+    * (Efraimidis–Spirakis A-ES, IPL 2006 — public algorithm): each row
+    * draws a deterministic uniform u ∈ (0,1) from `md5(salt:key)` and
+    * competes with the key u^(1/w); the k LARGEST keys are exactly a
+    * weighted sample without replacement. One pass, no rand() (the
+    * house determinism rule: retries and re-runs select the same
+    * rows), no sequential reservoir — the "reservoir" is the same
+    * bounded per-partition heap machinery as every other top-k here
+    * ([[TopK.perGroup]] for strata, TakeOrderedAndProject when
+    * global), so a 100 TB corpus pays one exchange of ≤k rows per
+    * partition, never a global sort.
+    *
+    * u is the first 13 md5 hex chars scaled by 2⁻⁵², offset +0.5 so
+    * u is never exactly 0 or 1 (u=0 would collapse every weight to
+    * key 0). Weights must be strictly positive — a null or ≤0 weight
+    * has no A-ES semantics and fails LOUDLY rather than silently
+    * dropping rows.
+    */
+  def weightedSampleK(df: DataFrame, keyCol: String, weight: Column,
+      salt: String, k: Int, strataCols: Seq[String] = Nil): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val wC = graft.functions.ColumnLib.freeColumn(df, "__w")
+    val kC = graft.functions.ColumnLib.freeColumn(df, "__aes")
+    val u = (conv(substring(md5(concat(lit(salt + ":"),
+        col(keyCol).cast("string"))), 1, 13), 16, 10).cast("double") +
+      lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val keyed = df
+      .withColumn(wC,
+        when(weight.isNotNull && weight > 0, weight.cast("double"))
+          .otherwise(raise_error(concat(lit(
+            "weightedSampleK: weight must be > 0 and non-null at key="),
+            col(keyCol).cast("string")))))
+      .withColumn(kC, pow(u, lit(1.0) / col(wC)))
+    val picked =
+      if (strataCols.isEmpty)
+        keyed.orderBy(col(kC).desc, col(keyCol).asc).limit(k)
+      else
+        TopK.perGroup(keyed, strataCols, Seq(col(kC).desc, col(keyCol).asc), k)
+    picked.drop(wC, kC)
+  }
+
   def sqrtFlattenSample(df: DataFrame, keyCol: String, groupCol: String,
       salt: String): DataFrame = {
     val nC = graft.functions.ColumnLib.freeColumn(df, "__n")

@@ -852,6 +852,262 @@ object Advanced {
         JOIN supp s2 ON s2.i = p.p2, tot
         ORDER BY p.pair_n DESC, p.p1, p.p2 LIMIT 25""")),
 
+    // ---- triangle counting, degree-oriented (q160) ----------------------
+    // Per-vertex triangle counts over the q147 co-purchase graph
+    // (pair_n >= 2 edges). The operator enumerates each triangle ONCE
+    // via (degree, id) edge orientation — out-degrees bounded by
+    // O(√m), hub-proof — while the oracle brute-forces the id-ordered
+    // triple join; identical triangle sets prove the orientation loses
+    // and double-counts nothing. Operator:
+    // [[graft.operators.Graph.triangleCounts]].
+    QueryDef("q160_triangles",
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+          .distinct()
+        val edges = items.alias("x").join(items.alias("y"),
+            col("x.o") === col("y.o") && col("x.i") < col("y.i"))
+          .groupBy(col("x.i").as("a"), col("y.i").as("b"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+          .select("a", "b")
+        graft.operators.Graph.triangleCounts(edges)
+          .orderBy(col("n_tri").desc, col("v"))
+          .limit(30)
+      },
+      Some("""
+        WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+                       FROM lineitem),
+        ed AS (SELECT x.i AS a, y.i AS b
+               FROM items x JOIN items y ON x.o = y.o AND x.i < y.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM ed e1
+                JOIN ed e2 ON e2.a = e1.b
+                JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT v, CAST(count(*) AS BIGINT) AS n_tri
+        FROM (SELECT x AS v FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        GROUP BY 1 ORDER BY n_tri DESC, v LIMIT 30""")),
+
+    // ---- label propagation communities (q161) ---------------------------
+    // Two synchronous LPA rounds over the same co-purchase graph,
+    // deterministic update (max neighbor-label count, ties to the
+    // smallest label). The per-vertex argmax runs on the bounded-heap
+    // TopKPerGroup plan; the oracle restates both unrolled rounds as
+    // row_number windows. Operator:
+    // [[graft.operators.Graph.labelPropagation]].
+    QueryDef("q161_label_prop",
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+          .distinct()
+        val edges = items.alias("x").join(items.alias("y"),
+            col("x.o") === col("y.o") && col("x.i") < col("y.i"))
+          .groupBy(col("x.i").as("a"), col("y.i").as("b"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+          .select("a", "b")
+        graft.operators.Graph.labelPropagation(edges, iters = 2)
+          .orderBy("v")
+      },
+      Some("""
+        WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+                       FROM lineitem),
+        ed AS (SELECT x.i AS a, y.i AS b
+               FROM items x JOIN items y ON x.o = y.o AND x.i < y.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        dir AS (SELECT a AS s, b AS t FROM ed
+                UNION ALL SELECT b, a FROM ed),
+        c1 AS (SELECT t AS v, s AS label, count(*) AS n
+               FROM dir GROUP BY 1, 2),
+        l1 AS (SELECT v, label FROM (
+                 SELECT v, label, row_number() OVER (PARTITION BY v
+                   ORDER BY n DESC, label ASC) AS rk FROM c1)
+               WHERE rk = 1),
+        c2 AS (SELECT d.t AS v, l1.label, count(*) AS n
+               FROM dir d JOIN l1 ON l1.v = d.s GROUP BY 1, 2),
+        l2 AS (SELECT v, label FROM (
+                 SELECT v, label, row_number() OVER (PARTITION BY v
+                   ORDER BY n DESC, label ASC) AS rk FROM c2)
+               WHERE rk = 1)
+        SELECT v, label FROM l2 ORDER BY v""")),
+
+    // ---- snapshot diff → changelog (q162) -------------------------------
+    // The inverse of q151's CDC apply: given two snapshots, emit the
+    // minimal I/U/D changelog with per-row changed-column lists. The
+    // two snapshots are carved deterministically from customer (mod-11
+    // deletes, mod-13 inserts, mod-7 balance bumps), so inserts,
+    // deletes, updates, AND untouched rows all occur; untouched rows
+    // must vanish before any downstream exchange. Operator:
+    // [[graft.operators.TableDiff.diff]] — one full-outer key join,
+    // all column comparison in codegen.
+    QueryDef("q162_snapshot_diff",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val before = cust.filter(col("c_custkey") % 11 =!= 3)
+        val after = cust.filter(col("c_custkey") % 13 =!= 5)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100)
+              .otherwise(col("c_acctbal")))
+        graft.operators.TableDiff.diff(before, after, Seq("c_custkey"))
+          .select(col("c_custkey"), col("op"),
+            array_join(col("changed_cols"), ",").as("changed"),
+            col("old_c_acctbal"), col("new_c_acctbal"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        WITH bef AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+                     WHERE c_custkey % 11 <> 3),
+        aft AS (SELECT c_custkey, c_name,
+                       CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                            ELSE c_acctbal END AS c_acctbal
+                FROM customer WHERE c_custkey % 13 <> 5)
+        SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+               CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                    WHEN a.c_custkey IS NULL THEN 'delete'
+                    ELSE 'update' END AS op,
+               CASE WHEN b.c_custkey IS NULL OR a.c_custkey IS NULL THEN ''
+                    ELSE array_to_string(list_sort(list_filter([
+                      CASE WHEN NOT (b.c_name IS NOT DISTINCT FROM a.c_name)
+                           THEN 'c_name' END,
+                      CASE WHEN NOT (b.c_acctbal IS NOT DISTINCT FROM a.c_acctbal)
+                           THEN 'c_acctbal' END],
+                      x -> x IS NOT NULL)), ',') END AS changed,
+               b.c_acctbal AS old_c_acctbal,
+               a.c_acctbal AS new_c_acctbal
+        FROM bef b FULL OUTER JOIN aft a ON b.c_custkey = a.c_custkey
+        WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
+           OR NOT (b.c_name IS NOT DISTINCT FROM a.c_name)
+           OR NOT (b.c_acctbal IS NOT DISTINCT FROM a.c_acctbal)
+        ORDER BY c_custkey""")),
+
+    // ---- incremental materialized-aggregate refresh (q163) --------------
+    // Self-maintainable SUM/COUNT state merged with a delta batch in
+    // O(delta) — the base facts are NEVER re-scanned: state comes from
+    // the mod-3 "historical" 2/3 of orders, the delta is the remaining
+    // third, and the refreshed state must hash-match the oracle's
+    // from-scratch aggregate over ALL orders (decimal accumulation
+    // makes the merge order-independent, so incremental ≡ batch
+    // exactly). Operator: [[graft.incremental.MaterializedAgg]].
+    QueryDef("q163_incremental_agg",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+        val delta = orders.filter(col("o_orderkey") % 3 === 0)
+        val state = graft.incremental.MaterializedAgg.aggregate(
+          base, Seq("o_custkey"), Seq("o_totalprice"))
+        graft.incremental.MaterializedAgg.refresh(
+            state, delta, Seq("o_custkey"), Seq("o_totalprice"))
+          .select(col("o_custkey"),
+            col("sum_o_totalprice").cast("double").as("sum_price"),
+            col("n_rows"),
+            // Exact integer micro-units: sum is decimal(38,6), so
+            // sum·1e6 is an exact integer and the floored quotient is
+            // engine-portable — round(double/) trips on repeating
+            // decimals whose 9th digit is a rounding boundary.
+            expr("CAST(sum_o_totalprice * 1000000 AS BIGINT) div n_rows")
+              .as("avg_price_micro"))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sum_price,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * 1000000
+                      AS BIGINT) // count(*) AS BIGINT) AS avg_price_micro
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ---- calendar resample + forward fill (q164) ------------------------
+    // Sparse per-type daily aggregates densified onto the global
+    // [min,max] calendar (a no-event day becomes an explicit n=0 row)
+    // with the last observed daily total carried forward — the
+    // time-series regularization step. Spine is generated (1-row
+    // bounds broadcast into sequence()), never shuffled; fill is one
+    // per-type window whose partitions are calendar-bounded.
+    // Operator: [[graft.operators.Resample]].
+    QueryDef("q164_gap_fill",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("ts").cast("date").as("d"),
+            col("value"))
+        val daily = ev.groupBy("event_type", "d")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(38,6)")).cast("double").as("v"))
+        val spine = graft.operators.Resample.calendarSpine(
+          ev, Seq("event_type"), "d")
+        val filled = spine.join(daily, Seq("event_type", "d"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+        graft.operators.Resample.forwardFill(
+            filled, Seq("event_type"), Seq(col("d").asc), Seq("v"))
+          .select(col("event_type"), col("d"), col("n"),
+            col("v").as("v_ffill"))
+          .orderBy("event_type", "d")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+          FROM events GROUP BY 1, 2),
+        bounds AS (SELECT min(CAST(ts AS DATE)) AS mn,
+                          max(CAST(ts AS DATE)) AS mx FROM events),
+        spine AS (SELECT t.event_type, CAST(u.s AS DATE) AS d
+                  FROM (SELECT DISTINCT event_type FROM events) t,
+                       bounds b,
+                       LATERAL (SELECT unnest(generate_series(
+                         b.mn, b.mx, INTERVAL 1 DAY)) AS s) u),
+        j AS (SELECT s.event_type, s.d,
+                     coalesce(daily.n, 0) AS n, daily.v
+              FROM spine s LEFT JOIN daily
+                ON daily.event_type = s.event_type AND daily.d = s.d)
+        SELECT event_type, d, n,
+               last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+        FROM j ORDER BY 1, 2""")),
+
+    // ---- event-transition matrix (q165) ---------------------------------
+    // First-order Markov transitions over each user's time-ordered
+    // event stream: one lead() window per user (event_id tiebreak for
+    // a total order), exact integer pair counts, transition
+    // probability on the 1e-9 grid. The behavioral-model constructor
+    // that complements q138's next-event dataset and q155's entropy.
+    QueryDef("q165_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val steps = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("from_type"))
+          .withColumn("to_type", lead(col("from_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+        val counts = steps.groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n"))
+        val totals = counts.groupBy("from_type")
+          .agg(sum(col("n")).as("n_from"))
+        counts.join(broadcast(totals), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            round(col("n").cast("double") / col("n_from").cast("double"), 9)
+              .as("p"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""
+        WITH steps AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+          FROM events),
+        counts AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+                   FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        totals AS (SELECT from_type, SUM(n) AS n_from FROM counts GROUP BY 1)
+        SELECT c.from_type, c.to_type, c.n,
+               round(CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 9) AS p
+        FROM counts c JOIN totals t USING (from_type)
+        ORDER BY 1, 2""")),
+
     // ---- CDC apply with deletes (q151) ----------------------------------
     // The merge shape MERGE-without-DELETE can't express: a change
     // batch of I/U/D ops, latest version per key winning, applied in

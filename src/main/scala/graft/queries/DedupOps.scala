@@ -1035,5 +1035,45 @@ object DedupOps {
         FROM documents d
         LEFT JOIN clean c USING (doc_id)
         LEFT JOIN st USING (doc_id)
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // ---- prefix-filtered EXACT Jaccard join (PPJoin family) -------------
+    // The scale rung between the exact-but-all-pairs q34 and the
+    // fast-but-lossy LSH q32: prefix filtering (rare-first token order,
+    // prefix = sz - ceil(t·sz) + 1, length filter, exact verify) returns
+    // EXACTLY the J ≥ t pairs with no all-pairs join and no recall loss.
+    // The oracle is the brute-force all-pairs threshold join — the gate
+    // therefore PROVES the prefix filter drops no qualifying pair, the
+    // same way q57/q58 prove ANN recall. Operator:
+    // [[graft.operators.Dedup.prefixJaccardPairs]]. Uncapped: the
+    // operator's own pruning is the reason the query can afford the
+    // whole documents table where q34 needs a doc_id cap.
+    QueryDef("q158_prefix_jaccard",
+      (s, dir) => {
+        Dedup.prefixJaccardPairs(docs(s, dir), "doc_id", "text",
+            n = 3, threshold = 0.5)
+          .orderBy("id1", "id2")
+      },
+      Some("""
+        WITH grams AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+              unnest(list_transform(range(1, len(l)-1),
+                     i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
+            FROM (SELECT doc_id, string_split(text,' ') AS l
+                  FROM documents))),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id1, id2, CAST(n_inter AS BIGINT) AS n_inter,
+               CAST(n_inter AS DOUBLE) / CAST(s1.sz + s2.sz - n_inter AS DOUBLE)
+                 AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE CAST(n_inter AS DOUBLE) / CAST(s1.sz + s2.sz - n_inter AS DOUBLE)
+                >= 0.5
+        ORDER BY id1, id2""")))
 }

@@ -856,6 +856,38 @@ object TextOps {
           FROM documents) WHERE rk <= 3
         ORDER BY source, lang, doc_id""")),
 
+    // ---- weighted sample without replacement (A-ES keys) ----------------
+    // Efraimidis–Spirakis over token-count weights: longer docs are
+    // proportionally likelier, yet the draw is WITHOUT replacement and
+    // exactly k per source. The competition key u^(1/w) is pure column
+    // arithmetic from md5 — deterministic, so this gate can hash-match
+    // a declarative restatement; the selection itself executes on the
+    // bounded-heap TopKPerGroup plan, not a window sort. Operator:
+    // [[graft.operators.Sampling.weightedSampleK]].
+    QueryDef("q159_weighted_sample",
+      (s, dir) => {
+        graft.operators.Sampling.weightedSampleK(
+            docs(s, dir).select(col("source"), col("doc_id"),
+              tokenCountWs(col("text")).as("n_tokens"))
+              .filter(col("n_tokens") >= 1),
+            "doc_id", col("n_tokens"), "wsk", k = 10,
+            strataCols = Seq("source"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""
+        SELECT source, doc_id, n_tokens FROM (
+          SELECT source, doc_id, n_tokens,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY pow(u, 1.0 / CAST(n_tokens AS DOUBLE)) DESC,
+                            doc_id ASC) AS rk
+          FROM (SELECT source, doc_id,
+                  len(string_split(text, ' ')) AS n_tokens,
+                  (CAST(CAST('0x' || substr(md5('wsk:' || CAST(doc_id AS VARCHAR)), 1, 13)
+                     AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+                FROM documents)
+          WHERE n_tokens >= 1)
+        WHERE rk <= 10 ORDER BY source, doc_id""")),
+
     // ---- boilerplate removal: corpus-frequency segment dedup ------------
     // CCNet-style line dedup re-expressed for the fixture's single-line
     // docs: the "line" is a fixed 5-word segment (the fixture has no

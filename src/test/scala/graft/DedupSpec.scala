@@ -342,6 +342,41 @@ class DedupSpec extends SparkSpec {
     assert(!j.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("prefixJaccardPairs == all-pairs threshold filter (exact, no recall loss)") {
+    // A richer corpus than `docs`: shared boilerplate shingles (the
+    // prefix filter's worst case — common tokens must sort LAST and
+    // stay out of prefixes), an exact dup, a contained near-dup, and
+    // an unrelated doc.
+    val corpus = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), "alpha beta gamma delta epsilon zeta eta theta"),
+      Row(Long.box(2), "alpha beta gamma delta epsilon zeta eta iota"),
+      Row(Long.box(3), "alpha beta gamma delta epsilon zeta eta theta"),
+      Row(Long.box(4), "one two three four five six seven eight nine"),
+      Row(Long.box(5), "one two three four five six seven eight"),
+      Row(Long.box(6), "totally unrelated content sits over here alone"),
+      Row(Long.box(7), "alpha beta gamma nope nope2 nope3 nope4 nope5"))
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val pf = Dedup.prefixJaccardPairs(corpus, "doc_id", "text", n = 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      assert(pf == exact, s"threshold $t: prefix filter diverged\n$pf\n$exact")
+    }
+    // Content checks at t = 0.5: the exact dup scores 1.0 and the
+    // contained near-dup (4,5) qualifies; the unrelated doc never pairs.
+    val half = Dedup.prefixJaccardPairs(corpus, "doc_id", "text", n = 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(half((1L, 3L)) == 1.0)
+    assert(half.contains((4L, 5L)))
+    assert(!half.keySet.exists { case (a, b) => a == 6L || b == 6L })
+    assert(half.keySet.forall { case (a, b) => a < b })
+    // n_inter is the exact distinct-shingle intersection.
+    val row45 = Dedup.prefixJaccardPairs(corpus, "doc_id", "text", n = 3, 0.5)
+      .filter(col("id1") === 4 && col("id2") === 5).head()
+    assert(row45.getLong(2) == 6L) // 6 shared 3-grams of "one..eight"
+  }
+
   test("sourceOverlapMatrix: counts match brute force; one heavy pass") {
     val srcDocs = df("source STRING, text STRING",
       Row("a", "w1 w2 w3 w4"),        // grams: {w1 w2 w3, w2 w3 w4}

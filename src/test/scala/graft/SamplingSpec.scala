@@ -270,4 +270,51 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(again == out.toSet)
   }
+
+  test("weightedSampleK: matches the A-ES formula, exact k, retry-stable") {
+    import org.apache.spark.sql.Row
+    val rows = (1L to 40L).map(i => Row(Long.box(i),
+      if (i <= 20) "g1" else "g2", Double.box(if (i % 5 == 0) 50.0 else 1.0)))
+    val d = df("id BIGINT, grp STRING, w DOUBLE", rows: _*)
+    val got = Sampling.weightedSampleK(d, "id", col("w"), "s", k = 4,
+        strataCols = Seq("grp"))
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    // Reference restatement of the competition key in plain Scala.
+    def aesKey(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"s:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+        4503599627370496.0
+      math.pow(u, 1.0 / w)
+    }
+    val want = rows.groupBy(_.getString(1)).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy(r => (-aesKey(r.getLong(0), r.getDouble(2)), r.getLong(0)))
+        .take(4).map(r => (g, r.getLong(0)))
+    }.toSet
+    assert(got == want, s"selection diverged from the A-ES formula:\n$got\n$want")
+    assert(got.count(_._1 == "g1") == 4 && got.count(_._1 == "g2") == 4)
+    // Heavy weights dominate: all four w=50 rows of each group win over
+    // the sixteen w=1 rows with overwhelming probability — and with
+    // this fixed salt, deterministically.
+    assert(got.forall { case (_, id) => id % 5 == 0 },
+      s"w=50 rows should displace w=1 rows: $got")
+    // Retry/layout stability.
+    val again = Sampling.weightedSampleK(d.repartition(7), "id", col("w"),
+        "s", k = 4, strataCols = Seq("grp"))
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(again == got)
+    // Global (no strata) path: k largest keys overall, via TakeOrdered.
+    val global = Sampling.weightedSampleK(d, "id", col("w"), "s", k = 3)
+      .collect().map(_.getLong(0)).toSet
+    val wantGlobal = rows.sortBy(r => (-aesKey(r.getLong(0), r.getDouble(2)),
+      r.getLong(0))).take(3).map(_.getLong(0)).toSet
+    assert(global == wantGlobal)
+    // A non-positive weight fails loudly instead of silently dropping.
+    val bad = df("id BIGINT, grp STRING, w DOUBLE",
+      Row(Long.box(1), "g", Double.box(0.0)))
+    intercept[Exception] {
+      Sampling.weightedSampleK(bad, "id", col("w"), "s", k = 1).collect()
+    }
+  }
 }
