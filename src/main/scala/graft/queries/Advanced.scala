@@ -1086,12 +1086,15 @@ object Advanced {
           .filter(col("to_type").isNotNull)
         val counts = steps.groupBy("from_type", "to_type")
           .agg(count(lit(1)).as("n"))
-        val totals = counts.groupBy("from_type")
-          .agg(sum(col("n")).as("n_from"))
-        counts.join(broadcast(totals), "from_type")
+        // Row normalization as a window over the COUNTS table (bounded
+        // by |types|², never data-sized) — a totals groupBy + join-back
+        // would reference the lead() subtree twice and execute the
+        // user-stream window pass twice (observed in the plan).
+        val wTot = Window.partitionBy("from_type")
+        counts
           .select(col("from_type"), col("to_type"), col("n"),
-            round(col("n").cast("double") / col("n_from").cast("double"), 9)
-              .as("p"))
+            round(col("n").cast("double") /
+              sum(col("n")).over(wTot).cast("double"), 9).as("p"))
           .orderBy("from_type", "to_type")
       },
       Some("""
@@ -1101,12 +1104,100 @@ object Advanced {
                    ORDER BY ts, event_id) AS to_type
           FROM events),
         counts AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
-                   FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2),
-        totals AS (SELECT from_type, SUM(n) AS n_from FROM counts GROUP BY 1)
-        SELECT c.from_type, c.to_type, c.n,
-               round(CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 9) AS p
-        FROM counts c JOIN totals t USING (from_type)
-        ORDER BY 1, 2""")),
+                   FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               round(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (
+                 PARTITION BY from_type) AS DOUBLE), 9) AS p
+        FROM counts ORDER BY 1, 2""")),
+
+    // ---- frequent triples, A-priori rung 2 (q166) -----------------------
+    // Extends q147's pair rung to 3-itemsets with the A-priori L1
+    // prune: items below the support floor can never appear in a
+    // frequent triple, so they are semi-joined OUT before the
+    // basket-bounded triple enumeration (fan-out C(|basket|,3) per
+    // order, never |items|³). Downward closure makes the prune
+    // lossless — the oracle enumerates unpruned.
+    QueryDef("q166_frequent_triples",
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+          .distinct().localCheckpoint(true)
+        val l1 = items.groupBy("i").agg(count(lit(1)).as("n_i"))
+          .filter(col("n_i") >= 2).select("i")
+        val fi = items.join(l1, Seq("i"), "left_semi")
+        val tri = fi.alias("a")
+          .join(fi.alias("b"),
+            col("a.o") === col("b.o") && col("a.i") < col("b.i"))
+          .join(fi.alias("c"),
+            col("b.o") === col("c.o") && col("b.i") < col("c.i"))
+          .groupBy(col("a.i").as("i1"), col("b.i").as("i2"),
+            col("c.i").as("i3"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+        tri.orderBy(col("n").desc, col("i1"), col("i2"), col("i3"))
+          .limit(20)
+      },
+      Some("""
+        WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+                       FROM lineitem)
+        SELECT a.i AS i1, b.i AS i2, c.i AS i3,
+               CAST(count(*) AS BIGINT) AS n
+        FROM items a
+        JOIN items b ON a.o = b.o AND a.i < b.i
+        JOIN items c ON b.o = c.o AND b.i < c.i
+        GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        ORDER BY n DESC, i1, i2, i3 LIMIT 20""")),
+
+    // ---- per-group OLS trend slopes (q167) ------------------------------
+    // Closed-form least-squares slope of daily value totals vs day
+    // index, per event type — drift/trend detection over the metric
+    // series q164 regularizes. Numeric discipline is q150's: grid
+    // exact inputs (integer day index, decimal-exact daily sums cast
+    // to double), DECIMAL(38,18) accumulation for the order-sensitive
+    // Σ's, one fixed double expression for the ratio, 1e-9 grid out.
+    QueryDef("q167_trend_slopes",
+      (s, dir) => {
+        val D2 = DecimalType(38, 18)
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("ts").cast("date").as("d"),
+            col("value"))
+        val mn = ev.agg(min(col("d")).as("d0"))
+        val daily = ev.groupBy("event_type", "d")
+          .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("y"))
+          .crossJoin(broadcast(mn))
+          .select(col("event_type"),
+            datediff(col("d"), col("d0")).cast("double").as("x"), col("y"))
+        val sums = daily.groupBy("event_type").agg(
+          count(lit(1)).cast("double").as("r"),
+          sum(col("x").cast(D2)).cast("double").as("sx"),
+          sum(col("y").cast(D2)).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast(D2)).cast("double").as("sxx"),
+          sum((col("x") * col("y")).cast(D2)).cast("double").as("sxy"))
+        sums.select(col("event_type"), col("r").cast("long").as("n_days"),
+            round((col("r") * col("sxy") - col("sx") * col("sy")) /
+              (col("r") * col("sxx") - col("sx") * col("sx")), 9)
+              .as("slope"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH mn AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        daily AS (
+          SELECT event_type,
+                 CAST(date_diff('day', mn.d0, CAST(ts AS DATE)) AS DOUBLE)
+                   AS x,
+                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS y
+          FROM events, mn GROUP BY 1, 2),
+        sums AS (
+          SELECT event_type,
+                 CAST(count(*) AS DOUBLE) AS r,
+                 CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+          FROM daily GROUP BY 1)
+        SELECT event_type, CAST(r AS BIGINT) AS n_days,
+               round((r * sxy - sx * sy) / (r * sxx - sx * sx), 9) AS slope
+        FROM sums ORDER BY 1""")),
 
     // ---- CDC apply with deletes (q151) ----------------------------------
     // The merge shape MERGE-without-DELETE can't express: a change

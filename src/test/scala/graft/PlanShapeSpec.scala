@@ -88,4 +88,49 @@ class PlanShapeSpec extends SparkSpec {
     // the anti-join against positives is a real anti join
     assert(p.contains("LeftAnti"), s"anti-join missing:\n$p")
   }
+
+  test("q158 prefix join: no cartesian, no all-gram self-join key") {
+    // The candidate join must key on the PREFIX token stream; a plan
+    // with a cartesian (or a join keyed on the raw text) means the
+    // filter stopped pruning.
+    val p = plan("q158_prefix_jaccard")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no unpruned pair join:\n$p")
+    // (The parquet scan itself sits behind the sets localCheckpoint
+    // and is not visible in this executed plan — column pruning on
+    // `documents` is covered by the generic pushdown test above.)
+  }
+
+  test("q159 weighted sample: bounded-heap top-k, never a window sort") {
+    val p = plan("q159_weighted_sample")
+    assert(p.contains("TopKPerGroup"), s"expected the custom top-k plan:\n$p")
+    assert(!p.contains("Window"), s"no window sort in the sample path:\n$p")
+  }
+
+  test("q164 gap fill: spine bounds broadcast; one window for the fill") {
+    val p = plan("q164_gap_fill")
+    assert(p.contains("BroadcastExchange"),
+      s"1-row bounds must broadcast into the spine generator:\n$p")
+    assert("Window ".r.findAllMatchIn(p).size == 1,
+      s"exactly one forward-fill window pass:\n$p")
+  }
+
+  test("q165 transitions: one lead() pass, normalization join-free") {
+    // The ratio runs as a window over the bounded counts table; a
+    // totals join-back would reference (and re-execute) the
+    // user-stream lead() subtree twice.
+    val p = plan("q165_transitions")
+    assert("lead\\(".r.findAllMatchIn(p).size <= 1,
+      s"the user-stream lead() pass must execute once:\n$p")
+    assert(!p.contains("Join"), s"normalization must not join:\n$p")
+  }
+
+  test("q163 incremental agg: delta merge never re-scans wide state") {
+    // Both inputs to the final merge aggregate are themselves
+    // aggregates (state + delta-agg): the plan must contain no join —
+    // the merge is a unionByName + re-aggregate.
+    val p = plan("q163_incremental_agg")
+    assert(!p.contains("Join"), s"state merge must be union+agg, not join:\n$p")
+    assert(p.contains("Union"), s"expected the state/delta union:\n$p")
+  }
 }
