@@ -1947,6 +1947,68 @@ object TextOps {
     // vocab-keyed aggregate (train tokens), a (doc, token) aggregate,
     // one broadcast model join — the inference pass is a map-side
     // join + sum at any corpus size.
+    // ---- persisted inverted index + partition-pruned BM25 serving -------
+    // q136 re-served from a posting-list index: build writes token
+    // shards (pmod(xxhash64(token), 16) partitions, tf/dl/df
+    // denormalized so serving is join-free), search reads ONLY the
+    // shards the 3 query terms hash into. Same BM25 formula and idf
+    // snapping as q136; per-doc sums accumulate 1e-9-snapped
+    // contributions in DECIMAL (posting aggregation has no fixed
+    // term order, so double summation would be shuffle-order-unsafe).
+    // The oracle scores documents directly — a hash match proves the
+    // index round-trip (build → prune → serve) loses nothing.
+    // Operator: [[graft.operators.TextIndex]].
+    QueryDef("q168_inverted_index",
+      (s, dir) => {
+        val terms = Seq("spark", "query", "merge")
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_tidx_q168_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        graft.operators.TextIndex.write(docs(s, dir), "doc_id", "text", path)
+        graft.operators.TextIndex.searchBM25(s, path, terms, k = 25)
+          .select(col("doc").as("doc_id"), col("bm25"))
+      },
+      Some("""
+        WITH base AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
+                             len(list_filter(string_split(text,' '),
+                               x -> x = 'spark')) AS tf_spark,
+                             len(list_filter(string_split(text,' '),
+                               x -> x = 'query')) AS tf_query,
+                             len(list_filter(string_split(text,' '),
+                               x -> x = 'merge')) AS tf_merge
+                      FROM documents),
+        c AS (SELECT count(*) AS n_docs, SUM(dl) AS sum_dl,
+                     SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+                     SUM(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS df_query,
+                     SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+              FROM base)
+        SELECT doc_id,
+               round(CAST(
+                 CAST(round(CASE WHEN tf_spark > 0 THEN
+                   round(ln((CAST(n_docs AS DOUBLE) - df_spark + 0.5)
+                            / (df_spark + 0.5) + 1.0), 9)
+                     * (CAST(tf_spark AS DOUBLE) * 2.2)
+                     / (CAST(tf_spark AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                        CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   ELSE 0 END, 9) AS DECIMAL(38,18))
+                 + CAST(round(CASE WHEN tf_query > 0 THEN
+                   round(ln((CAST(n_docs AS DOUBLE) - df_query + 0.5)
+                            / (df_query + 0.5) + 1.0), 9)
+                     * (CAST(tf_query AS DOUBLE) * 2.2)
+                     / (CAST(tf_query AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                        CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   ELSE 0 END, 9) AS DECIMAL(38,18))
+                 + CAST(round(CASE WHEN tf_merge > 0 THEN
+                   round(ln((CAST(n_docs AS DOUBLE) - df_merge + 0.5)
+                            / (df_merge + 0.5) + 1.0), 9)
+                     * (CAST(tf_merge AS DOUBLE) * 2.2)
+                     / (CAST(tf_merge AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                        CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   ELSE 0 END, 9) AS DECIMAL(38,18))
+               AS DOUBLE), 6) AS bm25
+        FROM base, c
+        WHERE tf_spark > 0 OR tf_query > 0 OR tf_merge > 0
+        ORDER BY bm25 DESC, doc_id LIMIT 25""")),
+
     QueryDef("q140_nb_classifier",
       (s, dir) => {
         val lbl = col("source").isin("src1", "src2", "src3")
