@@ -110,6 +110,43 @@ object IncrementalStream {
   def runAvailableNow(writer: DataStreamWriter[Row]): StreamingQuery =
     writer.trigger(Trigger.AvailableNow()).start()
 
+  /** Watermarked stream-stream time-bound join — the live analog of
+    * [[graft.operators.AsofJoin]]/[[graft.operators.IntervalJoin]]:
+    * each left event pairs with right events on the same key whose
+    * time falls in [leftTime, leftTime + within]. The attribution
+    * shape (impression ↔ click inside the conversion window), run on
+    * Spark's native stream-stream join so BOTH sides' buffered state
+    * is evicted once the watermark clears the bound — without the
+    * time bound the state store grows without limit, which is why the
+    * bound is mandatory here, not optional. `leftOuter` additionally
+    * emits unmatched left rows AFTER the watermark proves no match
+    * can still arrive (exactly the semantics batch attribution gets
+    * from an as-of join with tolerance).
+    *
+    * Column names must be disjoint across the two sides (Spark
+    * surfaces stream-stream join outputs unqualified) — violations
+    * fail loudly here rather than as ambiguous-reference errors
+    * somewhere downstream.
+    */
+  def timeBoundJoin(left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      within: String, lateness: String,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "leftOuter", "left_outer").contains(joinType),
+      s"stream-stream time-bound join supports inner/leftOuter, got $joinType")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint; both sides carry: " +
+        overlap.mkString(", "))
+    val l = left.withWatermark(leftTime, lateness)
+    val r = right.withWatermark(rightTime, lateness)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) &&
+        col(rightTime) <= col(leftTime) + expr(s"interval $within"),
+      joinType)
+  }
+
   /** foreachBatch sink composing [[graft.operators.Dedup]]'s
     * incremental near-dup machinery into a streaming ingest: each
     * micro-batch is probed against the PERSISTED corpus band index

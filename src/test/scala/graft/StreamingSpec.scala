@@ -367,4 +367,75 @@ class StreamingSpec extends SparkSpec {
       s"watermark timeout must flush the tail session: $all")
     assert(!all.exists(_._1 == 2L), "singleton sessions carry no example")
   }
+
+  test("timeBoundJoin: clicks attribute to impressions inside the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = IncrementalStream.timeBoundJoin(
+      imps.toDF().toDF("imp_id", "imp_ts", "imp_user"), "imp_user", "imp_ts",
+      clicks.toDF().toDF("click_id", "click_ts", "click_user"),
+      "click_user", "click_ts",
+      within = "10 minutes", lateness = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("tbj_out")
+      .outputMode("append").start()
+    imps.addData(
+      (100L, ts("2024-01-01 10:00:00"), 1L),
+      (101L, ts("2024-01-01 10:00:00"), 2L),
+      (102L, ts("2024-01-01 11:00:00"), 1L))
+    clicks.addData(
+      (900L, ts("2024-01-01 10:05:00"), 1L), // inside imp 100's window
+      (901L, ts("2024-01-01 10:30:00"), 2L), // 30 min late: outside
+      (902L, ts("2024-01-01 09:59:00"), 1L)) // BEFORE the impression
+    q.processAllAvailable()
+    val got = spark.table("tbj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    q.stop()
+    assert(got == Set((100L, 900L)),
+      s"only the in-window same-user click may attribute: $got")
+  }
+
+  test("timeBoundJoin leftOuter: unmatched impressions emit after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = IncrementalStream.timeBoundJoin(
+      imps.toDF().toDF("imp_id", "imp_ts", "imp_user"), "imp_user", "imp_ts",
+      clicks.toDF().toDF("click_id", "click_ts", "click_user"),
+      "click_user", "click_ts",
+      within = "10 minutes", lateness = "5 minutes", joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("tbj_outer_out")
+      .outputMode("append").start()
+    imps.addData(
+      (100L, ts("2024-01-01 10:00:00"), 1L),
+      (101L, ts("2024-01-01 10:00:00"), 2L)) // never clicked
+    clicks.addData((900L, ts("2024-01-01 10:04:00"), 1L))
+    q.processAllAvailable()
+    // Push BOTH watermarks far past imp 101's window + lateness so the
+    // engine can prove no matching click is still possible.
+    imps.addData((199L, ts("2024-01-01 12:00:00"), 9L))
+    clicks.addData((999L, ts("2024-01-01 12:00:00"), 9L))
+    q.processAllAvailable()
+    imps.addData((198L, ts("2024-01-01 12:30:00"), 9L))
+    clicks.addData((998L, ts("2024-01-01 12:30:00"), 9L))
+    q.processAllAvailable()
+    val rows = spark.table("tbj_outer_out").collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    q.stop()
+    assert(rows(100L).contains(900L))
+    assert(rows.contains(101L) && rows(101L).isEmpty,
+      s"unmatched impression must emit with null click: $rows")
+  }
+
+  test("timeBoundJoin refuses colliding column names") {
+    implicit val sqlCtx = spark.sqlContext
+    val a = MemoryStream[(Long, java.sql.Timestamp)]
+    val b = MemoryStream[(Long, java.sql.Timestamp)]
+    intercept[IllegalArgumentException] {
+      IncrementalStream.timeBoundJoin(
+        a.toDF().toDF("id", "ts"), "id", "ts",
+        b.toDF().toDF("id", "ts"), "id", "ts", "5 minutes", "1 minute")
+    }
+  }
 }
