@@ -917,4 +917,120 @@ object Similarity {
       .withColumn("drift", col("__build_mean") - col("mean_sim"))
       .drop("__build_mean")
   }
+
+  /** Residual vectors w.r.t. each vector's assigned coarse centroid:
+    * r = v − c, computed in double and narrowed back to float (one
+    * IEEE rounding, replicable anywhere). Residuals are smaller and
+    * better-centered than raw vectors, so a PQ codebook of the same
+    * size quantizes them tighter — the reason FAISS's IVF-PQ encodes
+    * residuals (add-after-train recipe). Returns (id, cluster,
+    * residual); entirely map-side after the broadcast assignment.
+    */
+  def residualVectors(vecs: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame): DataFrame =
+    assignNearest(vecs, idCol, vecCol, centroidDf)
+      .select(col(idCol), col("cluster"),
+        zip_with(col(vecCol), col("centroid"),
+          (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
+          .as("residual"))
+
+  /** PQ codebook trained on coarse-assignment residuals — pair with
+    * [[ivfWritePqResidual]]/[[ivfSearchPqResidual]].
+    */
+  def pqResidualCodebook(vecs: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame, m: Int, subDim: Int): DataFrame =
+    pqCodebook(residualVectors(vecs, idCol, vecCol, centroidDf)
+      .select(col("residual").as(vecCol)), vecCol, m, subDim)
+
+  /** Persisted residual-encoded IVF-PQ index: [[ivfWritePq]]'s layout
+    * (codes partitioned by coarse cluster) with the codes encoding
+    * RESIDUALS against the vector's own coarse centroid.
+    */
+  def ivfWritePqResidual(vecs: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame, codebook: DataFrame, m: Int, subDim: Int,
+      path: String): Unit = {
+    val res = residualVectors(vecs, idCol, vecCol, centroidDf)
+      .localCheckpoint(true) // encode + coarse routing read it once each
+    pqEncode(res, idCol, "residual", codebook, m, subDim)
+      .withColumnRenamed("cluster", "code")
+      .join(res.select(col(idCol), col("cluster")), idCol)
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+  }
+
+  /** Probe-limited search over a residual-encoded PQ index:
+    * score = ⟨q, c⟩ + ⟨q, r̂⟩ — the coarse term is EXACT per probe
+    * cluster (one scalar each, broadcast) and only the residual rides
+    * the ADC lookup table ([[pqAdcLut]] on the residual codebook,
+    * cluster-independent because the dot is linear). Same probed
+    * partition-pruned read as [[ivfSearchPq]].
+    */
+  def ivfSearchPqResidual(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, centroidDf: DataFrame,
+      codebook: DataFrame, query: Seq[Float], k: Int,
+      nprobe: Int): DataFrame = {
+    val probes = probeClusters(centroidDf, query, nprobe)
+    val qlit = array(query.map(lit): _*)
+    val coarseTerm = centroidDf
+      .filter(col("cluster").isin(probes.toIndexedSeq: _*))
+      .select(col("cluster"), dotNative(qlit, col("centroid")).as("cterm"))
+    val pruned = spark.read.parquet(path)
+      .filter(col("cluster").isin(probes.toIndexedSeq: _*))
+    pruned
+      .join(broadcast(pqAdcLut(codebook, query)
+        .withColumnRenamed("cluster", "code")), Seq("sub", "code"))
+      .groupBy(col(idCol), col("cluster"))
+      .agg(sum(col("t")).as("rscore"))
+      .join(broadcast(coarseTerm), "cluster")
+      .select(col(idCol), (col("rscore") + col("cterm")).as("score"))
+      .orderBy(col("score").desc_nulls_last, col(idCol))
+      .limit(k)
+  }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions
+    * with a deterministic ±1 sign matrix (Achlioptas 2003 — public
+    * result: a Rademacher matrix satisfies the JL lemma): y_j =
+    * round( (Σ_i v_i · r(i,j)) / √outDim, 9 ), with r(i,j) = ±1 from
+    * the parity of md5's first nibble over `salt:i:j` — the same
+    * portable hash family every sampler here uses, so the matrix
+    * needs no storage and regenerates identically anywhere.
+    *
+    * The dimensionality-reduction rung ahead of the ANN ladder: at
+    * 100 TB the index build cost scales with d, and JL-projecting
+    * 64 → 16 dims costs one pass while provably (1±ε)-preserving
+    * pairwise distances. Physical shape: the sign matrix is a
+    * GENERATED d×outDim frame (≤ a few thousand rows) broadcast into
+    * the exploded (row, i, v_i) stream; the per-(row, j) partial sums
+    * accumulate in DECIMAL(38,18) so the re-assembled vectors are
+    * shuffle-order-independent (and match a declarative restatement
+    * bit for bit). One data-sized exchange: the groupBy(row) that
+    * re-collects output dimensions.
+    */
+  def randomProject(vecs: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, salt: String): DataFrame = {
+    require(outDim >= 1, s"need outDim >= 1, got $outDim")
+    val spark = vecs.sparkSession
+    val d = vecs.select(size(col(vecCol)).as("__d"))
+      .filter(col("__d").isNotNull).head.getInt(0)
+    val signs = spark.range(d.toLong).select(col("id").cast("int").as("i"))
+      .crossJoin(spark.range(outDim.toLong)
+        .select(col("id").cast("int").as("j")))
+      .select(col("i"), col("j"),
+        when(conv(substring(md5(concat_ws(":", lit(salt), col("i"),
+            col("j"))), 1, 1), 16, 10).cast("int") % 2 === 0, lit(1.0))
+          .otherwise(lit(-1.0)).as("r"))
+    val exploded = vecs.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("i", "v")))
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    exploded.join(broadcast(signs), "i")
+      .groupBy(col(idCol), col("j"))
+      .agg(sum((col("v").cast("double") * col("r"))
+        .cast("decimal(38,18)")).as("acc"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("j"),
+        round(col("acc").cast("double") * lit(scale), 9).as("y"))))
+        .as("ys"))
+      .select(col(idCol),
+        transform(col("ys"), x => x.getField("y")).as("projected"))
+  }
 }

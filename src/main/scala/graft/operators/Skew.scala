@@ -184,4 +184,55 @@ object Skew {
       .agg(approx_count_distinct(col("__w"), rsd).as("n_tok_approx"))
     docAgg.join(tokAgg, Seq(groupCol))
   }
+
+  /** Count-min sketch build (Cormode & Muthukrishnan 2005 — public
+    * algorithm): `depth × width` counter cells, cell (r, c) counts the
+    * rows whose key hashes to column c under row-r's hash. The
+    * frequency summary that fits in KB when the key space doesn't:
+    * mergeable across partitions/batches (cells just add), one-sided
+    * error (estimates never undercount), ε ≈ e/width overcount bound.
+    *
+    * Hashing is the house portable family (md5 over `salt:r:key`, first
+    * 12 hex chars as an integer) so an engine-independent restatement
+    * builds bit-identical cells —
+    * the q170 gate proves BOTH the sketch construction and the
+    * estimate query. Build is one map-side ×depth fan-out collapsing
+    * into ≤ depth·width cells before the exchange (map-side combine);
+    * the cells table is broadcast-sized by construction.
+    */
+  def countMinCells(df: DataFrame, keyCol: String, depth: Int, width: Int,
+      salt: String, weight: Column = lit(1L)): DataFrame = {
+    require(depth >= 1 && width >= 1,
+      s"need depth >= 1 and width >= 1, got $depth x $width")
+    // `weight` defaults to 1 per row (the streaming build); passing a
+    // pre-aggregated count column builds IDENTICAL cells from a
+    // key-count table (CMS is additive), turning d×|rows| hash calls
+    // into d×|keys| when counts already exist.
+    df.select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col(keyCol),
+        weight.cast("long").as("__w"))
+      .select(col("r"), col("__w"),
+        (conv(substring(md5(concat_ws(":", lit(salt), col("r"),
+          col(keyCol).cast("string"))), 1, 12), 16, 10).cast("long")
+          % lit(width)).as("c"))
+      .groupBy("r", "c").agg(sum(col("__w")).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a cells table: min over the key's
+    * depth cells. `keys` is a (small) table of keys to probe; the
+    * cells table broadcasts, so probing is map-side.
+    */
+  def cmsEstimate(cells: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int, width: Int, salt: String): DataFrame =
+    keys
+      .select(col(keyCol),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("c",
+        conv(substring(md5(concat_ws(":", lit(salt), col("r"),
+          col(keyCol).cast("string"))), 1, 12), 16, 10).cast("long")
+          % lit(width))
+      .join(broadcast(cells), Seq("r", "c"), "left")
+      .groupBy(col(keyCol))
+      // A key hashing into an untouched cell has true count 0 in that
+      // row — the min must see 0, not skip the null.
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 }

@@ -1199,6 +1199,57 @@ object Advanced {
                round((r * sxy - sx * sy) / (r * sxx - sx * sx), 9) AS slope
         FROM sums ORDER BY 1""")),
 
+    // ---- count-min sketch frequency estimates (q170) --------------------
+    // depth=4 × width=256 counter cells over part keys — deliberately
+    // narrow so collisions happen and the one-sided error is VISIBLE:
+    // the gate reports exact vs estimate for the 20 hottest keys with
+    // the overcount, and the oracle rebuilds bit-identical cells from
+    // the same md5 hashing, proving construction AND probe. Cells are
+    // mergeable (counters add) — the sketch a 100 TB profile job ships
+    // per partition and unions. Operator: [[graft.operators.Skew
+    // .countMinCells]]/[[graft.operators.Skew.cmsEstimate]].
+    QueryDef("q170_count_min",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_partkey").as("k"))
+        // ONE fact scan: the exact key-count table (bounded by |keys|)
+        // is checkpointed and feeds the top-20, the weighted cells
+        // build (≡ raw build by CMS additivity — the oracle builds
+        // raw, so the gate proves it), and the output join.
+        val exact = li.groupBy("k").agg(count(lit(1)).as("n_exact"))
+          .localCheckpoint(true)
+        val top = exact.orderBy(col("n_exact").desc, col("k")).limit(20)
+        val cells = graft.operators.Skew.countMinCells(
+          exact, "k", depth = 4, width = 256, salt = "cms",
+          weight = col("n_exact"))
+        graft.operators.Skew.cmsEstimate(
+            cells, top.select("k"), "k", depth = 4, width = 256, salt = "cms")
+          .join(top, "k")
+          .select(col("k"), col("n_exact"), col("cms_est"),
+            (col("cms_est") - col("n_exact")).as("overcount"))
+          .orderBy(col("n_exact").desc, col("k"))
+      },
+      Some("""
+        WITH keys AS (SELECT l_partkey AS k FROM lineitem),
+        exact AS (SELECT k, CAST(count(*) AS BIGINT) AS n_exact
+                  FROM keys GROUP BY 1),
+        top AS (SELECT * FROM exact ORDER BY n_exact DESC, k LIMIT 20),
+        cells AS (SELECT r.r,
+                         CAST('0x' || substr(md5('cms:' || r.r || ':' ||
+                           CAST(k AS VARCHAR)), 1, 12) AS BIGINT) % 256 AS c,
+                         CAST(count(*) AS BIGINT) AS cnt
+                  FROM keys CROSS JOIN range(4) r(r) GROUP BY 1, 2),
+        est AS (SELECT t.k,
+                       min(coalesce(cells.cnt, 0)) AS cms_est
+                FROM top t CROSS JOIN range(4) r(r)
+                LEFT JOIN cells ON cells.r = r.r AND cells.c =
+                  CAST('0x' || substr(md5('cms:' || r.r || ':' ||
+                    CAST(t.k AS VARCHAR)), 1, 12) AS BIGINT) % 256
+                GROUP BY 1)
+        SELECT t.k, t.n_exact, e.cms_est,
+               e.cms_est - t.n_exact AS overcount
+        FROM top t JOIN est e USING (k)
+        ORDER BY n_exact DESC, k""")),
+
     // ---- CDC apply with deletes (q151) ----------------------------------
     // The merge shape MERGE-without-DELETE can't express: a change
     // batch of I/U/D ops, latest version per key winning, applied in

@@ -183,7 +183,15 @@ object SimilarityOps {
     * this is its portable restatement, same pattern as the q54/q59
     * IVF gates.
     */
-  private def pqAdcScores(s: SparkSession, dir: String): DataFrame = {
+  /** The PQ encode chain's intermediates: element stream with
+    * subspace indices, double codebook, code assignment with its
+    * squared error, and the chosen codes — shared by the ADC scorer
+    * and the q171 reconstruction-error audit.
+    */
+  private final case class PqParts(ex: DataFrame, cbd: DataFrame,
+      asn: DataFrame, codes: DataFrame)
+
+  private def pqParts(s: SparkSession, dir: String): PqParts = {
     val m = 16; val w = 4
     val e = emb(s, dir)
     val ex = e
@@ -219,8 +227,17 @@ object SimilarityOps {
     val codes = graft.functions.ColumnLib.latestWins(asn,
         Seq("vec_id", "sub"), Seq(col("d2r").asc, col("cluster").asc))
       .select("vec_id", "sub", "cluster")
-    val q = ex.filter(col("vec_id") === 0).select(col("pos"), col("v").as("qv"))
-    codes.join(broadcast(cbd), Seq("sub", "cluster"))
+    PqParts(ex, cbd, asn, codes)
+  }
+
+  private def pqAdcScores(s: SparkSession, dir: String): DataFrame =
+    pqAdcScoresFrom(pqParts(s, dir))
+
+  private def pqAdcScoresFrom(p: PqParts): DataFrame = {
+    val w = 4
+    val q = p.ex.filter(col("vec_id") === 0)
+      .select(col("pos"), col("v").as("qv"))
+    p.codes.join(broadcast(p.cbd), Seq("sub", "cluster"))
       .select(col("vec_id"), (col("sub") * w + col("lpos")).as("pos"),
         col("cd"))
       .join(broadcast(q), "pos")
@@ -288,11 +305,15 @@ object SimilarityOps {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(10)
 
-  /** The un-truncated IVF-PQ candidate ranking behind q99/q100/q108:
-    * every probed-cluster member with its ADC score. Callers cut to
-    * their own k (q99 top-10; q108's two-stage gate shortlists 4k).
+  /** Shared decimal coarse stage of the IVF-PQ gates: exploded
+    * embeddings, decimal-grid centroid elements, the nearest-centroid
+    * assignment, and the nprobe=2 probe set. Single-sourced so
+    * q99/q100/q108 and the residual variant (q171) route identically.
     */
-  private def ivfPqRanked(s: SparkSession, dir: String): DataFrame = {
+  private final case class CoarseParts(ex: DataFrame, cd: DataFrame,
+      assign: DataFrame, probes: DataFrame)
+
+  private def coarseParts(s: SparkSession, dir: String): CoarseParts = {
     val e = emb(s, dir)
     val ex = e
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
@@ -328,11 +349,93 @@ object SimilarityOps {
       .orderBy((col("pdotd").cast(DoubleType) /
         (sqrt(col("cnn")) * sqrt(col("qnn")))).desc, col("cluster"))
       .limit(2).select("cluster")
-    val candidates = assign
-      .join(broadcast(probes), Seq("cluster"), "left_semi")
+    CoarseParts(ex, cd, assign, probes)
+  }
+
+  /** The un-truncated IVF-PQ candidate ranking behind q99/q100/q108:
+    * every probed-cluster member with its ADC score. Callers cut to
+    * their own k (q99 top-10; q108's two-stage gate shortlists 4k).
+    */
+  private def ivfPqRanked(s: SparkSession, dir: String): DataFrame = {
+    val parts = coarseParts(s, dir)
+    val candidates = parts.assign
+      .join(broadcast(parts.probes), Seq("cluster"), "left_semi")
       .select("vec_id")
     pqAdcScores(s, dir)
       .join(candidates, Seq("vec_id"), "left_semi")
+  }
+
+  /** Residual-encoded IVF-PQ candidate ranking (the FAISS production
+    * recipe, q171): PQ codebooks are trained on RESIDUALS r = v − c
+    * (coarse centroid), which are smaller and better-centered than raw
+    * vectors, so the same code budget quantizes tighter. Score =
+    * ⟨q, c⟩ + ⟨q, r̂⟩ — the coarse term is exact per cluster and only
+    * the residual is quantized. Same decimal discipline end to end;
+    * the m=16/w=4 split, sign-seeded codebooks, and latestWins code
+    * assignment mirror [[pqAdcScores]] exactly so the ONLY difference
+    * under test is residual vs raw encoding.
+    */
+  private final case class ResidualPqParts(scores: DataFrame,
+      asn: DataFrame, codes: DataFrame)
+
+  private def pqResidualParts(s: SparkSession, dir: String,
+      parts: CoarseParts): ResidualPqParts = {
+    val m = 16; val w = 4
+    // Residual elements: v − c of the vector's own coarse centroid.
+    // Exact in double (both operands are float-representable grids).
+    val exr = parts.ex
+      .join(parts.assign, "vec_id")
+      .join(broadcast(parts.cd), Seq("cluster", "pos"))
+      .select(col("vec_id"), col("pos"), (col("v") - col("c")).as("r"))
+      .withColumn("sub", floor(col("pos") / w).cast(IntegerType))
+      .withColumn("lpos", col("pos") - col("sub") * w)
+      .localCheckpoint(true) // read by buckets, codebook, assignment
+    // Per-subspace sign buckets ON RESIDUALS (positions 0 vs 2 and
+    // 1 vs 3 within the subspace — pqAdcScores' seeding, residual-fed).
+    val bkr = exr.groupBy("vec_id", "sub")
+      .agg(
+        max(when(col("lpos") === 0, col("r"))).as("r0"),
+        max(when(col("lpos") === 1, col("r"))).as("r1"),
+        max(when(col("lpos") === 2, col("r"))).as("r2"),
+        max(when(col("lpos") === 3, col("r"))).as("r3"))
+      .select(col("vec_id"), col("sub"), concat(
+        when(col("r0") > col("r2"), "1").otherwise("0"),
+        when(col("r1") > col("r3"), "1").otherwise("0")).as("cluster"))
+    val cbr = exr.join(bkr, Seq("vec_id", "sub"))
+      .groupBy("sub", "cluster", "lpos")
+      .agg((round(sum(col("r").cast(D)).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType), 9)).cast(FloatType).as("c"))
+      .localCheckpoint(true)
+    val cbd = cbr.select(col("sub"), col("cluster"), col("lpos"),
+      col("c").cast(DoubleType).as("cd"))
+    val asn = exr.join(broadcast(cbd), Seq("sub", "lpos"))
+      .groupBy("vec_id", "sub", "cluster")
+      .agg(sum(((col("r") - col("cd")) * (col("r") - col("cd"))).cast(D))
+        .as("d2"))
+      .select(col("vec_id"), col("sub"), col("cluster"),
+        round(col("d2").cast(DoubleType), 9).as("d2r"))
+    val codes = graft.functions.ColumnLib.latestWins(asn,
+        Seq("vec_id", "sub"), Seq(col("d2r").asc, col("cluster").asc))
+      .select("vec_id", "sub", "cluster")
+    val q = parts.ex.filter(col("vec_id") === 0)
+      .select(col("pos"), col("v").as("qv"))
+    // Residual ADC partial: ⟨q, r̂⟩ in decimal.
+    val rsc = codes.join(broadcast(cbd), Seq("sub", "cluster"))
+      .select(col("vec_id"), (col("sub") * w + col("lpos")).as("pos"),
+        col("cd"))
+      .join(broadcast(q), "pos")
+      .groupBy("vec_id")
+      .agg(sum((col("qv") * col("cd")).cast(D)).as("rsd"))
+    // Exact coarse term: ⟨q, c_coarse(vec)⟩ in decimal.
+    val ct = parts.assign
+      .join(broadcast(parts.cd), "cluster")
+      .join(broadcast(q), "pos")
+      .groupBy("vec_id")
+      .agg(sum((col("qv") * col("c")).cast(D)).as("ctd"))
+    val scores = rsc.join(ct, "vec_id")
+      .select(col("vec_id"),
+        round((col("rsd") + col("ctd")).cast(DoubleType), 9).as("score"))
+    ResidualPqParts(scores, asn, codes)
   }
 
   /** DuckDB CTE chain for the IVF-PQ gates: coarse assignment + probe
@@ -1871,5 +1974,228 @@ object SimilarityOps {
                      (sqrt(CAST(nrm2 AS DOUBLE))*sqrt(CAST(qnrm2 AS DOUBLE))), 9)
                  AS cosine
         FROM d WHERE nrm2 > 0 AND qnrm2 > 0
-        ORDER BY cosine DESC, vec_id LIMIT 10""")))
+        ORDER BY cosine DESC, vec_id LIMIT 10""")),
+
+    // ---- Johnson–Lindenstrauss random projection (q169) -----------------
+    // Deterministic ±1 Rademacher projection 64 → 8 dims — the
+    // dimensionality-reduction rung ahead of the ANN ladder (index
+    // build cost scales with d; JL provably (1±ε)-preserves pairwise
+    // distances). The sign matrix regenerates from md5 parity (no
+    // storage); per-dimension sums accumulate in DECIMAL(38,18) so
+    // both engines assemble identical doubles; the scale multiplier
+    // 1/√8 is one shared double constant. Output pivoted to columns
+    // (comparator cannot sort arrays). Operator:
+    // [[graft.operators.Similarity.randomProject]].
+    QueryDef("q169_random_projection",
+      (s, dir) => {
+        val p = graft.operators.Similarity.randomProject(
+          emb(s, dir), "vec_id", "embedding", outDim = 8, salt = "jl")
+        p.select(col("vec_id") +:
+            (0 until 8).map(j => col("projected")(j).as(s"y$j")): _*)
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                          generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings),
+        dims AS (SELECT DISTINCT pos - 1 AS i FROM e),
+        r AS (SELECT dims.i, j.j,
+                     CASE WHEN CAST('0x' ||
+                         substr(md5('jl:' || dims.i || ':' || j.j), 1, 1)
+                       AS INTEGER) % 2 = 0
+                       THEN 1.0 ELSE -1.0 END AS r
+              FROM dims, range(8) j(j)),
+        acc AS (SELECT e.vec_id, r.j,
+                       CAST(SUM(CAST(e.v * r.r AS DECIMAL(38,18)))
+                         AS DOUBLE) AS a
+                FROM e JOIN r ON r.i = e.pos - 1
+                GROUP BY 1, 2),
+        y AS (SELECT vec_id, j, round(a * (1.0 / sqrt(8.0)), 9) AS y
+              FROM acc)
+        SELECT vec_id,
+               max(CASE WHEN j = 0 THEN y END) AS y0,
+               max(CASE WHEN j = 1 THEN y END) AS y1,
+               max(CASE WHEN j = 2 THEN y END) AS y2,
+               max(CASE WHEN j = 3 THEN y END) AS y3,
+               max(CASE WHEN j = 4 THEN y END) AS y4,
+               max(CASE WHEN j = 5 THEN y END) AS y5,
+               max(CASE WHEN j = 6 THEN y END) AS y6,
+               max(CASE WHEN j = 7 THEN y END) AS y7
+        FROM y GROUP BY 1 ORDER BY 1""")),
+
+    // ---- residual-encoded IVF-PQ vs raw, recall head-to-head (q171) -----
+    // The FAISS production recipe measured against q99's raw encoding
+    // UNDER IDENTICAL EVERYTHING ELSE (same coarse route, same probe
+    // set, same m=16/w=4 codebook seeding): PQ trained on residuals
+    // v − c, scored as ⟨q,c⟩ + ⟨q,r̂⟩ where the coarse term is exact
+    // and only the residual is quantized. Output: recall@10 of BOTH
+    // variants against the decimal-exact top-10, side by side — the
+    // adoption argument for residual encoding as a verified number.
+    QueryDef("q171_residual_pq",
+      (s, dir) => {
+        val parts = coarseParts(s, dir)
+        val candidates = parts.assign
+          .join(broadcast(parts.probes), Seq("cluster"), "left_semi")
+          .select("vec_id")
+          .localCheckpoint(true) // shared by yardstick + both variants
+        val q = parts.ex.filter(col("vec_id") === 0)
+          .select(col("pos"), col("v").as("qv"))
+        // Yardstick: exact top-10 WITHIN the probed candidates — both
+        // variants see the same probe truncation, so the number
+        // isolates quantization fidelity (what residual encoding
+        // changes) from coarse-probe loss (what it cannot change).
+        val exactTop = parts.ex
+          .join(candidates, Seq("vec_id"), "left_semi")
+          .join(broadcast(q), "pos")
+          .groupBy("vec_id")
+          .agg(sum((col("v") * col("qv")).cast(D)).as("sd"))
+          .select(col("vec_id"), round(col("sd").cast(DoubleType), 9).as("dot"))
+          .orderBy(col("dot").desc, col("vec_id"))
+          .limit(10).select("vec_id")
+          .localCheckpoint(true) // read by both recall rows
+        def recallOf(method: String, scores: DataFrame): DataFrame = {
+          val top = scores.join(candidates, Seq("vec_id"), "left_semi")
+            .orderBy(col("score").desc, col("vec_id"))
+            .limit(10).select("vec_id")
+          exactTop.join(top.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+            .agg(coalesce(sum(col("hit")), lit(0)).cast(LongType).as("hits"),
+              count(lit(1)).as("total"))
+            .select(lit(method).as("method"), col("hits"), col("total"),
+              round(col("hits").cast(DoubleType) /
+                col("total").cast(DoubleType), 9).as("recall"))
+        }
+        val raw = pqParts(s, dir)
+        val res = pqResidualParts(s, dir, parts)
+        // Mean squared reconstruction error over the WHOLE corpus in
+        // floored micro units — the fidelity number that separates
+        // the encodings even when a 10-deep recall cut ties: the
+        // residual codebook spends its 2 bits/sub on a tighter,
+        // centered distribution. Chosen-code d2 is already on the
+        // 1e-9 grid, so the decimal sums are exact in both engines.
+        def mseMicro(asn: DataFrame, codes: DataFrame): DataFrame =
+          codes.join(asn, Seq("vec_id", "sub", "cluster"))
+            .groupBy("vec_id").agg(sum(col("d2r").cast(D)).as("e2"))
+            .agg(sum(col("e2")).as("se2"), count(lit(1)).as("nv"))
+            .select(floor(col("se2").cast(DoubleType) /
+                col("nv").cast(DoubleType) * lit(1000000.0))
+              .cast(LongType).as("mse_micro"))
+        recallOf("ivf_pq_raw", pqAdcScoresFrom(raw))
+          .crossJoin(mseMicro(raw.asn, raw.codes))
+          .unionByName(recallOf("ivf_pq_residual", res.scores)
+            .crossJoin(mseMicro(res.asn, res.codes)))
+          .orderBy("method")
+      },
+      Some(s"""
+        WITH $ivfPqCte,
+        adct AS (SELECT vec_id FROM (
+                   SELECT vec_id, row_number() OVER (
+                     ORDER BY score DESC, vec_id) AS rk
+                   FROM pqsc
+                   WHERE vec_id IN (SELECT a.vec_id FROM assign a
+                                    JOIN probes p ON p.label = a.label))
+                 WHERE rk <= 10),
+        exr AS (SELECT ex.vec_id, ex.pos, ex.v - cd.c AS r,
+                       CAST(floor(ex.pos / 4) AS INT) AS sub,
+                       ex.pos - CAST(floor(ex.pos / 4) AS INT) * 4 AS lpos
+                FROM ex
+                JOIN assign a ON a.vec_id = ex.vec_id
+                JOIN centd cd ON cd.label = a.label AND cd.pos = ex.pos + 1),
+        bkr AS (SELECT vec_id, sub,
+                  (CASE WHEN max(CASE WHEN lpos = 0 THEN r END) >
+                             max(CASE WHEN lpos = 2 THEN r END)
+                        THEN '1' ELSE '0' END) ||
+                  (CASE WHEN max(CASE WHEN lpos = 1 THEN r END) >
+                             max(CASE WHEN lpos = 3 THEN r END)
+                        THEN '1' ELSE '0' END) AS cluster
+                FROM exr GROUP BY 1, 2),
+        cbr AS (SELECT exr.sub, bkr.cluster, exr.lpos,
+                       CAST(round(CAST(SUM(CAST(exr.r AS DECIMAL(38,18)))
+                                       AS DOUBLE) / count(*), 9) AS REAL) AS c
+                FROM exr JOIN bkr
+                  ON bkr.vec_id = exr.vec_id AND bkr.sub = exr.sub
+                GROUP BY 1, 2, 3),
+        cbdr AS (SELECT sub, cluster, lpos, CAST(c AS DOUBLE) AS cd FROM cbr),
+        asnr AS (SELECT exr.vec_id, exr.sub, cbdr.cluster,
+                        round(CAST(SUM(CAST((exr.r - cbdr.cd) *
+                          (exr.r - cbdr.cd) AS DECIMAL(38,18))) AS DOUBLE), 9)
+                          AS d2
+                 FROM exr JOIN cbdr
+                   ON cbdr.sub = exr.sub AND cbdr.lpos = exr.lpos
+                 GROUP BY 1, 2, 3),
+        codesr AS (SELECT vec_id, sub, cluster FROM (
+                     SELECT vec_id, sub, cluster,
+                            row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, cluster ASC) AS rk
+                     FROM asnr) WHERE rk = 1),
+        rsc AS (SELECT cdx.vec_id,
+                       SUM(CAST(q.qv * cdx.cd AS DECIMAL(38,18))) AS rsd
+                FROM (SELECT codesr.vec_id,
+                             cbdr.sub * 4 + cbdr.lpos AS pos, cbdr.cd
+                      FROM codesr JOIN cbdr
+                        ON cbdr.sub = codesr.sub
+                       AND cbdr.cluster = codesr.cluster) cdx
+                JOIN q ON q.pos = cdx.pos
+                GROUP BY 1),
+        ctt AS (SELECT a.vec_id,
+                       SUM(CAST(q.qv * cd.c AS DECIMAL(38,18))) AS ctd
+                FROM assign a
+                JOIN centd cd ON cd.label = a.label
+                JOIN q ON q.pos = cd.pos - 1
+                GROUP BY 1),
+        rtop AS (SELECT vec_id FROM (
+                   SELECT rsc.vec_id, row_number() OVER (
+                     ORDER BY round(CAST(rsc.rsd + ctt.ctd AS DOUBLE), 9)
+                       DESC, rsc.vec_id) AS rk
+                   FROM rsc JOIN ctt USING (vec_id)
+                   WHERE rsc.vec_id IN (SELECT a.vec_id FROM assign a
+                                        JOIN probes p ON p.label = a.label))
+                 WHERE rk <= 10),
+        exd AS (SELECT ex.vec_id,
+                       round(CAST(SUM(CAST(ex.v * q.qv AS DECIMAL(38,18)))
+                             AS DOUBLE), 9) AS dot
+                FROM ex JOIN q ON q.pos = ex.pos
+                WHERE ex.vec_id IN (SELECT a.vec_id FROM assign a
+                                    JOIN probes p ON p.label = a.label)
+                GROUP BY 1),
+        ext AS (SELECT vec_id FROM (
+                  SELECT vec_id, row_number() OVER (
+                    ORDER BY dot DESC, vec_id) AS rk FROM exd)
+                WHERE rk <= 10),
+        rawe AS (SELECT asn.vec_id,
+                        SUM(CAST(asn.d2 AS DECIMAL(38,18))) AS e2
+                 FROM codes JOIN asn
+                   ON asn.vec_id = codes.vec_id AND asn.sub = codes.sub
+                  AND asn.cluster = codes.cluster
+                 GROUP BY 1),
+        rawm AS (SELECT CAST(floor(CAST(SUM(e2) AS DOUBLE) /
+                   CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+                   AS mse_micro FROM rawe),
+        rese AS (SELECT asnr.vec_id,
+                        SUM(CAST(asnr.d2 AS DECIMAL(38,18))) AS e2
+                 FROM codesr JOIN asnr
+                   ON asnr.vec_id = codesr.vec_id AND asnr.sub = codesr.sub
+                  AND asnr.cluster = codesr.cluster
+                 GROUP BY 1),
+        resm AS (SELECT CAST(floor(CAST(SUM(e2) AS DOUBLE) /
+                   CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+                   AS mse_micro FROM rese)
+        SELECT * FROM (
+          SELECT 'ivf_pq_raw' AS method,
+                 (SELECT count(*) FROM ext JOIN adct USING (vec_id)) AS hits,
+                 (SELECT count(*) FROM ext) AS total,
+                 round(CAST((SELECT count(*) FROM ext
+                             JOIN adct USING (vec_id)) AS DOUBLE) /
+                       CAST((SELECT count(*) FROM ext) AS DOUBLE), 9)
+                   AS recall,
+                 (SELECT mse_micro FROM rawm) AS mse_micro
+          UNION ALL
+          SELECT 'ivf_pq_residual' AS method,
+                 (SELECT count(*) FROM ext JOIN rtop USING (vec_id)) AS hits,
+                 (SELECT count(*) FROM ext) AS total,
+                 round(CAST((SELECT count(*) FROM ext
+                             JOIN rtop USING (vec_id)) AS DOUBLE) /
+                       CAST((SELECT count(*) FROM ext) AS DOUBLE), 9)
+                   AS recall,
+                 (SELECT mse_micro FROM resm) AS mse_micro)
+        ORDER BY method""")))
 }

@@ -431,4 +431,89 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got.contains(11L))
   }
+
+  test("residual IVF-PQ: exact when residual groups are codebook-pure") {
+    import org.apache.spark.sql.Row
+    // Two coarse clusters far apart; every member of a cluster carries
+    // one of two EXACT residual patterns (duplicated), so the residual
+    // codebook's centroids equal the residuals themselves and the ADC
+    // score collapses to the exact dot product — the strongest
+    // possible correctness pin for the residual path.
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val c1 = v(8, 0, 0, 0, 0, 0, 0, 0)
+    val c2 = v(0, 0, 0, 0, 8, 0, 0, 0)
+    val cents = df("cluster STRING, centroid ARRAY<FLOAT>",
+      Row("a", c1), Row("b", c2))
+    val rA = Seq(1.0, 2.0, 0.0, 0.0, 0.0, 0.0, 1.0, 3.0)
+    val rB = Seq(-1.0, 0.0, 2.0, 0.0, 1.0, 0.0, 0.0, 0.0)
+    def plus(c: Seq[Float], r: Seq[Double]) =
+      c.zip(r).map { case (a, b) => (a + b).toFloat }.toSeq
+    val rows = Seq(
+      1L -> plus(c1, rA), 2L -> plus(c1, rA),
+      3L -> plus(c1, rB), 4L -> plus(c1, rB),
+      5L -> plus(c2, rA), 6L -> plus(c2, rA),
+      7L -> plus(c2, rB), 8L -> plus(c2, rB))
+    val vecs = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      rows.map(r => Row(Long.box(r._1), r._2)): _*)
+    // residualVectors: r = v − c exactly.
+    val res = Similarity.residualVectors(vecs, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(res(1L).map(_.toDouble) == rA && res(7L).map(_.toDouble) == rB)
+    val cb = Similarity.pqResidualCodebook(vecs, "vec_id", "embedding",
+      cents, m = 2, subDim = 4)
+    val path = sys.props("java.io.tmpdir") + "/graft_respq_spec"
+    Similarity.ivfWritePqResidual(vecs, "vec_id", "embedding", cents, cb,
+      m = 2, subDim = 4, path)
+    val q = v(9, 1, 1, 0, 2, 0, 0, 1)
+    val got = Similarity.ivfSearchPqResidual(spark, path, "vec_id", cents,
+        cb, q, k = 8, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val want = rows.map { case (id, vec) =>
+      id -> vec.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum
+    }.toMap
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - want(id)) < 1e-4,
+        s"residual ADC must be exact here: id $id got $s want ${want(id)}")
+    }
+    assert(got.map(_._1).toSeq ==
+      want.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1),
+      "ranking must match the exact dot order")
+  }
+
+  test("randomProject matches the plain-Scala JL restatement; linear; stable") {
+    import org.apache.spark.sql.Row
+    val d0 = 6
+    val rows = Seq(
+      1L -> Array(1.0f, 2.0f, -3.0f, 0.5f, 0.0f, 4.0f),
+      2L -> Array(0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f),
+      3L -> Array(-1.5f, 2.5f, 0.25f, 1.0f, -2.0f, 0.125f))
+    val vecs = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      rows.map(r => Row(Long.box(r._1), r._2.toSeq)): _*)
+    val k = 4
+    val got = Similarity.randomProject(vecs, "vec_id", "embedding", k, "s")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    // Reference restatement: md5-parity signs, BigDecimal accumulation,
+    // same rounding and scale discipline.
+    def sign(i: Int, j: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"s:$i:$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+    }
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    val want = rows.map { case (id, v) =>
+      id -> (0 until k).map { j =>
+        val acc = v.indices.map(i => BigDecimal(v(i).toDouble * sign(i, j))
+          .setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum
+        BigDecimal.valueOf(acc.toDouble * scale)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toVector
+    }.toMap
+    assert(got == want, s"JL diverged from reference:\n$got\n$want")
+    assert(got(2L).forall(_ == 0.0), "zero vector projects to zeros")
+    // Layout invariance (retry-stable at any partitioning).
+    val again = Similarity.randomProject(vecs.repartition(5), "vec_id",
+        "embedding", k, "s")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    assert(again == got)
+  }
 }

@@ -139,4 +139,45 @@ class SkewSpec extends SparkSpec {
     assert(exchangeLines.exists(l => l.contains("k#") && l.contains("__b")),
       s"dedup exchange must carry (key, bucket):\n${exchangeLines.mkString("\n")}")
   }
+
+  test("count-min sketch: never undercounts, exact when collision-free") {
+    import org.apache.spark.sql.Row
+    val rows = (1 to 200).map(i => Row(Long.box(i % 10))) // keys 0..9, 20 each
+    val d = df("k BIGINT", rows: _*)
+    val exact = d.groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Wide sketch: 10 keys into 4x1024 cells — collision-free with
+    // this fixed salt, so estimates are EXACT.
+    val wide = Skew.countMinCells(d, "k", depth = 4, width = 1024, salt = "t")
+    val estWide = Skew.cmsEstimate(wide, d.select("k").distinct(), "k",
+        depth = 4, width = 1024, salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(estWide == exact, s"wide sketch should be exact:\n$estWide\n$exact")
+    // Tiny sketch: 10 keys into 2x4 cells — collisions guaranteed;
+    // estimates never undercount.
+    val tiny = Skew.countMinCells(d, "k", depth = 2, width = 4, salt = "t")
+    val estTiny = Skew.cmsEstimate(tiny, d.select("k").distinct(), "k",
+        depth = 2, width = 4, salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(estTiny(k) >= n, s"CMS undercounted key $k: ${estTiny(k)} < $n")
+    }
+    assert(estTiny.values.sum > exact.values.sum,
+      "2x4 cells over 10 keys must collide somewhere")
+    // Mergeability: cells from two halves sum to the full-data cells.
+    val h1 = Skew.countMinCells(d.filter(col("k") < 5), "k", 2, 4, "t")
+    val h2 = Skew.countMinCells(d.filter(col("k") >= 5), "k", 2, 4, "t")
+    val merged = h1.unionByName(h2).groupBy("r", "c")
+      .agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = tiny.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == full, s"cells must merge additively:\n$merged\n$full")
+    // A key the sketch never saw estimates 0 (hits untouched cells)
+    // ... unless every probed cell collides; with 4x1024 it does not.
+    val unseen = Skew.cmsEstimate(wide,
+        df("k BIGINT", Row(Long.box(777L))), "k", 4, 1024, "t")
+      .head().getLong(1)
+    assert(unseen == 0L)
+  }
 }
