@@ -87,4 +87,70 @@ object Validate {
         "an explicit decision, not a silent pass")
     checks.reduce(_ unionByName _).orderBy("check_name")
   }
+
+  /** k-anonymity profile over a quasi-identifier column set (Sweeney
+    * 2002 — public definition): a dataset is k-anonymous when every
+    * QI combination covers ≥ k rows. Returns one row per requested
+    * `k`: how many QI groups and rows fall below it, plus the global
+    * anonymity level (the smallest group — the k the release actually
+    * provides). The privacy screen a data release runs BEFORE export;
+    * rows in sub-k groups are re-identification candidates.
+    *
+    * One aggregation over the QI columns (bounded by the QI-space
+    * cardinality) and one tiny cross join of that group table against
+    * the requested-k list — never a second data scan.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String],
+      ks: Seq[Int]): DataFrame = {
+    require(qiCols.nonEmpty && ks.nonEmpty, "need QI columns and k values")
+    require(ks.forall(_ >= 2), s"k < 2 is meaningless: ${ks.mkString(",")}")
+    val groups = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val lvl = groups.agg(min(col("__n")).as("__lvl"))
+    groups
+      .withColumn("k", explode(array(ks.map(k => lit(k)): _*)))
+      .groupBy("k")
+      .agg(
+        sum(when(col("__n") < col("k"), 1L).otherwise(0L))
+          .as("groups_below"),
+        sum(when(col("__n") < col("k"), col("__n")).otherwise(0L))
+          .as("rows_at_risk"))
+      .crossJoin(broadcast(lvl))
+      .select(col("k"), col("groups_below"), col("rows_at_risk"),
+        col("__lvl").as("k_anonymity"),
+        (col("__lvl") >= col("k")).as("satisfied"))
+  }
+
+  /** l-diversity profile (Machanavajjhala et al. 2007 — public
+    * definition): k-anonymity's necessary companion — a big QI group
+    * whose SENSITIVE value is constant still leaks it (the
+    * homogeneity attack k-anonymity cannot see). Per requested `l`:
+    * QI groups whose distinct-sensitive-value count falls below it,
+    * the rows they cover, and the global diversity level (the
+    * smallest per-group distinct count). Same single-aggregation
+    * shape as [[kAnonymity]]; the distinct count is exact
+    * (per-group value cardinality is bounded by the sensitive
+    * domain).
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      ls: Seq[Int]): DataFrame = {
+    require(qiCols.nonEmpty && ls.nonEmpty, "need QI columns and l values")
+    require(ls.forall(_ >= 2), s"l < 2 is meaningless: ${ls.mkString(",")}")
+    val groups = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col(sensitiveCol)).as("__d"))
+    val lvl = groups.agg(min(col("__d")).as("__lvl"))
+    groups
+      .withColumn("l", explode(array(ls.map(l => lit(l)): _*)))
+      .groupBy("l")
+      .agg(
+        sum(when(col("__d") < col("l"), 1L).otherwise(0L))
+          .as("groups_below"),
+        sum(when(col("__d") < col("l"), col("__n")).otherwise(0L))
+          .as("rows_at_risk"))
+      .crossJoin(broadcast(lvl))
+      .select(col("l"), col("groups_below"), col("rows_at_risk"),
+        col("__lvl").as("l_diversity"),
+        (col("__lvl") >= col("l")).as("satisfied"))
+  }
 }

@@ -1250,6 +1250,204 @@ object Advanced {
         FROM top t JOIN est e USING (k)
         ORDER BY n_exact DESC, k""")),
 
+    // ---- linear multi-touch attribution (q172) --------------------------
+    // q154's last-touch rule generalized: every view/click inside the
+    // 30-minute window before a purchase shares the purchase value
+    // EQUALLY (credit = value / n_touches). Per-touch credits snap to
+    // the 1e-9 grid before the decimal roll-up, so the totals are
+    // shuffle-order-exact. The purchase↔touch pairing is a user-keyed
+    // equi-join + time filter — fan-out bounded by per-user activity,
+    // the same join bound as sessionization.
+    QueryDef("q172_multi_touch",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            col("ts").as("p_ts"), col("value").as("p_value"))
+        val touches = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("event_id").as("t_id"),
+            col("event_type").as("touch_type"), col("ts").as("t_ts"))
+        val paired = purchases.join(touches, "user_id")
+          .filter(col("t_ts") <= col("p_ts") &&
+            col("t_ts") >= col("p_ts") - expr("interval 30 minutes"))
+        val wP = Window.partitionBy("p_id")
+        val credited = paired
+          .withColumn("n_touch", count(lit(1)).over(wP))
+          .withColumn("credit",
+            round(col("p_value") / col("n_touch").cast(DoubleType), 9))
+        credited.groupBy("touch_type")
+          .agg(count(lit(1)).as("n_touches"),
+            countDistinct(col("p_id")).as("n_purchases"),
+            sum(col("credit").cast(DecimalType(38, 18))).cast(DoubleType)
+              .as("credit_total"))
+          .orderBy("touch_type")
+      },
+      Some("""
+        WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts,
+                          value AS p_value
+                   FROM events WHERE event_type = 'purchase'),
+        tch AS (SELECT user_id, event_id AS t_id, event_type AS touch_type,
+                       ts AS t_ts
+                FROM events WHERE event_type IN ('view', 'click')),
+        paired AS (SELECT p.p_id, p.p_value, tch.touch_type
+                   FROM p JOIN tch ON p.user_id = tch.user_id
+                   WHERE tch.t_ts <= p.p_ts
+                     AND tch.t_ts >= p.p_ts - INTERVAL 30 MINUTE),
+        credited AS (SELECT touch_type, p_id,
+                            round(p_value / CAST(count(*) OVER (
+                              PARTITION BY p_id) AS DOUBLE), 9) AS credit
+                     FROM paired)
+        SELECT touch_type,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(credit AS DECIMAL(38,18))) AS DOUBLE)
+                 AS credit_total
+        FROM credited GROUP BY 1 ORDER BY 1""")),
+
+    // ---- seasonal anomaly detection (q173) ------------------------------
+    // Day-of-week seasonal baseline + z-scored residuals over the
+    // zero-filled daily series: composes q164's calendar spine (a
+    // missing day MUST score as an anomalous 0, not a missing row)
+    // with q143's exact-Σ numeric discipline. The metric-monitoring
+    // staple: "is today's event volume abnormal FOR ITS WEEKDAY".
+    QueryDef("q173_seasonal_anomaly",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("ts").cast("date").as("d"))
+        val daily = ev.groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+        val spine = graft.operators.Resample.calendarSpine(
+          ev, Seq("event_type"), "d")
+        val filled = spine.join(daily, Seq("event_type", "d"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .withColumn("dow", dayofweek(col("d")))
+        val st = filled.groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("r"), sum(col("n")).as("sx"),
+            sum(col("n") * col("n")).as("sx2"))
+        filled.join(broadcast(st.filter(col("r") > 1)), Seq("event_type", "dow"))
+          .withColumn("mean", col("sx").cast(DoubleType) / col("r"))
+          .withColumn("vr",
+            (col("sx2").cast(DoubleType) -
+              col("sx").cast(DoubleType) * col("sx").cast(DoubleType) /
+                col("r")) / (col("r") - 1))
+          .filter(col("vr") > 0)
+          .withColumn("z",
+            round((col("n").cast(DoubleType) - col("mean")) /
+              sqrt(col("vr")), 9))
+          .filter(abs(col("z")) >= 1.5)
+          .select(col("event_type"), col("d"), col("dow"), col("n"),
+            round(col("mean"), 9).as("expected"), col("z"))
+          .orderBy("event_type", "d")
+      },
+      Some("""
+        WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+        daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+                  FROM ev GROUP BY 1, 2),
+        bounds AS (SELECT min(d) AS mn, max(d) AS mx FROM ev),
+        spine AS (SELECT t.event_type, CAST(u.s AS DATE) AS d
+                  FROM (SELECT DISTINCT event_type FROM ev) t,
+                       bounds b,
+                       LATERAL (SELECT unnest(generate_series(
+                         b.mn, b.mx, INTERVAL 1 DAY)) AS s) u),
+        filled AS (SELECT s.event_type, s.d,
+                          coalesce(daily.n, 0) AS n,
+                          dayofweek(s.d) + 1 AS dow
+                   FROM spine s LEFT JOIN daily
+                     ON daily.event_type = s.event_type AND daily.d = s.d),
+        st AS (SELECT event_type, dow, count(*) AS r,
+                      CAST(SUM(n) AS BIGINT) AS sx,
+                      CAST(SUM(n * n) AS BIGINT) AS sx2
+               FROM filled GROUP BY 1, 2)
+        SELECT f.event_type, f.d, CAST(f.dow AS INTEGER) AS dow, f.n,
+               round(CAST(sx AS DOUBLE) / r, 9) AS expected,
+               round((CAST(f.n AS DOUBLE) - CAST(sx AS DOUBLE) / r) /
+                     sqrt((CAST(sx2 AS DOUBLE) -
+                           CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / r) /
+                          (r - 1)), 9) AS z
+        FROM filled f JOIN st
+          ON st.event_type = f.event_type AND st.dow = f.dow
+        WHERE st.r > 1
+          AND (CAST(sx2 AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / r) / (r - 1) > 0
+          AND abs(round((CAST(f.n AS DOUBLE) - CAST(sx AS DOUBLE) / r) /
+                sqrt((CAST(sx2 AS DOUBLE) -
+                      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / r) /
+                     (r - 1)), 9)) >= 1.5
+        ORDER BY 1, 2""")),
+
+    // ---- k-anonymity release screen (q174) ------------------------------
+    // The privacy profile a data export runs first: per requested k,
+    // how many quasi-identifier groups and rows sit below it, plus
+    // the global anonymity level (min group size — the k the release
+    // actually provides). One QI aggregation (bounded by QI-space
+    // cardinality), never a second data scan. Operator:
+    // [[graft.operators.Validate.kAnonymity]].
+    QueryDef("q174_k_anonymity",
+      (s, dir) => {
+        graft.operators.Validate.kAnonymity(
+            t(s, dir, "customer"),
+            qiCols = Seq("c_nationkey", "c_mktsegment"),
+            ks = Seq(3, 5, 10, 25))
+          .select(col("k"), col("groups_below"), col("rows_at_risk"),
+            col("k_anonymity"), col("satisfied").cast("int").as("satisfied"))
+          .orderBy("k")
+      },
+      Some("""
+        WITH g AS (SELECT c_nationkey, c_mktsegment,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM customer GROUP BY 1, 2),
+        lvl AS (SELECT min(n) AS l FROM g),
+        ks AS (SELECT unnest([3, 5, 10, 25]) AS k)
+        SELECT ks.k,
+               CAST(SUM(CASE WHEN g.n < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+                 AS groups_below,
+               CAST(SUM(CASE WHEN g.n < ks.k THEN g.n ELSE 0 END) AS BIGINT)
+                 AS rows_at_risk,
+               lvl.l AS k_anonymity,
+               CAST(lvl.l >= ks.k AS INTEGER) AS satisfied
+        FROM g CROSS JOIN ks CROSS JOIN lvl
+        GROUP BY 1, lvl.l ORDER BY 1""")),
+
+    // ---- l-diversity homogeneity screen (q175) --------------------------
+    // k-anonymity's necessary companion (q174): a large QI group with
+    // ONE sensitive value still leaks it. Sensitive attribute:
+    // account-balance sign band; QI: (nation, segment). Operator:
+    // [[graft.operators.Validate.lDiversity]].
+    QueryDef("q175_l_diversity",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .withColumn("bal_band",
+            when(col("c_acctbal") < 0, "neg")
+              .when(col("c_acctbal") < 5000, "low")
+              .otherwise("high"))
+        graft.operators.Validate.lDiversity(
+            cust, qiCols = Seq("c_nationkey", "c_mktsegment"),
+            sensitiveCol = "bal_band", ls = Seq(2, 3))
+          .select(col("l"), col("groups_below"), col("rows_at_risk"),
+            col("l_diversity"), col("satisfied").cast("int").as("satisfied"))
+          .orderBy("l")
+      },
+      Some("""
+        WITH c AS (SELECT c_nationkey, c_mktsegment,
+                          CASE WHEN c_acctbal < 0 THEN 'neg'
+                               WHEN c_acctbal < 5000 THEN 'low'
+                               ELSE 'high' END AS bal_band
+                   FROM customer),
+        g AS (SELECT c_nationkey, c_mktsegment,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(DISTINCT bal_band) AS BIGINT) AS d
+              FROM c GROUP BY 1, 2),
+        lvl AS (SELECT min(d) AS l FROM g),
+        ls AS (SELECT unnest([2, 3]) AS l)
+        SELECT ls.l,
+               CAST(SUM(CASE WHEN g.d < ls.l THEN 1 ELSE 0 END) AS BIGINT)
+                 AS groups_below,
+               CAST(SUM(CASE WHEN g.d < ls.l THEN g.n ELSE 0 END) AS BIGINT)
+                 AS rows_at_risk,
+               lvl.l AS l_diversity,
+               CAST(lvl.l >= ls.l AS INTEGER) AS satisfied
+        FROM g CROSS JOIN ls CROSS JOIN lvl
+        GROUP BY 1, lvl.l ORDER BY 1""")),
+
     // ---- CDC apply with deletes (q151) ----------------------------------
     // The merge shape MERGE-without-DELETE can't express: a change
     // batch of I/U/D ops, latest version per key winning, applied in
