@@ -96,9 +96,13 @@ object Graph {
         .join(labels.select(col("v").as("s"), col("label")), "s")
         .groupBy(col("t").as("v"), col("label"))
         .agg(count(lit(1)).as("n"))
+      // Checkpoint each round (the connectedComponents precedent):
+      // without it round N's plan embeds all N-1 prior join+top-1
+      // stages and analysis/codegen cost grows superlinearly.
       labels = TopK.perGroup(counted, Seq("v"),
           Seq(col("n").desc, col("label").asc), 1)
         .select(col("v"), col("label"))
+        .localCheckpoint(true)
     }
     labels
   }

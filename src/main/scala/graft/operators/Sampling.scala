@@ -405,6 +405,13 @@ object Sampling {
     * key 0). Weights must be strictly positive — a null or ≤0 weight
     * has no A-ES semantics and fails LOUDLY rather than silently
     * dropping rows.
+    *
+    * CONTRACT: `keyCol` must be unique per row (the module-wide
+    * sampling contract — every operator here keys its hash on a
+    * unique id). Duplicate keys draw identical competition keys, and
+    * which physical duplicate the heap keeps then depends on
+    * partition layout — the determinism this operator promises is
+    * only as good as the key's uniqueness.
     */
   def weightedSampleK(df: DataFrame, keyCol: String, weight: Column,
       salt: String, k: Int, strataCols: Seq[String] = Nil): DataFrame = {

@@ -1010,8 +1010,11 @@ object Similarity {
       outDim: Int, salt: String): DataFrame = {
     require(outDim >= 1, s"need outDim >= 1, got $outDim")
     val spark = vecs.sparkSession
-    val d = vecs.select(size(col(vecCol)).as("__d"))
-      .filter(col("__d").isNotNull).head.getInt(0)
+    val dRows = vecs.select(size(col(vecCol)).as("__d"))
+      .filter(col("__d").isNotNull).limit(1).collect()
+    require(dRows.nonEmpty,
+      "randomProject: input has no non-null vectors to infer the dimension from")
+    val d = dRows(0).getInt(0)
     val signs = spark.range(d.toLong).select(col("id").cast("int").as("i"))
       .crossJoin(spark.range(outDim.toLong)
         .select(col("id").cast("int").as("j")))
@@ -1019,8 +1022,17 @@ object Similarity {
         when(conv(substring(md5(concat_ws(":", lit(salt), col("i"),
             col("j"))), 1, 1), 16, 10).cast("int") % 2 === 0, lit(1.0))
           .otherwise(lit(-1.0)).as("r"))
-    val exploded = vecs.select(col(idCol),
-      posexplode(col(vecCol)).as(Seq("i", "v")))
+    // Dimension drift fails LOUDLY: a vector longer than d would
+    // silently lose its tail in the sign join; shorter would project
+    // from a prefix. Both are data bugs, not cases to absorb.
+    val exploded = vecs
+      .withColumn(vecCol,
+        when(col(vecCol).isNull || size(col(vecCol)) === d, col(vecCol))
+          .otherwise(raise_error(concat(
+            lit(s"randomProject: expected $d-dim vector, got "),
+            size(col(vecCol)).cast("string"), lit(" at "),
+            col(idCol).cast("string")))))
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("i", "v")))
     val scale = 1.0 / math.sqrt(outDim.toDouble)
     exploded.join(broadcast(signs), "i")
       .groupBy(col(idCol), col("j"))

@@ -217,20 +217,39 @@ object Skew {
       .groupBy("r", "c").agg(sum(col("__w")).as("cnt"))
   }
 
-  /** Point-frequency estimates from a cells table: min over the key's
-    * depth cells. `keys` is a (small) table of keys to probe; the
-    * cells table broadcasts, so probing is map-side.
+  /** A built sketch with the parameters it was hashed under. Probing
+    * MUST reuse the build's (depth, width, salt) — a mismatch lands
+    * probes in cells the key never incremented and silently breaks
+    * the never-undercount guarantee — so the handle pairs them at the
+    * type level instead of trusting call sites to repeat them.
     */
-  def cmsEstimate(cells: DataFrame, keys: DataFrame, keyCol: String,
-      depth: Int, width: Int, salt: String): DataFrame =
+  final case class CmsSketch(cells: DataFrame, depth: Int, width: Int,
+      salt: String)
+
+  def countMinSketch(df: DataFrame, keyCol: String, depth: Int, width: Int,
+      salt: String): CmsSketch =
+    CmsSketch(countMinCells(df, keyCol, depth, width, salt,
+      lit(1L)), depth, width, salt)
+
+  def countMinSketchWeighted(df: DataFrame, keyCol: String, depth: Int,
+      width: Int, salt: String, weight: Column): CmsSketch =
+    CmsSketch(countMinCells(df, keyCol, depth, width, salt, weight),
+      depth, width, salt)
+
+  /** Point-frequency estimates from a sketch: min over the key's depth
+    * cells. `keys` is a (small) table of keys to probe; the cells
+    * table broadcasts, so probing is map-side.
+    */
+  def cmsEstimate(sketch: CmsSketch, keys: DataFrame, keyCol: String)
+      : DataFrame =
     keys
       .select(col(keyCol),
-        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+        explode(sequence(lit(0), lit(sketch.depth - 1))).as("r"))
       .withColumn("c",
-        conv(substring(md5(concat_ws(":", lit(salt), col("r"),
+        conv(substring(md5(concat_ws(":", lit(sketch.salt), col("r"),
           col(keyCol).cast("string"))), 1, 12), 16, 10).cast("long")
-          % lit(width))
-      .join(broadcast(cells), Seq("r", "c"), "left")
+          % lit(sketch.width))
+      .join(broadcast(sketch.cells), Seq("r", "c"), "left")
       .groupBy(col(keyCol))
       // A key hashing into an untouched cell has true count 0 in that
       // row — the min must see 0, not skip the null.

@@ -38,6 +38,7 @@ object TextIndex {
     require(nShards >= 1, s"need nShards >= 1, got $nShards")
     val base = docs.select(col(id).as("doc"), words(col(body)).as("__ws"))
       .select(col("doc"), col("__ws"), size(col("__ws")).cast("long").as("dl"))
+      .localCheckpoint(true) // postings AND meta read it: one corpus scan
     val postings = base
       .select(col("doc"), col("dl"), explode(col("__ws")).as("token"))
       .groupBy("token", "doc", "dl").agg(count(lit(1)).as("tf"))
@@ -46,7 +47,10 @@ object TextIndex {
       .withColumn("shard", pmod(xxhash64(col("token")), lit(nShards)))
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+    // nShards rides in the sidecar: serving MUST hash with the build's
+    // shard count — a mismatch would silently prune live postings.
     base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("n_shards", lit(nShards))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"${path}__meta")
   }
@@ -56,8 +60,15 @@ object TextIndex {
     * least one term appear — the posting lists ARE the candidate set.
     */
   def searchBM25(spark: SparkSession, path: String, terms: Seq[String],
-      k: Int, nShards: Int = 16): DataFrame = {
+      k: Int): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
+    // The shard count comes from the index's OWN sidecar — taking it
+    // as a parameter again would let a build/search mismatch silently
+    // prune live postings (probe hashes mod the wrong modulus).
+    val meta = spark.read.parquet(s"${path}__meta").head()
+    val nDocs = meta.getLong(0).toDouble
+    val avgdl = meta.getLong(1).toDouble / nDocs
+    val nShards = meta.getAs[Int]("n_shards")
     // Shard ids computed with the SAME expression the build used, on a
     // tiny in-memory frame — no hand-rolled reimplementation of
     // xxhash64 to drift out of sync.
@@ -65,9 +76,6 @@ object TextIndex {
         terms.map(Tuple1(_))).toDF("token")
       .select(pmod(xxhash64(col("token")), lit(nShards)).as("shard"))
       .distinct().collect().map(_.getLong(0))
-    val meta = spark.read.parquet(s"${path}__meta").head()
-    val nDocs = meta.getLong(0).toDouble
-    val avgdl = meta.getLong(1).toDouble / nDocs
     val posts = spark.read.parquet(path)
       .filter(col("shard").isin(shards.toIndexedSeq: _*) &&
         col("token").isin(terms: _*))

@@ -1218,11 +1218,10 @@ object Advanced {
         val exact = li.groupBy("k").agg(count(lit(1)).as("n_exact"))
           .localCheckpoint(true)
         val top = exact.orderBy(col("n_exact").desc, col("k")).limit(20)
-        val cells = graft.operators.Skew.countMinCells(
+        val sketch = graft.operators.Skew.countMinSketchWeighted(
           exact, "k", depth = 4, width = 256, salt = "cms",
           weight = col("n_exact"))
-        graft.operators.Skew.cmsEstimate(
-            cells, top.select("k"), "k", depth = 4, width = 256, salt = "cms")
+        graft.operators.Skew.cmsEstimate(sketch, top.select("k"), "k")
           .join(top, "k")
           .select(col("k"), col("n_exact"), col("cms_est"),
             (col("cms_est") - col("n_exact")).as("overcount"))

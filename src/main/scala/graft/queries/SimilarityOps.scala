@@ -191,12 +191,21 @@ object SimilarityOps {
   private final case class PqParts(ex: DataFrame, cbd: DataFrame,
       asn: DataFrame, codes: DataFrame)
 
-  private def pqParts(s: SparkSession, dir: String): PqParts = {
-    val m = 16; val w = 4
+  /** Subspace geometry shared by every PQ stage: 16 subspaces of
+    * width 4 over the 64-dim fixtures. pos = sub·PqW + lpos is
+    * assembled in three places — one constant or they drift apart.
+    */
+  private val PqM = 16
+  private val PqW = 4
+
+  private def pqParts(s: SparkSession, dir: String,
+      exBase: Option[DataFrame] = None): PqParts = {
+    val m = PqM; val w = PqW
     val e = emb(s, dir)
-    val ex = e
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
-      .select(col("vec_id"), col("pos"), col("vf").cast(DoubleType).as("v"))
+    val ex = exBase.getOrElse(e
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "vf")))
+        .select(col("vec_id"), col("pos"), col("vf").cast(DoubleType).as("v")))
       .withColumn("sub", floor(col("pos") / w).cast(IntegerType))
       .withColumn("lpos", col("pos") - col("sub") * w)
     // Subspace sign buckets: two relative comparisons inside each
@@ -234,7 +243,7 @@ object SimilarityOps {
     pqAdcScoresFrom(pqParts(s, dir))
 
   private def pqAdcScoresFrom(p: PqParts): DataFrame = {
-    val w = 4
+    val w = PqW
     val q = p.ex.filter(col("vec_id") === 0)
       .select(col("pos"), col("v").as("qv"))
     p.codes.join(broadcast(p.cbd), Seq("sub", "cluster"))
@@ -380,7 +389,7 @@ object SimilarityOps {
 
   private def pqResidualParts(s: SparkSession, dir: String,
       parts: CoarseParts): ResidualPqParts = {
-    val m = 16; val w = 4
+    val w = PqW
     // Residual elements: v − c of the vector's own coarse centroid.
     // Exact in double (both operands are float-representable grids).
     val exr = parts.ex
@@ -2064,7 +2073,7 @@ object SimilarityOps {
               round(col("hits").cast(DoubleType) /
                 col("total").cast(DoubleType), 9).as("recall"))
         }
-        val raw = pqParts(s, dir)
+        val raw = pqParts(s, dir, exBase = Some(parts.ex))
         val res = pqResidualParts(s, dir, parts)
         // Mean squared reconstruction error over the WHOLE corpus in
         // floored micro units — the fidelity number that separates

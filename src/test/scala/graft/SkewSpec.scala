@@ -148,16 +148,14 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // Wide sketch: 10 keys into 4x1024 cells — collision-free with
     // this fixed salt, so estimates are EXACT.
-    val wide = Skew.countMinCells(d, "k", depth = 4, width = 1024, salt = "t")
-    val estWide = Skew.cmsEstimate(wide, d.select("k").distinct(), "k",
-        depth = 4, width = 1024, salt = "t")
+    val wide = Skew.countMinSketch(d, "k", depth = 4, width = 1024, salt = "t")
+    val estWide = Skew.cmsEstimate(wide, d.select("k").distinct(), "k")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(estWide == exact, s"wide sketch should be exact:\n$estWide\n$exact")
     // Tiny sketch: 10 keys into 2x4 cells — collisions guaranteed;
     // estimates never undercount.
-    val tiny = Skew.countMinCells(d, "k", depth = 2, width = 4, salt = "t")
-    val estTiny = Skew.cmsEstimate(tiny, d.select("k").distinct(), "k",
-        depth = 2, width = 4, salt = "t")
+    val tiny = Skew.countMinSketch(d, "k", depth = 2, width = 4, salt = "t")
+    val estTiny = Skew.cmsEstimate(tiny, d.select("k").distinct(), "k")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, n) =>
       assert(estTiny(k) >= n, s"CMS undercounted key $k: ${estTiny(k)} < $n")
@@ -170,13 +168,13 @@ class SkewSpec extends SparkSpec {
     val merged = h1.unionByName(h2).groupBy("r", "c")
       .agg(sum(col("cnt")).as("cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val full = tiny.collect()
+    val full = tiny.cells.collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(merged == full, s"cells must merge additively:\n$merged\n$full")
     // A key the sketch never saw estimates 0 (hits untouched cells)
     // ... unless every probed cell collides; with 4x1024 it does not.
     val unseen = Skew.cmsEstimate(wide,
-        df("k BIGINT", Row(Long.box(777L))), "k", 4, 1024, "t")
+        df("k BIGINT", Row(Long.box(777L))), "k")
       .head().getLong(1)
     assert(unseen == 0L)
   }

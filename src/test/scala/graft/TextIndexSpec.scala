@@ -18,8 +18,7 @@ class TextIndexSpec extends SparkSpec {
   test("index round-trip: BM25 from postings == direct corpus scoring") {
     val path = tmp("roundtrip")
     TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
-    val got = TextIndex.searchBM25(spark, path, Seq("spark", "merge"),
-        k = 10, nShards = 4)
+    val got = TextIndex.searchBM25(spark, path, Seq("spark", "merge"), k = 10)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // Direct restatement: same formula over the raw corpus.
     val rows = corpus.collect().map(r =>
@@ -51,8 +50,8 @@ class TextIndexSpec extends SparkSpec {
   test("serving prunes to the query terms' shards") {
     val path = tmp("prune")
     TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
-    val plan = TextIndex.searchBM25(spark, path, Seq("spark"), k = 5,
-      nShards = 4).queryExecution.executedPlan.toString
+    val plan = TextIndex.searchBM25(spark, path, Seq("spark"), k = 5)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("shard"),
       s"shard partition filter must reach the scan:\n$plan")
     val shard = spark.range(1).select(
@@ -64,13 +63,13 @@ class TextIndexSpec extends SparkSpec {
   test("absent term returns empty; rebuild overwrites cleanly") {
     val path = tmp("absent")
     TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
-    assert(TextIndex.searchBM25(spark, path, Seq("zzz_nothere"), k = 5,
-      nShards = 4).count() == 0)
+    assert(TextIndex.searchBM25(spark, path, Seq("zzz_nothere"), k = 5)
+      .count() == 0)
     // Overwrite with a smaller corpus: old postings must not linger.
     TextIndex.write(corpus.filter(col("doc_id") === 3), "doc_id", "text",
       path, nShards = 4)
-    val got = TextIndex.searchBM25(spark, path, Seq("merge"), k = 5,
-      nShards = 4).collect().map(_.getLong(0)).toSeq
+    val got = TextIndex.searchBM25(spark, path, Seq("merge"), k = 5)
+      .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(3L))
   }
 }
