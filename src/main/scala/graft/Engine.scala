@@ -115,6 +115,13 @@ object Engine {
       (children: Seq[Expression]) =>
         graft.functions.expressions.NfcNormalize(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.JaroWinkler].getName,
+        "jaro_winkler"),
+      (children: Seq[Expression]) =>
+        graft.functions.expressions.JaroWinkler(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("winnow_fp_pos"),
       new ExpressionInfo(
         classOf[graft.functions.expressions.WinnowFingerprintPositions].getName,

@@ -1447,6 +1447,41 @@ object Advanced {
         FROM g CROSS JOIN ls CROSS JOIN lvl
         GROUP BY 1, lvl.l ORDER BY 1""")),
 
+    // ---- blocked fuzzy record linkage (q176) ----------------------------
+    // Entity resolution's scoring rung: Jaro–Winkler over part names,
+    // blocked by brand so the pair space is Σ|block|², never n². The
+    // scorer is the native `jaro_winkler` expression
+    // ([[graft.functions.expressions.JaroWinkler]]) — one static-call
+    // scan per candidate pair inside whole-stage codegen, pinned
+    // bit-compatible with DuckDB's jaro_winkler_similarity (20k-pair
+    // randomized differential during development; the gate re-proves
+    // it on every fixture pair ≥ the threshold). Both engines filter
+    // on the ROUNDED score, so the cut is boundary-safe.
+    QueryDef("q176_record_linkage",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_name"))
+        val a = p.alias("a")
+        val b = p.alias("b")
+        a.join(b, col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+          .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
+            col("a.p_brand").as("brand"),
+            round(call_function("jaro_winkler",
+              col("a.p_name"), col("b.p_name")), 9).as("jw"))
+          .filter(col("jw") >= 0.9)
+          .orderBy(col("jw").desc, col("k1"), col("k2"))
+          .limit(100)
+      },
+      Some("""
+        SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+               a.p_brand AS brand,
+               round(jaro_winkler_similarity(a.p_name, b.p_name), 9) AS jw
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 9) >= 0.9
+        ORDER BY jw DESC, k1, k2 LIMIT 100""")),
+
     // ---- CDC apply with deletes (q151) ----------------------------------
     // The merge shape MERGE-without-DELETE can't express: a change
     // batch of I/U/D ops, latest version per key winning, applied in

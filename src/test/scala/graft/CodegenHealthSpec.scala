@@ -207,4 +207,27 @@ class CodegenHealthSpec extends SparkSpec {
     }
     assertNoCodegenFallback(warnings)
   }
+
+  test("jaro_winkler: textbook values, nulls, predicate stays compiled") {
+    // Winkler's canonical examples (public test vectors).
+    val pairs = df("a STRING, b STRING",
+      Row("MARTHA", "MARHTA"), Row("DWAYNE", "DUANE"),
+      Row("DIXON", "DICKSONX"), Row("abc", "abc"), Row("", "abc"),
+      Row("aaxxxxxx", "aayyyyyy"), // jaro 0.5 ≤ 0.7: NO prefix bonus
+      Row(null, "x"))
+    val warnings = capturedWarnings {
+      val got = pairs.select(
+          round(call_function("jaro_winkler", col("a"), col("b")), 6))
+        .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+      assert(got(0) == 0.961111 && got(1) == 0.84 && got(2) == 0.813333)
+      assert(got(3) == 1.0 && got(4) == 0.0)
+      assert(got(5) == 0.5, "boost threshold must gate the prefix bonus")
+      assert(got(6) == null)
+      // Predicate context (the DivModLike-convention stress shape).
+      val n = pairs.filter(
+        call_function("jaro_winkler", col("a"), col("b")) > 0.9).count()
+      assert(n == 2) // MARTHA pair + identical abc
+    }
+    assertNoCodegenFallback(warnings)
+  }
 }
