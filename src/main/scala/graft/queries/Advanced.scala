@@ -1254,21 +1254,34 @@ object Advanced {
     // 30-minute window before a purchase shares the purchase value
     // EQUALLY (credit = value / n_touches). Per-touch credits snap to
     // the 1e-9 grid before the decimal roll-up, so the totals are
-    // shuffle-order-exact. The purchase↔touch pairing is a user-keyed
-    // equi-join + time filter — fan-out bounded by per-user activity,
-    // the same join bound as sessionization.
+    // shuffle-order-exact. The purchase↔touch pairing routes the
+    // 30-minute containment through [[IntervalJoin.overlap]] keyed by
+    // user: candidates meet on (user, 30-min time bucket), so a
+    // hyper-active user's fan-out is bounded by its activity per
+    // WINDOW (≈ the true output size), never lifetime-quadratic the
+    // way a plain user-keyed equi-join + time filter is. Times ride
+    // as unix_micros — Spark's native timestamp resolution, so the
+    // bucketed predicate is bit-identical to timestamp arithmetic.
     QueryDef("q172_multi_touch",
       (s, dir) => {
         val ev = t(s, dir, "events")
+        val win = 30L * 60L * 1000000L // 30 min in micros
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id").as("p_id"),
             col("ts").as("p_ts"), col("value").as("p_value"))
+          // touch qualifies iff t_ts ∈ [p_ts-30m, p_ts]: half-open
+          // interval [p-30m, p+1) over integer micros, point = [t, t+1)
+          .withColumn("__ws", unix_micros(col("p_ts")) - lit(win))
+          .withColumn("__we", unix_micros(col("p_ts")) + lit(1L))
         val touches = ev.filter(col("event_type").isin("view", "click"))
           .select(col("user_id"), col("event_id").as("t_id"),
             col("event_type").as("touch_type"), col("ts").as("t_ts"))
-        val paired = purchases.join(touches, "user_id")
-          .filter(col("t_ts") <= col("p_ts") &&
-            col("t_ts") >= col("p_ts") - expr("interval 30 minutes"))
+          .withColumn("__ts", unix_micros(col("t_ts")))
+          .withColumn("__te", unix_micros(col("t_ts")) + lit(1L))
+        val paired = graft.operators.IntervalJoin.overlap(
+            purchases, touches, "__ws", "__we", "__ts", "__te",
+            keys = Seq("user_id"), bucketWidth = win)
+          .drop("__ws", "__we", "__ts", "__te")
         val wP = Window.partitionBy("p_id")
         val credited = paired
           .withColumn("n_touch", count(lit(1)).over(wP))
@@ -1775,33 +1788,37 @@ object Advanced {
                  count(*) = count(DISTINCT (l_orderkey, l_linenumber)) AS pass
           FROM lineitem
           UNION ALL
-          SELECT 'unique_key(orders)', count(*),
-                 count(*) - count(DISTINCT o_orderkey),
+          SELECT 'unique_key(orders)', CAST(count(*) AS BIGINT),
+                 CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
                  count(*) = count(DISTINCT o_orderkey)
           FROM orders
           UNION ALL
-          SELECT 'not_null(o_orderstatus)', count(*),
-                 SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+          SELECT 'not_null(o_orderstatus)', CAST(count(*) AS BIGINT),
+                 CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT),
                  SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) = 0
           FROM orders
           UNION ALL
-          SELECT 'accepted_values(l_returnflag)', count(*),
-                 SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END),
+          SELECT 'accepted_values(l_returnflag)', CAST(count(*) AS BIGINT),
+                 CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R')
+                               THEN 0 ELSE 1 END) AS BIGINT),
                  SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) = 0
           FROM lineitem
           UNION ALL
-          SELECT 'ref_integrity(l_orderkey)', count(*),
-                 SUM(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
-                          THEN 1 ELSE 0 END),
+          SELECT 'ref_integrity(l_orderkey)', CAST(count(*) AS BIGINT),
+                 CAST(SUM(CASE WHEN l.l_orderkey IS NOT NULL
+                               AND o.o_orderkey IS NULL
+                          THEN 1 ELSE 0 END) AS BIGINT),
                  SUM(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
                           THEN 1 ELSE 0 END) = 0
           FROM lineitem l
           LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
             ON o.o_orderkey = l.l_orderkey
           UNION ALL
-          SELECT 'ref_integrity(o_custkey)', count(*),
-                 SUM(CASE WHEN ord.o_custkey IS NOT NULL AND c.c_custkey IS NULL
-                          THEN 1 ELSE 0 END),
+          SELECT 'ref_integrity(o_custkey)', CAST(count(*) AS BIGINT),
+                 CAST(SUM(CASE WHEN ord.o_custkey IS NOT NULL
+                               AND c.c_custkey IS NULL
+                          THEN 1 ELSE 0 END) AS BIGINT),
                  SUM(CASE WHEN ord.o_custkey IS NOT NULL AND c.c_custkey IS NULL
                           THEN 1 ELSE 0 END) = 0
           FROM orders ord
@@ -1809,10 +1826,10 @@ object Advanced {
                      WHERE c_custkey % 10 <> 0) c
             ON c.c_custkey = ord.o_custkey
           UNION ALL
-          SELECT 'in_range(l_quantity)', count(*),
-                 SUM(CASE WHEN l_quantity IS NOT NULL
+          SELECT 'in_range(l_quantity)', CAST(count(*) AS BIGINT),
+                 CAST(SUM(CASE WHEN l_quantity IS NOT NULL
                                AND l_quantity BETWEEN 1 AND 50
-                          THEN 0 ELSE 1 END),
+                          THEN 0 ELSE 1 END) AS BIGINT),
                  SUM(CASE WHEN l_quantity IS NOT NULL
                                AND l_quantity BETWEEN 1 AND 50
                           THEN 0 ELSE 1 END) = 0
