@@ -35,6 +35,62 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
+  /** Thrown when a physical merge finds another writer's lock on the
+    * target — the reference's strictly-serial orchestration (SURVEY
+    * §7.4.3) violated. NOT retried internally: two interleaving merges
+    * into one parquet root would corrupt partitions silently, so the
+    * contract is enforced loudly and the caller decides.
+    */
+  final class ConcurrentWriterException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Create-exclusive writer lock on a table root. `fs.create(p, false)`
+    * is atomic on HDFS and object-store semantics vary but stay
+    * create-exclusive under the Hadoop contract; on RawLocalFileSystem it
+    * is check-then-create — adequate for the single-orchestrator design
+    * this enforces (the failure mode it guards is *operational* double
+    * scheduling, not sub-millisecond races). The lock is released on BOTH
+    * success and failure: the merge is idempotent and crash-repairable
+    * (see recovery block in [[applyToPartitionedParquet]]), so only LIVE
+    * concurrency needs excluding. A lock left by a hard JVM kill must be
+    * deleted by the operator after confirming the writer is dead — the
+    * lock file records pid/app/time for exactly that call.
+    */
+  private[graft] def withWriterLock[T](
+      spark: org.apache.spark.sql.SparkSession, path: String)(body: => T): T = {
+    val hLock = new org.apache.hadoop.fs.Path(path + ".merge-lock")
+    val fs = hLock.getFileSystem(spark.sessionState.newHadoopConf())
+    Option(hLock.getParent).foreach(fs.mkdirs)
+    val stream =
+      try fs.create(hLock, false)
+      catch { case e: java.io.IOException =>
+        val held = try fs.exists(hLock) catch { case _: Throwable => false }
+        if (held) {
+          val holder = try {
+            val in = fs.open(hLock)
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim
+            finally in.close()
+          } catch { case _: Throwable => "<unreadable>" }
+          throw new ConcurrentWriterException(
+            s"merge target $path is locked by another writer [$holder] " +
+              s"(lock file $hLock). Concurrent merges into one target are " +
+              "undefined — this engine enforces the reference's serial " +
+              "orchestration. If the holder crashed, delete the lock file " +
+              "and re-run: the merge is idempotent and crash-recovered.")
+        } else throw e
+      }
+    try {
+      stream.write(
+        (s"pid=${ProcessHandle.current().pid()} " +
+          s"app=${spark.sparkContext.applicationId} " +
+          s"at=${java.time.Instant.now()}")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      stream.close()
+      body
+    } finally fs.delete(hLock, false)
+  }
+
   /** Pure relational merge: returns the post-MERGE state of `target`.
     *
     * @param target       current target table
@@ -236,7 +292,11 @@ object Upsert {
       partitionCol: String,
       sourceOrder: Seq[Column] = Nil,
       updateCond: Option[String] = None,
-      updateExprs: Map[String, String] = Map.empty): Unit = {
+      updateExprs: Map[String, String] = Map.empty): Unit =
+    // The lock wraps recovery + bootstrap + merge + swap: every one of
+    // those phases mutates the target root, so a second writer must be
+    // excluded from ALL of them, not just the swap.
+    withWriterLock(spark, path) {
     // RECOVERY first, before anything reads (or existence-probes) the
     // target: a previous attempt may have died between displacing an old
     // partition into the backup dir and installing its replacement,
@@ -269,8 +329,24 @@ object Upsert {
         if (sourceOrder.isEmpty) source
         else graft.functions.ColumnLib.latestWins(source, keys, sourceOrder)
       init.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-      return
-    }
+    } else mergeInto(spark, path, source, keys, partitionCol, sourceOrder,
+      updateCond, updateExprs)
+  }
+
+  /** The merge + swap phases of [[applyToPartitionedParquet]], split out
+    * so the lock-wrapped public face stays `return`-free (a non-local
+    * return from inside the lock closure would ride an exception).
+    */
+  private def mergeInto(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      source: DataFrame,
+      keys: Seq[String],
+      partitionCol: String,
+      sourceOrder: Seq[Column],
+      updateCond: Option[String],
+      updateExprs: Map[String, String]): Unit = {
+    val hBak = new org.apache.hadoop.fs.Path(path + ".merge-bak")
     val target = spark.read.parquet(path)
     val range = source.agg(
       min(col(partitionCol)).as("lo"), max(col(partitionCol)).as("hi")).head()

@@ -327,6 +327,63 @@ class UpsertSpec extends SparkSpec {
       Upsert.applyCdc(target, changes.drop("v"), Seq("k"), "op", "ver")
     }
   }
+
+  test("a second concurrent merge fails LOUDLY and leaves the target consistent") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_lock").toString
+    val init = df("k BIGINT, v STRING, d STRING",
+      Row(Long.box(1), "a", "2024-01-01"),
+      Row(Long.box(2), "b", "2024-01-02"))
+    init.write.mode("overwrite").partitionBy("d").parquet(dir)
+    val beforeRows = spark.read.parquet(dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Simulate a live first writer: its create-exclusive lock is present.
+    val lock = new java.io.File(dir + ".merge-lock")
+    java.nio.file.Files.writeString(lock.toPath, "pid=999 app=other-writer")
+    val source = df("k BIGINT, v STRING, d STRING",
+      Row(Long.box(2), "B2", "2024-01-02"))
+    val e = intercept[Upsert.ConcurrentWriterException] {
+      Upsert.applyToPartitionedParquet(spark, dir, source, Seq("k"), "d")
+    }
+    // Loud AND actionable: names the holder and the lock file.
+    assert(e.getMessage.contains("other-writer"))
+    assert(e.getMessage.contains(".merge-lock"))
+    // The refused merge mutated NOTHING — no staging dirs, same rows —
+    // and did not steal the holder's lock.
+    assert(lock.exists())
+    assert(!new java.io.File(dir + ".merge-tmp").exists())
+    assert(!new java.io.File(dir + ".merge-bak").exists())
+    val afterRows = spark.read.parquet(dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(afterRows == beforeRows)
+    // Once the holder releases, the same merge proceeds and commits —
+    // and releases its OWN lock on success.
+    assert(lock.delete())
+    Upsert.applyToPartitionedParquet(spark, dir, source, Seq("k"), "d")
+    assert(spark.read.parquet(dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "B2"))
+    assert(!lock.exists())
+  }
+
+  test("a merge that fails mid-flight still releases its writer lock") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_lockrel").toString
+    val init = df("k BIGINT, v STRING, d STRING",
+      Row(Long.box(1), "a", "2024-01-01"))
+    init.write.mode("overwrite").partitionBy("d").parquet(dir)
+    // A source missing the partition column fails inside the lock body.
+    val bad = df("k BIGINT, v STRING", Row(Long.box(1), "x"))
+    intercept[Exception] {
+      Upsert.applyToPartitionedParquet(spark, dir, bad, Seq("k"), "d")
+    }
+    // The lock must not leak: live-failure ≠ crash, the next writer may
+    // proceed immediately (the merge is idempotent).
+    assert(!new java.io.File(dir + ".merge-lock").exists())
+    Upsert.applyToPartitionedParquet(spark, dir,
+      df("k BIGINT, v STRING, d STRING", Row(Long.box(1), "a2", "2024-01-01")),
+      Seq("k"), "d")
+    assert(spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "a2"))
+  }
 }
 
 /** Test-only fault-injecting local FileSystem (`graftfault://`): throws
