@@ -72,4 +72,59 @@ class TextIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(3L))
   }
+
+  private def appendCorpus = df("doc_id BIGINT, text STRING",
+    Row(Long.box(5), "spark merge pipelines at scale"),
+    Row(Long.box(6), "spark spark spark everywhere"),
+    Row(Long.box(7), "nothing in common with queries"))
+
+  test("search-after-append == search-after-rebuild (scores AND order)") {
+    val a = tmp("append_inc"); val b = tmp("append_full")
+    TextIndex.write(corpus, "doc_id", "text", a, nShards = 4)
+    TextIndex.append(appendCorpus, "doc_id", "text", a, batch = "b1")
+    TextIndex.write(corpus.unionByName(appendCorpus), "doc_id", "text", b,
+      nShards = 4)
+    val terms = Seq("spark", "merge")
+    val inc = TextIndex.searchBM25(spark, a, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = TextIndex.searchBM25(spark, b, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(inc == full, s"append must be invisible to serving:\n$inc\n$full")
+    // The appended docs actually participate: n_docs/avgdl/df all moved.
+    assert(inc.map(_._1).contains(6L))
+  }
+
+  test("append records a ledger row; avgdl drift is exposed") {
+    val path = tmp("append_ledger")
+    TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
+    // A long-document batch: mean dl well above the build's.
+    TextIndex.append(df("doc_id BIGINT, text STRING",
+      Row(Long.box(8), ("long " * 20).trim)), "doc_id", "text", path, "b1")
+    val stats = TextIndex.indexStats(spark, path)
+      .collect().map(r => r.getAs[String]("batch") -> r).toMap
+    assert(stats.keySet == Set("build", "b1"))
+    assert(stats("build").getAs[Double]("avgdl_drift") == 0.0)
+    assert(stats("b1").getAs[Double]("avgdl_drift") > 10.0,
+      "a long-doc batch must surface as positive avgdl drift")
+    val fracs = stats.values.map(_.getAs[Double]("new_dl_frac")).sum
+    assert(math.abs(fracs - 1.0) < 1e-9)
+    // 'build' is reserved; a mismatched shard layout cannot happen
+    // because append reads n_shards from the ledger itself.
+    intercept[IllegalArgumentException] {
+      TextIndex.append(appendCorpus, "doc_id", "text", path, "build")
+    }
+  }
+
+  test("append respects the writer lock (concurrent ingest excluded)") {
+    val path = tmp("append_lock")
+    TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
+    val lock = new java.io.File(path + ".merge-lock")
+    java.nio.file.Files.writeString(lock.toPath, "pid=1 app=other")
+    intercept[graft.operators.Upsert.ConcurrentWriterException] {
+      TextIndex.append(appendCorpus, "doc_id", "text", path, "b1")
+    }
+    assert(lock.delete())
+    TextIndex.append(appendCorpus, "doc_id", "text", path, "b1")
+    assert(TextIndex.searchBM25(spark, path, Seq("spark"), 10).count() == 4)
+  }
 }
