@@ -8,12 +8,48 @@ import org.apache.spark.sql.functions._
   * benchmark round later. Uses the sf0.001 fixtures: plan SHAPE is
   * scale-independent even where AQE's join choice is not, so each
   * assertion targets a shape property that holds at any SF.
+  *
+  * Every pin runs TWICE: once on the statically compiled plan under
+  * the session's default config, and once on the FINAL adaptive plan
+  * under `spark.sql.adaptive.forceApply=true` (query executed first —
+  * AQE only finalizes at runtime). AQE re-plans exchanges and join
+  * strategies from runtime stats; without the second leg it could
+  * silently reintroduce an exchange or de-broadcast a join that the
+  * static pin swears is absent.
   */
 class PlanShapeSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
+
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  /** Final adaptive plan, initial-plan echo stripped: AdaptiveSparkPlan's
+    * treeString appends an "== Initial Plan ==" section after execution,
+    * which would double-count every operator a pin counts.
+    */
+  private def planAqe(name: String): String = {
+    val conf = spark.conf
+    val key = "spark.sql.adaptive.forceApply"
+    val prev = conf.getOption(key)
+    conf.set(key, "true")
+    try {
+      val dfq = SparkEntry.queries(name)(spark, dir)
+      dfq.collect()
+      dfq.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    } finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
+  /** Run one shape check against both the static and the AQE-final
+    * plan. `mode` rides in the clue so a failure names the leg.
+    */
+  private def bothPlans(name: String)(check: (String, String) => Unit): Unit = {
+    check(plan(name), "static")
+    check(planAqe(name), "aqe-final")
+  }
 
   test("filters and projections push down to the parquet scan") {
     val p = Tables.table(spark, dir, "documents")
@@ -29,32 +65,39 @@ class PlanShapeSpec extends SparkSpec {
     // 16 md5 scores + 2 array_max per row all inside one Project over
     // the scan; the only exchanges are the final aggregate's hash
     // partitioning and the presentation sort's range partitioning.
-    val p = plan("q127_rendezvous_shard")
-    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1, p)
-    assert("Exchange rangepartitioning".r.findAllMatchIn(p).size == 1, p)
-    assert(!p.contains("BroadcastExchange") && !p.contains("Window"), p)
-    // and the scan reads only the two columns the query needs
-    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    bothPlans("q127_rendezvous_shard") { (p, mode) =>
+      assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1,
+        s"[$mode]\n$p")
+      assert("Exchange rangepartitioning".r.findAllMatchIn(p).size == 1,
+        s"[$mode]\n$p")
+      assert(!p.contains("BroadcastExchange") && !p.contains("Window"),
+        s"[$mode]\n$p")
+      // and the scan reads only the two columns the query needs
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"[$mode]\n$p")
+    }
   }
 
   test("q125 funnel: stage aggregates never re-exchange on a composite key") {
     // t1/t2 are per-user constants; grouping on (user_id, t1) would add
     // a composite-key shuffle per stage (measured: 11 exchanges vs 8).
-    val p = plan("q125_funnel")
-    val composite = "hashpartitioning\\([^)]*user_id[^)]*t[0-9]".r
-    assert(composite.findFirstIn(p).isEmpty,
-      s"stage aggregate re-exchanged on a composite key:\n$p")
-    // each stage's scan receives its event_type filter
-    assert(p.contains("EqualTo(event_type,view)"),
-      s"event_type filter must reach the scan:\n$p")
+    bothPlans("q125_funnel") { (p, mode) =>
+      val composite = "hashpartitioning\\([^)]*user_id[^)]*t[0-9]".r
+      assert(composite.findFirstIn(p).isEmpty,
+        s"[$mode] stage aggregate re-exchanged on a composite key:\n$p")
+      // each stage's scan receives its event_type filter
+      assert(p.contains("EqualTo(event_type,view)"),
+        s"[$mode] event_type filter must reach the scan:\n$p")
+    }
   }
 
   test("q129 winsorize: the percentile table joins back via broadcast") {
     // The per-language percentile table is rows=|langs|; shipping it as
     // a broadcast keeps the clamp pass shuffle-free on the data side.
-    val p = plan("q129_winsorize")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      s"expected a broadcast join for the tiny percentile table:\n$p")
+    bothPlans("q129_winsorize") { (p, mode) =>
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"[$mode] expected a broadcast join for the tiny percentile table:\n$p")
+    }
   }
 
   test("q134 repetition: no interpreted higher-order functions in the plan") {
@@ -63,10 +106,11 @@ class PlanShapeSpec extends SparkSpec {
     // and re-evaluates their inputs per element, which made the query
     // O(g³)-ish per document. The rewrite is explode + aggregate;
     // this pin fails if per-row lambda filtering ever sneaks back.
-    val p = plan("q134_gopher_repetition")
-    assert(!p.contains("array_filter") && !p.contains("ArrayFilter"),
-      s"no per-row lambda filtering in the repetition plan:\n$p")
-    assert(p.contains("Generate"), s"gram explode missing:\n$p")
+    bothPlans("q134_gopher_repetition") { (p, mode) =>
+      assert(!p.contains("array_filter") && !p.contains("ArrayFilter"),
+        s"[$mode] no per-row lambda filtering in the repetition plan:\n$p")
+      assert(p.contains("Generate"), s"[$mode] gram explode missing:\n$p")
+    }
   }
 
   test("q140 classifier: the model ships as broadcasts, never a shuffle join") {
@@ -75,62 +119,88 @@ class PlanShapeSpec extends SparkSpec {
     // doc-level eval join is corpus-vs-corpus and may legitimately
     // shuffle; the pin is on the TOKEN join, which would shuffle the
     // whole token stream if the model ever stopped broadcasting.)
-    val p = plan("q140_nb_classifier")
-    assert("BroadcastHashJoin \\[token".r.findFirstIn(p).isDefined,
-      s"expected the token->weight join to broadcast:\n$p")
-    assert("SortMergeJoin \\[token".r.findFirstIn(p).isEmpty,
-      s"the token join must never shuffle the token stream:\n$p")
+    bothPlans("q140_nb_classifier") { (p, mode) =>
+      assert("BroadcastHashJoin \\[token".r.findFirstIn(p).isDefined,
+        s"[$mode] expected the token->weight join to broadcast:\n$p")
+      assert("SortMergeJoin \\[token".r.findFirstIn(p).isEmpty,
+        s"[$mode] the token join must never shuffle the token stream:\n$p")
+    }
   }
 
   test("q137 negatives: slot explode over users only, no cartesian") {
-    val p = plan("q137_negative_sampling")
-    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
-    // the anti-join against positives is a real anti join
-    assert(p.contains("LeftAnti"), s"anti-join missing:\n$p")
+    bothPlans("q137_negative_sampling") { (p, mode) =>
+      assert(!p.contains("CartesianProduct"), s"[$mode] no cartesian:\n$p")
+      // the anti-join against positives is a real anti join
+      assert(p.contains("LeftAnti"), s"[$mode] anti-join missing:\n$p")
+    }
   }
 
   test("q158 prefix join: no cartesian, no all-gram self-join key") {
     // The candidate join must key on the PREFIX token stream; a plan
     // with a cartesian (or a join keyed on the raw text) means the
     // filter stopped pruning.
-    val p = plan("q158_prefix_jaccard")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), s"no unpruned pair join:\n$p")
-    // (The parquet scan itself sits behind the sets localCheckpoint
-    // and is not visible in this executed plan — column pruning on
-    // `documents` is covered by the generic pushdown test above.)
+    bothPlans("q158_prefix_jaccard") { (p, mode) =>
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"[$mode] no unpruned pair join:\n$p")
+      // (The parquet scan itself sits behind the sets localCheckpoint
+      // and is not visible in this executed plan — column pruning on
+      // `documents` is covered by the generic pushdown test above.)
+    }
   }
 
   test("q159 weighted sample: bounded-heap top-k, never a window sort") {
-    val p = plan("q159_weighted_sample")
-    assert(p.contains("TopKPerGroup"), s"expected the custom top-k plan:\n$p")
-    assert(!p.contains("Window"), s"no window sort in the sample path:\n$p")
+    bothPlans("q159_weighted_sample") { (p, mode) =>
+      assert(p.contains("TopKPerGroup"),
+        s"[$mode] expected the custom top-k plan:\n$p")
+      assert(!p.contains("Window"),
+        s"[$mode] no window sort in the sample path:\n$p")
+    }
   }
 
   test("q164 gap fill: spine bounds broadcast; one window for the fill") {
-    val p = plan("q164_gap_fill")
-    assert(p.contains("BroadcastExchange"),
-      s"1-row bounds must broadcast into the spine generator:\n$p")
-    assert("Window ".r.findAllMatchIn(p).size == 1,
-      s"exactly one forward-fill window pass:\n$p")
+    bothPlans("q164_gap_fill") { (p, mode) =>
+      assert(p.contains("BroadcastExchange"),
+        s"[$mode] 1-row bounds must broadcast into the spine generator:\n$p")
+      assert("Window ".r.findAllMatchIn(p).size == 1,
+        s"[$mode] exactly one forward-fill window pass:\n$p")
+    }
   }
 
   test("q165 transitions: one lead() pass, normalization join-free") {
     // The ratio runs as a window over the bounded counts table; a
     // totals join-back would reference (and re-execute) the
     // user-stream lead() subtree twice.
-    val p = plan("q165_transitions")
-    assert("lead\\(".r.findAllMatchIn(p).size <= 1,
-      s"the user-stream lead() pass must execute once:\n$p")
-    assert(!p.contains("Join"), s"normalization must not join:\n$p")
+    bothPlans("q165_transitions") { (p, mode) =>
+      assert("lead\\(".r.findAllMatchIn(p).size <= 1,
+        s"[$mode] the user-stream lead() pass must execute once:\n$p")
+      assert(!p.contains("Join"), s"[$mode] normalization must not join:\n$p")
+    }
   }
 
   test("q163 incremental agg: delta merge never re-scans wide state") {
     // Both inputs to the final merge aggregate are themselves
     // aggregates (state + delta-agg): the plan must contain no join —
     // the merge is a unionByName + re-aggregate.
-    val p = plan("q163_incremental_agg")
-    assert(!p.contains("Join"), s"state merge must be union+agg, not join:\n$p")
-    assert(p.contains("Union"), s"expected the state/delta union:\n$p")
+    bothPlans("q163_incremental_agg") { (p, mode) =>
+      assert(!p.contains("Join"),
+        s"[$mode] state merge must be union+agg, not join:\n$p")
+      assert(p.contains("Union"), s"[$mode] expected the state/delta union:\n$p")
+    }
+  }
+
+  test("q172 multi-touch: containment is bucket-keyed, never a raw theta join") {
+    // The purchase↔touch pairing rides IntervalJoin.overlap: candidates
+    // meet on (user_id, 30-min bucket) in an ordinary equi-join. A
+    // hyper-active user must never go lifetime-quadratic — which is
+    // exactly what a CartesianProduct / BroadcastNestedLoopJoin (raw
+    // inequality join) or an equi-join keyed on user_id ALONE would be.
+    bothPlans("q172_multi_touch") { (p, mode) =>
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"[$mode] containment must stay an equi-join:\n$p")
+      assert(p.contains("__bkt"),
+        s"[$mode] the bucketed IntervalJoin path must be in use:\n$p")
+    }
   }
 }
