@@ -87,19 +87,32 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nErr = results.count(_._2 < 0)
+    // Load-corrected total: scale each pass's times by (median calib /
+    // that pass's calib) before the per-query min, so a pass that ran
+    // under ambient load is deflated by exactly the slowdown the fixed
+    // calibration workload observed at its boundary. Round-over-round
+    // deltas compare total_norm mechanically instead of eyeballing
+    // loadavg (pass1 is bracketed by calib1, pass2 by calib2).
+    val calibs = Seq(calib1, calib2, calib3).sorted
+    val calibMed = calibs(1)
+    val totalNorm = named.indices.map { i =>
+      val n1 = if (pass1(i) < 0) -1.0 else pass1(i) * calibMed / calib1
+      val n2 = if (pass2(i) < 0) -1.0 else pass2(i) * calibMed / calib2
+      if (n1 < 0) n2 else if (n2 < 0) n1 else math.min(n1, n2)
+    }.filter(_ >= 0).sum
     // Surface any subset filter so a partial run is distinguishable from
     // a full one in round-over-round BENCH artifacts.
     val filterJson = only.map(f => s""","filter":"${f.mkString(",")}"""").getOrElse("")
     val loadJson =
       s""","loadavg":{"start":"$loadStart","mid":"$loadMid","end":"$loadEnd"}""" +
         s""","calib_sec":[$calib1,$calib2,$calib3]"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr$filterJson$loadJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_norm":$totalNorm,"queries":$qs,"n_queries":${results.size},"n_errors":$nErr$filterJson$loadJson,"sf":"$sfDir"}""")
     // The driver captures only the TAIL of stdout; with 120+ queries the
     // per-query map pushes the leading "metric":"total" key out of the
     // captured window, leaving the round artifact machine-unparseable
     // (BENCH_r03..r09 all record parsed:null). Re-print a compact summary
     // LAST so the total always survives tail truncation.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErr$filterJson$loadJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_norm":$totalNorm,"n_queries":${results.size},"n_errors":$nErr$filterJson$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
