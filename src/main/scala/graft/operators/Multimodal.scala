@@ -14,12 +14,15 @@ import org.apache.spark.sql.types._
   * dependency-free `javax.imageio` (no codec libraries needed).
   * AUDIO decoding is REAL too: [[WavFeatureDecoder]] parses WAV/AIFF/AU
   * through `javax.sound.sampled` and emits PCM statistics (q133 gates
-  * it against an independent analytic recomputation). Only VIDEO
-  * remains stubbed ([[StubDecoder]] — deterministic md5-derived
-  * floats; no JDK video codec exists); swapping in a true decoder is
-  * replacing one [[Decoder]] instance. The Spark-side contract —
-  * schema, batch iteration shape, partitioning behavior — is real and
-  * tested throughout.
+  * it against an independent analytic recomputation). VIDEO container
+  * METADATA is REAL as well: [[videoMeta]] parses ISO-BMFF (MP4) and
+  * EBML (WebM/Matroska) headers structurally for dims/duration/codec
+  * (q177 gates it against an independent recomputation); only video
+  * FRAME decode remains stubbed ([[StubDecoder]] — deterministic
+  * md5-derived floats; no JDK video codec exists), and swapping in a
+  * true decoder is replacing one [[Decoder]] instance. The Spark-side
+  * contract — schema, batch iteration shape, partitioning behavior —
+  * is real and tested throughout.
   *
   * Scale notes: decode is embarrassingly parallel (mapPartitions, no
   * shuffle); the binary column should be written to parquet with a
@@ -414,5 +417,331 @@ object Multimodal {
         transform(sequence(lit(0), nFrames - 1),
           i => col("payload").substr(i * lit(stride) + 1, lit(frameBytes))))
         .otherwise(array().cast(ArrayType(BinaryType))))
+  }
+
+  // ------------------------------------------------------------------
+  // VIDEO metadata — header-only, dependency-free (the imageDims
+  // posture). No JDK video codec exists, so FRAME decode stays a
+  // [[StubDecoder]]; but a video file's dims/duration/codec live in
+  // its container header (ISO-BMFF `moov` boxes for MP4, EBML
+  // Info/Tracks elements for WebM/Matroska), which a few hundred bytes
+  // of structural parsing reads exactly — the right shape for a
+  // metadata-backfill pass over a 100 TB media table. Both parsers are
+  // bounds-checked walkers over the payload prefix: corrupt or foreign
+  // bytes yield None (NULLs), never a failed batch.
+  // ------------------------------------------------------------------
+
+  /** Parsed container metadata: (container, codec, width, height,
+    * duration_ms). Codec is the sample-entry fourcc for MP4 (avc1,
+    * hev1, vp09, av01, …) and the CodecID string for WebM (V_VP9, …).
+    */
+  final case class VideoMeta(container: String, codec: String,
+    width: Int, height: Int, durationMs: Long)
+
+  private def be(b: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < len) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    v
+  }
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** ISO-BMFF (MP4/MOV) header walk. Boxes are [size:4][type:4][payload];
+    * size 1 = 64-bit largesize follows, size 0 = to end of enclosure.
+    * The video track is the trak whose mdia/hdlr handler is 'vide';
+    * dims come from its tkhd (16.16 fixed point, last 8 payload
+    * bytes), duration from mvhd (duration/timescale), codec from the
+    * first stsd sample entry's fourcc.
+    */
+  private[graft] def mp4Meta(bytes: Array[Byte]): Option[VideoMeta] = {
+    if (bytes == null || bytes.length < 16) return None
+    try {
+      // (payloadStart, payloadEnd) of the first `typ` box in [start,end)
+      def findBox(start: Int, end: Int, typ: String): Option[(Int, Int)] = {
+        var off = start
+        while (off + 8 <= end) {
+          val size0 = be(bytes, off, 4)
+          val t = fourcc(bytes, off + 4)
+          val (hdr, size) =
+            if (size0 == 1 && off + 16 <= end) (16, be(bytes, off + 8, 8))
+            else if (size0 == 0) (8, (end - off).toLong)
+            else (8, size0)
+          if (size < hdr || off + size > end) return None // corrupt
+          if (t == typ) return Some((off + hdr, off + size.toInt))
+          off += size.toInt
+        }
+        None
+      }
+      // every `trak` box in moov (several tracks: audio, video, hints)
+      def allBoxes(start: Int, end: Int, typ: String): Seq[(Int, Int)] = {
+        val out = Seq.newBuilder[(Int, Int)]
+        var off = start
+        while (off + 8 <= end) {
+          val size0 = be(bytes, off, 4)
+          val t = fourcc(bytes, off + 4)
+          val (hdr, size) =
+            if (size0 == 1 && off + 16 <= end) (16, be(bytes, off + 8, 8))
+            else if (size0 == 0) (8, (end - off).toLong)
+            else (8, size0)
+          if (size < hdr || off + size > end) return out.result()
+          if (t == typ) out += ((off + hdr, off + size.toInt))
+          off += size.toInt
+        }
+        out.result()
+      }
+      if (fourcc(bytes, 4) != "ftyp") return None
+      val (moovS, moovE) = findBox(0, bytes.length, "moov").getOrElse(return None)
+      val (mvhdS, _) = findBox(moovS, moovE, "mvhd").getOrElse(return None)
+      val mvhdVer = bytes(mvhdS) & 0xff
+      val (timescale, duration) =
+        if (mvhdVer == 1) (be(bytes, mvhdS + 20, 4), be(bytes, mvhdS + 24, 8))
+        else (be(bytes, mvhdS + 12, 4), be(bytes, mvhdS + 16, 4))
+      if (timescale == 0) return None
+      val durMs = duration * 1000L / timescale
+      allBoxes(moovS, moovE, "trak").view.flatMap { case (trakS, trakE) =>
+        for {
+          (mdiaS, mdiaE) <- findBox(trakS, trakE, "mdia")
+          (hdlrS, _) <- findBox(mdiaS, mdiaE, "hdlr")
+          if fourcc(bytes, hdlrS + 8) == "vide"
+          (tkhdS, tkhdE) <- findBox(trakS, trakE, "tkhd")
+          (minfS, minfE) <- findBox(mdiaS, mdiaE, "minf")
+          (stblS, stblE) <- findBox(minfS, minfE, "stbl")
+          (stsdS, _) <- findBox(stblS, stblE, "stsd")
+        } yield VideoMeta("mp4",
+          fourcc(bytes, stsdS + 12), // ver/flags(4) + count(4) + entrySize(4)
+          (be(bytes, tkhdE - 8, 4) >> 16).toInt, // 16.16 fixed
+          (be(bytes, tkhdE - 4, 4) >> 16).toInt,
+          durMs)
+      }.headOption
+    } catch { case _: Exception => None }
+  }
+
+  /** EBML (WebM/Matroska) header walk. Elements are [id:vint][size:vint]
+    * [payload]; master elements nest. Captures Info's TimecodeScale
+    * (default 1,000,000 ns) and Duration (float, timecode-scale units),
+    * and the first TrackEntry carrying a Video element (PixelWidth /
+    * PixelHeight / CodecID).
+    */
+  private[graft] def webmMeta(bytes: Array[Byte]): Option[VideoMeta] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      def vintLen(first: Int): Int =
+        if ((first & 0x80) != 0) 1 else if ((first & 0x40) != 0) 2
+        else if ((first & 0x20) != 0) 3 else if ((first & 0x10) != 0) 4
+        else if ((first & 0x08) != 0) 5 else if ((first & 0x04) != 0) 6
+        else if ((first & 0x02) != 0) 7 else if ((first & 0x01) != 0) 8
+        else -1
+      // (value, nextOffset); id keeps its marker bit (EBML convention)
+      def readId(off: Int): (Long, Int) = {
+        val n = vintLen(bytes(off) & 0xff)
+        require(n >= 1 && n <= 4 && off + n <= bytes.length, "bad id")
+        (be(bytes, off, n), off + n)
+      }
+      def readSize(off: Int): (Long, Int) = {
+        val n = vintLen(bytes(off) & 0xff)
+        require(n >= 1 && off + n <= bytes.length, "bad size")
+        val v = be(bytes, off, n) & ((1L << (7 * n)) - 1) // strip marker
+        (v, off + n)
+      }
+      val SEGMENT = 0x18538067L; val INFO = 0x1549A966L
+      val TRACKS = 0x1654AE6BL; val TRACK_ENTRY = 0xAEL; val VIDEO = 0xE0L
+      val TIMECODE_SCALE = 0x2AD7B1L; val DURATION = 0x4489L
+      val PIXEL_W = 0xB0L; val PIXEL_H = 0xBAL; val CODEC_ID = 0x86L
+      val masters = Set(SEGMENT, INFO, TRACKS, TRACK_ENTRY, VIDEO)
+      var tcScale = 1000000L; var durScaled = -1.0
+      var w = -1; var h = -1; var codec: String = null
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off < end &&
+            (w < 0 || h < 0 || durScaled < 0 || codec == null)) {
+          val (id, o1) = readId(off)
+          val (sz, o2) = readSize(o1)
+          val pEnd = o2 + sz.toInt
+          require(sz >= 0 && pEnd <= end, "element overruns enclosure")
+          if (masters(id)) walk(o2, pEnd)
+          else if (id == TIMECODE_SCALE) tcScale = be(bytes, o2, sz.toInt)
+          else if (id == DURATION) durScaled =
+            if (sz == 4) java.lang.Float.intBitsToFloat(
+              be(bytes, o2, 4).toInt).toDouble
+            else java.lang.Double.longBitsToDouble(be(bytes, o2, 8))
+          else if (id == PIXEL_W && w < 0) w = be(bytes, o2, sz.toInt).toInt
+          else if (id == PIXEL_H && h < 0) h = be(bytes, o2, sz.toInt).toInt
+          else if (id == CODEC_ID && codec == null) codec = new String(
+            bytes, o2, sz.toInt, java.nio.charset.StandardCharsets.US_ASCII)
+          off = pEnd
+        }
+      }
+      val (hdrId, h1) = readId(0)
+      if (hdrId != 0x1A45DFA3L) return None // not an EBML stream
+      val (hdrSz, h2) = readSize(h1)
+      walk(h2 + hdrSz.toInt, bytes.length)
+      if (w < 0 || h < 0 || codec == null) None
+      else Some(VideoMeta("webm", codec, w, h,
+        if (durScaled < 0) -1L
+        else math.round(durScaled * tcScale / 1e6)))
+    } catch { case _: Exception => None }
+  }
+
+  /** Partition-local header scan: media table → (media_id, container,
+    * codec, width, height, duration_ms), NULLs for payloads neither
+    * container parser understands. Same iterator-to-iterator batch
+    * shape as [[imageDims]] — one pass, no shuffle, per-row cost is
+    * header bytes regardless of payload size.
+    */
+  def videoMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("container", StringType),
+      StructField("codec", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id").cast(LongType), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val m = mp4Meta(bytes).orElse(webmMeta(bytes))
+          org.apache.spark.sql.Row(
+            if (r.isNullAt(0)) null else Long.box(r.getLong(0)),
+            m.map(_.container).orNull,
+            m.map(_.codec).orNull,
+            m.map(v => Int.box(v.width)).orNull,
+            m.map(v => Int.box(v.height)).orNull,
+            m.flatMap(v => if (v.durationMs < 0) None
+              else Some(Long.box(v.durationMs))).orNull)
+        }
+      }(enc)
+  }
+
+  // ---- synthetic container writers (gate + spec fixtures) ------------
+
+  /** Minimal genuine ISO-BMFF file: ftyp + moov{mvhd, trak{tkhd,
+    * mdia{hdlr(vide), minf{stbl{stsd(codec)}}}}} + mdat. Timescale is
+    * 1000, so the mvhd duration field IS milliseconds.
+    */
+  def syntheticMp4(width: Int, height: Int, durationMs: Long,
+      codec: String): Array[Byte] = {
+    require(codec.length == 4, s"fourcc must be 4 chars: $codec")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
+      buf.putInt(8 + payload.length)
+        .put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        .put(payload)
+      buf.array()
+    }
+    def concat(bs: Array[Byte]*): Array[Byte] = bs.reduce(_ ++ _)
+    val mvhd = { // version 0
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0)                       // version+flags
+      b.putInt(0).putInt(0)             // creation, modification
+      b.putInt(1000)                    // timescale: 1 unit = 1 ms
+      b.putInt(durationMs.toInt)        // duration
+      b.putInt(0x00010000).putShort(0x0100.toShort) // rate, volume
+      b.position(b.position() + 10)     // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt)              // identity matrix
+      b.position(b.position() + 24)     // predefined
+      b.putInt(2)                       // next track id
+      b.array()
+    }
+    val tkhd = { // version 0, flags: enabled|in-movie
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(0x00000003)
+      b.putInt(0).putInt(0)             // creation, modification
+      b.putInt(1).putInt(0)             // track id, reserved
+      b.putInt(durationMs.toInt)
+      b.position(b.position() + 16)     // reserved, layer, group, volume+pad
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt)
+      b.putInt(width << 16).putInt(height << 16) // 16.16 fixed
+      b.array()
+    }
+    val hdlr = concat(
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0), // ver/flags, predefined
+      "vide".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      new Array[Byte](12),                 // reserved
+      "VideoHandler"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      Array[Byte](0))
+    val stsd = {
+      val entry = box(codec, new Array[Byte](8)) // reserved(6)+dataRefIdx(2)
+      concat(Array[Byte](0, 0, 0, 0, 0, 0, 0, 1), entry) // ver/flags, count=1
+    }
+    val mdia = box("mdia", concat(box("hdlr", hdlr),
+      box("minf", box("stbl", box("stsd", stsd)))))
+    val moov = box("moov", concat(box("mvhd", mvhd),
+      box("trak", concat(box("tkhd", tkhd), mdia))))
+    concat(
+      box("ftyp", concat(
+        "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+        Array[Byte](0, 0, 0, 0),
+        "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))),
+      moov,
+      box("mdat", Array[Byte](0, 0, 0, 0)))
+  }
+
+  /** Minimal genuine WebM/EBML file: EBML header(DocType webm) +
+    * Segment{Info{TimecodeScale 1e6, Duration}, Tracks{TrackEntry{
+    * TrackType 1, CodecID, Video{PixelWidth, PixelHeight}}}}.
+    */
+  def syntheticWebm(width: Int, height: Int, durationMs: Long,
+      codecId: String): Array[Byte] = {
+    def idBytes(id: Long): Array[Byte] = {
+      val n = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2
+        else if (id <= 0xffffffL) 3 else 4
+      Array.tabulate(n)(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte)
+    }
+    // 8-byte size vint: 0x01 marker + 7 value bytes — always valid
+    def sizeVint(sz: Long): Array[Byte] =
+      Array[Byte](1) ++ Array.tabulate(7)(i =>
+        ((sz >> (8 * (6 - i))) & 0xff).toByte)
+    def el(id: Long, payload: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ sizeVint(payload.length.toLong) ++ payload
+    def uint(v: Long): Array[Byte] = {
+      val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+      Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+    }
+    val ebmlHeader = el(0x1A45DFA3L, el(0x4282L,
+      "webm".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, uint(1000000L)) ++
+        el(0x4489L, java.nio.ByteBuffer.allocate(8)
+          .putDouble(durationMs.toDouble).array()))
+    val video = el(0xE0L, el(0xB0L, uint(width.toLong)) ++
+      el(0xBAL, uint(height.toLong)))
+    val trackEntry = el(0xAEL, el(0x83L, uint(1L)) ++
+      el(0x86L, codecId.getBytes(java.nio.charset.StandardCharsets.US_ASCII)) ++
+      video)
+    val tracks = el(0x1654AE6BL, trackEntry)
+    ebmlHeader ++ el(0x18538067L, info ++ tracks)
+  }
+
+  /** Media table of genuine video-container payloads, one per id: ids
+    * divisible by 5 become WebM (V_VP9), the rest MP4 with the codec
+    * fourcc cycling avc1/hev1/vp09/av01 — dims/duration arithmetic on
+    * the id, so the q177 oracle regenerates every field in SQL from
+    * first principles while DuckDB never sees a container byte.
+    */
+  def syntheticVideoTable(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val fourccs = Array("avc1", "hev1", "vp09", "av01")
+    ids.select(col(idCol).cast(LongType))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          def m(k: Long) = java.lang.Math.floorMod(id, k)
+          val w = (320 + m(16) * 8).toInt
+          val h = (240 + m(9) * 8).toInt
+          val dur = 1000 + m(977) * 37
+          val payload =
+            if (m(5) == 0) syntheticWebm(w, h, dur, "V_VP9")
+            else syntheticMp4(w, h, dur, fourccs(m(4).toInt))
+          org.apache.spark.sql.Row(id, payload)
+        }
+      }(enc)
   }
 }

@@ -117,5 +117,34 @@ object MultimodalOps {
           LATERAL (VALUES (0, f.n), (1, f.mean), (2, f.mean_abs), (3, f.zc),
                           (4, f.mn), (5, f.mx), (6, f.mean_sq),
                           (7, CAST(16000 AS DOUBLE))) AS fi(i, v)
-        ORDER BY 1, 2""")))
+        ORDER BY 1, 2""")),
+
+    // ---- REAL video container metadata (q177) ---------------------------
+    // The q133 pattern applied to video: Spark writes GENUINE container
+    // bytes per doc_id — ISO-BMFF (ftyp/moov/mvhd/trak/tkhd/hdlr/stsd
+    // boxes) for 4 of 5 ids, EBML/WebM (Segment/Info/Tracks elements)
+    // for the rest — and must structurally parse them back header-only
+    // (Multimodal.mp4Meta/webmMeta: box walk + EBML vint walk, no
+    // codec, no dependency). DuckDB regenerates every field from the
+    // id arithmetic and never sees a container byte. Frame DECODE
+    // remains stubbed (no JDK video codec); dims/duration/codec are
+    // now measured, not declared — the imageDims posture.
+    QueryDef("q177_video_meta",
+      (s, dir) => {
+        val ids = Tables.table(s, dir, "documents").select("doc_id")
+        Multimodal.videoMeta(Multimodal.syntheticVideoTable(ids, "doc_id"))
+          .orderBy("media_id")
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 5 = 0 THEN 'webm' ELSE 'mp4' END AS container,
+               CASE WHEN doc_id % 5 = 0 THEN 'V_VP9'
+                    WHEN doc_id % 4 = 0 THEN 'avc1'
+                    WHEN doc_id % 4 = 1 THEN 'hev1'
+                    WHEN doc_id % 4 = 2 THEN 'vp09'
+                    ELSE 'av01' END AS codec,
+               CAST(320 + (doc_id % 16) * 8 AS INT) AS width,
+               CAST(240 + (doc_id % 9) * 8 AS INT) AS height,
+               CAST(1000 + (doc_id % 977) * 37 AS BIGINT) AS duration_ms
+        FROM documents ORDER BY media_id""")))
 }

@@ -166,4 +166,43 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == Seq("abcd", "cdef", "efgh")) // capped at 3 frames
     assert(out(2L) == Seq.empty)                    // 2 bytes < frame size
   }
+
+  test("mp4Meta parses a genuine ISO-BMFF header: dims, duration, codec") {
+    val b = Multimodal.syntheticMp4(1920, 1080, 123456L, "hev1")
+    assert(Multimodal.mp4Meta(b) ==
+      Some(Multimodal.VideoMeta("mp4", "hev1", 1920, 1080, 123456L)))
+    // a webm payload is not ISO-BMFF
+    assert(Multimodal.mp4Meta(
+      Multimodal.syntheticWebm(320, 240, 1000L, "V_VP9")).isEmpty)
+    // truncation and garbage yield None, never a throw
+    assert(Multimodal.mp4Meta(b.take(40)).isEmpty)
+    assert(Multimodal.mp4Meta("not a video at all".getBytes).isEmpty)
+    assert(Multimodal.mp4Meta(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.mp4Meta(null).isEmpty)
+  }
+
+  test("webmMeta parses a genuine EBML header: dims, duration, codec") {
+    val b = Multimodal.syntheticWebm(640, 360, 98765L, "V_AV1")
+    assert(Multimodal.webmMeta(b) ==
+      Some(Multimodal.VideoMeta("webm", "V_AV1", 640, 360, 98765L)))
+    assert(Multimodal.webmMeta(
+      Multimodal.syntheticMp4(320, 240, 1000L, "avc1")).isEmpty)
+    assert(Multimodal.webmMeta(b.take(30)).isEmpty)
+    assert(Multimodal.webmMeta(null).isEmpty)
+  }
+
+  test("videoMeta: one pass over mixed containers, NULLs for garbage") {
+    val media = df("media_id BIGINT, payload BINARY",
+      Row(Long.box(1), Multimodal.syntheticMp4(320, 240, 5000L, "avc1")),
+      Row(Long.box(2), Multimodal.syntheticWebm(426, 240, 7000L, "V_VP9")),
+      Row(Long.box(3), "corrupt bytes".getBytes))
+    val out = Multimodal.videoMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "mp4" && out(1L).getString(2) == "avc1" &&
+      out(1L).getInt(3) == 320 && out(1L).getInt(4) == 240 &&
+      out(1L).getLong(5) == 5000L)
+    assert(out(2L).getString(1) == "webm" && out(2L).getString(2) == "V_VP9" &&
+      out(2L).getInt(3) == 426 && out(2L).getLong(5) == 7000L)
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(3) && out(3L).isNullAt(5))
+  }
 }
