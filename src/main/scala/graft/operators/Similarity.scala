@@ -127,6 +127,28 @@ object Similarity {
   val finePairs: Seq[(Int, Int)] = Seq((1, 2), (3, 4), (5, 6), (7, 8),
     (9, 10), (11, 12), (13, 14), (15, 16))
 
+  /** The sign-LSH scale path, made mechanical: bucket-bit count sized
+    * so expected bucket population stays near `targetBucketSize` —
+    * bits = ceil(log2(n / target)) — because Σ|bucket|² candidate mass
+    * is quadratic in bucket population; a FIXED bit width is n²/2^bits
+    * (measured: exponent 2.0 in SCALING.md's `signlsh_cand_fixed8`
+    * row, restored to ~linear by growing bits with the corpus). Pairs
+    * are disjoint consecutive dimensions, capped at dim/2 distinct
+    * comparisons — ask for more and the vector simply cannot supply
+    * independent sign bits (loud failure, not silent truncation).
+    */
+  def scaledSignPairs(n: Long, dim: Int,
+      targetBucketSize: Int = 32): Seq[(Int, Int)] = {
+    require(n > 0 && dim >= 2 && targetBucketSize >= 1)
+    val bits = math.max(4, math.ceil(
+      math.log(n.toDouble / targetBucketSize) / math.log(2)).toInt)
+    require(bits <= dim / 2,
+      s"need $bits sign bits for n=$n at target bucket $targetBucketSize, " +
+        s"but a $dim-dim vector supplies at most ${dim / 2} disjoint pairs — " +
+        "raise targetBucketSize or use a learned quantizer (kmeans/IVF)")
+    (0 until bits).map(i => (2 * i + 1, 2 * i + 2))
+  }
+
   /** Bucket assignment for the whole table (write `partitionBy(bucket)`
     * for an IVF-style layout where search touches one partition).
     */

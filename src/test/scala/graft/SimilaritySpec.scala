@@ -516,4 +516,25 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
     assert(again == got)
   }
+
+  test("scaledSignPairs: bits track corpus size; over-ask fails loudly") {
+    // expected bucket population n/2^bits stays within [target/2, target]
+    for (n <- Seq(1000L, 100000L, 10000000L)) {
+      val pairs = Similarity.scaledSignPairs(n, dim = 64, targetBucketSize = 32)
+      val pop = n.toDouble / math.pow(2, pairs.size)
+      assert(pop <= 32.0 + 1e-9, s"n=$n bits=${pairs.size} pop=$pop")
+      assert(pairs.size >= 4, "floor of 4 bits")
+      // pairs are disjoint dims, all within the vector
+      val dims = pairs.flatMap(p => Seq(p._1, p._2))
+      assert(dims.distinct.size == dims.size && dims.max <= 64)
+    }
+    // growing n by 10x adds ~log2(10) bits: the SCALING.md scale path
+    val b1 = Similarity.scaledSignPairs(100000L, 64).size
+    val b10 = Similarity.scaledSignPairs(1000000L, 64).size
+    assert(b10 - b1 >= 3 && b10 - b1 <= 4)
+    // a 16-dim vector cannot supply 20 sign bits — loud, not truncated
+    intercept[IllegalArgumentException] {
+      Similarity.scaledSignPairs(1000000000L, dim = 16)
+    }
+  }
 }
