@@ -298,5 +298,89 @@ object PipelineOps {
                b.SoSDT_KetBanZalo, b.SoSDT_CoNhuCau, b.SoSDT_TuChoi, b.SoSDT_KhongNgheMay
         FROM sa a FULL OUTER JOIN sb b
           ON a.Ngay = b.Ngay AND a.MaNV_id = b.MaNV_id
-        ORDER BY 1, 4""")))
+        ORDER BY 1, 4""")),
+
+    // ---- JSONL ingest with malformed-record quarantine (q178) -----------
+    // The q177/q133 pattern applied to the dominant training-data
+    // interchange format: Spark renders documents as canonical JSONL
+    // (format_string, not to_json — field order reconstructible in
+    // SQL), TEARS every 53rd line (last 7 chars dropped → unterminated
+    // object), writes genuine text files, and must ingest them back
+    // through JsonlSource (text scan → from_json PERMISSIVE + corrupt
+    // column, one map-side pass). Good rows surface parsed; torn rows
+    // surface as quarantined raw lines. DuckDB regenerates both
+    // populations from the id arithmetic and never reads a JSON file.
+    QueryDef("q178_jsonl_quarantine",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        val line = format_string(
+          """{"doc_id":%d,"lang":"%s","n_chars":%d}""",
+          col("doc_id"), col("lang"), col("n_chars"))
+        val torn = when(pmod(col("doc_id"), lit(53)) === 0,
+          substring(line, lit(1), (length(line) - lit(7)).cast("int")))
+          .otherwise(line)
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_jsonl_q178_${java.lang.Integer.toHexString(dir.hashCode)}"
+        docs.select(torn.as("value"))
+          .write.mode("overwrite").text(path)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("n_chars", LongType)))
+        val parsed = graft.sources.JsonlSource.parseWithQuarantine(
+          s.read.text(path).withColumnRenamed("value", "line"),
+          "line", schema)
+        parsed.select(
+            col("doc_id"), col("lang"), col("n_chars"),
+            when(col("quarantined"), lit("quarantined")).otherwise(lit("ok"))
+              .as("status"),
+            when(col("quarantined"), col("line"))
+              .otherwise(lit(null).cast("string")).as("raw"))
+          .orderBy("doc_id", "raw")
+      },
+      Some("""
+        WITH j AS (SELECT doc_id, lang, n_chars,
+                          printf('{"doc_id":%d,"lang":"%s","n_chars":%d}',
+                                 doc_id, lang, n_chars) AS line
+                   FROM documents)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               'ok' AS status, CAST(NULL AS VARCHAR) AS raw
+        FROM j WHERE doc_id % 53 <> 0
+        UNION ALL
+        SELECT NULL, NULL, NULL, 'quarantined',
+               substr(line, 1, CAST(length(line) - 7 AS INT))
+        FROM j WHERE doc_id % 53 = 0
+        ORDER BY doc_id, raw""")),
+
+    // ---- ORC export round-trip with pruned read-back (q179) -------------
+    // Storage.exportAs writes the documents table as ORC with the same
+    // layout discipline as the parquet path (partitionBy lang,
+    // sortWithinPartitions doc_id for stripe min-max locality); the
+    // gate reads it back through a lang-partition-pruned, doc_id-
+    // filtered scan and aggregates. A hash match proves the format
+    // round-trip loses nothing; StorageSpec pins that the ORC scan
+    // actually receives the pushed filter and pruned partition (the
+    // scan-efficiency half a result hash cannot see).
+    QueryDef("q179_orc_roundtrip",
+      (s, dir) => {
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_orc_q179_${java.lang.Integer.toHexString(dir.hashCode)}"
+        graft.sources.Storage.exportAs(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars", "source"),
+          path, "orc", partitionCol = Some("lang"), clusterBy = Seq("doc_id"))
+        graft.sources.Storage.readAs(s, path, "orc")
+          .filter(col("doc_id") % 3 === 0)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy("lang", "source")
+      },
+      Some("""
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM documents WHERE doc_id % 3 = 0
+        GROUP BY 1, 2 ORDER BY 1, 2""")))
 }

@@ -438,4 +438,30 @@ class StreamingSpec extends SparkSpec {
         b.toDF().toDF("id", "ts"), "id", "ts", "5 minutes", "1 minute")
     }
   }
+
+  test("JSONL quarantine parse composes with readStream (map-side only)") {
+    // parseWithQuarantine is pure column ops (from_json PERMISSIVE), so
+    // the same ingest-with-quarantine contract holds on a stream — the
+    // shape a continuously-landing JSONL drop zone needs.
+    implicit val sqlCtx = spark.sqlContext
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType)))
+    val mem = MemoryStream[String]
+    val q = graft.sources.JsonlSource.parseWithQuarantine(
+        mem.toDF().toDF("line"), "line", schema)
+      .writeStream.format("memory").queryName("jsonl_stream_out")
+      .outputMode("append").start()
+    mem.addData("""{"id":1,"name":"a"}""", """{"id":2""", "garbage")
+    q.processAllAvailable()
+    val rows = spark.table("jsonl_stream_out").collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    q.stop()
+    assert(rows == Map(
+      """{"id":1,"name":"a"}""" -> false,
+      """{"id":2""" -> true,
+      "garbage" -> true))
+  }
 }
