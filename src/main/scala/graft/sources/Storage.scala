@@ -212,4 +212,42 @@ object Storage {
       n.endsWith(".parquet") || n.contains("=")
     }
   }
+
+  /** Columnar formats whose scans support predicate pushdown + column
+    * pruning in Spark — the formats [[exportAs]] admits for TABLE
+    * interchange. Row formats (csv/json) are deliberately excluded
+    * from this surface: they lose types and stats and their ingest
+    * path is [[JsonlSource]] (with quarantine), not a table export.
+    */
+  private val columnarFormats = Set("parquet", "orc")
+
+  /** Format-portable table export (the S9 layout discipline for
+    * non-parquet consumers — ORC is the interchange format half the
+    * Hadoop estate still speaks): same partition-pruning layout
+    * (`partitionBy`) and within-partition key locality
+    * (`sortWithinPartitions` → row-group/stripe min-max skipping) as
+    * the parquet path, so a consumer's pruned scan reads the same
+    * fraction of bytes either way.
+    */
+  def exportAs(df: DataFrame, path: String, format: String,
+      partitionCol: Option[String] = None,
+      clusterBy: Seq[String] = Nil): Unit = {
+    require(columnarFormats(format),
+      s"exportAs supports ${columnarFormats.mkString("/")}, got '$format'")
+    val sorted =
+      if (clusterBy.nonEmpty)
+        df.sortWithinPartitions(clusterBy.map(col): _*)
+      else df
+    val w = sorted.write.mode("overwrite").format(format)
+    partitionCol.fold(w)(c => w.partitionBy(c)).save(path)
+  }
+
+  /** Read back an [[exportAs]] table. Same mergeSchema posture as
+    * [[read]]: the union schema of all files surfaces.
+    */
+  def readAs(spark: SparkSession, path: String, format: String): DataFrame = {
+    require(columnarFormats(format),
+      s"readAs supports ${columnarFormats.mkString("/")}, got '$format'")
+    spark.read.format(format).option("mergeSchema", "true").load(path)
+  }
 }

@@ -177,4 +177,34 @@ class StorageSpec extends SparkSpec {
     Storage.loadAppend(df("a BIGINT", Row(Long.box(1))), dir + "/t")
     assert(Storage.exists(spark, dir + "/t"))
   }
+
+  test("exportAs(orc): round-trip exact; pruned read-back reaches the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("orc_export").toString
+    val data = df("id BIGINT, lang STRING, v BIGINT",
+      (1L to 60L).map(i =>
+        Row(Long.box(i), if (i % 2 == 0) "en" else "de", Long.box(i * 10))): _*)
+    Storage.exportAs(data, dir, "orc",
+      partitionCol = Some("lang"), clusterBy = Seq("id"))
+    val back = Storage.readAs(spark, dir, "orc")
+    // lossless: same row set and types through the format boundary
+    assert(back.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2))).toSet ==
+      data.collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getString(1))).toSet)
+    // scan efficiency, which a result hash cannot see: the partition
+    // filter must PRUNE (only lang=en read) and the id predicate must
+    // reach the ORC reader as a pushed filter.
+    val q = back.filter(col("lang") === "en" && col("id") < 10)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(id,10)"),
+      s"id predicate must push into the ORC scan:\n$plan")
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("isnotnull(lang") ,
+      s"lang must be a partition filter, not a data filter:\n$plan")
+    assert(q.collect().map(_.getLong(0)).toSet == Set(2L, 4L, 6L, 8L))
+    // row formats are not table exports — loud, not silent
+    intercept[IllegalArgumentException] {
+      Storage.exportAs(data, dir + "/bad", "csv")
+    }
+  }
 }
