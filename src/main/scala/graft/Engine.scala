@@ -139,6 +139,13 @@ object Engine {
       (children: Seq[Expression]) =>
         graft.functions.expressions.SimHashBits(
           children(0), litInt("simhash")(children(1), "bits"))))
+    ext.injectFunction((
+      FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.DeflateLen].getName,
+        "deflate_len"),
+      (children: Seq[Expression]) =>
+        graft.functions.expressions.DeflateLen(children(0))))
   }
 
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =

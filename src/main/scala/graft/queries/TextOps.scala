@@ -2336,6 +2336,37 @@ object TextOps {
                round((r*sxy - sx*sy) / (r*sxx - sx*sx), 9) AS slope,
                round((sy - ((r*sxy - sx*sy) / (r*sxx - sx*sx)) * sx) / r, 9)
                  AS intercept
-        FROM sums""")))
+        FROM sums""")),
+
+    // ---- compression-ratio quality signal (q180, spec-gated) ------------
+    // The Gopher/MassiveText model-free quality screen: raw-DEFLATE
+    // ratio per document via the native `deflate_len` expression
+    // (one codegen'd pass, thread-local zlib stream). Repetitive
+    // generator junk compresses far below natural prose; the gate
+    // buckets documents per language into low/mid/high-compressibility
+    // bands and reports band populations + mean ratios. NO SQL oracle
+    // by design: the exact deflate length is a property of the JDK's
+    // zlib build and not portable across engines (the expression doc
+    // explains); the signal's semantics are spec-gated instead
+    // (TextFunctionsSpec orders repetitive < prose < random, and
+    // CodegenHealthSpec pins eval == codegen). The driver records the
+    // weaker rows-only check for this entry, as the harness defines
+    // for non-SQL-expressible operators.
+    QueryDef("q180_compression_quality",
+      (s, dir) => {
+        val ratio = round(call_function("deflate_len", col("text"))
+          .cast("double") / octet_length(col("text")).cast("double"), 6)
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"), ratio.as("ratio"))
+          .withColumn("band",
+            when(col("ratio") < 0.2, "low")        // repetitive junk
+              .when(col("ratio") < 0.5, "mid")     // typical prose
+              .otherwise("high"))                  // high-entropy
+          .groupBy("lang", "band")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("ratio")), 6).as("mean_ratio"))
+          .orderBy("lang", "band")
+      },
+      None))
 
 }

@@ -230,4 +230,37 @@ class CodegenHealthSpec extends SparkSpec {
     }
     assertNoCodegenFallback(warnings)
   }
+
+  test("deflate_len: eval == codegen, signal orders junk < prose, stays compiled") {
+    val repetitive = "spam " * 200
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders away through a quiet field toward the distant river bank " * 4
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill(800)(('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), repetitive), Row(Long.box(2), prose),
+      Row(Long.box(3), noise), Row(Long.box(4), ""), Row(Long.box(5), null))
+    val warnings = capturedWarnings {
+      val got = docs.select(col("doc_id"),
+          call_function("deflate_len", col("text")).as("n"),
+          octet_length(col("text")).as("len"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1 else r.getInt(1),
+            if (r.isNullAt(2)) -1 else r.getInt(2))).toMap
+      // interpreted eval must agree exactly with the codegen'd scan
+      val interp = graft.functions.expressions.DeflateLen.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(repetitive))
+      assert(got(1L)._1 == interp, "eval and codegen must agree")
+      def ratio(id: Long) = got(id)._1.toDouble / got(id)._2
+      assert(ratio(1L) < 0.1, s"repetition must compress hard: ${ratio(1L)}")
+      assert(ratio(1L) < ratio(2L) && ratio(2L) < ratio(3L),
+        "signal must order junk < prose < noise")
+      assert(got(4L)._1 >= 0 && got(5L)._1 == -1, "empty ok; null -> null")
+      // predicate context: the curation filter shape
+      val n = docs.filter(call_function("deflate_len", col("text"))
+        .cast("double") / octet_length(col("text")) < 0.1).count()
+      assert(n == 1)
+    }
+    assertNoCodegenFallback(warnings)
+  }
 }
