@@ -904,6 +904,36 @@ object Similarity {
     done()
   }
 
+  /** [[ivfAppend]] for the RESIDUAL-encoded PQ layout
+    * ([[ivfWritePqResidual]] — the FAISS production recipe), closing
+    * the ingest ladder: frozen coarse centroids route the batch,
+    * frozen residual codebook encodes each vector's residual against
+    * its own assigned centroid, code rows append into the coarse
+    * cluster partitions. Because routing AND encoding depend only on
+    * the frozen quantizers, search-after-append is IDENTICAL to
+    * search-after-rebuild over the same rows (SimilaritySpec pins it,
+    * as for the other three layouts). Tightness is observed on the
+    * coarse assignment — residual-codebook drift shows up THROUGH it
+    * (a drifting batch has larger residuals ⇔ lower coarse cosine).
+    */
+  def ivfAppendPqResidual(vecs: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame, codebook: DataFrame, m: Int, subDim: Int,
+      path: String, batch: String): Unit = {
+    val (observed, done) = observeTightness(
+      assignNearest(vecs, idCol, vecCol, centroidDf), path, batch,
+      overwrite = false)
+    val res = residualVectors(vecs, idCol, vecCol, centroidDf)
+    pqEncode(res, idCol, "residual", codebook, m, subDim)
+      .withColumnRenamed("cluster", "code")
+      // the cluster column comes from the OBSERVED assignment so the
+      // batch's stats row materializes inside this write (same
+      // determinism: residualVectors uses the same assignNearest)
+      .join(observed.select(col(idCol), col("cluster")), idCol)
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(path)
+    done()
+  }
+
   /** Record the BUILD's own tightness baseline for an index written by
     * [[ivfWrite]]/[[ivfWriteSq8]]/[[ivfWritePq]] — run it over the same
     * `vecs`/`centroidDf` the build used (one broadcast-join scan + a

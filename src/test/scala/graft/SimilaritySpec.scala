@@ -385,6 +385,27 @@ class SimilaritySpec extends SparkSpec {
         k = 20, nprobe = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(hitsP(pAppP) == hitsP(pFullP),
       "appended PQ index must search identically to a full rebuild")
+
+    // RESIDUAL-encoded PQ layout (the FAISS production recipe): coarse
+    // centroids AND residual codebook both frozen at build time.
+    val cbr = Similarity.pqResidualCodebook(half1, "vec_id", "embedding",
+      cents, m = 16, subDim = 4).localCheckpoint(true)
+    val pAppR = tmpIndex("app_r"); val pFullR = tmpIndex("full_r")
+    Similarity.ivfWritePqResidual(half1, "vec_id", "embedding", cents, cbr,
+      16, 4, pAppR)
+    Similarity.ivfAppendPqResidual(half2, "vec_id", "embedding", cents, cbr,
+      16, 4, pAppR, "b1")
+    Similarity.ivfWritePqResidual(e, "vec_id", "embedding", cents, cbr,
+      16, 4, pFullR)
+    def hitsR(p: String) =
+      Similarity.ivfSearchPqResidual(spark, p, "vec_id", cents, cbr, q,
+        k = 20, nprobe = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hitsR(pAppR) == hitsR(pFullR),
+      "appended residual-PQ index must search identically to a full rebuild")
+    // the append recorded its tightness row in the drift ledger
+    val statRows = spark.read.parquet(pAppR + "_stats").collect()
+      .map(_.getString(0)).toSeq
+    assert(statRows == Seq("b1"))
   }
 
   test("ivfStats: drift ledger separates in-distribution from shifted batches") {
