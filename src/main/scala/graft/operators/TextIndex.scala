@@ -123,6 +123,20 @@ object TextIndex {
       writeMetaRow(postings, stats, batch, nShards, path, overwrite = false)
     }
 
+  /** Compact an append-heavy index: every [[append]] leaves one file
+    * per touched shard, and probe cost at scale is file-count-
+    * dominated (footer reads + task scheduling), so compaction is
+    * part of the index lifecycle — exactly the [[graft.sources.Storage.compact]]
+    * discipline, applied to the shard layout under the same writer
+    * lock as [[append]]. Postings are byte-identical afterwards and
+    * the ledger sidecar is untouched, so search results cannot change
+    * (TextIndexSpec pins search-after-compact ≡ search-before).
+    */
+  def compact(spark: SparkSession, path: String): Unit =
+    Upsert.withWriterLock(spark, path) {
+      graft.sources.Storage.compact(spark, path, Some("shard"))
+    }
+
   /** (n_docs, sum_dl, n_shards) summed over the batch ledger. */
   private def readMeta(spark: SparkSession, path: String): (Long, Long, Int) = {
     val m = spark.read.parquet(s"${path}__meta")

@@ -115,6 +115,28 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("compact merges append debris; search results identical") {
+    val path = tmp("compact")
+    TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
+    TextIndex.append(appendCorpus, "doc_id", "text", path, "b1")
+    TextIndex.append(df("doc_id BIGINT, text STRING",
+      Row(Long.box(9), "spark compacts postings")), "doc_id", "text", path, "b2")
+    def files() = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    def search() = TextIndex.searchBM25(spark, path, Seq("spark", "merge"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = search()
+    val filesBefore = files()
+    TextIndex.compact(spark, path)
+    assert(files() < filesBefore,
+      s"compaction must reduce file count (was $filesBefore, now ${files()})")
+    assert(search() == before, "compaction must not change search results")
+    // the ledger survives: another append still works after compaction
+    TextIndex.append(df("doc_id BIGINT, text STRING",
+      Row(Long.box(10), "merge again")), "doc_id", "text", path, "b3")
+    assert(TextIndex.indexStats(spark, path).count() == 4) // build+b1+b2+b3
+  }
+
   test("append respects the writer lock (concurrent ingest excluded)") {
     val path = tmp("append_lock")
     TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
