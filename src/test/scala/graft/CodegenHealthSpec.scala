@@ -214,6 +214,9 @@ class CodegenHealthSpec extends SparkSpec {
       Row("MARTHA", "MARHTA"), Row("DWAYNE", "DUANE"),
       Row("DIXON", "DICKSONX"), Row("abc", "abc"), Row("", "abc"),
       Row("aaxxxxxx", "aayyyyyy"), // jaro 0.5 ≤ 0.7: NO prefix bonus
+      // multi-byte input exercises the char kernel (the ASCII byte
+      // kernel and it must agree: m=3 of 4, prefix 3 → 0.883333)
+      Row("café", "cafe"),
       Row(null, "x"))
     val warnings = capturedWarnings {
       val got = pairs.select(
@@ -222,7 +225,8 @@ class CodegenHealthSpec extends SparkSpec {
       assert(got(0) == 0.961111 && got(1) == 0.84 && got(2) == 0.813333)
       assert(got(3) == 1.0 && got(4) == 0.0)
       assert(got(5) == 0.5, "boost threshold must gate the prefix bonus")
-      assert(got(6) == null)
+      assert(got(6) == 0.883333, "multi-byte path must match by-hand value")
+      assert(got(7) == null)
       // Predicate context (the DivModLike-convention stress shape).
       val n = pairs.filter(
         call_function("jaro_winkler", col("a"), col("b")) > 0.9).count()
