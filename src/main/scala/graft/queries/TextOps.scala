@@ -2352,6 +2352,46 @@ object TextOps {
     // CodegenHealthSpec pins eval == codegen). The driver records the
     // weaker rows-only check for this entry, as the harness defines
     // for non-SQL-expressible operators.
+    // ---- dataset card: release manifest in one grouping-sets pass -------
+    // Facet rollups (lang, source) + the all-corpus row share one scan
+    // and one aggregate (Spark plans grouping sets as expand+agg);
+    // metrics are exact counts, token/char mass, exact-dup percentage
+    // (md5 two-level distinct) and R-7 medians on the 1e-9 grid.
+    // Operator: [[graft.operators.DatasetCard]].
+    QueryDef("q181_dataset_card",
+      (s, dir) => {
+        graft.operators.DatasetCard.card(docs(s, dir), "doc_id", "text",
+            Seq("lang", "source"))
+          .orderBy("facet", "value")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang, source,
+                          CAST(len(string_split(text,' ')) AS BIGINT) AS tok,
+                          CAST(length(text) AS BIGINT) AS len,
+                          md5(text) AS dig
+                   FROM documents)
+        SELECT CASE WHEN GROUPING(lang) = 0 THEN 'lang'
+                    WHEN GROUPING(source) = 0 THEN 'source'
+                    ELSE 'corpus' END AS facet,
+               CASE WHEN GROUPING(lang) = 0 THEN coalesce(lang, '<null>')
+                    WHEN GROUPING(source) = 0 THEN coalesce(source, '<null>')
+                    ELSE 'all' END AS value,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(len) AS BIGINT) AS n_chars,
+               CAST(count(DISTINCT dig) AS BIGINT) AS n_distinct_texts,
+               round(quantile_cont(CAST(tok AS DOUBLE), 0.5), 9)
+                 AS median_tokens,
+               round(quantile_cont(CAST(len AS DOUBLE), 0.5), 9)
+                 AS median_chars,
+               CAST(round(CAST(count(*) - count(DISTINCT dig)
+                     AS DECIMAL(38,18))
+                   / CAST(count(*) AS DECIMAL(38,18)) * 100, 6) AS DOUBLE)
+                 AS exact_dup_pct
+        FROM d
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        ORDER BY facet, value""")),
+
     QueryDef("q180_compression_quality",
       (s, dir) => {
         val ratio = round(call_function("deflate_len", col("text"))
