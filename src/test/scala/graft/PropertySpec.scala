@@ -124,4 +124,52 @@ class PropertySpec extends AnyFunSuite {
       selected == math.round(frac * 65536).toInt.min(65535)
     })
   }
+
+  test("jaro_winkler byte and char kernels == one straight reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // Single-kernel reference (the pre-optimization formulation): the
+    // ASCII byte kernel and the multi-byte char kernel must both
+    // reproduce it exactly — the guard on the dual-kernel split.
+    def ref(s1: String, s2: String): Double = {
+      val l1 = s1.length; val l2 = s2.length
+      if (l1 == 0 || l2 == 0) return 0.0
+      if (s1 == s2) return 1.0
+      val window = math.max(0, math.max(l1, l2) / 2 - 1)
+      val m1 = new Array[Boolean](l1); val m2 = new Array[Boolean](l2)
+      var matches = 0
+      for (i <- 0 until l1) {
+        var j = math.max(0, i - window)
+        var done = false
+        while (j <= math.min(l2 - 1, i + window) && !done) {
+          if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+            m1(i) = true; m2(j) = true; matches += 1; done = true
+          }
+          j += 1
+        }
+      }
+      if (matches == 0) return 0.0
+      var trans = 0; var k = 0
+      for (i <- 0 until l1) if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) trans += 1
+        k += 1
+      }
+      val m = matches.toDouble
+      val jaro = (m / l1 + m / l2 + (m - trans / 2) / m) / 3.0
+      if (jaro <= 0.7) return jaro
+      var p = 0
+      while (p < math.min(4, math.min(l1, l2)) &&
+        s1.charAt(p) == s2.charAt(p)) p += 1
+      jaro + p * 0.1 * (1.0 - jaro)
+    }
+    val genStr: Gen[String] = Gen.oneOf(
+      Gen.stringOf(Gen.alphaChar).map(_.take(20)),        // ASCII path
+      Gen.stringOf(Gen.oneOf('a', 'b', 'é', 'ü', '界'))   // char path
+        .map(_.take(12)),
+      Gen.const(""))
+    check(Prop.forAll(genStr, genStr) { (a, b) =>
+      graft.functions.expressions.JaroWinkler.compute(
+        UTF8String.fromString(a), UTF8String.fromString(b)) == ref(a, b)
+    })
+  }
 }
