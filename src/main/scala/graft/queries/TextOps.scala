@@ -2338,6 +2338,83 @@ object TextOps {
                  AS intercept
         FROM sums""")),
 
+    // ---- URL canonicalization + domain rollup (q182) --------------------
+    // Web-corpus curation's first step: textually different URLs naming
+    // the same resource must collapse before URL-keyed dedup. Three
+    // variants are synthesized per page (plain; uppercase scheme+host
+    // with the default :443; www + fragment + trailing slash), and the
+    // rollup proves canonicalization collapses exactly what it should:
+    // the no-www variants merge, the www host stays a distinct URL but
+    // the DOMAIN rollup merges it. Every rule is a regexp_replace
+    // restated verbatim in DuckDB (RE2-compatible by construction —
+    // no lookahead; \1 vs $1 is the only dialect difference).
+    // Operator: [[graft.functions.UrlOps]].
+    QueryDef("q182_url_canonical",
+      (s, dir) => {
+        import graft.functions.UrlOps
+        val page = floor(col("doc_id") / 3).cast("long")
+        val variant = pmod(col("doc_id"), lit(3))
+        val dom = concat(lit("example"),
+          pmod(page, lit(7)).cast("string"), lit(".com"))
+        val pathseg = concat(col("lang"), lit("/p"),
+          pmod(page, lit(13)).cast("string"))
+        val url = when(variant === 0,
+            concat(lit("https://"), dom, lit("/"), pathseg))
+          .when(variant === 1,
+            concat(lit("HTTPS://"), upper(dom), lit(":443/"), pathseg))
+          .otherwise(concat(lit("https://www."), dom, lit("/"), pathseg,
+            lit("/#sec"), col("doc_id").cast("string")))
+        docs(s, dir).select(url.as("url"))
+          .select(col("url"),
+            UrlOps.canonicalizeUrl(col("url")).as("curl"),
+            UrlOps.urlDomain(col("url")).as("domain"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("curl")).as("n_canonical"),
+            countDistinct(regexp_extract(col("curl"),
+              "^https://([^/?#:]*)", 1)).as("n_hosts"))
+          .orderBy("domain")
+      },
+      Some("""
+        WITH u AS (
+          SELECT CASE doc_id % 3
+                   WHEN 0 THEN 'https://example' ||
+                     CAST((doc_id // 3) % 7 AS VARCHAR) || '.com/' ||
+                     lang || '/p' || CAST((doc_id // 3) % 13 AS VARCHAR)
+                   WHEN 1 THEN 'HTTPS://EXAMPLE' ||
+                     CAST((doc_id // 3) % 7 AS VARCHAR) || '.COM:443/' ||
+                     lang || '/p' || CAST((doc_id // 3) % 13 AS VARCHAR)
+                   ELSE 'https://www.example' ||
+                     CAST((doc_id // 3) % 7 AS VARCHAR) || '.com/' ||
+                     lang || '/p' || CAST((doc_id // 3) % 13 AS VARCHAR) ||
+                     '/#sec' || CAST(doc_id AS VARCHAR)
+                 END AS url
+          FROM documents),
+        c AS (
+          SELECT url,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                         '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+                       regexp_replace(regexp_replace(url, '#.*$', ''),
+                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                       '^(https://[^/?#:]*):443([/?#]|$)', '\1\2'),
+                     '^(http://[^/?#:]*):80([/?#]|$)', '\1\2'),
+                   '(://[^/?#]*/[^?#]*[^/?#])/$', '\1') AS curl
+          FROM u),
+        d AS (
+          SELECT url, curl,
+                 regexp_replace(regexp_extract(lower(url),
+                   '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1),
+                   '^www\.', '') AS domain
+          FROM c)
+        SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical,
+               CAST(count(DISTINCT regexp_extract(curl,
+                 '^https://([^/?#:]*)', 1)) AS BIGINT) AS n_hosts
+        FROM d GROUP BY 1 ORDER BY 1""")),
+
     // ---- compression-ratio quality signal (q180, spec-gated) ------------
     // The Gopher/MassiveText model-free quality screen: raw-DEFLATE
     // ratio per document via the native `deflate_len` expression

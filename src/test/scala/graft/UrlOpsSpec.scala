@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.UrlOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class UrlOpsSpec extends SparkSpec {
+
+  private def canon(urls: String*): Seq[String] = {
+    val rows = urls.map(Row(_))
+    df("u STRING", rows: _*)
+      .select(UrlOps.canonicalizeUrl(col("u")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+  }
+
+  test("canonicalize: RFC normalizations, case-sensitive path preserved") {
+    assert(canon(
+      "HTTPS://WWW.Example.COM:443/Path/To?Q=1#frag",
+      "http://a.com:80/x",
+      "https://a.com:8443/x",        // non-default port KEPT
+      "https://a.com/x/",            // trailing slash stripped
+      "https://a.com/",              // bare root kept
+      "https://a.com/x/?q=1",        // query URL untouched
+      "https://a.com/CaseSensitive/Path") == Seq(
+      "https://www.example.com/Path/To?Q=1",
+      "http://a.com/x",
+      "https://a.com:8443/x",
+      "https://a.com/x",
+      "https://a.com/",
+      "https://a.com/x/?q=1",
+      "https://a.com/CaseSensitive/Path"))
+  }
+
+  test("canonicalize: garbage passes through, never errors") {
+    assert(canon("not a url", "", "ftp://H.com/A#x") ==
+      Seq("not a url", "", "ftp://h.com/A"))
+  }
+
+  test("urlDomain: host minus www; null for non-URLs") {
+    val got = df("u STRING",
+      Row("HTTPS://WWW.Example.COM:443/x"), Row("https://sub.a.co.uk/p"),
+      Row("garbage"), Row(null))
+      .select(UrlOps.urlDomain(col("u")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == Seq("example.com", "sub.a.co.uk", null, null))
+  }
+}
