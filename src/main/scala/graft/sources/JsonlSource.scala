@@ -57,6 +57,29 @@ object JsonlSource {
     * than failing — corrupt media is data, not an error, at corpus
     * scale.
     */
+  /** Streaming drop-zone ingest: a `readStream` of raw lines (file
+    * source or otherwise, column `line`) parsed per micro-batch, good
+    * rows appended to `goodDir` as parquet, torn raw lines to
+    * `quarantineDir` as text. Both writes ride `foreachBatch`, so a
+    * retried batch can re-append (at-least-once, like the audit-log
+    * posture); the returned writer still needs `.option("checkpointLocation",
+    * ...)` and `.start()` from the caller. Downstream exactly-once
+    * comes from the id/content dedup streams or a digest-keyed merge —
+    * the same recovery contract as the batch path's idempotent re-run.
+    */
+  def ingestStream(lines: DataFrame, schema: StructType,
+      goodDir: String, quarantineDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    lines.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val parsed = parseWithQuarantine(batch, "line", schema)
+          .localCheckpoint(false) // both sinks read the parse once
+        parsed.filter(col("quarantined")).select(col("line"))
+          .write.mode("append").text(quarantineDir)
+        parsed.filter(!col("quarantined")).drop("quarantined")
+          .write.mode("append").parquet(goodDir)
+    }
+
   def ingest(spark: SparkSession, path: String, schema: StructType,
       quarantineDir: Option[String] = None): DataFrame = {
     val raw = parseWithQuarantine(

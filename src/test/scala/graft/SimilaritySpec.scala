@@ -391,6 +391,10 @@ class SimilaritySpec extends SparkSpec {
     val cbr = Similarity.pqResidualCodebook(half1, "vec_id", "embedding",
       cents, m = 16, subDim = 4).localCheckpoint(true)
     val pAppR = tmpIndex("app_r"); val pFullR = tmpIndex("full_r")
+    // the stats sidecar is APPEND-mode by design (a ledger); a reused
+    // tmp path across test runs would accumulate rows — clear it
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(pAppR + "_stats"))
     Similarity.ivfWritePqResidual(half1, "vec_id", "embedding", cents, cbr,
       16, 4, pAppR)
     Similarity.ivfAppendPqResidual(half2, "vec_id", "embedding", cents, cbr,

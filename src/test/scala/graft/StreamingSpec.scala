@@ -464,4 +464,25 @@ class StreamingSpec extends SparkSpec {
       """{"id":2""" -> true,
       "garbage" -> true))
   }
+
+  test("JSONL drop-zone sink: good rows to parquet, torn lines to quarantine") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_dropzone").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val mem = MemoryStream[String]
+    val q = graft.sources.JsonlSource.ingestStream(
+        mem.toDF().toDF("line"), schema, dir + "/good", dir + "/bad")
+      .option("checkpointLocation", dir + "/ckpt").start()
+    mem.addData("""{"id":1}""", "torn{", """{"id":2}""")
+    q.processAllAvailable()
+    mem.addData("""{"id":3}""")
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(dir + "/good").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(spark.read.text(dir + "/bad")
+      .collect().map(_.getString(0)).toSeq == Seq("torn{"))
+  }
 }
