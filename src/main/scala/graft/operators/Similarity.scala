@@ -934,6 +934,21 @@ object Similarity {
     done()
   }
 
+  /** Compact an append-heavy vector index (any of the four layouts —
+    * they share the cluster-partitioned parquet shape): every
+    * `ivfAppend*` leaves one file per touched cluster, and probe cost
+    * at scale is file-count-dominated. Same discipline as
+    * [[graft.operators.TextIndex.compact]]: [[graft.sources.Storage.compact]]
+    * on the cluster layout under the writer lock; rows are
+    * byte-identical afterwards and the `_stats` ledger is untouched,
+    * so search results cannot change (SimilaritySpec pins it).
+    */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    graft.operators.Upsert.withWriterLock(spark, path) {
+      graft.sources.Storage.compact(spark, path, Some("cluster"))
+    }
+
   /** Record the BUILD's own tightness baseline for an index written by
     * [[ivfWrite]]/[[ivfWriteSq8]]/[[ivfWritePq]] — run it over the same
     * `vecs`/`centroidDf` the build used (one broadcast-join scan + a

@@ -410,6 +410,19 @@ class SimilaritySpec extends SparkSpec {
     val statRows = spark.read.parquet(pAppR + "_stats").collect()
       .map(_.getString(0)).toSeq
     assert(statRows == Seq("b1"))
+
+    // compaction merges the float index's append debris: fewer files,
+    // identical hits, ledger untouched
+    def files(p: String) = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(p))
+      .filter(f => f.toString.endsWith(".parquet")).count()
+    val filesBefore = files(pApp)
+    val hitsBefore = hits(pApp)
+    Similarity.ivfCompact(spark, pApp)
+    assert(files(pApp) < filesBefore,
+      s"compaction must reduce file count ($filesBefore -> ${files(pApp)})")
+    assert(hits(pApp) == hitsBefore,
+      "compaction must not change search results")
   }
 
   test("ivfStats: drift ledger separates in-distribution from shifted batches") {
