@@ -158,12 +158,17 @@ object TextIndex {
         col("sum_dl").cast("double") / col("n_docs").cast("double"))
     val base = s.filter(col("batch") === "build")
       .select(col("avgdl").as("__build_avgdl"))
+    // 1-row totals broadcast (the stats-broadcast idiom) — an
+    // unpartitioned window would funnel the ledger into one partition
+    // and warn; the ledger is tiny but the plan shape should still be
+    // the one that scales.
+    val total = s.agg(sum(col("sum_dl")).cast("double").as("__total_dl"))
     s.join(broadcast(base), lit(true), "left")
+      .join(broadcast(total), lit(true), "left")
       .withColumn("avgdl_drift", col("avgdl") - col("__build_avgdl"))
       .withColumn("new_dl_frac",
-        col("sum_dl").cast("double") /
-          sum(col("sum_dl")).over(Window.partitionBy()).cast("double"))
-      .drop("__build_avgdl")
+        col("sum_dl").cast("double") / col("__total_dl"))
+      .drop("__build_avgdl", "__total_dl")
   }
 
   /** Okapi BM25 top-k for `terms` (k1=1.2, b=0.75, q136's exact
