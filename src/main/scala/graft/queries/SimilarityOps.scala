@@ -198,8 +198,16 @@ object SimilarityOps {
   private val PqM = 16
   private val PqW = 4
 
+  /** Eagerly materialize `df` only when the caller will read it many
+    * times (q171's MSE-audit path); single-read callers (q99/q100/
+    * q108) must NOT pay the blocking materialization — measured +2 s
+    * each at sf0.1 when the cut is unconditional.
+    */
+  private def cutIf(cut: Boolean)(df: DataFrame): DataFrame =
+    if (cut) df.localCheckpoint(true) else df
+
   private def pqParts(s: SparkSession, dir: String,
-      exBase: Option[DataFrame] = None): PqParts = {
+      exBase: Option[DataFrame] = None, cut: Boolean = false): PqParts = {
     val m = PqM; val w = PqW
     val e = emb(s, dir)
     val ex = exBase.getOrElse(e
@@ -233,6 +241,9 @@ object SimilarityOps {
         .as("d2"))
       .select(col("vec_id"), col("sub"), col("cluster"),
         round(col("d2").cast(DoubleType), 9).as("d2r"))
+      // q171 reads this twice (argmin cut AND the MSE join) — cut
+      // there; the serving gates read it once
+      .transform(cutIf(cut))
     val codes = graft.functions.ColumnLib.latestWins(asn,
         Seq("vec_id", "sub"), Seq(col("d2r").asc, col("cluster").asc))
       .select("vec_id", "sub", "cluster")
@@ -322,11 +333,16 @@ object SimilarityOps {
   private final case class CoarseParts(ex: DataFrame, cd: DataFrame,
       assign: DataFrame, probes: DataFrame)
 
-  private def coarseParts(s: SparkSession, dir: String): CoarseParts = {
+  private def coarseParts(s: SparkSession, dir: String,
+      cut: Boolean = false): CoarseParts = {
     val e = emb(s, dir)
     val ex = e
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
       .select(col("vec_id"), col("pos"), col("vf").cast(DoubleType).as("v"))
+      // q171's consumers (norms, assignment, yardstick, raw AND
+      // residual encodings, the probe query) re-derive this
+      // scan+explode 5+ times — cut there, not for single-pass gates
+      .transform(cutIf(cut))
     val cd = labelCentsDecimal(e)
       .select(col("cluster"), posexplode(col("centroid")).as(Seq("pos", "cf")))
       .select(col("cluster"), col("pos"), col("cf").cast(DoubleType).as("c"))
@@ -348,6 +364,9 @@ object SimilarityOps {
             col("dot") / (sqrt(col("vnn")) * sqrt(col("cnn")))),
         Seq("vec_id"), Seq(col("__cos").desc_nulls_last, col("cluster").asc))
       .select("vec_id", "cluster")
+      // corpus-sized but narrow (2 cols); in q171, candidates,
+      // residuals, the coarse term and both MSE paths all join it
+      .transform(cutIf(cut))
     val q = ex.filter(col("vec_id") === 0).select(col("pos"), col("v").as("qv"))
     val qn = q.agg(sum((col("qv") * col("qv")).cast(D)).as("qnd"))
       .select(col("qnd").cast(DoubleType).as("qnn"))
@@ -423,6 +442,8 @@ object SimilarityOps {
         .as("d2"))
       .select(col("vec_id"), col("sub"), col("cluster"),
         round(col("d2").cast(DoubleType), 9).as("d2r"))
+      // read by the argmin cut AND the q171 MSE join — cut once
+      .localCheckpoint(true)
     val codes = graft.functions.ColumnLib.latestWins(asn,
         Seq("vec_id", "sub"), Seq(col("d2r").asc, col("cluster").asc))
       .select("vec_id", "sub", "cluster")
@@ -2042,7 +2063,7 @@ object SimilarityOps {
     // adoption argument for residual encoding as a verified number.
     QueryDef("q171_residual_pq",
       (s, dir) => {
-        val parts = coarseParts(s, dir)
+        val parts = coarseParts(s, dir, cut = true)
         val candidates = parts.assign
           .join(broadcast(parts.probes), Seq("cluster"), "left_semi")
           .select("vec_id")
@@ -2073,7 +2094,7 @@ object SimilarityOps {
               round(col("hits").cast(DoubleType) /
                 col("total").cast(DoubleType), 9).as("recall"))
         }
-        val raw = pqParts(s, dir, exBase = Some(parts.ex))
+        val raw = pqParts(s, dir, exBase = Some(parts.ex), cut = true)
         val res = pqResidualParts(s, dir, parts)
         // Mean squared reconstruction error over the WHOLE corpus in
         // floored micro units — the fidelity number that separates
