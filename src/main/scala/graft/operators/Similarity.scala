@@ -294,12 +294,18 @@ object Similarity {
   /** Assign every vector to its nearest centroid and write the table
     * partitioned by cluster — the IVF build. Same assignment as the
     * quantizer training ([[assignNearest]]), so layout and training
-    * can never disagree.
+    * can never disagree. `metaCols` names extra payload columns to
+    * carry into the index rows (e.g. a language or license tag) —
+    * the storage half of filtered vector search: a predicate over
+    * these columns can then prune candidates INSIDE the probe scan
+    * ([[ivfSearchFiltered]]) instead of after the top-k cut.
     */
   def ivfWrite(vecs: DataFrame, idCol: String, vecCol: String,
-      centroidDf: DataFrame, path: String): Unit =
+      centroidDf: DataFrame, path: String,
+      metaCols: Seq[String] = Nil): Unit =
     assignNearest(vecs, idCol, vecCol, centroidDf)
-      .select(col(idCol), col(vecCol), col("cluster"))
+      .select((Seq(col(idCol), col(vecCol)) ++ metaCols.map(col) :+
+        col("cluster")): _*)
       // Co-locate each cluster before the partitioned write: without
       // this every shuffle partition can emit a file per cluster
       // (partitions x clusters small files — the classic partitionBy
@@ -541,6 +547,29 @@ object Similarity {
     val probes = probeClusters(centroidDf, query, nprobe)
     val pruned = spark.read.parquet(path)
       .filter(col("cluster").isin(probes.toIndexedSeq: _*))
+    bruteForceTopK(pruned, idCol, vecCol, array(query.map(lit): _*), k)
+  }
+
+  /** PRE-filtered IVF search: [[ivfSearch]] with a metadata predicate
+    * applied INSIDE the partition-pruned probe read, before scoring
+    * and before the top-k cut. This is the "filtered vector search"
+    * production shape (search only docs with lang='en' / license ok):
+    * the predicate lands on index columns written via [[ivfWrite]]'s
+    * `metaCols`, so Spark pushes it into the parquet scan of the
+    * probed clusters — selectivity reduces the SCAN, and k survivors
+    * are guaranteed to satisfy it. The alternative (post-filtering a
+    * plain top-k) silently under-fills k under selective predicates;
+    * graft.queries.SimilarityOps q183 measures that recall gap
+    * head-to-head against the exact filtered top-k.
+    */
+  def ivfSearchFiltered(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, centroidDf: DataFrame,
+      query: Seq[Float], k: Int, nprobe: Int,
+      predicate: Column): DataFrame = {
+    val probes = probeClusters(centroidDf, query, nprobe)
+    val pruned = spark.read.parquet(path)
+      .filter(col("cluster").isin(probes.toIndexedSeq: _*))
+      .filter(predicate)
     bruteForceTopK(pruned, idCol, vecCol, array(query.map(lit): _*), k)
   }
 

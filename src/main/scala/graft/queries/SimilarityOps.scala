@@ -2227,5 +2227,102 @@ object SimilarityOps {
                        CAST((SELECT count(*) FROM ext) AS DOUBLE), 9)
                    AS recall,
                  (SELECT mse_micro FROM resm) AS mse_micro)
-        ORDER BY method""")))
+        ORDER BY method""")),
+
+    // ---- filtered vector search: pre-filter vs post-filter --------------
+    // Production vector search is almost never unconstrained — "nearest
+    // neighbors WHERE lang = 'en' AND license_ok" is the common shape
+    // (Qdrant/Vespa/Milvus all ship filtered search as a first-class
+    // mode). Two strategies, measured head-to-head against the exact
+    // filtered top-10: PRE-filter pushes the predicate into the
+    // partition-pruned probe scan (index built with metaCols, so the
+    // parquet reader prunes on the metadata column BEFORE scoring and
+    // the k survivors all satisfy it); POST-filter runs the plain
+    // unfiltered top-k and drops non-matching survivors after the cut —
+    // under a selective predicate it under-fills k and recall collapses.
+    // The filter (label = 3, never the query vector's own label at any
+    // SF) keeps the scenario non-degenerate: matching vectors live
+    // mostly OUTSIDE the query's nearest clusters, so the gap the gate
+    // prints is structural, not a fixture accident. Portability is the
+    // q54/q58 contract: decimal-grid centroids, rounded-decimal final
+    // rankings, vec_id tiebreaks, and the 5x (k=50) margin between the
+    // engine's double-ranked candidate cut and the portable top-10.
+    QueryDef("q183_filtered_ann",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cents = labelCentsDecimal(e)
+        val qvec = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_ivf_q183_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        Similarity.ivfWrite(e, "vec_id", "embedding", cents, path,
+          metaCols = Seq("label"))
+        val exact = decimalRerankTop10(e,
+            e.filter(col("label") === 3).select("vec_id"))
+          .select("vec_id").localCheckpoint(true) // read by both recall rows
+        def recallRow(method: String, top: DataFrame): DataFrame =
+          exact.join(top.select(col("vec_id"), lit(1).as("hit")),
+              Seq("vec_id"), "left")
+            .agg(coalesce(sum(col("hit")), lit(0)).cast(LongType).as("hits"),
+              count(lit(1)).as("total"))
+            .select(lit(method).as("method"), col("hits"), col("total"),
+              round(col("hits").cast(DoubleType) /
+                col("total").cast(DoubleType), 9).as("recall"))
+        val pre = Similarity.ivfSearchFiltered(s, path, "vec_id",
+          "embedding", cents, qvec, k = 50, nprobe = 2,
+          predicate = col("label") === 3)
+        val post = Similarity.ivfSearch(s, path, "vec_id", "embedding",
+          cents, qvec, k = 50, nprobe = 2)
+        val postTop = decimalRerankTop10(e, post.select("vec_id"))
+          .join(e.select(col("vec_id"), col("label")), "vec_id")
+          .filter(col("label") === 3)
+        recallRow("prefilter", decimalRerankTop10(e, pre.select("vec_id")))
+          .union(recallRow("postfilter", postTop))
+          .orderBy("method")
+      },
+      Some(s"""
+        WITH $ivfAssignCte,
+        q AS (SELECT pos, v FROM e WHERE vec_id = 0),
+        qn AS (SELECT CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn FROM q),
+        pc AS (SELECT cd.label,
+                      CAST(SUM(CAST(cd.c*q.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM centd cd JOIN q ON q.pos = cd.pos GROUP BY 1),
+        probes AS (SELECT pc.label FROM pc JOIN cn USING (label), qn
+                   ORDER BY pc.dot/(sqrt(cn.nn)*sqrt(qn.nn)) DESC, pc.label
+                   LIMIT 2),
+        dall AS (SELECT e.vec_id,
+                        CAST(SUM(CAST(e.v*q.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+                 FROM e JOIN q ON q.pos = e.pos GROUP BY 1),
+        sc AS (SELECT vec_id, round(dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) AS cosine
+               FROM dall JOIN vn USING (vec_id), qn
+               WHERE vn.nn > 0 AND qn.nn > 0),
+        lb AS (SELECT vec_id, label AS lbl FROM embeddings),
+        ex AS (SELECT vec_id FROM (
+                 SELECT sc.vec_id,
+                        row_number() OVER (ORDER BY sc.cosine DESC, sc.vec_id) AS rk
+                 FROM sc JOIN lb USING (vec_id) WHERE lb.lbl = 3)
+               WHERE rk <= 10),
+        cand AS (SELECT a.vec_id FROM assign a JOIN probes p ON p.label = a.label),
+        pre AS (SELECT vec_id FROM (
+                  SELECT sc.vec_id,
+                         row_number() OVER (ORDER BY sc.cosine DESC, sc.vec_id) AS rk
+                  FROM sc JOIN cand USING (vec_id) JOIN lb USING (vec_id)
+                  WHERE lb.lbl = 3)
+                WHERE rk <= 10),
+        post AS (SELECT vec_id FROM (
+                   SELECT sc.vec_id, lb.lbl,
+                          row_number() OVER (ORDER BY sc.cosine DESC, sc.vec_id) AS rk
+                   FROM sc JOIN cand USING (vec_id) JOIN lb USING (vec_id))
+                 WHERE rk <= 10 AND lbl = 3),
+        raw AS (
+          SELECT 'postfilter' AS method,
+                 CAST((SELECT count(*) FROM post JOIN ex USING (vec_id)) AS BIGINT) AS hits,
+                 CAST((SELECT count(*) FROM ex) AS BIGINT) AS total
+          UNION ALL
+          SELECT 'prefilter',
+                 CAST((SELECT count(*) FROM pre JOIN ex USING (vec_id)) AS BIGINT),
+                 CAST((SELECT count(*) FROM ex) AS BIGINT))
+        SELECT method, hits, total,
+               round(CAST(hits AS DOUBLE)/CAST(total AS DOUBLE), 9) AS recall
+        FROM raw ORDER BY method""")))
 }
