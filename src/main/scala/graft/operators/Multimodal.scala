@@ -537,11 +537,17 @@ object Multimodal {
         require(n >= 1 && n <= 4 && off + n <= bytes.length, "bad id")
         (be(bytes, off, n), off + n)
       }
+      // Size vint of all ones (after the marker) means UNKNOWN SIZE —
+      // "extends to the end of the enclosing element" per the EBML
+      // spec. Live-muxed/streamed WebM writes Segment this way, so it
+      // must parse, not abort. Returned as -1; walk() maps it to the
+      // enclosure's end.
       def readSize(off: Int): (Long, Int) = {
         val n = vintLen(bytes(off) & 0xff)
         require(n >= 1 && off + n <= bytes.length, "bad size")
-        val v = be(bytes, off, n) & ((1L << (7 * n)) - 1) // strip marker
-        (v, off + n)
+        val allOnes = (1L << (7 * n)) - 1
+        val v = be(bytes, off, n) & allOnes // strip marker
+        (if (v == allOnes) -1L else v, off + n)
       }
       val SEGMENT = 0x18538067L; val INFO = 0x1549A966L
       val TRACKS = 0x1654AE6BL; val TRACK_ENTRY = 0xAEL; val VIDEO = 0xE0L
@@ -556,8 +562,17 @@ object Multimodal {
             (w < 0 || h < 0 || durScaled < 0 || codec == null)) {
           val (id, o1) = readId(off)
           val (sz, o2) = readSize(o1)
-          val pEnd = o2 + sz.toInt
-          require(sz >= 0 && pEnd <= end, "element overruns enclosure")
+          // unknown size (-1): the element runs to the end of its
+          // enclosure. Only master elements may be unknown-size (the
+          // spec restricts it to elements whose end is discoverable);
+          // an unknown-size LEAF cannot be read and aborts the walk.
+          require(sz >= 0 || masters(id), "unknown-size non-master element")
+          val pEnd = if (sz < 0) end
+            else { // Long arithmetic: a huge sz must not overflow to <0
+              val e = o2.toLong + sz
+              require(e <= end, "element overruns enclosure")
+              e.toInt
+            }
           if (masters(id)) walk(o2, pEnd)
           else if (id == TIMECODE_SCALE) tcScale = be(bytes, o2, sz.toInt)
           else if (id == DURATION) durScaled =
@@ -574,6 +589,7 @@ object Multimodal {
       val (hdrId, h1) = readId(0)
       if (hdrId != 0x1A45DFA3L) return None // not an EBML stream
       val (hdrSz, h2) = readSize(h1)
+      if (hdrSz < 0) return None // EBML header itself must be sized
       walk(h2 + hdrSz.toInt, bytes.length)
       if (w < 0 || h < 0 || codec == null) None
       else Some(VideoMeta("webm", codec, w, h,
@@ -685,8 +701,12 @@ object Multimodal {
     * Segment{Info{TimecodeScale 1e6, Duration}, Tracks{TrackEntry{
     * TrackType 1, CodecID, Video{PixelWidth, PixelHeight}}}}.
     */
+  /** `unknownSegmentSize = true` writes the Segment with the all-ones
+    * size vint (unknown size, "extends to end of stream") — the shape
+    * every live-muxed/streamed WebM has, which [[webmMeta]] must parse.
+    */
   def syntheticWebm(width: Int, height: Int, durationMs: Long,
-      codecId: String): Array[Byte] = {
+      codecId: String, unknownSegmentSize: Boolean = false): Array[Byte] = {
     def idBytes(id: Long): Array[Byte] = {
       val n = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2
         else if (id <= 0xffffffL) 3 else 4
@@ -714,7 +734,12 @@ object Multimodal {
       el(0x86L, codecId.getBytes(java.nio.charset.StandardCharsets.US_ASCII)) ++
       video)
     val tracks = el(0x1654AE6BL, trackEntry)
-    ebmlHeader ++ el(0x18538067L, info ++ tracks)
+    val segment =
+      if (unknownSegmentSize)
+        idBytes(0x18538067L) ++
+          (Array[Byte](1) ++ Array.fill(7)(0xff.toByte)) ++ info ++ tracks
+      else el(0x18538067L, info ++ tracks)
+    ebmlHeader ++ segment
   }
 
   /** Media table of genuine video-container payloads, one per id: ids

@@ -2390,23 +2390,35 @@ object TextOps {
                      '/#sec' || CAST(doc_id AS VARCHAR)
                  END AS url
           FROM documents),
+        parts AS (
+          SELECT url,
+                 regexp_extract(regexp_replace(url, '#.*$', ''),
+                   '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS prefix,
+                 regexp_replace(regexp_replace(url, '#.*$', ''),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+          FROM u),
+        split AS (
+          SELECT url, rest,
+                 regexp_extract(prefix,
+                   '^([A-Za-z][A-Za-z0-9+.-]*://)', 1) AS scheme,
+                 regexp_replace(prefix,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS auth
+          FROM parts),
         c AS (
           SELECT url,
                  regexp_replace(
                    regexp_replace(
                      regexp_replace(
-                       lower(regexp_extract(regexp_replace(url, '#.*$', ''),
-                         '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
-                       regexp_replace(regexp_replace(url, '#.*$', ''),
-                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
-                       '^(https://[^/?#:]*):443([/?#]|$)', '\1\2'),
-                     '^(http://[^/?#:]*):80([/?#]|$)', '\1\2'),
+                       lower(scheme) || regexp_extract(auth, '^(.*@)', 1) ||
+                       lower(regexp_replace(auth, '^.*@', '')) || rest,
+                       '^(https://[^/?#]*):443([/?#]|$)', '\1\2'),
+                     '^(http://[^/?#]*):80([/?#]|$)', '\1\2'),
                    '(://[^/?#]*/[^?#]*[^/?#])/$', '\1') AS curl
-          FROM u),
+          FROM split),
         d AS (
           SELECT url, curl,
                  regexp_replace(regexp_extract(lower(url),
-                   '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1),
+                   '^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([^/?#:@]*)', 1),
                    '^www\.', '') AS domain
           FROM c)
         SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,

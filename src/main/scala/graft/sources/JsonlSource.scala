@@ -44,9 +44,15 @@ object JsonlSource {
     val parsed = lines.withColumn("__j",
       from_json(col(lineCol), withCorrupt, opts))
     val fields = schema.fieldNames.toSeq.map(f => col(s"__j.$f").as(f))
+    // Empty/whitespace-only lines (and the JSON literal `null`) make
+    // from_json return a NULL STRUCT — not a corrupt-record marker — so
+    // checking only the corrupt column would classify them as good rows
+    // with all-null fields. A null parse result is quarantine too:
+    // "parse what parses" means a row must actually parse to a record.
     parsed.select(
       (lines.columns.map(col).toSeq ++ fields :+
-        col(s"__j.$CorruptCol").isNotNull.as("quarantined")): _*)
+        (col("__j").isNull || col(s"__j.$CorruptCol").isNotNull)
+          .as("quarantined")): _*)
   }
 
   /** Ingest a JSONL directory: returns the parseable rows (schema

@@ -35,6 +35,18 @@ class JsonlSourceSpec extends SparkSpec {
     assert(out("not json at all")._3)
   }
 
+  test("blank / whitespace-only / literal-null lines quarantine, not all-null rows") {
+    // from_json returns a NULL struct (no corrupt marker) for these —
+    // the quarantine must catch the null parse, or they'd surface as
+    // good rows with every field null.
+    val out = JsonlSource.parseWithQuarantine(
+      lines("", "   ", "null", """{"id":9,"name":"ok"}"""), "line", schema)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(out("") && out("   ") && out("null"),
+      "blank and null-literal lines must quarantine")
+    assert(!out("""{"id":9,"name":"ok"}"""))
+  }
+
   test("ingest: one pass, good rows returned, raw bad lines quarantined") {
     val dir = java.nio.file.Files.createTempDirectory("jsonl_src").toString
     val qdir = dir + "/quarantine"

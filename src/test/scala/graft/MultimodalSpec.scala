@@ -191,6 +191,19 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.webmMeta(null).isEmpty)
   }
 
+  test("webmMeta parses an UNKNOWN-SIZE Segment (live-muxed/streamed shape)") {
+    // Streaming muxers write Segment with the all-ones size vint
+    // ("extends to end of stream"); a header walk that treats it as a
+    // numeric size overflows and drops a valid file.
+    val live = Multimodal.syntheticWebm(854, 480, 4321L, "V_VP9",
+      unknownSegmentSize = true)
+    assert(Multimodal.webmMeta(live) ==
+      Some(Multimodal.VideoMeta("webm", "V_VP9", 854, 480, 4321L)))
+    // sized and unknown-size variants agree on every field
+    assert(Multimodal.webmMeta(live) ==
+      Multimodal.webmMeta(Multimodal.syntheticWebm(854, 480, 4321L, "V_VP9")))
+  }
+
   test("videoMeta: one pass over mixed containers, NULLs for garbage") {
     val media = df("media_id BIGINT, payload BINARY",
       Row(Long.box(1), Multimodal.syntheticMp4(320, 240, 5000L, "avc1")),
