@@ -251,18 +251,155 @@ object Dedup {
     result
   }
 
-  /** Persist the corpus's LSH band index for incremental dedup: one
-    * (id, band_id, band_key) row per doc-band, the artifact
-    * [[incrementalNearDupPairs]] probes when a NEW batch arrives. At
-    * corpus scale this is the thing you build once and append to per
-    * ingest — O(docs·bands) rows of 16-byte keys, a few permille of the
-    * text it indexes.
+  // ---- persisted band index (the dedup rung of the index family) ------
+  // One (id, band_id, band_key) row per doc-band, partitioned by
+  // `shard = pmod(xxhash64(band_key), nShards)` then `batch`, with the
+  // signature geometry and per-batch commits in a `__meta` ledger —
+  // the artifact [[incrementalNearDupPairs]] probes when a NEW batch
+  // arrives. At corpus scale this is the thing you build once and
+  // append to per ingest ([[bandIndexAppend]], O(batch), ledger row =
+  // commit point, replace-by-batch retry) — O(docs·bands) rows of
+  // 16-byte keys, a few permille of the text it indexes. Same
+  // build/append/compact lifecycle and crash contract as the vector
+  // ([[Similarity.ivfAppend]]) and text ([[TextIndex.append]]) indexes.
+
+  private val bandMetaSchema =
+    "batch STRING, n_bands LONG, n_shards INT, k INT, n INT, band_width INT"
+
+  private case class BandMeta(k: Int, n: Int, bandWidth: Int, nShards: Int,
+    batches: Set[String])
+
+  /** Ledger of a persisted band index: freezes the SIGNATURE GEOMETRY
+    * (k, n, bandWidth — a probe or append hashed with different
+    * parameters would silently produce garbage candidates) and the
+    * shard modulus, plus one row per committed batch (the
+    * [[graft.operators.TextIndex]] commit protocol). One row per
+    * batch — bounded, broadcast-sized.
     */
-  def bandIndexWrite(docs: DataFrame, id: String, body: String,
-      k: Int, n: Int, bandWidth: Int, path: String): Unit =
+  private def readBandMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): BandMeta = {
+    val rows = spark.read.parquet(s"${path}__meta").collect()
+    require(rows.nonEmpty, s"empty band-index ledger at ${path}__meta")
+    def one(i: Int, name: String): Int = {
+      val vs = rows.map(_.getInt(i)).distinct
+      require(vs.length == 1,
+        s"corrupt band-index meta: inconsistent $name ${vs.mkString("/")}")
+      vs.head
+    }
+    BandMeta(one(3, "k"), one(4, "n"), one(5, "band_width"),
+      one(2, "n_shards"), rows.map(_.getString(0)).toSet)
+  }
+
+  private def writeBandMetaRow(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: String, nBands: Long, nShards: Int, k: Int,
+      n: Int, bandWidth: Int, overwrite: Boolean): Unit =
+    spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          batch, nBands, nShards, k, n, bandWidth)),
+        org.apache.spark.sql.types.StructType.fromDDL(bandMetaSchema))
+      .coalesce(1)
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .parquet(s"${path}__meta")
+
+  private def writeBandRows(docs: DataFrame, id: String, body: String,
+      k: Int, n: Int, bandWidth: Int, nShards: Int, path: String,
+      batch: String, overwrite: Boolean): Long = {
+    val obs = org.apache.spark.sql.Observation()
     lshBands(minhashSignatures(docs.select(col(id), col(body)), id, body, k, n),
         id, k, bandWidth)
-      .write.mode("overwrite").parquet(path)
+      .withColumn("shard", pmod(xxhash64(col("band_key")), lit(nShards)))
+      .withColumn("batch", lit(batch))
+      .observe(obs, count(lit(1)).as("n_bands"))
+      .repartition(col("shard"))
+      // static: a rebuild is a snapshot — the engine's dynamic
+      // overwrite default would leave stale shard/batch dirs behind
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("shard", "batch").parquet(path)
+    obs.get("n_bands").asInstanceOf[Long]
+  }
+
+  def bandIndexWrite(docs: DataFrame, id: String, body: String,
+      k: Int, n: Int, bandWidth: Int, path: String,
+      nShards: Int = 16): Unit = {
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    require(k % bandWidth == 0, s"bandWidth must divide k ($bandWidth / $k)")
+    val nBands = writeBandRows(docs, id, body, k, n, bandWidth, nShards,
+      path, "build", overwrite = true)
+    writeBandMetaRow(docs.sparkSession, path, "build", nBands, nShards,
+      k, n, bandWidth, overwrite = true)
+  }
+
+  /** Append a document batch's bands into an existing index — the
+    * frozen-layout ingest face: signature geometry and shard modulus
+    * come from the build's ledger (never parameters — they cannot
+    * disagree), new bands land in their keys' shards, and one ledger
+    * row COMMITS the batch. Crash/retry contract as everywhere in the
+    * index family ([[graft.operators.TextIndex.append]]): retrying a
+    * batch that died before its ledger row first deletes the orphan
+    * `batch=<id>` dirs (never duplicates a band); a COMMITTED id is
+    * rejected loudly (exactly-once per id); probes read only committed
+    * batches, so a torn append is invisible.
+    */
+  def bandIndexAppend(docs: DataFrame, id: String, body: String,
+      path: String, batch: String): Unit =
+    Upsert.withWriterLock(docs.sparkSession, path) {
+      require(batch != "build", "batch id 'build' is reserved for the build row")
+      require(batch.matches("[A-Za-z0-9._-]+") && batch.exists(!_.isDigit),
+        s"batch id must match [A-Za-z0-9._-]+ with a non-digit, got '$batch'")
+      val spark = docs.sparkSession
+      val meta = readBandMeta(spark, path)
+      require(!meta.batches.contains(batch),
+        s"batch '$batch' is already committed in the ledger at ${path}__meta" +
+          " — appends are exactly-once per batch id; pick a new id")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.globStatus(new org.apache.hadoop.fs.Path(path,
+          s"shard=*/batch=$batch")) match {
+        case null => ()
+        case orphans => orphans.foreach(o => fs.delete(o.getPath, true))
+      }
+      val nBands = writeBandRows(docs, id, body, meta.k, meta.n,
+        meta.bandWidth, meta.nShards, path, batch, overwrite = false)
+      // COMMIT POINT: the batch exists once this row is durable.
+      writeBandMetaRow(spark, path, batch, nBands, meta.nShards,
+        meta.k, meta.n, meta.bandWidth, overwrite = false)
+    }
+
+  /** Distinct ids with at least one COMMITTED band in the index — the
+    * "what is already indexed" face a streaming ingest diffs its
+    * corpus against ([[graft.streaming.IncrementalStream.dedupIngestSink]]).
+    * Orphan bands from torn appends are excluded on purpose: those
+    * docs must be re-healed, not considered done.
+    */
+  def bandIndexedIds(spark: org.apache.spark.sql.SparkSession,
+      path: String, id: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("batch").cast("string")
+        .isin(readBandMeta(spark, path).batches.toSeq: _*))
+      .select(col(id)).distinct()
+
+  /** Compact an append-heavy band index: fold COMMITTED batches into
+    * one file per shard under `batch=build`, dropping orphan bands
+    * from crashed appends (compaction is the garbage collector — a
+    * dropped batch id can be retried afterwards). The ledger is
+    * untouched: probes derive nothing from it beyond the committed
+    * set and geometry, both preserved, and keeping the rows preserves
+    * the exactly-once guard. Probe results identical afterwards.
+    */
+  def bandIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    Upsert.withWriterLock(spark, path) {
+      val committed = readBandMeta(spark, path).batches
+      graft.sources.Storage.rewriteInPlace(spark, path) { tmp =>
+        spark.read.parquet(path)
+          .filter(col("batch").cast("string").isin(committed.toSeq: _*))
+          .withColumn("batch", lit("build"))
+          .repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard", "batch")
+          .option("maxRecordsPerFile", 5000000L).parquet(tmp)
+      }
+    }
 
   /** Incremental near-dup detection — the daily-ingest posture: find
     * incoming docs that near-duplicate the EXISTING corpus without
@@ -288,10 +425,22 @@ object Dedup {
       indexPath: String, corpus: DataFrame, incoming: DataFrame,
       id: String, body: String, k: Int = 4, n: Int = 3, bandWidth: Int = 2,
       maxBucket: Int = 1000, minJaccard: Double = 0.3): DataFrame = {
+    // The ledger freezes the signature geometry: a probe hashed with
+    // different (k, n, bandWidth) than the build would silently
+    // produce garbage candidates, so a mismatch is a loud error, and
+    // only LEDGER-COMMITTED batches are probed (a torn append is
+    // invisible — the index-family commit contract).
+    val meta = readBandMeta(spark, indexPath)
+    require(meta.k == k && meta.n == n && meta.bandWidth == bandWidth,
+      s"probe geometry (k=$k, n=$n, bandWidth=$bandWidth) disagrees with " +
+        s"the index ledger (k=${meta.k}, n=${meta.n}, " +
+        s"bandWidth=${meta.bandWidth}) at ${indexPath}__meta")
     val newBands = lshBands(
       minhashSignatures(incoming.select(col(id), col(body)), id, body, k, n),
       id, k, bandWidth)
     val idx = spark.read.parquet(indexPath)
+      .filter(col("batch").cast("string").isin(meta.batches.toSeq: _*))
+      .select(col(id), col("band_id"), col("band_key"))
     // The guard counts EXISTING docs per key (the index is the side
     // that can have accreted a boilerplate bucket over many ingests);
     // an aggregate + semi join, not a window — the index never sorts.

@@ -273,7 +273,7 @@ object Similarity {
     * with the native cosine, keep the best per vector (deterministic
     * cluster-id tiebreak).
     */
-  private def assignNearest(vecs: DataFrame, idCol: String, vecCol: String,
+  private[graft] def assignNearest(vecs: DataFrame, idCol: String, vecCol: String,
       centroidDf: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centroidDf))
       .withColumn("sim", cosineNative(col(vecCol), col("centroid")))
@@ -302,10 +302,12 @@ object Similarity {
     */
   def ivfWrite(vecs: DataFrame, idCol: String, vecCol: String,
       centroidDf: DataFrame, path: String,
-      metaCols: Seq[String] = Nil): Unit =
+      metaCols: Seq[String] = Nil): Unit = {
+    dropStats(vecs.sparkSession, path)
     assignNearest(vecs, idCol, vecCol, centroidDf)
       .select((Seq(col(idCol), col(vecCol)) ++ metaCols.map(col) :+
         col("cluster")): _*)
+      .withColumn("batch", lit("build"))
       // Co-locate each cluster before the partitioned write: without
       // this every shuffle partition can emit a file per cluster
       // (partitions x clusters small files — the classic partitionBy
@@ -313,7 +315,9 @@ object Similarity {
       // clusters too large for a single writer task, add a salt column
       // to the repartition to widen writers per cluster.
       .repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("cluster", "batch").parquet(path)
+  }
 
   /** Symmetric per-vector max-abs int8 quantization: adds `qvec`
     * (array<tinyint>, q_i = round(v_i * 127 / maxabs)) and `scale`
@@ -424,15 +428,19 @@ object Similarity {
     * keeps a 100 TB index inside the page cache.
     */
   def ivfWriteSq8(vecs: DataFrame, idCol: String, vecCol: String,
-      centroidDf: DataFrame, path: String): Unit =
+      centroidDf: DataFrame, path: String): Unit = {
+    dropStats(vecs.sparkSession, path)
     quantizeInt8(assignNearest(vecs, idCol, vecCol, centroidDf), vecCol)
       // The int8 self-norm is a pure function of the stored qvec;
       // computing it once at build time turns every search's
       // O(dim) per-candidate fold into a single long read.
       .select(col(idCol), col("qvec"), col("scale"),
         int8SelfNorm(col("qvec")).as("nrm2"), col("cluster"))
+      .withColumn("batch", lit("build"))
       .repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("cluster", "batch").parquet(path)
+  }
 
   /** Batch search over an SQ8 index: [[ivfSearchBatch]]'s distributed
     * shape (bounded-heap probe selection per query, one equality join
@@ -707,14 +715,18 @@ object Similarity {
     */
   def ivfWritePq(vecs: DataFrame, idCol: String, vecCol: String,
       centroidDf: DataFrame, codebook: DataFrame, m: Int, subDim: Int,
-      path: String): Unit =
+      path: String): Unit = {
+    dropStats(vecs.sparkSession, path)
     pqEncode(vecs, idCol, vecCol, codebook, m, subDim)
       .join(assignNearest(vecs, idCol, vecCol, centroidDf)
         .select(col(idCol), col("cluster").as("__coarse")), idCol)
       .withColumnRenamed("cluster", "code")
       .withColumnRenamed("__coarse", "cluster")
+      .withColumn("batch", lit("build"))
       .repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("cluster", "batch").parquet(path)
+  }
 
   /** Probe-limited search over a persisted PQ-code index: rank coarse
     * probes on the driver ([[ivfSearch]]'s contract), read ONLY the
@@ -876,6 +888,69 @@ object Similarity {
       obs.get, overwrite))
   }
 
+  /** "build" plus every batch the `_stats` ledger has a row for. The
+    * build's vectors are committed by the build itself (its write is a
+    * full overwrite, not an append), so it is committed whether or not
+    * [[ivfRecordBuildStats]] recorded its baseline row; appended
+    * batches are committed by their ledger row ([[ivfAppend]]'s commit
+    * point).
+    */
+  private def committedBatches(spark: org.apache.spark.sql.SparkSession,
+      path: String): Set[String] = {
+    val stats = new org.apache.hadoop.fs.Path(path + "_stats")
+    val fs = stats.getFileSystem(spark.sessionState.newHadoopConf())
+    val ledger =
+      if (fs.exists(stats))
+        spark.read.parquet(path + "_stats")
+          .select(col("batch")).collect().map(_.getString(0)).toSet
+      else Set.empty[String]
+    ledger + "build"
+  }
+
+  /** Shared append prologue — the crash/retry contract of every
+    * `ivfAppend*` face ([[graft.operators.TextIndex.append]]'s
+    * protocol): the batch's `_stats` ledger row is the COMMIT POINT,
+    * so a batch id already in the ledger is rejected loudly
+    * (exactly-once per id), and a RETRY of a batch that died before
+    * its ledger write first deletes the orphan `batch=<id>` partition
+    * directories (replace-by-batch — re-running a failed append can
+    * never duplicate a vector). What stays weaker than the text
+    * index: a torn append's vectors are VISIBLE to searches early
+    * (search does not filter on batch — the rows are real vectors,
+    * merely uncommitted, and nothing double-counts), and
+    * [[ivfCompact]] garbage-collects them if the batch is never
+    * retried.
+    */
+  private def appendPrologue(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: String): Unit = {
+    require(batch != "build", "batch id 'build' is reserved for the build")
+    require(batch.matches("[A-Za-z0-9._-]+") && batch.exists(!_.isDigit),
+      s"batch id must match [A-Za-z0-9._-]+ with a non-digit (it names a " +
+        s"partition directory; an all-digit id would flip the partition " +
+        s"column numeric on read), got '$batch'")
+    require(!committedBatches(spark, path).contains(batch),
+      s"batch '$batch' is already committed in the ledger at ${path}_stats" +
+        " — appends are exactly-once per batch id; pick a new id")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.globStatus(new org.apache.hadoop.fs.Path(path,
+        s"cluster=*/batch=$batch")) match {
+      case null => ()
+      case orphans => orphans.foreach(o => fs.delete(o.getPath, true))
+    }
+  }
+
+  /** A fresh build resets the ledger: stale batch rows from a previous
+    * index at the same path would otherwise block their ids forever
+    * and corrupt the drift baseline.
+    */
+  private def dropStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val stats = new org.apache.hadoop.fs.Path(path + "_stats")
+    val fs = stats.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(stats)) fs.delete(stats, true)
+  }
+
   /** Append a new embedding batch into an existing [[ivfWrite]] float
     * index: assign to the FROZEN centroids (the exact [[assignNearest]]
     * the build used, so placement can never disagree), append the
@@ -883,34 +958,42 @@ object Similarity {
     * tightness under `batch` in the `_stats` sidecar. O(|batch|) work:
     * one broadcast-join scan of the new rows + one cluster-local
     * shuffle — the existing index is never read or rewritten.
+    * Crash/retry contract: see [[appendPrologue]] (ledger row = commit
+    * point, replace-by-batch retry, exactly-once per id, writer lock).
     */
   def ivfAppend(vecs: DataFrame, idCol: String, vecCol: String,
-      centroidDf: DataFrame, path: String, batch: String): Unit = {
-    val (observed, done) = observeTightness(
-      assignNearest(vecs, idCol, vecCol, centroidDf), path, batch,
-      overwrite = false)
-    observed.select(col(idCol), col(vecCol), col("cluster"))
-      .repartition(col("cluster"))
-      .write.mode("append").partitionBy("cluster").parquet(path)
-    done()
-  }
+      centroidDf: DataFrame, path: String, batch: String): Unit =
+    Upsert.withWriterLock(vecs.sparkSession, path) {
+      appendPrologue(vecs.sparkSession, path, batch)
+      val (observed, done) = observeTightness(
+        assignNearest(vecs, idCol, vecCol, centroidDf), path, batch,
+        overwrite = false)
+      observed.select(col(idCol), col(vecCol), col("cluster"))
+        .withColumn("batch", lit(batch))
+        .repartition(col("cluster"))
+        .write.mode("append").partitionBy("cluster", "batch").parquet(path)
+      done()
+    }
 
   /** [[ivfAppend]] for the SQ8 layout: same frozen-centroid routing,
     * int8 payload ([[quantizeInt8]] + hoisted self-norm, exactly the
     * build's columns).
     */
   def ivfAppendSq8(vecs: DataFrame, idCol: String, vecCol: String,
-      centroidDf: DataFrame, path: String, batch: String): Unit = {
-    val (observed, done) = observeTightness(
-      assignNearest(vecs, idCol, vecCol, centroidDf), path, batch,
-      overwrite = false)
-    quantizeInt8(observed, vecCol)
-      .select(col(idCol), col("qvec"), col("scale"),
-        int8SelfNorm(col("qvec")).as("nrm2"), col("cluster"))
-      .repartition(col("cluster"))
-      .write.mode("append").partitionBy("cluster").parquet(path)
-    done()
-  }
+      centroidDf: DataFrame, path: String, batch: String): Unit =
+    Upsert.withWriterLock(vecs.sparkSession, path) {
+      appendPrologue(vecs.sparkSession, path, batch)
+      val (observed, done) = observeTightness(
+        assignNearest(vecs, idCol, vecCol, centroidDf), path, batch,
+        overwrite = false)
+      quantizeInt8(observed, vecCol)
+        .select(col(idCol), col("qvec"), col("scale"),
+          int8SelfNorm(col("qvec")).as("nrm2"), col("cluster"))
+        .withColumn("batch", lit(batch))
+        .repartition(col("cluster"))
+        .write.mode("append").partitionBy("cluster", "batch").parquet(path)
+      done()
+    }
 
   /** [[ivfAppend]] for the PQ-code layout: frozen coarse centroids AND
     * frozen codebook — new vectors are encoded with the build-time
@@ -920,18 +1003,21 @@ object Similarity {
     */
   def ivfAppendPq(vecs: DataFrame, idCol: String, vecCol: String,
       centroidDf: DataFrame, codebook: DataFrame, m: Int, subDim: Int,
-      path: String, batch: String): Unit = {
-    val (observed, done) = observeTightness(
-      assignNearest(vecs, idCol, vecCol, centroidDf), path, batch,
-      overwrite = false)
-    pqEncode(vecs, idCol, vecCol, codebook, m, subDim)
-      .join(observed.select(col(idCol), col("cluster").as("__coarse")), idCol)
-      .withColumnRenamed("cluster", "code")
-      .withColumnRenamed("__coarse", "cluster")
-      .repartition(col("cluster"))
-      .write.mode("append").partitionBy("cluster").parquet(path)
-    done()
-  }
+      path: String, batch: String): Unit =
+    Upsert.withWriterLock(vecs.sparkSession, path) {
+      appendPrologue(vecs.sparkSession, path, batch)
+      val (observed, done) = observeTightness(
+        assignNearest(vecs, idCol, vecCol, centroidDf), path, batch,
+        overwrite = false)
+      pqEncode(vecs, idCol, vecCol, codebook, m, subDim)
+        .join(observed.select(col(idCol), col("cluster").as("__coarse")), idCol)
+        .withColumnRenamed("cluster", "code")
+        .withColumnRenamed("__coarse", "cluster")
+        .withColumn("batch", lit(batch))
+        .repartition(col("cluster"))
+        .write.mode("append").partitionBy("cluster", "batch").parquet(path)
+      done()
+    }
 
   /** [[ivfAppend]] for the RESIDUAL-encoded PQ layout
     * ([[ivfWritePqResidual]] — the FAISS production recipe), closing
@@ -947,35 +1033,54 @@ object Similarity {
     */
   def ivfAppendPqResidual(vecs: DataFrame, idCol: String, vecCol: String,
       centroidDf: DataFrame, codebook: DataFrame, m: Int, subDim: Int,
-      path: String, batch: String): Unit = {
-    val (observed, done) = observeTightness(
-      assignNearest(vecs, idCol, vecCol, centroidDf), path, batch,
-      overwrite = false)
-    val res = residualVectors(vecs, idCol, vecCol, centroidDf)
-    pqEncode(res, idCol, "residual", codebook, m, subDim)
-      .withColumnRenamed("cluster", "code")
-      // the cluster column comes from the OBSERVED assignment so the
-      // batch's stats row materializes inside this write (same
-      // determinism: residualVectors uses the same assignNearest)
-      .join(observed.select(col(idCol), col("cluster")), idCol)
-      .repartition(col("cluster"))
-      .write.mode("append").partitionBy("cluster").parquet(path)
-    done()
-  }
+      path: String, batch: String): Unit =
+    Upsert.withWriterLock(vecs.sparkSession, path) {
+      appendPrologue(vecs.sparkSession, path, batch)
+      val (observed, done) = observeTightness(
+        assignNearest(vecs, idCol, vecCol, centroidDf), path, batch,
+        overwrite = false)
+      val res = residualVectors(vecs, idCol, vecCol, centroidDf)
+      pqEncode(res, idCol, "residual", codebook, m, subDim)
+        .withColumnRenamed("cluster", "code")
+        // the cluster column comes from the OBSERVED assignment so the
+        // batch's stats row materializes inside this write (same
+        // determinism: residualVectors uses the same assignNearest)
+        .join(observed.select(col(idCol), col("cluster")), idCol)
+        .withColumn("batch", lit(batch))
+        .repartition(col("cluster"))
+        .write.mode("append").partitionBy("cluster", "batch").parquet(path)
+      done()
+    }
 
   /** Compact an append-heavy vector index (any of the four layouts —
     * they share the cluster-partitioned parquet shape): every
-    * `ivfAppend*` leaves one file per touched cluster, and probe cost
-    * at scale is file-count-dominated. Same discipline as
-    * [[graft.operators.TextIndex.compact]]: [[graft.sources.Storage.compact]]
-    * on the cluster layout under the writer lock; rows are
-    * byte-identical afterwards and the `_stats` ledger is untouched,
-    * so search results cannot change (SimilaritySpec pins it).
+    * `ivfAppend*` leaves one file per touched cluster per batch, and
+    * probe cost at scale is file-count-dominated. Same discipline as
+    * [[graft.operators.TextIndex.compact]]: COMMITTED batches fold
+    * into a single `batch=build` layout (one file per cluster) under
+    * the writer lock; rows are byte-identical afterwards except the
+    * batch label, which no search reads, so search results cannot
+    * change (SimilaritySpec pins it). Orphan vectors from appends that
+    * died before their ledger commit are DROPPED — compaction is the
+    * index's garbage collector, and a dropped batch id can still be
+    * retried afterwards (its dirs are gone, its ledger row never
+    * existed). The `_stats` ledger itself is untouched: unlike the
+    * text index's meta, nothing in serving derives from it — it is
+    * pure drift diagnostics, and keeping the rows preserves both the
+    * history and the exactly-once guard on committed ids.
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =
     graft.operators.Upsert.withWriterLock(spark, path) {
-      graft.sources.Storage.compact(spark, path, Some("cluster"))
+      val committed = committedBatches(spark, path)
+      graft.sources.Storage.rewriteInPlace(spark, path) { tmp =>
+        graft.sources.Storage.read(spark, path)
+          .filter(col("batch").cast("string").isin(committed.toSeq: _*))
+          .withColumn("batch", lit("build"))
+          .repartition(col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster", "batch")
+          .option("maxRecordsPerFile", 5000000L).parquet(tmp)
+      }
     }
 
   /** Record the BUILD's own tightness baseline for an index written by
@@ -1045,13 +1150,16 @@ object Similarity {
   def ivfWritePqResidual(vecs: DataFrame, idCol: String, vecCol: String,
       centroidDf: DataFrame, codebook: DataFrame, m: Int, subDim: Int,
       path: String): Unit = {
+    dropStats(vecs.sparkSession, path)
     val res = residualVectors(vecs, idCol, vecCol, centroidDf)
       .localCheckpoint(true) // encode + coarse routing read it once each
     pqEncode(res, idCol, "residual", codebook, m, subDim)
       .withColumnRenamed("cluster", "code")
       .join(res.select(col(idCol), col("cluster")), idCol)
+      .withColumn("batch", lit("build"))
       .repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("cluster", "batch").parquet(path)
   }
 
   /** Probe-limited search over a residual-encoded PQ index:

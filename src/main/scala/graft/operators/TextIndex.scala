@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * wants.
   *
   * Layout: posting rows `(token, doc, tf, dl, df)` partitioned by
-  * `shard = pmod(xxhash64(token), nShards)`. Because sharding is by
-  * token HASH, every posting of a term — build-time or appended —
-  * lands in the same shard, so a probe read of a term's shard sees
+  * `shard = pmod(xxhash64(token), nShards)` and then by `batch` (the
+  * ingest batch id; the build writes `batch=build`). Because sharding
+  * is by token HASH, every posting of a term — build-time or appended
+  * — lands in the same shard, so a probe read of a term's shard sees
   * that term's COMPLETE posting list. Serving therefore derives the
   * authoritative document frequency from the probed postings
   * themselves (`count over token`), which makes the stored `df`
@@ -26,11 +27,21 @@ import org.apache.spark.sql.functions._
   * n_tokens, n_shards)`, the [[Similarity.ivfStats]] convention —
   * and serving sums them; no read-modify-write on any sidecar.
   *
+  * Atomicity: the LEDGER ROW IS THE COMMIT POINT. Serving reads only
+  * postings whose `batch` appears in the ledger, so a crash between
+  * the posting write and the ledger write leaves an orphan batch that
+  * is INVISIBLE — never half-counted. Because `batch` is a partition
+  * directory, a retry of a failed batch is replace-by-batch: any
+  * orphan `batch=<id>` directories are deleted before the rewrite, so
+  * re-running a failed append can never duplicate postings, and a
+  * batch id already in the ledger is rejected loudly (exactly-once
+  * per id). [[compact]] garbage-collects orphans as a side effect.
+  *
   * Scale: the build is two token-keyed exchanges (tf groupBy, df
   * count + join-back — the second join lands on the same token
   * partitioning) and a `repartition(shard)` write (one file per
-  * shard, no partitionBy small-file explosion). [[append]] is
-  * O(batch): the existing index is never read or rewritten, new
+  * shard per batch, no partitionBy small-file explosion). [[append]]
+  * is O(batch): the existing index is never read or rewritten, new
   * postings ride `mode("append")` into their shards. A query touches
   * |terms| shards = a |terms|/nShards fraction of the index bytes;
   * the per-doc score sum accumulates 1e-9-snapped contributions in
@@ -52,6 +63,20 @@ object TextIndex {
     "batch STRING, n_docs LONG, sum_dl LONG, n_postings LONG, " +
       "n_tokens LONG, n_shards INT"
 
+  // Batch ids are partition DIRECTORY names (replace-by-batch deletes
+  // them by glob), so they must be path- and glob-safe.
+  private def requireSaneBatchId(batch: String): Unit = {
+    require(batch.matches("[A-Za-z0-9._-]+"),
+      s"batch id must match [A-Za-z0-9._-]+ (it names a partition " +
+        s"directory), got '$batch'")
+    // An all-digit id would make partition-type inference read the
+    // batch column as a NUMBER, and the committed-batch filter's
+    // string cast would then defeat partition pruning of orphan dirs.
+    require(batch.exists(!_.isDigit),
+      s"batch id must contain a non-digit (got '$batch'): all-digit ids " +
+        "flip the partition column to a numeric type on read")
+  }
+
   /** One corpus scan → postings frame + its 1-row batch stats. */
   private def tokenize(docs: DataFrame, id: String, body: String)
       : (DataFrame, DataFrame) = {
@@ -65,6 +90,13 @@ object TextIndex {
       base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
   }
 
+  private def metaRow(spark: SparkSession, batch: String, nDocs: Long,
+      sumDl: Long, nPostings: Long, nTokens: Long, nShards: Int): DataFrame =
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        batch, nDocs, sumDl, nPostings, nTokens, nShards)),
+      org.apache.spark.sql.types.StructType.fromDDL(metaSchema))
+
   private def writeMetaRow(postings: DataFrame, batchStats: DataFrame,
       batch: String, nShards: Int, path: String, overwrite: Boolean): Unit = {
     // Postings are already materialized under the shard write; this
@@ -72,26 +104,34 @@ object TextIndex {
     val p = postings.agg(count(lit(1)).as("n_postings"),
       count_distinct(col("token")).as("n_tokens")).head()
     val b = batchStats.head()
-    val row = org.apache.spark.sql.Row(batch,
+    metaRow(postings.sparkSession, batch,
       b.getLong(0), if (b.isNullAt(1)) 0L else b.getLong(1),
       p.getLong(0), p.getLong(1), nShards)
-    postings.sparkSession.createDataFrame(
-        java.util.List.of(row),
-        org.apache.spark.sql.types.StructType.fromDDL(metaSchema))
       .coalesce(1)
       .write.mode(if (overwrite) "overwrite" else "append")
       .parquet(s"${path}__meta")
+  }
+
+  private def writePostings(postings: DataFrame, batch: String,
+      nShards: Int, path: String, overwrite: Boolean): Unit = {
+    val df = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    postings.join(df, "token")
+      .withColumn("shard", pmod(xxhash64(col("token")), lit(nShards)))
+      .withColumn("batch", lit(batch))
+      .repartition(col("shard"))
+      // static: a REBUILD is a snapshot — under the engine's dynamic
+      // overwrite default, stale shard/batch dirs from a previous index
+      // at this path would survive an overwrite and haunt the reads.
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("shard", "batch").parquet(path)
   }
 
   def write(docs: DataFrame, id: String, body: String, path: String,
       nShards: Int = 16): Unit = {
     require(nShards >= 1, s"need nShards >= 1, got $nShards")
     val (postings, stats) = tokenize(docs, id, body)
-    val df = postings.groupBy("token").agg(count(lit(1)).as("df"))
-    postings.join(df, "token")
-      .withColumn("shard", pmod(xxhash64(col("token")), lit(nShards)))
-      .repartition(col("shard"))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    writePostings(postings, "build", nShards, path, overwrite = true)
     // nShards rides in the ledger: serving and appends MUST hash with
     // the build's shard count — a mismatch would silently prune live
     // postings. A rebuild overwrites the ledger = resets the baseline.
@@ -102,50 +142,107 @@ object TextIndex {
     * ingest face ([[Similarity.ivfAppend]]'s pattern): token-hash
     * routing is frozen by the build's `n_shards` (read from the
     * ledger, never a parameter), new postings land in their terms'
-    * shards via `mode("append")`, and one ledger row records the
-    * batch. O(batch) — the existing postings are never read or
-    * rewritten. The per-posting `df` recorded for the batch is
-    * batch-local (a cache; serving recomputes df live), and the
-    * writer lock enforces the same single-writer contract as
+    * shards under `batch=<id>` directories, and one ledger row COMMITS
+    * the batch (see atomicity note on the object). O(batch) — the
+    * existing postings are never read or rewritten. Re-running a
+    * FAILED batch id first deletes its orphan directories
+    * (replace-by-batch); re-running a COMMITTED batch id fails loudly.
+    * The per-posting `df` recorded for the batch is batch-local (a
+    * cache; serving recomputes df live), and the writer lock enforces
+    * the same single-writer contract as
     * [[Upsert.applyToPartitionedParquet]].
     */
   def append(docs: DataFrame, id: String, body: String, path: String,
       batch: String): Unit =
     Upsert.withWriterLock(docs.sparkSession, path) {
       require(batch != "build", "batch id 'build' is reserved for the build row")
-      val nShards = readMeta(docs.sparkSession, path)._3
+      requireSaneBatchId(batch)
+      val spark = docs.sparkSession
+      val meta = readMeta(spark, path)
+      require(!meta.batches.contains(batch),
+        s"batch '$batch' is already committed in the ledger at ${path}__meta" +
+          " — appends are exactly-once per batch id; pick a new id")
+      // Replace-by-batch: a previous attempt at this id that died before
+      // its ledger commit left orphan batch dirs — delete them so the
+      // retry cannot double-write a posting.
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.globStatus(new org.apache.hadoop.fs.Path(path, s"shard=*/batch=$batch"))
+        match {
+          case null => ()
+          case orphans => orphans.foreach(o => fs.delete(o.getPath, true))
+        }
       val (postings, stats) = tokenize(docs, id, body)
-      val df = postings.groupBy("token").agg(count(lit(1)).as("df"))
-      postings.join(df, "token")
-        .withColumn("shard", pmod(xxhash64(col("token")), lit(nShards)))
-        .repartition(col("shard"))
-        .write.mode("append").partitionBy("shard").parquet(path)
-      writeMetaRow(postings, stats, batch, nShards, path, overwrite = false)
+      writePostings(postings, batch, meta.nShards, path, overwrite = false)
+      // COMMIT POINT: the batch exists once this row is durable.
+      writeMetaRow(postings, stats, batch, meta.nShards, path,
+        overwrite = false)
     }
 
   /** Compact an append-heavy index: every [[append]] leaves one file
     * per touched shard, and probe cost at scale is file-count-
     * dominated (footer reads + task scheduling), so compaction is
-    * part of the index lifecycle — exactly the [[graft.sources.Storage.compact]]
-    * discipline, applied to the shard layout under the same writer
-    * lock as [[append]]. Postings are byte-identical afterwards and
-    * the ledger sidecar is untouched, so search results cannot change
-    * (TextIndexSpec pins search-after-compact ≡ search-before).
+    * part of the index lifecycle. All COMMITTED batches are folded
+    * into a single `batch=build` layout (one file per shard) and the
+    * ledger collapses to one build row carrying the summed totals;
+    * orphan postings from crashed appends are dropped — compaction is
+    * the index's garbage collector. Search results are identical
+    * afterwards (TextIndexSpec pins search-after-compact ≡ before):
+    * serving depends only on ledger SUMS and committed postings, both
+    * preserved — even the crash window between the postings swap and
+    * the meta swap serves identical results, because the folded
+    * `build` postings are committed under the OLD ledger too and the
+    * old per-batch rows sum to the folded row. The avgdl-drift
+    * baseline resets to the folded corpus, as a rebuild's would.
     */
   def compact(spark: SparkSession, path: String): Unit =
     Upsert.withWriterLock(spark, path) {
-      graft.sources.Storage.compact(spark, path, Some("shard"))
+      val meta = readMeta(spark, path)
+      // No checkpoint: `live` is the WHOLE index, so it must stream
+      // from the original files during the tmp rewrite (the swap only
+      // happens after the write completes), never be materialized.
+      val live = committedPostings(spark, path, meta)
+      val counts = live.agg(count(lit(1)).as("n_postings"),
+        count_distinct(col("token")).as("n_tokens")).head()
+      graft.sources.Storage.rewriteInPlace(spark, path) { tmp =>
+        live.withColumn("batch", lit("build"))
+          .repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard", "batch").parquet(tmp)
+      }
+      graft.sources.Storage.rewriteInPlace(spark, s"${path}__meta") { tmp =>
+        metaRow(spark, "build", meta.nDocs, meta.sumDl,
+          counts.getLong(0), counts.getLong(1), meta.nShards)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+      }
     }
 
-  /** (n_docs, sum_dl, n_shards) summed over the batch ledger. */
-  private def readMeta(spark: SparkSession, path: String): (Long, Long, Int) = {
-    val m = spark.read.parquet(s"${path}__meta")
-      .agg(sum(col("n_docs")), sum(col("sum_dl")),
-        min(col("n_shards")), max(col("n_shards"))).head()
-    require(m.getInt(2) == m.getInt(3),
-      s"corrupt index meta: inconsistent n_shards ${m.getInt(2)}/${m.getInt(3)}")
-    (m.getLong(0), m.getLong(1), m.getInt(2))
+  private case class Meta(nDocs: Long, sumDl: Long, nShards: Int,
+    batches: Set[String])
+
+  /** Ledger totals + the committed-batch set. One row per batch —
+    * bounded, broadcast-sized.
+    */
+  private def readMeta(spark: SparkSession, path: String): Meta = {
+    val rows = spark.read.parquet(s"${path}__meta")
+      .select(col("batch"), col("n_docs"), col("sum_dl"), col("n_shards"))
+      .collect()
+    require(rows.nonEmpty, s"empty index ledger at ${path}__meta")
+    val shards = rows.map(_.getInt(3)).distinct
+    require(shards.length == 1,
+      s"corrupt index meta: inconsistent n_shards ${shards.mkString("/")}")
+    Meta(rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum,
+      shards.head, rows.map(_.getString(0)).toSet)
   }
+
+  /** Postings restricted to ledger-committed batches — the only rows
+    * that EXIST as far as the index contract is concerned. `batch` is
+    * a partition directory, so the filter is partition pruning: orphan
+    * batch dirs are never even listed into the scan.
+    */
+  private def committedPostings(spark: SparkSession, path: String,
+      meta: Meta): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("batch").cast("string").isin(meta.batches.toSeq: _*))
 
   /** Per-batch ledger with `avgdl_drift` = batch mean doc length −
     * build mean doc length (the quantity BM25's b-normalization is
@@ -173,10 +270,12 @@ object TextIndex {
 
   /** Okapi BM25 top-k for `terms` (k1=1.2, b=0.75, q136's exact
     * formula and 1e-9 idf snapping). Only documents containing at
-    * least one term appear — the posting lists ARE the candidate set.
-    * df is derived from the probed postings (complete per term, see
-    * layout note), so results after N appends are IDENTICAL to a
-    * fresh rebuild over the union — TextIndexSpec pins it.
+    * least one term appear — the posting lists ARE the candidate set,
+    * and only LEDGER-COMMITTED batches are in it (a torn append is
+    * invisible, see atomicity note). df is derived from the probed
+    * postings (complete per term, see layout note), so results after
+    * N appends are IDENTICAL to a fresh rebuild over the union —
+    * TextIndexSpec pins it.
     */
   def searchBM25(spark: SparkSession, path: String, terms: Seq[String],
       k: Int): DataFrame = {
@@ -184,17 +283,17 @@ object TextIndex {
     // Corpus constants and the shard modulus come from the index's OWN
     // ledger — taking nShards as a parameter again would let a
     // build/search mismatch silently prune live postings.
-    val (nDocsL, sumDl, nShards) = readMeta(spark, path)
-    val nDocs = nDocsL.toDouble
-    val avgdl = sumDl.toDouble / nDocs
+    val meta = readMeta(spark, path)
+    val nDocs = meta.nDocs.toDouble
+    val avgdl = meta.sumDl.toDouble / nDocs
     // Shard ids computed with the SAME expression the build used, on a
     // tiny in-memory frame — no hand-rolled reimplementation of
     // xxhash64 to drift out of sync.
     val shards = spark.createDataFrame(
         terms.map(Tuple1(_))).toDF("token")
-      .select(pmod(xxhash64(col("token")), lit(nShards)).as("shard"))
+      .select(pmod(xxhash64(col("token")), lit(meta.nShards)).as("shard"))
       .distinct().collect().map(_.getLong(0))
-    val posts = spark.read.parquet(path)
+    val posts = committedPostings(spark, path, meta)
       .filter(col("shard").isin(shards.toIndexedSeq: _*) &&
         col("token").isin(terms: _*))
       // Live df: every posting of a probed term is in the probed rows,

@@ -555,6 +555,73 @@ object DedupOps {
               >= 0.3
         ORDER BY 1, 2""")),
 
+    // ---- band-index ingest: probe-after-append == probe-after-rebuild ---
+    // The dedup index gains the same frozen-layout ingest face as the
+    // vector and text indexes (Dedup.bandIndexAppend): geometry is
+    // frozen in the build's ledger, a batch's bands land in their
+    // keys' shards, one ledger row commits the batch. The gate builds
+    // on doc_id % 5 ∉ {0,1}, APPENDS % 5 = 1 as batch "b1", then
+    // probes the incoming % 5 = 0 slice — while the oracle computes
+    // the probe against ONE flat band set of all % 5 <> 0 docs. It
+    // knows nothing about the build/append split, so a hash match
+    // proves probe-after-append ≡ probe-after-full-rebuild against an
+    // independent engine (q130's proof shape, for the dedup rung).
+    QueryDef("q184_band_index_append",
+      (s, dir) => {
+        val all = docs(s, dir)
+        val build = all.filter(col("doc_id") % 5 =!= 0 &&
+          col("doc_id") % 5 =!= 1)
+        val delta = all.filter(col("doc_id") % 5 === 1)
+        val existing = all.filter(col("doc_id") % 5 =!= 0)
+        val incoming = all.filter(col("doc_id") % 5 === 0)
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_bandidx_q184_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        Dedup.bandIndexWrite(build, "doc_id", "text",
+          k = 4, n = 3, bandWidth = 2, path)
+        Dedup.bandIndexAppend(delta, "doc_id", "text", path, "b1")
+        Dedup.incrementalNearDupPairs(s, path, existing, incoming,
+            "doc_id", "text", k = 4, n = 3, bandWidth = 2,
+            maxBucket = 1000, minJaccard = 0.3)
+          .orderBy("new_id", "old_id")
+      },
+      Some(s"""
+        WITH $sigCte,
+        bands AS (
+          SELECT doc_id, 0 AS band_id, md5(h0||h1) AS band_key FROM sig
+          UNION ALL SELECT doc_id, 1, md5(h2||h3) FROM sig),
+        newb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+        oldb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+        ok AS (SELECT band_id, band_key FROM oldb
+               GROUP BY 1, 2 HAVING count(*) <= 1000),
+        cand AS (
+          SELECT DISTINCT nw.doc_id AS new_id, ob.doc_id AS old_id
+          FROM newb nw
+          JOIN ok o ON nw.band_id = o.band_id AND nw.band_key = o.band_key
+          JOIN oldb ob
+            ON nw.band_id = ob.band_id AND nw.band_key = ob.band_key),
+        grams AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+              unnest(list_transform(range(1, len(l)-1),
+                     i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
+            FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        inter AS (
+          SELECT c.new_id, c.old_id, count(*) AS n_inter
+          FROM cand c
+          JOIN grams g1 ON g1.doc_id = c.new_id
+          JOIN grams g2 ON g2.doc_id = c.old_id AND g2.g = g1.g
+          GROUP BY 1, 2)
+        SELECT new_id, old_id,
+               CAST(n_inter AS DOUBLE) / CAST(s1.sz + s2.sz - n_inter AS DOUBLE)
+                 AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = new_id
+        JOIN sizes s2 ON s2.doc_id = old_id
+        WHERE CAST(n_inter AS DOUBLE) / CAST(s1.sz + s2.sz - n_inter AS DOUBLE)
+              >= 0.3
+        ORDER BY 1, 2""")),
+
     QueryDef("q39_decontaminate",
       (s, dir) => {
         val all = docs(s, dir)

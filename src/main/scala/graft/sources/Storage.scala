@@ -59,27 +59,51 @@ object Storage {
     * on the partition key; data is byte-identical afterwards.
     */
   def compact(spark: SparkSession, path: String,
-      partitionCol: Option[String] = None,
-      maxRecordsPerFile: Long = 5000000L): Unit = {
+      partitionCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 5000000L): Unit =
     // Write-to-temp + swap: the rewrite streams from the ORIGINAL files
     // (no in-memory snapshot of the table), and a crash mid-write
     // leaves the original intact — an in-place overwrite would delete
     // the source before the rewrite is durable. Single-writer
     // assumption as everywhere else in this warehouse.
-    val tmp = path + ".compact-tmp"
-    val df = read(spark, path)
-    val w = partitionCol match {
-      case Some(c) =>
-        df.repartition(col(c)).write.mode("overwrite").partitionBy(c)
-      case None =>
-        df.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
-          .write.mode("overwrite")
+    rewriteInPlace(spark, path) { tmp =>
+      val df = read(spark, path)
+      val w =
+        if (partitionCols.nonEmpty)
+          df.repartition(partitionCols.map(col): _*)
+            .write.mode("overwrite").partitionBy(partitionCols: _*)
+        else
+          df.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+            .write.mode("overwrite")
+      w.option("maxRecordsPerFile", maxRecordsPerFile).parquet(tmp)
     }
-    w.option("maxRecordsPerFile", maxRecordsPerFile).parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+
+  /** Rewrite-and-swap skeleton shared by [[compact]] and the index
+    * compactions: `write(tmpPath)` produces the replacement table, then
+    * the live dir is swapped via PARK-then-replace, NOT
+    * delete-then-rename — a crash between a delete and a rename would
+    * leave NO live table with the data stranded in tmp. Here the
+    * no-table window is one rename wide and every crash position is
+    * recoverable: mid-write leaves the original untouched (stale tmp
+    * deleted on the next run); between the renames leaves the original
+    * parked at `.compact-old` (restored on the next run); after leaves
+    * only stale debris.
+    */
+  private[graft] def rewriteInPlace(spark: SparkSession, path: String)(
+      write: String => Unit): Unit = {
+    val pPath = new org.apache.hadoop.fs.Path(path)
+    val pTmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    val pOld = new org.apache.hadoop.fs.Path(path + ".compact-old")
+    val fs = pPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // Crash recovery first: a prior run that died between its two swap
+    // renames left the live table parked at .compact-old — put it back.
+    if (!fs.exists(pPath) && fs.exists(pOld)) fs.rename(pOld, pPath)
+    if (fs.exists(pTmp)) fs.delete(pTmp, true)
+    write(pTmp.toString)
+    if (fs.exists(pOld)) fs.delete(pOld, true)
+    fs.rename(pPath, pOld)
+    fs.rename(pTmp, pPath)
+    fs.delete(pOld, true)
   }
 
   /** Training-shard export — the final step of a corpus build (clean →

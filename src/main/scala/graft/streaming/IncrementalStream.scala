@@ -171,7 +171,7 @@ object IncrementalStream {
       checkpointDir: String, minJaccard: Double = 0.5): DataStreamWriter[Row] =
     writer
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val b = batch.select(col(idCol), col(textCol))
             .localCheckpoint(true)
@@ -202,17 +202,31 @@ object IncrementalStream {
           // LACKS — on a clean run exactly this batch's survivors,
           // and after a crash between the corpus and index writes it
           // also heals the gap a survivors-derived append would
-          // leave permanently unindexed.
-          val unindexed =
-            if (Storage.exists(spark, indexPath))
-              spark.read.parquet(corpusPath)
-                .join(spark.read.parquet(indexPath).select(col(idCol)),
-                  Seq(idCol), "left_anti")
-            else spark.read.parquet(corpusPath)
-          Dedup.lshBands(
-              Dedup.minhashSignatures(unindexed, idCol, textCol, k = 4, n = 3),
-              idCol, k = 4, bandWidth = 2)
-            .write.mode("append").parquet(indexPath)
+          // leave permanently unindexed. The index rides the
+          // ledgered [[Dedup.bandIndexWrite]]/[[Dedup.bandIndexAppend]]
+          // layout: only COMMITTED ids count as indexed (an orphan
+          // batch from a crashed append must be re-healed, and will be
+          // GC'd by compaction), and the append's exactly-once guard
+          // turns a replay of an already-committed micro-batch into a
+          // no-op instead of a duplicate.
+          if (!Storage.exists(spark, indexPath)) {
+            Dedup.bandIndexWrite(spark.read.parquet(corpusPath),
+              idCol, textCol, k = 4, n = 3, bandWidth = 2, indexPath)
+          } else {
+            val indexed = Dedup.bandIndexedIds(spark, indexPath, idCol)
+            val unindexed = spark.read.parquet(corpusPath)
+              .join(indexed, Seq(idCol), "left_anti")
+            if (!unindexed.isEmpty)
+              try Dedup.bandIndexAppend(unindexed, idCol, textCol,
+                indexPath, batch = s"stream-$batchId")
+              catch {
+                // replayed micro-batch whose index append already
+                // committed: the work is done, not an error
+                case e: IllegalArgumentException
+                  if e.getMessage != null &&
+                    e.getMessage.contains("already committed") => ()
+              }
+          }
         }
       }
 

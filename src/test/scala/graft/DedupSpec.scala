@@ -137,6 +137,70 @@ class DedupSpec extends SparkSpec {
     assert(!inc.keys.exists(_._1 == 6L), "doc 6 matches nothing")
   }
 
+  test("bandIndexAppend: probe-after-append == rebuild; torn retry; compact GC") {
+    val extra = df("doc_id BIGINT, text STRING",
+      Row(Long.box(5), "the quick brown fox jumps over the lazy dog"),
+      Row(Long.box(6), "unrelated content that matches nothing else at all"))
+    val all = docs.union(extra)
+    val existing = all.filter(col("doc_id") <= 3)
+    val incoming = all.filter(col("doc_id") > 3)
+    def probe(p: String) =
+      Dedup.incrementalNearDupPairs(spark, p, existing, incoming,
+          "doc_id", "text", minJaccard = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // Rebuild index over docs 1-3 vs build(1-2) + append(3): identical.
+    val pFull = java.nio.file.Files
+      .createTempDirectory("bandidx_f").toString + "/index"
+    val pInc = java.nio.file.Files
+      .createTempDirectory("bandidx_i").toString + "/index"
+    Dedup.bandIndexWrite(existing, "doc_id", "text", 4, 3, 2, pFull)
+    Dedup.bandIndexWrite(existing.filter(col("doc_id") <= 2),
+      "doc_id", "text", 4, 3, 2, pInc)
+    Dedup.bandIndexAppend(existing.filter(col("doc_id") === 3),
+      "doc_id", "text", pInc, "b1")
+    assert(probe(pInc) == probe(pFull),
+      "append must be invisible to probing")
+    // Torn append (bands on disk, no ledger row) is invisible; the
+    // retry replaces the orphans instead of duplicating them.
+    val doc3 = existing.filter(col("doc_id") === 3)
+    val pTorn = java.nio.file.Files
+      .createTempDirectory("bandidx_t").toString + "/index"
+    Dedup.bandIndexWrite(existing.filter(col("doc_id") <= 2),
+      "doc_id", "text", 4, 3, 2, pTorn)
+    val before = probe(pTorn)
+    Dedup.lshBands(Dedup.minhashSignatures(doc3, "doc_id", "text", 4, 3),
+        "doc_id", 4, 2)
+      .withColumn("shard", pmod(xxhash64(col("band_key")), lit(16)))
+      .withColumn("batch", lit("bT"))
+      .repartition(col("shard"))
+      .write.mode("append").partitionBy("shard", "batch").parquet(pTorn)
+    assert(probe(pTorn) == before, "uncommitted bands must be invisible")
+    Dedup.bandIndexAppend(doc3, "doc_id", "text", pTorn, "bT")
+    assert(probe(pTorn) == probe(pFull),
+      "retried batch must probe like a clean rebuild")
+    assert(Dedup.bandIndexedIds(spark, pTorn, "doc_id").count() == 3)
+    intercept[IllegalArgumentException] {
+      Dedup.bandIndexAppend(doc3, "doc_id", "text", pTorn, "bT")
+    }
+    // Geometry is frozen in the ledger: a mismatched probe is loud.
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupPairs(spark, pTorn, existing, incoming,
+        "doc_id", "text", k = 4, n = 5, bandWidth = 2)
+    }
+    // Compaction folds committed batches and GC's orphans.
+    Dedup.lshBands(Dedup.minhashSignatures(doc3, "doc_id", "text", 4, 3),
+        "doc_id", 4, 2)
+      .withColumn("shard", pmod(xxhash64(col("band_key")), lit(16)))
+      .withColumn("batch", lit("bOrphan"))
+      .repartition(col("shard"))
+      .write.mode("append").partitionBy("shard", "batch").parquet(pTorn)
+    Dedup.bandIndexCompact(spark, pTorn)
+    assert(probe(pTorn) == probe(pFull))
+    assert(!java.nio.file.Files.walk(java.nio.file.Paths.get(pTorn))
+      .anyMatch(p => p.toString.contains("batch=bOrphan")),
+      "compaction must drop uncommitted orphan bands")
+  }
+
   test("lsh_buckets observation surfaces dropped-bucket count and max size") {
     val boiler = (1 to 10).map(i =>
       Row(Long.box(i), "same boilerplate legal footer text repeated everywhere"))

@@ -425,6 +425,53 @@ class SimilaritySpec extends SparkSpec {
       "compaction must not change search results")
   }
 
+  test("ivfAppend crash/retry: replace-by-batch, exactly-once ids, orphan GC") {
+    val e = emb.select("vec_id", "embedding")
+    val half1 = e.filter(col("vec_id") % 2 === 0)
+    val half2 = e.filter(col("vec_id") % 2 === 1)
+    val cents = Similarity.centroids(
+      Similarity.signLshBuckets(half1, "embedding")
+        .select(col("bucket").as("cluster"), col("embedding")),
+      "cluster", "embedding").localCheckpoint(true)
+    val q = e.filter(col("vec_id") === 3).head().getSeq[Float](1)
+    def hits(p: String) =
+      Similarity.ivfSearch(spark, p, "vec_id", "embedding", cents, q,
+        k = 20, nprobe = 2).collect().map(_.getLong(0)).toSeq
+    val p = tmpIndex("retry"); val pFull = tmpIndex("retry_full")
+    Similarity.ivfWrite(half1, "vec_id", "embedding", cents, p)
+    Similarity.ivfWrite(e, "vec_id", "embedding", cents, pFull)
+    // Simulate an append that died AFTER its vector write but BEFORE
+    // its _stats ledger commit: batch dirs on disk, no ledger row.
+    graft.operators.Similarity.assignNearest(half2, "vec_id", "embedding",
+        cents)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+      .withColumn("batch", lit("bT"))
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster", "batch").parquet(p)
+    // RETRY of the torn batch must not duplicate a single vector:
+    // replace-by-batch deletes the orphan dirs first.
+    Similarity.ivfAppend(half2, "vec_id", "embedding", cents, p, "bT")
+    assert(hits(p) == hits(pFull),
+      "retried batch must search identically to a clean rebuild")
+    assert(spark.read.parquet(p).count() == e.count(),
+      "retry must leave exactly one row per vector")
+    // a COMMITTED id is exactly-once
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(half2, "vec_id", "embedding", cents, p, "bT")
+    }
+    // compaction garbage-collects a never-retried orphan batch
+    graft.operators.Similarity.assignNearest(
+        half2.limit(3), "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+      .withColumn("batch", lit("bOrphan"))
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster", "batch").parquet(p)
+    Similarity.ivfCompact(spark, p)
+    assert(hits(p) == hits(pFull))
+    assert(spark.read.parquet(p).count() == e.count(),
+      "compaction must drop uncommitted orphan vectors")
+  }
+
   test("ivfStats: drift ledger separates in-distribution from shifted batches") {
     def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
     // Build corpus: tight clusters on the +e1 and +e2 axes — the

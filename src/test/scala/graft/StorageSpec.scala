@@ -58,9 +58,28 @@ class StorageSpec extends SparkSpec {
     val before = files(s"$dir/d=2024-01-01")
     assert(before >= 5, s"expected many small files, got $before")
     val data = rowSet(Storage.read(spark, dir))
-    Storage.compact(spark, dir, Some("d"))
+    Storage.compact(spark, dir, Seq("d"))
     assert(files(s"$dir/d=2024-01-01") < before)
     assert(rowSet(Storage.read(spark, dir)) == data, "compaction must not change data")
+  }
+
+  test("compact recovers a crash between the two swap renames") {
+    val dir = java.nio.file.Files.createTempDirectory("cpr").toString + "/t"
+    Storage.loadAppend(
+      df("k BIGINT, d STRING", Row(Long.box(1), "2024-01-01"),
+        Row(Long.box(2), "2024-01-02")), dir, partitionCol = Some("d"))
+    val data = rowSet(Storage.read(spark, dir))
+    // Simulate the crash position: live table parked at .compact-old,
+    // a half-written tmp left behind, no live table at `dir`.
+    val f = new java.io.File(dir)
+    assert(f.renameTo(new java.io.File(dir + ".compact-old")))
+    new java.io.File(dir + ".compact-tmp").mkdirs()
+    // Next compact must restore the parked table, discard the stale
+    // tmp, and complete normally.
+    Storage.compact(spark, dir, Seq("d"))
+    assert(rowSet(Storage.read(spark, dir)) == data)
+    assert(!new java.io.File(dir + ".compact-old").exists())
+    assert(!new java.io.File(dir + ".compact-tmp").exists())
   }
 
   test("writeShards: one position-sorted file per bounded shard") {

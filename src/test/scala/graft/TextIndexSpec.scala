@@ -131,10 +131,61 @@ class TextIndexSpec extends SparkSpec {
     assert(files() < filesBefore,
       s"compaction must reduce file count (was $filesBefore, now ${files()})")
     assert(search() == before, "compaction must not change search results")
-    // the ledger survives: another append still works after compaction
+    // batches fold into one build row (drift baseline resets to the
+    // folded corpus); appending still works afterwards
+    assert(TextIndex.indexStats(spark, path).count() == 1)
     TextIndex.append(df("doc_id BIGINT, text STRING",
       Row(Long.box(10), "merge again")), "doc_id", "text", path, "b3")
-    assert(TextIndex.indexStats(spark, path).count() == 4) // build+b1+b2+b3
+    assert(TextIndex.indexStats(spark, path).count() == 2) // build+b3
+  }
+
+  test("torn append is invisible; retrying the batch never duplicates") {
+    val path = tmp("torn")
+    TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
+    def search() = TextIndex.searchBM25(spark, path, Seq("spark", "merge"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = search()
+    // Simulate an append that died AFTER its posting write but BEFORE
+    // its ledger commit: posting rows on disk under batch=bX, no ledger
+    // row. (Write them the way append does, minus the commit.)
+    df("token STRING, doc BIGINT, dl BIGINT, tf BIGINT, df BIGINT",
+      Row("spark", Long.box(99), Long.box(3), Long.box(3), Long.box(1)))
+      .withColumn("shard", pmod(xxhash64(col("token")), lit(4)))
+      .withColumn("batch", lit("bX"))
+      .repartition(col("shard"))
+      .write.mode("append").partitionBy("shard", "batch").parquet(path)
+    assert(search() == before,
+      "uncommitted postings must be invisible to serving")
+    // Retry of the torn batch: replace-by-batch drops the orphans, so
+    // doc 99 appears exactly once and scores as a clean rebuild would.
+    TextIndex.append(df("doc_id BIGINT, text STRING",
+      Row(Long.box(99), "spark spark spark")), "doc_id", "text", path, "bX")
+    val full = tmp("torn_full")
+    TextIndex.write(corpus.unionByName(df("doc_id BIGINT, text STRING",
+      Row(Long.box(99), "spark spark spark"))), "doc_id", "text", full,
+      nShards = 4)
+    assert(search() ==
+      TextIndex.searchBM25(spark, full, Seq("spark", "merge"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "retried batch must equal a clean rebuild (no duplicated postings)")
+    // a COMMITTED batch id is exactly-once: re-appending it is loud
+    intercept[IllegalArgumentException] {
+      TextIndex.append(df("doc_id BIGINT, text STRING",
+        Row(Long.box(100), "x")), "doc_id", "text", path, "bX")
+    }
+    // compaction garbage-collects any remaining orphan dirs
+    df("token STRING, doc BIGINT, dl BIGINT, tf BIGINT, df BIGINT",
+      Row("merge", Long.box(101), Long.box(1), Long.box(1), Long.box(1)))
+      .withColumn("shard", pmod(xxhash64(col("token")), lit(4)))
+      .withColumn("batch", lit("bOrphan"))
+      .repartition(col("shard"))
+      .write.mode("append").partitionBy("shard", "batch").parquet(path)
+    val preCompact = search()
+    TextIndex.compact(spark, path)
+    assert(search() == preCompact)
+    assert(!java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .anyMatch(p => p.toString.contains("batch=bOrphan")),
+      "compaction must drop uncommitted orphan postings")
   }
 
   test("append respects the writer lock (concurrent ingest excluded)") {
