@@ -63,6 +63,35 @@ object TextFunctions {
     * codegen'd loop instead of interpreted lambdas re-evaluated per
     * reference — the form every repetition/quality scan wants.
     */
+  // ---- Unicode hygiene (data-poisoning surface) ------------------------
+  // Invisible characters survive copy-paste and human review: zero-width
+  // spaces/joiners break tokenization and dedup keys (two "identical"
+  // docs hash apart), soft hyphens and BOMs pollute n-grams, and the
+  // bidi control range is the Trojan-Source vector (text that RENDERS
+  // differently than it parses). Both classes are pure RE2-compatible
+  // character classes, restatable verbatim in the DuckDB oracle.
+
+  /** Zero-width space/non-joiner/joiner, word joiner, BOM, soft hyphen. */
+  val InvisibleClass = "[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}\\x{00AD}]"
+
+  /** Bidi embedding/override/isolate controls (Trojan Source). */
+  val BidiClass = "[\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]"
+
+  /** Text with invisible characters removed (bidi controls are NOT
+    * stripped — reordering-sensitive text must be flagged and reviewed,
+    * not silently rewritten into its visually-deceptive form).
+    */
+  def stripInvisible(text: Column): Column =
+    regexp_replace(text, InvisibleClass, "")
+
+  /** Count of invisible characters (length delta against the strip). */
+  def invisibleCount(text: Column): Column =
+    (length(text) - length(stripInvisible(text))).cast("long")
+
+  /** Count of bidi control characters. */
+  def bidiCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, BidiClass, ""))).cast("long")
+
   def ngramStats(text: Column, n: Int): Column =
     call_function("ngram_stats", words(text), lit(n))
 }

@@ -66,6 +66,36 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Leakage-safe split: [[hashSplit]] keyed by each row's GROUP, so
+    * every member of a group (near-dup cluster, same source URL, same
+    * repository — whatever correlation leaks labels) lands in the SAME
+    * split. Doc-keyed splitting puts one near-duplicate in train and
+    * its twin in test, and the eval silently measures memorization;
+    * group-keyed hashing makes straddling structurally impossible
+    * rather than merely checked for.
+    *
+    * `groups` maps `keyCol` → `groupCol` (e.g.
+    * [[Dedup.connectedComponents]] output); rows ABSENT from the
+    * mapping are singletons and split by their own key, under a
+    * disjoint `solo:`/`grp:` keyspace so a group id can never collide
+    * with a key. One key-keyed join against the (clustered-rows-only,
+    * usually broadcast-small) mapping; the split itself stays a pure
+    * map-side hash — deterministic, retry-stable, no shuffle of `df`.
+    */
+  def groupAwareSplit(df: DataFrame, keyCol: String, groups: DataFrame,
+      groupCol: String, salt: String, splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    val keyC = graft.functions.ColumnLib.freeColumn(df, "split_key")
+    val withKey = df
+      .join(groups.select(col(keyCol),
+        col(groupCol).cast("string").as(s"__$keyC")), Seq(keyCol), "left")
+      .withColumn(keyC, coalesce(
+        concat(lit("grp:"), col(s"__$keyC")),
+        concat(lit("solo:"), col(keyCol).cast("string"))))
+      .drop(s"__$keyC")
+    hashSplit(withKey, keyC, salt, splits, splitCol).drop(keyC)
+  }
+
   /** Fixed-SIZE stratified sample: the `n` rows with the smallest
     * `md5(salt:key)` per stratum (ties broken by the key itself, so the
     * order is total). Where [[deterministicSample]] fixes the RATE,

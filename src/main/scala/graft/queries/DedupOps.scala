@@ -622,6 +622,67 @@ object DedupOps {
               >= 0.3
         ORDER BY 1, 2""")),
 
+    // ---- leakage-safe split: near-dup clusters never straddle (q185) ----
+    // Doc-keyed train/test splitting puts one near-duplicate in train
+    // and its twin in test — the eval then measures memorization. The
+    // split key is therefore the doc's DEDUP COMPONENT (q38's
+    // machinery) with unclustered docs as singletons
+    // ([[graft.operators.Sampling.groupAwareSplit]]): straddling is
+    // structurally impossible, and the gate COMPUTES the straddle
+    // count from the data (must be 0) rather than asserting it. The
+    // oracle rebuilds components recursively and restates the md5
+    // bucket thresholds (0.8/0.9 of 0x10000 = cccd/e666) verbatim.
+    QueryDef("q185_leakage_safe_split",
+      (s, dir) => {
+        import graft.operators.Sampling
+        val d = docs(s, dir).select(col("doc_id"))
+        val comps = Dedup.connectedComponents(
+            Dedup.lshCandidatePairs(docs(s, dir), "doc_id", "text",
+              k = 4, n = 3, bandWidth = 2))
+          .select(col("node").as("doc_id"), col("component"))
+          .localCheckpoint(true) // split keying AND straddle audit read it
+        val split = Sampling.groupAwareSplit(d, "doc_id", comps,
+          "component", "split42",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        val lab = split.join(comps, Seq("doc_id"), "left")
+        val per = lab.groupBy("split").agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("component")).as("n_groups"),
+          sum(when(col("component").isNull, 1L).otherwise(0L)).as("n_solo"))
+        val straddle = lab.filter(col("component").isNotNull)
+          .groupBy("component")
+          .agg(count_distinct(col("split")).as("__ns"))
+          .agg(coalesce(sum(when(col("__ns") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("straddling_groups"))
+        per.join(broadcast(straddle), lit(true), "left").orderBy("split")
+      },
+      Some(s"""
+        WITH RECURSIVE $sigCte, $componentCte,
+        cl AS (SELECT node, min(label) AS component FROM comp GROUP BY node),
+        k AS (SELECT d.doc_id, cl.component,
+                CASE WHEN cl.component IS NULL
+                     THEN 'solo:'||CAST(d.doc_id AS VARCHAR)
+                     ELSE 'grp:'||CAST(cl.component AS VARCHAR) END AS skey
+              FROM documents d LEFT JOIN cl ON cl.node = d.doc_id),
+        sp AS (SELECT doc_id, component,
+                 CASE WHEN substr(md5('split42:'||skey),1,4) < 'cccd'
+                      THEN 'train'
+                      WHEN substr(md5('split42:'||skey),1,4) < 'e666'
+                      THEN 'val'
+                      ELSE 'test' END AS split
+               FROM k),
+        st AS (SELECT CAST(coalesce(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END),
+                                    0) AS BIGINT) AS straddling_groups
+               FROM (SELECT component, count(DISTINCT split) AS ns FROM sp
+                     WHERE component IS NOT NULL GROUP BY 1))
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT component) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN component IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_solo,
+               st.straddling_groups
+        FROM sp, st
+        GROUP BY split, st.straddling_groups ORDER BY split""")),
+
     QueryDef("q39_decontaminate",
       (s, dir) => {
         val all = docs(s, dir)

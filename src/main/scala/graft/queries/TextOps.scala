@@ -2427,6 +2427,78 @@ object TextOps {
                  '^https://([^/?#:]*)', 1)) AS BIGINT) AS n_hosts
         FROM d GROUP BY 1 ORDER BY 1""")),
 
+    // ---- Unicode hygiene screen: invisible + bidi controls (q186) -------
+    // The data-poisoning surface a web corpus actually has: zero-width
+    // characters split tokens and break dedup keys invisibly, and the
+    // bidi control range is the Trojan-Source vector (text renders
+    // differently than it parses). The gate plants both — a zero-width
+    // space + soft hyphen into doc_id % 7 = 0, a right-to-left
+    // override onto % 11 = 0 — then screens with
+    // [[graft.functions.TextFunctions.invisibleCount]]/`bidiCount` and
+    // buckets docs into clean/invisible/bidi/both, counting planted
+    // chars exactly. Both characters classes are single
+    // regexp_replace passes, restated verbatim in DuckDB (chr()
+    // regenerates the planted chars; the SQL never embeds a literal
+    // invisible byte). `stripInvisible` removes the invisible class
+    // but NOT bidi controls — deceptive text is flagged for review,
+    // never silently rewritten.
+    QueryDef("q186_unicode_hygiene",
+      (s, dir) => {
+        import graft.functions.TextFunctions._
+        val inj1 = when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(substring(col("text"), 1, 5), lit("\u200B"),
+              expr("substring(text, 6)"), lit("\u00AD")))
+          .otherwise(col("text"))
+        val txt = when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(lit("\u202E"), inj1)).otherwise(inj1)
+        docs(s, dir).select(col("doc_id"), txt.as("txt"))
+          .select(col("doc_id"), col("txt"),
+            invisibleCount(col("txt")).as("inv"),
+            bidiCount(col("txt")).as("bidi"),
+            length(stripInvisible(col("txt"))).cast("long").as("clean_len"))
+          .groupBy(
+            when(col("inv") > 0 && col("bidi") > 0, "both")
+              .when(col("inv") > 0, "invisible")
+              .when(col("bidi") > 0, "bidi")
+              .otherwise("clean").as("category"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("inv")).as("n_invisible_chars"),
+            sum(col("bidi")).as("n_bidi_chars"),
+            sum(col("clean_len")).as("n_chars_clean"))
+          .orderBy("category")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN substr(text, 1, 5) || chr(8203) ||
+                           substr(text, 6) || chr(173)
+                      ELSE text END AS t1
+          FROM documents),
+        p AS (SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0 THEN chr(8238) || t1
+                          ELSE t1 END AS txt
+              FROM t),
+        m AS (SELECT doc_id, txt,
+                len(txt) - len(regexp_replace(txt,
+                  '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}\x{00AD}]',
+                  '', 'g')) AS inv,
+                len(txt) - len(regexp_replace(txt,
+                  '[\x{202A}-\x{202E}\x{2066}-\x{2069}]', '', 'g')) AS bidi,
+                len(regexp_replace(txt,
+                  '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}\x{00AD}]',
+                  '', 'g')) AS clean_len
+              FROM p)
+        SELECT CASE WHEN inv > 0 AND bidi > 0 THEN 'both'
+                    WHEN inv > 0 THEN 'invisible'
+                    WHEN bidi > 0 THEN 'bidi'
+                    ELSE 'clean' END AS category,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(inv) AS BIGINT) AS n_invisible_chars,
+               CAST(SUM(bidi) AS BIGINT) AS n_bidi_chars,
+               CAST(SUM(clean_len) AS BIGINT) AS n_chars_clean
+        FROM m GROUP BY 1 ORDER BY 1""")),
+
     // ---- compression-ratio quality signal (q180, spec-gated) ------------
     // The Gopher/MassiveText model-free quality screen: raw-DEFLATE
     // ratio per document via the native `deflate_len` expression

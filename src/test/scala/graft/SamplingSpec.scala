@@ -21,6 +21,42 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("groupAwareSplit: groups never straddle; singletons split by own key") {
+    import org.apache.spark.sql.Row
+    // 30 docs, clustered into 10 groups of 3 (group id = min member).
+    val d = spark.range(30).toDF("doc_id")
+    val groups = spark.range(30)
+      .select(col("id").as("doc_id"), (col("id") / 3).cast("long") * 3)
+      .toDF("doc_id", "component")
+    val out = Sampling.groupAwareSplit(d, "doc_id", groups, "component",
+      "s1", Seq("train" -> 0.5, "test" -> 0.5))
+    val bySplit = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bySplit.size == 30)
+    // every group's 3 members share one split
+    (0 until 30 by 3).foreach { g =>
+      assert(Set(g, g + 1, g + 2).map(i => bySplit(i.toLong)).size == 1,
+        s"group $g straddles splits")
+    }
+    // split = hashSplit of the group key (the mechanism, pinned)
+    val viaKey = Sampling.hashSplit(
+        groups.select(concat(lit("grp:"), col("component").cast("string"))
+          .as("k")), "k", "s1", Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    (0 until 30).foreach { i =>
+      assert(bySplit(i.toLong) == viaKey(s"grp:${i / 3 * 3}"))
+    }
+    // rows absent from the mapping are singletons under a DISJOINT
+    // keyspace: doc 100 splits by 'solo:100', never by a group hash
+    val solo = Sampling.groupAwareSplit(
+        df("doc_id BIGINT", Row(Long.box(100))), "doc_id", groups,
+        "component", "s1", Seq("train" -> 0.5, "test" -> 0.5))
+      .head().getString(1)
+    val soloKey = Sampling.hashSplit(
+        df("k STRING", Row("solo:100")), "k", "s1",
+        Seq("train" -> 0.5, "test" -> 0.5)).head().getString(1)
+    assert(solo == soloKey)
+  }
+
   test("sampling is deterministic and retry-stable (partitioning-independent)") {
     val a = Sampling.deterministicSample(docs, "doc_id", 0.3, "seed")
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -16,6 +16,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.getInt(1) == 7)
   }
 
+  test("unicode hygiene: invisible chars stripped/counted, bidi flagged not stripped") {
+    val rows = df("t STRING",
+      Row("ab\u200Bcd\u00ADe"),          // zwsp + soft hyphen
+      Row("\u202Eevil\u2066x\u2069"),   // rlo + isolate pair
+      Row("plain text"),
+      Row("\uFEFFbom\u200C\u200D\u2060")) // bom + zwnj/zwj/word-joiner
+      .select(
+        stripInvisible(col("t")).as("s"),
+        invisibleCount(col("t")).as("i"),
+        bidiCount(col("t")).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows(0) == (("abcde", 2L, 0L)))
+    // bidi controls are COUNTED but survive the invisible strip: text
+    // that renders deceptively must be flagged for review, not
+    // silently rewritten
+    assert(rows(1) == (("\u202Eevil\u2066x\u2069", 0L, 3L)))
+    assert(rows(2) == (("plain text", 0L, 0L)))
+    assert(rows(3) == (("bom", 4L, 0L)))
+  }
+
   test("normalizeText lowercases, strips symbols, collapses spaces") {
     val out = df("t STRING", Row("  Hello,   WORLD!! 42 "))
       .select(normalizeText(col("t"))).head().getString(0)
