@@ -1406,8 +1406,15 @@ object Dedup {
       explode(slice(col("gs"), lit(1),
         (col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + lit(1))
           .cast("int"))).as("g"))
-    val a = prefix.alias("fa")
-    val b = prefix.alias("fb")
+    // Fixed-N repartitions (which AQE must preserve) pin the fan-out
+    // stages' parallelism: the prefix-join INPUTS and the candidate
+    // list are byte-tiny, so size-based coalescing would fold the
+    // in-join pair expansion and the array_intersect verification into
+    // one or two serial tasks — the q176 pathology. The exchanges move
+    // kilobytes; the compute they spread is the expensive part.
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val a = prefix.repartition(nPart, col("g")).alias("fa")
+    val b = prefix.repartition(nPart, col("g")).alias("fb")
     val cand = a.join(b,
         col("fa.g") === col("fb.g") && col(s"fa.$id") < col(s"fb.$id") &&
           greatest(col("fa.sz"), col("fb.sz")).cast("double") * lit(threshold) <=
@@ -1416,7 +1423,8 @@ object Dedup {
       .distinct()
     val s1 = sets.select(col(id).as("id1"), col("gs").as("gs1"), col("sz").as("sz1"))
     val s2 = sets.select(col(id).as("id2"), col("gs").as("gs2"), col("sz").as("sz2"))
-    val verified = cand.join(s1, "id1").join(s2, "id2")
+    val verified = cand.repartition(nPart, col("id1"))
+      .join(s1, "id1").join(s2, "id2")
       .withColumn("n_inter",
         size(array_intersect(col("gs1"), col("gs2"))).cast("long"))
       .withColumn("jaccard", col("n_inter").cast("double") /

@@ -236,6 +236,69 @@ object Skew {
     CmsSketch(countMinCells(df, keyCol, depth, width, salt, weight),
       depth, width, salt)
 
+  /** All unordered within-block pairs of a blocked SELF-join, with the
+    * pair space decomposed into bucket-pair sub-blocks so parallelism
+    * is `|blocks| · B(B+1)/2` instead of `|blocks|` — the fix for the
+    * classic entity-resolution shape where a low-cardinality blocking
+    * key (brand, zip, domain: tens of values) caps a Σ|block|² pair
+    * expansion at a handful of straggler tasks no matter how many
+    * cores exist. Each row lands in bucket `u = hash(key) % B`; the
+    * canonical sub-block of a pair is (min(u_a, u_b), max(u_a, u_b)),
+    * so the left side replicates a row to sub-blocks (u, u..B-1) and
+    * the right side to (0..u, u) — every unordered pair meets exactly
+    * once, on an EQUI join key (block, i, j) that distributes. Skew in
+    * the blocking key itself is handled by the same mechanism: a hot
+    * block's quadratic work spreads over its B(B+1)/2 sub-blocks.
+    *
+    * Replication is ~B/2× per side of the (small: key + block + the
+    * compared columns) pair input — choose B so that
+    * `blocks · B(B+1)/2` comfortably exceeds the cluster's cores;
+    * B=8 turns 25 brands into 900 tasks.
+    *
+    * Returns one row per unordered pair: the block columns plus
+    * structs `a` and `b` carrying the full input rows, normalized so
+    * `a.keyCol < b.keyCol`.
+    */
+  def blockedSelfPairs(df: DataFrame, blockCols: Seq[String], keyCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    require(blockCols.nonEmpty, "need at least one blocking column")
+    // a NULL key cannot order a pair (and a null-keyed entity cannot be
+    // linked to itself meaningfully): excluded up front, loudly simple
+    val withB = df.filter(col(keyCol).isNotNull)
+      .withColumn("__bkt", pmod(xxhash64(col(keyCol)), lit(buckets)).cast("int"))
+      .withColumn("__row", struct(df.columns.map(col).toIndexedSeq: _*))
+    val left = withB
+      .select((blockCols.map(col) :+ col("__bkt").as("__i") :+
+        col("__row").as("__a")): _*)
+      .withColumn("__j", explode(sequence(col("__i"), lit(buckets - 1))))
+    val right = withB
+      .select((blockCols.map(col) :+ col("__bkt").as("__j") :+
+        col("__row").as("__b")): _*)
+      .withColumn("__i", explode(sequence(lit(0), col("__j"))))
+    val aKey = col("__a").getField(keyCol)
+    val bKey = col("__b").getField(keyCol)
+    // The join INPUTS are tiny (the pair expansion happens in the join
+    // output), so AQE's size-based coalescing would fold the sub-blocks
+    // back into one or two tasks and serialize the per-pair compute —
+    // the exact pathology this operator exists to fix. An explicit
+    // fixed-N repartition on the join key is one AQE must preserve,
+    // and both sides sharing it means the join adds no further
+    // exchange; sub-blocks spread evenly (there are far more of them
+    // than partitions).
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val keys = blockCols.map(col) ++ Seq(col("__i"), col("__j"))
+    left.repartition(nPart, keys: _*)
+      .join(right.repartition(nPart, keys: _*), blockCols ++ Seq("__i", "__j"))
+      // same-bucket sub-blocks see both orderings of a pair: keep one.
+      // (cross-bucket sub-blocks meet each pair exactly once already;
+      // the null-rejecting '<' also drops degenerate null-key rows.)
+      .filter(col("__i") =!= col("__j") || aKey < bKey)
+      .select((blockCols.map(col) :+
+        when(aKey < bKey, col("__a")).otherwise(col("__b")).as("a") :+
+        when(aKey < bKey, col("__b")).otherwise(col("__a")).as("b")): _*)
+  }
+
   /** Point-frequency estimates from a sketch: min over the key's depth
     * cells. `keys` is a (small) table of keys to probe; the cells
     * table broadcasts, so probing is map-side.

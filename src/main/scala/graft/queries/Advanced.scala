@@ -1474,12 +1474,14 @@ object Advanced {
       (s, dir) => {
         val p = t(s, dir, "part")
           .select(col("p_partkey"), col("p_brand"), col("p_name"))
-        val a = p.alias("a")
-        val b = p.alias("b")
-        a.join(b, col("a.p_brand") === col("b.p_brand") &&
-            col("a.p_partkey") < col("b.p_partkey"))
+        // Brand has ~25 values, so a plain brand-keyed self-join caps
+        // the Σ|block|² pair expansion at 25 tasks; blockedSelfPairs
+        // decomposes each block into bucket-pair sub-blocks (B=8 →
+        // 25·36 = 900 tasks), same pair set, full parallelism.
+        graft.operators.Skew.blockedSelfPairs(
+            p, Seq("p_brand"), "p_partkey", buckets = 8)
           .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
-            col("a.p_brand").as("brand"),
+            col("p_brand").as("brand"),
             round(call_function("jaro_winkler",
               col("a.p_name"), col("b.p_name")), 9).as("jw"))
           .filter(col("jw") >= 0.9)

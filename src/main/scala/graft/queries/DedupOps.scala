@@ -1036,8 +1036,16 @@ object DedupOps {
     // df, and the floored micro ratio declaratively.
     QueryDef("q120_winnowing",
       (s, dir) => {
+        // The fixture is one parquet row group = one scan task, and
+        // winnowing's per-char gram hashing is the cost — widen the
+        // mapper stage explicitly (fixed N: AQE keeps it). At
+        // production scale the scan's own file splits provide this
+        // parallelism and the repartition would be wasted motion; it
+        // exists because a row group is the minimum split unit.
         graft.operators.Dedup.winnowingShareStats(
-            docs(s, dir), "doc_id", "text", k = 20, w = 8)
+            docs(s, dir).repartition(
+              s.sessionState.conf.numShufflePartitions),
+            "doc_id", "text", k = 20, w = 8)
           .orderBy("doc_id")
       },
       Some("""
@@ -1100,8 +1108,12 @@ object DedupOps {
     // stays row-shaped.
     QueryDef("q132_span_removal",
       (s, dir) => {
+        // q120's single-row-group widening (see comment there): the
+        // winnow mapper is the cost and the fixture cannot split.
         graft.operators.Dedup.removeDuplicatedSpans(
-            docs(s, dir), "doc_id", "text", k = 20, w = 8, maxGap = 28)
+            docs(s, dir).repartition(
+              s.sessionState.conf.numShufflePartitions),
+            "doc_id", "text", k = 20, w = 8, maxGap = 28)
           .select(col("doc_id"),
             md5(col("text_clean")).as("clean_md5"),
             col("n_spans").cast("long").as("n_spans"),

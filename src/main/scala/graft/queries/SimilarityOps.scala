@@ -21,8 +21,16 @@ object SimilarityOps {
 
   private val D = DecimalType(38, 18)
 
+  // The bench fixture is ONE parquet row group, so every map-heavy
+  // stage fed straight off the scan (decimal dot products in broadcast
+  // joins, per-vector quantization, explodes) would run in a single
+  // task — the fixed-N repartition (which AQE preserves) widens it
+  // once for all embedding gates. At production scale the scan's file
+  // splits provide this parallelism natively; a row group is the
+  // minimum split unit, so a tiny fixture has no other lever.
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
+      .repartition(s.sessionState.conf.numShufflePartitions)
 
   /** Exact (decimal-accumulated) cosine of every vector vs `vec_id = 0`,
     * over an optional candidate subset.

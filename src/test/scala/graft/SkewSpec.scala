@@ -32,6 +32,27 @@ class SkewSpec extends SparkSpec {
     assert(rowSet(routed) == rowSet(plain))
   }
 
+  test("blockedSelfPairs: exact pair set of the plain blocked self-join") {
+    val rows = (1 to 40).map(i =>
+      Row(Long.box(i), s"b${i % 3}", s"name$i")) :+ Row(null, "b0", "nullkey")
+    val p = df("id BIGINT, blk STRING, nm STRING", rows: _*)
+    def pairsOf(buckets: Int) = Skew.blockedSelfPairs(p, Seq("blk"), "id", buckets)
+      .select(col("a.id"), col("b.id"), col("blk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val plain = p.alias("x").join(p.alias("y"),
+        col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id"), col("x.blk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // every pair exactly once, a.id < b.id, null keys excluded — for
+    // any bucket count, including the degenerate B=1
+    Seq(1, 2, 8, 64).foreach { b =>
+      assert(pairsOf(b) == plain, s"buckets=$b must reproduce the pair set")
+    }
+    // duplicates would survive a Set compare: check count too
+    assert(Skew.blockedSelfPairs(p, Seq("blk"), "id", 8).count() ==
+      plain.size)
+  }
+
   test("heavyHitters ranks values with NULL as a first-class hot key") {
     val d = df("a STRING, b BIGINT",
       Row(null, Long.box(1)), Row(null, Long.box(2)), Row(null, Long.box(3)),
