@@ -353,6 +353,65 @@ object PipelineOps {
         FROM j WHERE doc_id % 53 = 0
         ORDER BY doc_id, raw""")),
 
+    // ---- CSV ingest with malformed-record quarantine (q187) -------------
+    // q178's contract for the other interchange format, with CSV's
+    // own corruption semantics pinned: a TYPE violation (every 53rd
+    // row renders n_chars as 'x<n>', which cannot coerce to BIGINT)
+    // quarantines, and so does a SHORT row (every 71st row drops its
+    // trailing field) — positional formats get no absent-field
+    // relaxation from `from_csv`, which marks under-length records
+    // malformed, unlike JSON's named fields. DuckDB regenerates all
+    // three populations from the id arithmetic and never reads a CSV
+    // byte.
+    QueryDef("q187_csv_quarantine",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        val line = when(pmod(col("doc_id"), lit(53)) === 0,
+            format_string("%d,%s,x%d",
+              col("doc_id"), col("lang"), col("n_chars")))
+          .when(pmod(col("doc_id"), lit(71)) === 0,
+            format_string("%d,%s", col("doc_id"), col("lang")))
+          .otherwise(format_string("%d,%s,%d",
+            col("doc_id"), col("lang"), col("n_chars")))
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_csv_q187_${java.lang.Integer.toHexString(dir.hashCode)}"
+        docs.select(line.as("value")).write.mode("overwrite").text(path)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("n_chars", LongType)))
+        graft.sources.CsvSource.parseWithQuarantine(
+            s.read.text(path).withColumnRenamed("value", "line"),
+            "line", schema)
+          // CSV PERMISSIVE keeps the fields that DID coerce on a
+          // corrupt row (JSON nulls the whole struct); the contract
+          // here is "a quarantined row exposes only its raw line", so
+          // the typed fields are masked when quarantined.
+          .select(
+            when(!col("quarantined"), col("doc_id")).as("doc_id"),
+            when(!col("quarantined"), col("lang")).as("lang"),
+            when(!col("quarantined"), col("n_chars")).as("n_chars"),
+            when(col("quarantined"), lit("quarantined")).otherwise(lit("ok"))
+              .as("status"),
+            when(col("quarantined"), col("line"))
+              .otherwise(lit(null).cast("string")).as("raw"))
+          .orderBy("doc_id", "raw")
+      },
+      Some("""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               'ok' AS status, CAST(NULL AS VARCHAR) AS raw
+        FROM documents WHERE doc_id % 53 <> 0 AND doc_id % 71 <> 0
+        UNION ALL
+        SELECT NULL, NULL, NULL, 'quarantined',
+               printf('%d,%s,x%d', doc_id, lang, n_chars)
+        FROM documents WHERE doc_id % 53 = 0
+        UNION ALL
+        SELECT NULL, NULL, NULL, 'quarantined',
+               printf('%d,%s', doc_id, lang)
+        FROM documents WHERE doc_id % 71 = 0 AND doc_id % 53 <> 0
+        ORDER BY doc_id, raw""")),
+
     // ---- ORC export round-trip with pruned read-back (q179) -------------
     // Storage.exportAs writes the documents table as ORC with the same
     // layout discipline as the parquet path (partitionBy lang,

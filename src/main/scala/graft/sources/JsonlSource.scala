@@ -28,7 +28,26 @@ import org.apache.spark.sql.types.{StringType, StructType}
   */
 object JsonlSource {
 
-  private val CorruptCol = "_corrupt_record"
+  private[sources] val CorruptCol = "_corrupt_record"
+
+  /** Shared quarantine core for line-oriented parsers ([[JsonlSource]]
+    * and [[CsvSource]]): attach `parsedStruct` (a PERMISSIVE parse
+    * carrying [[CorruptCol]]), project the schema fields, and flag.
+    * Empty/whitespace-only lines (and JSON's literal `null`) make the
+    * parser return a NULL STRUCT — not a corrupt-record marker — so
+    * checking only the corrupt column would classify them as good rows
+    * with all-null fields. A null parse result is quarantine too:
+    * "parse what parses" means a row must actually parse to a record.
+    */
+  private[sources] def flagQuarantine(lines: DataFrame, schema: StructType,
+      parsedStruct: org.apache.spark.sql.Column): DataFrame = {
+    val parsed = lines.withColumn("__j", parsedStruct)
+    val fields = schema.fieldNames.toSeq.map(f => col(s"__j.$f").as(f))
+    parsed.select(
+      (lines.columns.map(col).toSeq ++ fields :+
+        (col("__j").isNull || col(s"__j.$CorruptCol").isNotNull)
+          .as("quarantined")): _*)
+  }
 
   /** Parse a line column against `schema`, appending the parsed fields
     * and a `quarantined` flag; the raw line column rides through
@@ -41,18 +60,7 @@ object JsonlSource {
     val withCorrupt = schema.add(CorruptCol, StringType)
     val opts = Map("mode" -> "PERMISSIVE",
       "columnNameOfCorruptRecord" -> CorruptCol)
-    val parsed = lines.withColumn("__j",
-      from_json(col(lineCol), withCorrupt, opts))
-    val fields = schema.fieldNames.toSeq.map(f => col(s"__j.$f").as(f))
-    // Empty/whitespace-only lines (and the JSON literal `null`) make
-    // from_json return a NULL STRUCT — not a corrupt-record marker — so
-    // checking only the corrupt column would classify them as good rows
-    // with all-null fields. A null parse result is quarantine too:
-    // "parse what parses" means a row must actually parse to a record.
-    parsed.select(
-      (lines.columns.map(col).toSeq ++ fields :+
-        (col("__j").isNull || col(s"__j.$CorruptCol").isNotNull)
-          .as("quarantined")): _*)
+    flagQuarantine(lines, schema, from_json(col(lineCol), withCorrupt, opts))
   }
 
   /** Ingest a JSONL directory: returns the parseable rows (schema
@@ -87,10 +95,19 @@ object JsonlSource {
     }
 
   def ingest(spark: SparkSession, path: String, schema: StructType,
-      quarantineDir: Option[String] = None): DataFrame = {
-    val raw = parseWithQuarantine(
-      spark.read.text(path).withColumnRenamed("value", "line"),
-      "line", schema)
+      quarantineDir: Option[String] = None): DataFrame =
+    ingestLines(spark, path, quarantineDir,
+      lines => parseWithQuarantine(lines, "line", schema))
+
+  /** Shared ingest skeleton ([[JsonlSource]]/[[CsvSource]]): text scan
+    * → `parse` → quarantined raw lines appended as text, good rows
+    * returned.
+    */
+  private[sources] def ingestLines(spark: SparkSession, path: String,
+      quarantineDir: Option[String],
+      parse: DataFrame => DataFrame): DataFrame = {
+    val raw = parse(
+      spark.read.text(path).withColumnRenamed("value", "line"))
     // With a quarantine sink, two actions read the parse: cut the
     // lineage once so the text scan + parse run once, not twice.
     val parsed =
