@@ -189,6 +189,43 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q176 linkage: sub-block distribution survives AQE (no re-coalesce)") {
+    // blockedSelfPairs exists to spread a Σ|block|² pair expansion
+    // over bucket-pair sub-blocks; its fixed-N repartition is the part
+    // AQE must NOT undo (size-based coalescing sees kilobyte join
+    // inputs and would serialize the in-join compute back to one
+    // task). Pin: the join keys carry the sub-block columns, the join
+    // stays an equi-join, and the user repartition is present in the
+    // final adaptive plan.
+    bothPlans("q176_record_linkage") { (p, mode) =>
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"[$mode] pair generation must stay an equi-join:\n$p")
+      assert(p.contains("__i") && p.contains("__j"),
+        s"[$mode] the bucket-pair sub-block keys must be join keys:\n$p")
+      assert(("REPARTITION_BY_NUM".r.findAllMatchIn(p).nonEmpty ||
+        "Exchange hashpartitioning\\(p_brand".r.findAllMatchIn(p).nonEmpty),
+        s"[$mode] the fixed-N sub-block distribution must survive:\n$p")
+    }
+  }
+
+  test("q185 split: membership is hash projection; one mapping join") {
+    // The leakage-safe split must stay a pure map-side hash over the
+    // group key — no shuffle of the corpus for the split decision
+    // itself. The only data-sized exchanges are the component
+    // machinery and the final stats aggregation; the split expression
+    // (md5 threshold CASE) must not introduce a Window over the
+    // corpus or a nested-loop join.
+    bothPlans("q185_leakage_safe_split") { (p, mode) =>
+      assert(!p.contains("CartesianProduct"),
+        s"[$mode] no cartesian anywhere in the split:\n$p")
+      // the broadcast of the 1-row straddle scalar is the ONLY
+      // nested-loop join (joining on literal true)
+      assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 2,
+        s"[$mode] only the 1-row scalar broadcasts may nest:\n$p")
+    }
+  }
+
   test("q172 multi-touch: containment is bucket-keyed, never a raw theta join") {
     // The purchase↔touch pairing rides IntervalJoin.overlap: candidates
     // meet on (user_id, 30-min bucket) in an ordinary equi-join. A
