@@ -236,6 +236,62 @@ object Skew {
     CmsSketch(countMinCells(df, keyCol, depth, width, salt, weight),
       depth, width, salt)
 
+  // ---- KMV distinct-count sketch --------------------------------------
+  // K-minimum-values (Bar-Yossef et al. 2002, public result): keep the
+  // k smallest hash values per group; estimate distinct count as
+  // (k-1)/h_(k) with h in [0,1). The mergeable-rollup staple — daily
+  // sketches union into monthly ones by re-taking the k smallest — in
+  // a form that, UNLIKE HLL register banks, is a pure deterministic
+  // function of md5 order statistics: both engines can restate it
+  // EXACTLY, so the estimate itself is oracle-checkable, not just
+  // "close to exact". 48 hash bits ride as 12 md5 hex chars; h_(k) is
+  // that integer over 2^48 (both exact in a double, one IEEE divide).
+
+  private val KmvDenom = 281474976710656.0 // 2^48
+
+  private def kmvHash(keyCol: Column, salt: String): Column =
+    substring(md5(concat(lit(salt + ":"), keyCol.cast("string"))), 1, 12)
+
+  /** One sketch row per group: `kmv` = the sorted k smallest DISTINCT
+    * key hashes. Bounded-heap top-k per group (never a per-group
+    * sort); ≤ k·12 bytes per group. Groups with < k distinct keys
+    * carry all their hashes — the sketch is EXACT there.
+    */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int, salt: String): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val hs = df
+      .select((groupCols.map(col) :+ kmvHash(col(keyCol), salt).as("__h")): _*)
+      .distinct()
+    TopK.perGroup(hs, groupCols, Seq(col("__h").asc), k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col("__h"))).as("kmv"))
+  }
+
+  /** Merge sketches into coarser groups (day → month, shard → table):
+    * explode, dedup, re-take the k smallest. Correct by the KMV merge
+    * property (the union's k smallest hashes are all present in some
+    * input sketch), so a rollup never re-reads the raw data.
+    */
+  def kmvMerge(sketches: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    val hs = sketches
+      .select((groupCols.map(col) :+ explode(col("kmv")).as("__h")): _*)
+      .distinct()
+    TopK.perGroup(hs, groupCols, Seq(col("__h").asc), k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col("__h"))).as("kmv"))
+  }
+
+  /** Distinct-count estimate from a sketch row: exact (= size) below
+    * k; (k-1)/h_(k) at capacity, rounded to the 1e-9 grid. The divide
+    * order (v/2^48 first, then (k-1)/frac) is part of the portable
+    * contract — restate it identically or the low bits drift.
+    */
+  def kmvEstimate(kmv: Column, k: Int): Column =
+    when(size(kmv) < k, size(kmv).cast("double"))
+      .otherwise(round(lit((k - 1).toDouble) /
+        (conv(element_at(kmv, k), 16, 10).cast("double") / lit(KmvDenom)), 9))
+
   /** All unordered within-block pairs of a blocked SELF-join, with the
     * pair space decomposed into bucket-pair sub-blocks so parallelism
     * is `|blocks| · B(B+1)/2` instead of `|blocks|` — the fix for the

@@ -1497,6 +1497,73 @@ object Advanced {
         WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 9) >= 0.9
         ORDER BY jw DESC, k1, k2 LIMIT 100""")),
 
+    // ---- KMV mergeable distinct sketch (q189) ---------------------------
+    // The re-aggregable distinct-count rollup ("daily unique users,
+    // re-rollable to month without re-reading the raw data") via
+    // K-minimum-values — chosen over HLL precisely because KMV is a
+    // pure function of md5 order statistics, so the ESTIMATE itself is
+    // restated exactly in DuckDB and hash-gated, not just bounded.
+    // The month rows are computed by MERGING the day sketches
+    // ([[graft.operators.Skew.kmvMerge]]) while the oracle computes
+    // months directly from the raw rows — a hash match proves the
+    // merge property end-to-end (union's k smallest ≡ k smallest of
+    // re-sketched union), q130's proof shape for the sketch tier.
+    QueryDef("q189_kmv_distinct",
+      (s, dir) => {
+        import graft.operators.Skew
+        val k = 64
+        val ev = t(s, dir, "events")
+          .select(col("ts").cast("date").as("d"), col("user_id"))
+        val daily = Skew.kmvSketch(ev, Seq("d"), "user_id", k, "kmv9")
+          .localCheckpoint(true) // day output AND month merge read it
+        val dayRows = daily.select(lit("day").as("level"),
+          col("d").cast("string").as("grp"),
+          Skew.kmvEstimate(col("kmv"), k).as("kmv_est"))
+        val monthRows = Skew.kmvMerge(
+            daily.withColumn("m", date_format(col("d"), "yyyy-MM")),
+            Seq("m"), k)
+          .select(lit("month").as("level"), col("m").as("grp"),
+            Skew.kmvEstimate(col("kmv"), k).as("kmv_est"))
+        val exact = ev
+          .select(lit("day").as("level"), col("d").cast("string").as("grp"),
+            col("user_id"))
+          .unionByName(ev.select(lit("month").as("level"),
+            date_format(col("d"), "yyyy-MM").as("grp"), col("user_id")))
+          .groupBy("level", "grp")
+          .agg(count_distinct(col("user_id")).as("n_exact"))
+        exact.join(dayRows.unionByName(monthRows), Seq("level", "grp"))
+          .orderBy("level", "grp")
+      },
+      Some("""
+        WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+        lv AS (SELECT 'day' AS level, CAST(d AS VARCHAR) AS grp, user_id
+               FROM ev
+               UNION ALL
+               SELECT 'month', strftime(d, '%Y-%m'), user_id FROM ev),
+        ex AS (SELECT level, grp,
+                      CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+               FROM lv GROUP BY 1, 2),
+        h AS (SELECT DISTINCT level, grp,
+                     substr(md5('kmv9:' || CAST(user_id AS VARCHAR)), 1, 12)
+                       AS h
+              FROM lv),
+        rk AS (SELECT level, grp, h,
+                      row_number() OVER (PARTITION BY level, grp
+                        ORDER BY h) AS rk
+               FROM h),
+        nh AS (SELECT level, grp, count(*) AS nh FROM h GROUP BY 1, 2),
+        kth AS (SELECT level, grp, h FROM rk WHERE rk = 64),
+        est AS (SELECT nh.level, nh.grp,
+                       CASE WHEN nh.nh < 64 THEN CAST(nh.nh AS DOUBLE)
+                            ELSE round(63.0 /
+                              (CAST(CAST('0x' || kth.h AS BIGINT) AS DOUBLE)
+                               / 281474976710656.0), 9) END AS kmv_est
+                FROM nh LEFT JOIN kth ON kth.level = nh.level
+                                     AND kth.grp = nh.grp)
+        SELECT ex.level, ex.grp, ex.n_exact, est.kmv_est
+        FROM ex JOIN est ON est.level = ex.level AND est.grp = ex.grp
+        ORDER BY 1, 2""")),
+
     // ---- CDC apply with deletes (q151) ----------------------------------
     // The merge shape MERGE-without-DELETE can't express: a change
     // batch of I/U/D ops, latest version per key winning, applied in

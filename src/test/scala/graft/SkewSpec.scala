@@ -32,6 +32,30 @@ class SkewSpec extends SparkSpec {
     assert(rowSet(routed) == rowSet(plain))
   }
 
+  test("KMV sketch: exact below k, merge == direct sketch, sane estimate") {
+    val k = 32
+    // 3 groups: tiny (12 distinct, below k), two larger ones that
+    // share a month.
+    val rows = (1 to 12).map(i => Row("d1", Long.box(i))) ++
+      (1 to 500).map(i => Row("d2", Long.box(i * 7))) ++
+      (1 to 400).map(i => Row("d3", Long.box(i * 11)))
+    val d = df("d STRING, u BIGINT", rows: _*)
+    val sk = Skew.kmvSketch(d, Seq("d"), "u", k, "s")
+    val est = sk.select(col("d"), Skew.kmvEstimate(col("kmv"), k))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est("d1") == 12.0, "below k the sketch is exact")
+    assert(est("d2") > 250 && est("d2") < 1000,
+      s"estimate far off exact 500: ${est("d2")}")
+    // merge property: merging the per-day sketches == sketching the
+    // union directly (bit-identical sketch, not just close estimate)
+    val merged = Skew.kmvMerge(sk.withColumn("m", lit("M")), Seq("m"), k)
+      .select("kmv").head().getSeq[String](0)
+    val direct = Skew.kmvSketch(d.withColumn("m", lit("M")), Seq("m"), "u",
+        k, "s")
+      .select("kmv").head().getSeq[String](0)
+    assert(merged == direct, "merge must equal the direct union sketch")
+  }
+
   test("blockedSelfPairs: exact pair set of the plain blocked self-join") {
     val rows = (1 to 40).map(i =>
       Row(Long.box(i), s"b${i % 3}", s"name$i")) :+ Row(null, "b0", "nullkey")
