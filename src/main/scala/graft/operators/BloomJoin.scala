@@ -81,4 +81,65 @@ object BloomJoin {
     fact.filter(mightContain(bloom, fact(factKey)))
       .join(dim, fact(factKey) === dim(dimKey), joinType)
   }
+
+  // ---- portable persisted bloom (cross-job membership artifact) -------
+  // [[buildKeyFilter]]'s bitmap lives on the driver inside one plan;
+  // the PERSISTED variant below is a (word, bits) parquet table built
+  // from md5 bit positions — a membership artifact one job writes and
+  // later jobs (or another engine: every operation is md5 + integer
+  // arithmetic, restatable exactly in SQL) probe without re-reading
+  // the key corpus. The decontamination shape: ship the benchmark's
+  // digest bloom, screen every future crawl against kilobytes.
+  // Mergeable by `bit_or` over word; 32-bit words keep every mask
+  // positive in signed 64-bit arithmetic in any engine.
+
+  /** Bit positions of `key`: k md5-derived values in [0, mBits). */
+  private def bloomBits(key: Column, mBits: Int, kHashes: Int,
+      salt: String): Seq[Column] =
+    (0 until kHashes).map { i =>
+      pmod(conv(substring(md5(concat(lit(s"$salt:$i:"),
+        key.cast("string"))), 1, 12), 16, 10).cast("long"), lit(mBits.toLong))
+    }
+
+  /** Build the (word, bits) cell table over `keys`' distinct values:
+    * ≤ mBits/32 rows regardless of corpus size (broadcast-small for
+    * any practical mBits). One distributed bit_or aggregate.
+    */
+  def bloomCells(keys: DataFrame, keyCol: String, mBits: Int,
+      kHashes: Int, salt: String): DataFrame = {
+    require(mBits >= 32 && kHashes >= 1,
+      s"need mBits >= 32 and kHashes >= 1, got $mBits/$kHashes")
+    keys.filter(col(keyCol).isNotNull)
+      .select(explode(array(
+        bloomBits(col(keyCol), mBits, kHashes, salt): _*)).as("__bit"))
+      .select((col("__bit") / 32).cast("int").as("word"),
+        call_function("shiftleft", lit(1L),
+          pmod(col("__bit"), lit(32L)).cast("int")).as("__m"))
+      .groupBy("word").agg(bit_or(col("__m")).as("bits"))
+  }
+
+  /** Membership probe against a cell table: one row per DISTINCT probe
+    * key, `might_contain` true iff every one of its k bits is set.
+    * The cells broadcast (≤ mBits/32 rows); grouping is per probe key
+    * — never a pass over the corpus the bloom summarizes. No false
+    * negatives, by construction; false positives at the usual
+    * (1-e^(-kn/m))^k rate.
+    */
+  def bloomMightContainPortable(cells: DataFrame, probes: DataFrame,
+      keyCol: String, mBits: Int, kHashes: Int, salt: String): DataFrame = {
+    val need = probes.filter(col(keyCol).isNotNull)
+      .select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(array(
+        bloomBits(col(keyCol), mBits, kHashes, salt): _*)).as("__bit"))
+      .select(col(keyCol), (col("__bit") / 32).cast("int").as("word"),
+        call_function("shiftleft", lit(1L),
+          pmod(col("__bit"), lit(32L)).cast("int")).as("__m"))
+      .groupBy(col(keyCol), col("word"))
+      .agg(bit_or(col("__m")).as("__need"))
+    need.join(broadcast(cells), Seq("word"), "left")
+      .groupBy(col(keyCol))
+      .agg(bool_and(
+        (coalesce(col("bits"), lit(0L)).bitwiseAND(col("__need"))) ===
+          col("__need")).as("might_contain"))
+  }
 }

@@ -683,6 +683,75 @@ object DedupOps {
         FROM sp, st
         GROUP BY split, st.straddling_groups ORDER BY split""")),
 
+    // ---- persisted portable bloom screen (q190) -------------------------
+    // q39 decontaminates by joining the benchmark digests; this is the
+    // CROSS-JOB shape — the benchmark ships as a kilobytes-sized
+    // (word, bits) bloom table one job writes and every future crawl
+    // probes, never re-reading the benchmark corpus. The bloom is
+    // md5-bit-positional ([[graft.operators.BloomJoin.bloomCells]]),
+    // so DuckDB rebuilds the identical bit table from arithmetic and
+    // the gate hash-checks membership EXACTLY — including any false
+    // positives, which are deterministic given the hash family. The
+    // zero-false-negative property is visible in the output: the
+    // (might_contain=0, in_benchmark=1) cell cannot exist.
+    QueryDef("q190_bloom_screen",
+      (s, dir) => {
+        import graft.operators.BloomJoin
+        val m = 1 << 18; val k = 3
+        val dg = md5(trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+        val withDg = docs(s, dir).select(col("doc_id"), dg.as("dg"))
+          .localCheckpoint(true) // bench build + probe + exact read it
+        val bench = withDg.filter(col("doc_id") % 10 === 0)
+          .select("dg").distinct()
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_bloom_q190_${java.lang.Integer.toHexString(dir.hashCode)}/cells"
+        BloomJoin.bloomCells(bench, "dg", m, k, "bl9")
+          .write.mode("overwrite").parquet(path)
+        val mc = BloomJoin.bloomMightContainPortable(
+          s.read.parquet(path), withDg, "dg", m, k, "bl9")
+        withDg.select("dg").distinct()
+          .join(mc, "dg")
+          .join(bench.withColumn("__in", lit(1)), Seq("dg"), "left")
+          .groupBy(col("might_contain").cast("int").as("might_contain"),
+            coalesce(col("__in"), lit(0)).as("in_benchmark"))
+          .agg(count(lit(1)).as("n_digests"))
+          .orderBy("might_contain", "in_benchmark")
+      },
+      Some("""
+        WITH dgs AS (SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]','','g'),' +',' ','g'))) AS dg
+             FROM documents),
+        bench AS (SELECT DISTINCT dg FROM dgs WHERE doc_id % 10 = 0),
+        ks AS (SELECT unnest([0, 1, 2]) AS i),
+        bbits AS (SELECT dg,
+                    CAST('0x' || substr(md5('bl9:' || i || ':' || dg), 1, 12)
+                      AS BIGINT) % 262144 AS bit
+                  FROM bench CROSS JOIN ks),
+        cells AS (SELECT CAST(bit // 32 AS INT) AS word,
+                         bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT))
+                           AS bits
+                  FROM bbits GROUP BY 1),
+        probe AS (SELECT DISTINCT dg FROM dgs),
+        pbits AS (SELECT dg,
+                    CAST('0x' || substr(md5('bl9:' || i || ':' || dg), 1, 12)
+                      AS BIGINT) % 262144 AS bit
+                  FROM probe CROSS JOIN ks),
+        pneed AS (SELECT dg, CAST(bit // 32 AS INT) AS word,
+                         bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT))
+                           AS need
+                  FROM pbits GROUP BY 1, 2),
+        mc AS (SELECT p.dg,
+                      bool_and((coalesce(c.bits, 0) & p.need) = p.need)
+                        AS might
+               FROM pneed p LEFT JOIN cells c USING (word) GROUP BY 1)
+        SELECT CAST(mc.might AS INT) AS might_contain,
+               CASE WHEN bench.dg IS NULL THEN 0 ELSE 1 END AS in_benchmark,
+               CAST(count(*) AS BIGINT) AS n_digests
+        FROM mc LEFT JOIN bench ON bench.dg = mc.dg
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     QueryDef("q39_decontaminate",
       (s, dir) => {
         val all = docs(s, dir)

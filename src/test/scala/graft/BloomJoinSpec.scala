@@ -81,4 +81,32 @@ class BloomJoinSpec extends SparkSpec {
     val want = fact.join(dim, fact("k") === dim("dk"), "right")
     assert(rowSet(got) === rowSet(want))
   }
+
+  test("portable bloom: no false negatives; fp's appear when m is tiny; persistable") {
+    import org.apache.spark.sql.functions.col
+    val keys = df("k BIGINT", (1 to 200).map(i => Row(Long.box(i))): _*)
+    val others = df("k BIGINT", (1001 to 1200).map(i => Row(Long.box(i))): _*)
+    // roomy bloom: every member passes, members are disjoint from others
+    val cells = BloomJoin.bloomCells(keys, "k", mBits = 1 << 16,
+      kHashes = 3, salt = "s")
+    // the cells table is bounded by m/32 regardless of key count
+    assert(cells.count() <= (1 << 16) / 32)
+    def probe(c: org.apache.spark.sql.DataFrame,
+        p: org.apache.spark.sql.DataFrame, m: Int) =
+      BloomJoin.bloomMightContainPortable(c, p, "k", m, 3, "s")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val inSet = probe(cells, keys, 1 << 16)
+    assert(inSet.values.forall(identity), "members can NEVER probe false")
+    // cramming 200 keys into 64 bits must produce false positives —
+    // and still zero false negatives (the property that matters)
+    val tiny = BloomJoin.bloomCells(keys, "k", 64, 3, "s")
+    assert(probe(tiny, keys, 64).values.forall(identity))
+    assert(probe(tiny, others, 64).values.exists(identity),
+      "a saturated bloom must show false positives")
+    // round-trips through parquet (the cross-job artifact shape)
+    val dir = java.nio.file.Files.createTempDirectory("bloomcells").toString
+    cells.write.mode("overwrite").parquet(dir + "/c")
+    assert(probe(spark.read.parquet(dir + "/c"), keys, 1 << 16)
+      .values.forall(identity))
+  }
 }
