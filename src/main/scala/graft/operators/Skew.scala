@@ -282,6 +282,27 @@ object Skew {
       .agg(sort_array(collect_list(col("__h"))).as("kmv"))
   }
 
+  /** Incremental sketch maintenance — the IVM shape for distinct
+    * rollups: fold a NEW batch into an existing sketch table without
+    * ever re-reading raw history. Untouched groups pass through
+    * unchanged (anti-join on the delta's group set); touched groups
+    * merge their stored sketch with the batch's. O(batch + touched
+    * sketches): the raw corpus the sketches summarize is never
+    * scanned.
+    */
+  def kmvUpdate(sketches: DataFrame, batch: DataFrame,
+      groupCols: Seq[String], keyCol: String, k: Int, salt: String)
+      : DataFrame = {
+    val delta = kmvSketch(batch, groupCols, keyCol, k, salt)
+      .localCheckpoint(true) // touched-group semi/anti joins + merge
+    val touched = kmvMerge(
+      sketches.join(delta.select(groupCols.map(col): _*),
+          groupCols, "left_semi")
+        .unionByName(delta), groupCols, k)
+    sketches.join(delta.select(groupCols.map(col): _*), groupCols, "left_anti")
+      .unionByName(touched)
+  }
+
   /** Distinct-count estimate from a sketch row: exact (= size) below
     * k; (k-1)/h_(k) at capacity, rounded to the 1e-9 grid. The divide
     * order (v/2^48 first, then (k-1)/frac) is part of the portable

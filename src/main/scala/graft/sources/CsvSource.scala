@@ -56,4 +56,15 @@ object CsvSource {
       options: Map[String, String] = Map.empty): DataFrame =
     JsonlSource.ingestLines(spark, path, quarantineDir,
       lines => parseWithQuarantine(lines, "line", schema, options))
+
+  /** Streaming drop-zone ingest, CSV flavor — the same at-least-once
+    * foreachBatch sink contract as [[JsonlSource.ingestStream]]
+    * (caller supplies checkpointLocation + start()).
+    */
+  def ingestStream(lines: DataFrame, schema: StructType,
+      goodDir: String, quarantineDir: String,
+      options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    JsonlSource.streamSink(lines, goodDir, quarantineDir,
+      batch => parseWithQuarantine(batch, "line", schema, options))
 }

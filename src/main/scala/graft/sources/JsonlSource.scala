@@ -84,9 +84,16 @@ object JsonlSource {
   def ingestStream(lines: DataFrame, schema: StructType,
       goodDir: String, quarantineDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    streamSink(lines, goodDir, quarantineDir,
+      batch => parseWithQuarantine(batch, "line", schema))
+
+  /** Shared drop-zone sink skeleton ([[JsonlSource]]/[[CsvSource]]). */
+  private[sources] def streamSink(lines: DataFrame, goodDir: String,
+      quarantineDir: String, parse: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     lines.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
-        val parsed = parseWithQuarantine(batch, "line", schema)
+        val parsed = parse(batch)
           .localCheckpoint(false) // both sinks read the parse once
         parsed.filter(col("quarantined")).select(col("line"))
           .write.mode("append").text(quarantineDir)

@@ -56,6 +56,23 @@ class SkewSpec extends SparkSpec {
     assert(merged == direct, "merge must equal the direct union sketch")
   }
 
+  test("kmvUpdate: incremental fold == from-scratch sketch; untouched groups ride") {
+    val k = 16
+    val day1 = df("d STRING, u BIGINT",
+      (1 to 100).map(i => Row("a", Long.box(i))) ++
+        (1 to 50).map(i => Row("b", Long.box(i))): _*)
+    val day2 = df("d STRING, u BIGINT",
+      (80 to 160).map(i => Row("a", Long.box(i))): _*) // overlaps group a only
+    val incr = Skew.kmvUpdate(
+        Skew.kmvSketch(day1, Seq("d"), "u", k, "s"),
+        day2, Seq("d"), "u", k, "s")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val scratch = Skew.kmvSketch(day1.union(day2), Seq("d"), "u", k, "s")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(incr == scratch,
+      "incremental maintenance must be bit-identical to a full rebuild")
+  }
+
   test("blockedSelfPairs: exact pair set of the plain blocked self-join") {
     val rows = (1 to 40).map(i =>
       Row(Long.box(i), s"b${i % 3}", s"name$i")) :+ Row(null, "b0", "nullkey")
