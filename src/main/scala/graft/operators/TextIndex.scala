@@ -278,7 +278,23 @@ object TextIndex {
     * TextIndexSpec pins it.
     */
   def searchBM25(spark: SparkSession, path: String, terms: Seq[String],
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    searchBM25Impl(spark, path, terms, k, requireAll = false)
+
+  /** Conjunctive BM25 top-k: only documents containing EVERY query
+    * term rank (AND semantics — the precision face of sparse
+    * retrieval, where [[searchBM25]] is the recall face). The posting
+    * intersection costs nothing extra: the probe read is identical,
+    * and the per-doc aggregate that already sums contributions also
+    * counts matched distinct terms — docs below |terms| drop before
+    * the top-k cut.
+    */
+  def searchBM25All(spark: SparkSession, path: String, terms: Seq[String],
+      k: Int): DataFrame =
+    searchBM25Impl(spark, path, terms, k, requireAll = true)
+
+  private def searchBM25Impl(spark: SparkSession, path: String,
+      terms: Seq[String], k: Int, requireAll: Boolean): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     // Corpus constants and the shard modulus come from the index's OWN
     // ledger — taking nShards as a parameter again would let a
@@ -308,10 +324,16 @@ object TextIndex {
     val contrib = idf * (tf * lit(K1 + 1.0)) /
       (tf + lit(K1) * (lit(1.0 - B) +
         lit(B) * col("dl").cast("double") / lit(avgdl)))
-    posts
-      .select(col("doc"), round(contrib, 9).cast("decimal(38,18)").as("c"))
+    val scored = posts
+      .select(col("doc"), col("token"),
+        round(contrib, 9).cast("decimal(38,18)").as("c"))
       .groupBy("doc")
-      .agg(sum(col("c")).as("sc"))
+      .agg(sum(col("c")).as("sc"),
+        count_distinct(col("token")).as("__nt"))
+    val cut =
+      if (requireAll) scored.filter(col("__nt") === terms.distinct.length)
+      else scored
+    cut
       .select(col("doc"), round(col("sc").cast("double"), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc"))
       .limit(k)

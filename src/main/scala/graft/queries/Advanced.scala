@@ -1564,6 +1564,54 @@ object Advanced {
         FROM ex JOIN est ON est.level = ex.level AND est.grp = ex.grp
         ORDER BY 1, 2""")),
 
+    // ---- incremental KMV maintenance (q191) -----------------------------
+    // q189 proves the merge; this gates the MAINTENANCE loop a
+    // warehouse actually runs: day sketches built from the FIRST half
+    // of the event stream, then [[graft.operators.Skew.kmvUpdate]]
+    // folds the second half in — touched days merge, untouched days
+    // ride through, raw history is never re-read. The oracle computes
+    // every day's estimate from the full raw stream: a hash match
+    // proves maintain ≡ rebuild against an independent engine (the
+    // q130/q184 proof shape, for the sketch tier). The time split is
+    // on event_id parity, so most days land in BOTH halves (the merge
+    // path is actually exercised, not vacuously).
+    QueryDef("q191_kmv_incremental",
+      (s, dir) => {
+        import graft.operators.Skew
+        val k = 64
+        val ev = t(s, dir, "events")
+          .select(col("ts").cast("date").as("d"), col("user_id"),
+            col("event_id"))
+        val base = ev.filter(col("event_id") % 2 === 0)
+        val delta = ev.filter(col("event_id") % 2 === 1)
+        val maintained = Skew.kmvUpdate(
+          Skew.kmvSketch(base, Seq("d"), "user_id", k, "kmv9"),
+          delta, Seq("d"), "user_id", k, "kmv9")
+        maintained.select(col("d").cast("string").as("grp"),
+            Skew.kmvEstimate(col("kmv"), k).as("kmv_est"),
+            size(col("kmv")).cast("long").as("n_kept"))
+          .orderBy("grp")
+      },
+      Some("""
+        WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+        h AS (SELECT DISTINCT CAST(d AS VARCHAR) AS grp,
+                     substr(md5('kmv9:' || CAST(user_id AS VARCHAR)), 1, 12)
+                       AS h
+              FROM ev),
+        rk AS (SELECT grp, h,
+                      row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+               FROM h),
+        nh AS (SELECT grp, count(*) AS nh FROM h GROUP BY 1),
+        kth AS (SELECT grp, h FROM rk WHERE rk = 64)
+        SELECT nh.grp,
+               CASE WHEN nh.nh < 64 THEN CAST(nh.nh AS DOUBLE)
+                    ELSE round(63.0 /
+                      (CAST(CAST('0x' || kth.h AS BIGINT) AS DOUBLE)
+                       / 281474976710656.0), 9) END AS kmv_est,
+               CAST(least(nh.nh, 64) AS BIGINT) AS n_kept
+        FROM nh LEFT JOIN kth USING (grp)
+        ORDER BY grp""")),
+
     // ---- CDC apply with deletes (q151) ----------------------------------
     // The merge shape MERGE-without-DELETE can't express: a change
     // batch of I/U/D ops, latest version per key winning, applied in

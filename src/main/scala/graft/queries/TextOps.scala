@@ -2009,6 +2009,55 @@ object TextOps {
         WHERE tf_spark > 0 OR tf_query > 0 OR tf_merge > 0
         ORDER BY bm25 DESC, doc_id LIMIT 25""")),
 
+    // ---- conjunctive BM25 serving (q192) --------------------------------
+    // q168's index serving with AND semantics: only documents
+    // containing EVERY query term rank (the precision face of sparse
+    // retrieval — "spark AND merge", not "spark OR merge"). Same probe
+    // read; the per-doc aggregate counts matched distinct terms and
+    // cuts below |terms| before top-k. The oracle scores documents
+    // directly with the AND predicate — a hash match proves the
+    // posting-intersection cut is exact.
+    QueryDef("q192_bm25_conjunctive",
+      (s, dir) => {
+        val terms = Seq("spark", "merge")
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_tidx_q192_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        graft.operators.TextIndex.write(docs(s, dir), "doc_id", "text", path)
+        graft.operators.TextIndex.searchBM25All(s, path, terms, k = 25)
+          .select(col("doc").as("doc_id"), col("bm25"))
+      },
+      Some("""
+        WITH base AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
+                             len(list_filter(string_split(text,' '),
+                               x -> x = 'spark')) AS tf_spark,
+                             len(list_filter(string_split(text,' '),
+                               x -> x = 'merge')) AS tf_merge
+                      FROM documents),
+        c AS (SELECT count(*) AS n_docs, SUM(dl) AS sum_dl,
+                     SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+                     SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+              FROM base)
+        SELECT doc_id,
+               round(CAST(
+                 CAST(round(
+                   round(ln((CAST(n_docs AS DOUBLE) - df_spark + 0.5)
+                            / (df_spark + 0.5) + 1.0), 9)
+                     * (CAST(tf_spark AS DOUBLE) * 2.2)
+                     / (CAST(tf_spark AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                        CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   , 9) AS DECIMAL(38,18))
+                 + CAST(round(
+                   round(ln((CAST(n_docs AS DOUBLE) - df_merge + 0.5)
+                            / (df_merge + 0.5) + 1.0), 9)
+                     * (CAST(tf_merge AS DOUBLE) * 2.2)
+                     / (CAST(tf_merge AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                        CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   , 9) AS DECIMAL(38,18))
+               AS DOUBLE), 6) AS bm25
+        FROM base, c
+        WHERE tf_spark > 0 AND tf_merge > 0
+        ORDER BY bm25 DESC, doc_id LIMIT 25""")),
+
     QueryDef("q140_nb_classifier",
       (s, dir) => {
         val lbl = col("source").isin("src1", "src2", "src3")

@@ -60,6 +60,24 @@ class TextIndexSpec extends SparkSpec {
       s"the probed shard id must appear in the partition filter:\n$plan")
   }
 
+  test("conjunctive search: AND cut exact, scores match the OR path, append-safe") {
+    val path = tmp("conj")
+    TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
+    TextIndex.append(appendCorpus, "doc_id", "text", path, "b1")
+    val or = TextIndex.searchBM25(spark, path, Seq("spark", "merge"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val and = TextIndex.searchBM25All(spark, path, Seq("spark", "merge"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // only doc 5 ("spark merge pipelines at scale") holds BOTH terms
+    assert(and.keySet == Set(5L), s"AND cut wrong: ${and.keySet}")
+    // a doc surviving the cut scores exactly what the OR path gives it
+    and.foreach { case (id, s0) => assert(or(id) == s0) }
+    // duplicate query terms don't inflate the required match count
+    assert(TextIndex.searchBM25All(spark, path,
+      Seq("spark", "merge", "spark"), 10)
+      .collect().map(_.getLong(0)).toSet == Set(5L))
+  }
+
   test("absent term returns empty; rebuild overwrites cleanly") {
     val path = tmp("absent")
     TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
