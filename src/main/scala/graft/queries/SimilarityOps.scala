@@ -620,6 +620,65 @@ object SimilarityOps {
         SELECT vec_id, cosine FROM cos
         ORDER BY cosine DESC, vec_id LIMIT 20""")),
 
+    // ---- semantic decontamination: corpus vs benchmark embeddings -------
+    // Text decontamination (q39/q90) misses PARAPHRASED leakage; the
+    // embedding-space screen catches it: corpus vectors near any
+    // BENCHMARK vector (cosine ≥ t) are flagged for removal. Candidates
+    // meet on sign-LSH bucket equality across the two sets — a plain
+    // cross-frame equi-join, never corpus × benchmark — and exact
+    // decimal cosine verifies. Output is the drop list with evidence
+    // (match count + strongest match), the reviewable artifact a
+    // decontamination run ships.
+    QueryDef("q193_semantic_decontam",
+      (s, dir) => {
+        def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
+        val b = Similarity.signLshBuckets(
+            emb(s, dir).select(col("vec_id"), col("embedding")), "embedding")
+          .select(col("vec_id"), col("embedding"), col("bucket"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+          .localCheckpoint(true) // benchmark AND corpus splits read it
+        val bench = b.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("bid"), col("embedding").as("bvec"),
+            col("nrm").as("bnrm"), col("bucket"))
+        b.filter(col("vec_id") % 10 =!= 0)
+          .join(bench, "bucket")
+          .filter(col("nrm") > 0 && col("bnrm") > 0)
+          .select(col("vec_id"),
+            round(dot(col("embedding"), col("bvec")) /
+              (col("nrm") * col("bnrm")), 9).as("cosine"))
+          .filter(col("cosine") >= 0.15)
+          .groupBy("vec_id")
+          .agg(count(lit(1)).as("n_matches"), max(col("cosine")).as("max_cos"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH b AS (SELECT vec_id, ${bucketSql("embeddings")} AS bucket
+                   FROM embeddings),
+        e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings),
+        n AS (SELECT vec_id,
+                     CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+              FROM e GROUP BY 1),
+        cand AS (SELECT c.vec_id AS cid, be.vec_id AS bid
+                 FROM b c JOIN b be
+                   ON be.bucket = c.bucket AND be.vec_id % 10 = 0
+                 WHERE c.vec_id % 10 <> 0),
+        d AS (SELECT cand.cid, cand.bid,
+                     CAST(SUM(CAST(e1.v*e2.v AS DECIMAL(38,18))) AS DOUBLE)
+                       AS dot
+              FROM cand JOIN e e1 ON e1.vec_id = cand.cid
+                        JOIN e e2 ON e2.vec_id = cand.bid
+                                 AND e2.pos = e1.pos
+              GROUP BY 1, 2),
+        cos AS (SELECT cid, round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) AS cosine
+                FROM d JOIN n n1 ON n1.vec_id = cid
+                       JOIN n n2 ON n2.vec_id = bid
+                WHERE n1.nn > 0 AND n2.nn > 0)
+        SELECT cid AS vec_id, CAST(count(*) AS BIGINT) AS n_matches,
+               max(cosine) AS max_cos
+        FROM cos WHERE cosine >= 0.15 GROUP BY 1 ORDER BY 1""")),
+
     // ---- LSH-bucketed ANN: sign-bit coarse quantizer + in-bucket rank ---
     // The scale path: bucket assignment is per-row; written
     // partitionBy(bucket), a query scans ONE partition (IVF layout).
