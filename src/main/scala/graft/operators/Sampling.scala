@@ -117,6 +117,33 @@ object Sampling {
       .drop(rk)
   }
 
+  /** Order-statistic quantiles from a BOUNDED sample — the quantile
+    * face of [[stratifiedFixedN]]'s bottom-k-by-hash rows, which are
+    * MERGEABLE: re-sampling the union of per-shard samples equals
+    * sampling the union directly (the union's k smallest hashes are
+    * all inside some shard's k smallest), so per-day samples roll up
+    * to per-source quantiles without re-reading raw history — the
+    * deterministic, engine-portable alternative to a t-digest.
+    * Nearest-rank estimate v[⌊q·(n−1)⌋] per quantile (0-based over the
+    * sorted sample), no interpolation: the reported value is a real
+    * data value and restates exactly in any engine. Per-group state is
+    * ≤ k values — broadcast-sized by construction.
+    */
+  def sampleQuantiles(sample: DataFrame, groupCols: Seq[String],
+      valueCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1], got $qs")
+    val g = sample.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col(valueCol))).as("__vs"))
+    val n = size(col("__vs"))
+    g.select((groupCols.map(col) :+ n.cast("long").as("n_sample")) ++
+      qs.map { q =>
+        element_at(col("__vs"),
+          (floor(lit(q) * (n - 1).cast("double")) + 1).cast("int"))
+          .as(s"p${math.round(q * 100)}")
+      }: _*)
+  }
+
   /** Deterministic corpus shuffle with GLOBAL sequence positions — the
     * "fix the training order" step: rows are totally ordered by
     * `md5(salt:key)` (key tiebreak, so the order is total) and each is

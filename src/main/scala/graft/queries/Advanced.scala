@@ -1612,6 +1612,49 @@ object Advanced {
         FROM nh LEFT JOIN kth USING (grp)
         ORDER BY grp""")),
 
+    // ---- mergeable sample quantiles (q194) ------------------------------
+    // The quantile rollup without a t-digest: per-(type, day)
+    // bottom-k-by-hash samples ([[graft.operators.Sampling.stratifiedFixedN]]
+    // — deterministic, mergeable) re-sampled per type, then
+    // nearest-rank order statistics off the bounded sample
+    // ([[graft.operators.Sampling.sampleQuantiles]]). The oracle
+    // samples each type DIRECTLY from the raw stream and picks the
+    // same ranks — a hash match proves both the merge property and
+    // the estimator, value-exactly, against an independent engine.
+    QueryDef("q194_sample_quantiles",
+      (s, dir) => {
+        import graft.operators.Sampling
+        val k = 128
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("ts").cast("date").as("d"),
+            col("event_id"), col("value"))
+        val daily = Sampling.stratifiedFixedN(ev,
+          Seq("event_type", "d"), "event_id", "bk9", k)
+        val merged = Sampling.stratifiedFixedN(daily,
+          Seq("event_type"), "event_id", "bk9", k)
+        Sampling.sampleQuantiles(merged, Seq("event_type"), "value",
+            Seq(0.5, 0.9))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH s AS (SELECT event_type, event_id, value,
+                          row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5('bk9:' || CAST(event_id AS VARCHAR)),
+                                     event_id) AS rk
+                   FROM events),
+        samp AS (SELECT event_type, value FROM s WHERE rk <= 128),
+        v AS (SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY value) AS vr,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM samp)
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n_sample,
+               max(CASE WHEN vr = CAST(floor(0.5 * (n - 1)) AS INT) + 1
+                        THEN value END) AS p50,
+               max(CASE WHEN vr = CAST(floor(0.9 * (n - 1)) AS INT) + 1
+                        THEN value END) AS p90
+        FROM v GROUP BY 1 ORDER BY 1""")),
+
     // ---- CDC apply with deletes (q151) ----------------------------------
     // The merge shape MERGE-without-DELETE can't express: a change
     // batch of I/U/D ops, latest version per key winning, applied in

@@ -57,6 +57,35 @@ class SamplingSpec extends SparkSpec {
     assert(solo == soloKey)
   }
 
+  test("sampleQuantiles: merge == direct; nearest-rank picks real values") {
+    import org.apache.spark.sql.Row
+    val rows = (1 to 300).map(i =>
+      Row(s"t${i % 2}", s"d${i % 5}", Long.box(i), Double.box((i * 37 % 300).toDouble)))
+    val ev = df("typ STRING, d STRING, id BIGINT, v DOUBLE", rows: _*)
+    val k = 32
+    // merge property: per-(typ, d) samples re-sampled per typ ==
+    // sampling per typ directly (the bottom-k-by-hash mergeability)
+    val merged = Sampling.stratifiedFixedN(
+      Sampling.stratifiedFixedN(ev, Seq("typ", "d"), "id", "s", k),
+      Seq("typ"), "id", "s", k)
+    val direct = Sampling.stratifiedFixedN(ev, Seq("typ"), "id", "s", k)
+    def ids(x: org.apache.spark.sql.DataFrame) =
+      x.select("typ", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ids(merged) == ids(direct),
+      "union-of-samples re-sampled must equal the direct sample")
+    // quantiles come off the sample as real data values at fixed ranks
+    val q = Sampling.sampleQuantiles(direct, Seq("typ"), "v", Seq(0.0, 0.5, 1.0))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    q.foreach { case (typ, (n, p0, p50, p100)) =>
+      assert(n == k)
+      val vs = direct.filter(col("typ") === typ).select("v")
+        .collect().map(_.getDouble(0)).sorted
+      assert(p0 == vs.head && p100 == vs.last && p50 == vs((k - 1) / 2))
+    }
+  }
+
   test("sampling is deterministic and retry-stable (partitioning-independent)") {
     val a = Sampling.deterministicSample(docs, "doc_id", 0.3, "seed")
       .select("doc_id").collect().map(_.getLong(0)).toSet
