@@ -376,6 +376,107 @@ object Multimodal {
       }(enc)
   }
 
+  // ---- PNG metadata scrub (multimodal privacy screen) ------------------
+  // Text comments, EXIF blobs, and timestamps embedded in PNG ancillary
+  // chunks travel with the image through every copy — camera serials,
+  // GPS tags, author names. The scrub walks the REAL container
+  // structure (8-byte signature, then [len u32][type 4][data][crc 4]
+  // chunks), drops the metadata chunk types, and copies every other
+  // chunk verbatim — pixel data is untouched and no re-encode happens,
+  // so the output is byte-identical to an image that never carried the
+  // metadata. Non-PNG payloads pass through unchanged (corpus posture:
+  // garbage in, same garbage out).
+
+  private[graft] val PngMetaChunkTypes =
+    Set("tEXt", "zTXt", "iTXt", "eXIf", "tIME")
+
+  private val PngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    .map(_.toByte)
+
+  private def isPng(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 8 &&
+      java.util.Arrays.equals(bytes.take(8), PngSig)
+
+  /** (scrubbed bytes, removed chunk count, removed byte count). */
+  private[graft] def stripPngMeta(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
+    if (!isPng(bytes)) return (bytes, 0, 0)
+    try {
+      val out = new java.io.ByteArrayOutputStream(bytes.length)
+      out.write(bytes, 0, 8)
+      var off = 8; var removed = 0; var removedBytes = 0
+      while (off + 8 <= bytes.length) {
+        val len = be(bytes, off, 4).toInt
+        val total = 12 + len // len + type + data + crc
+        if (len < 0 || off + total > bytes.length)
+          return (bytes, 0, 0) // torn container: do not rewrite
+        val typ = new String(bytes, off + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        if (PngMetaChunkTypes(typ)) { removed += 1; removedBytes += total }
+        else out.write(bytes, off, total)
+        off += total
+      }
+      if (off != bytes.length) (bytes, 0, 0) // trailing garbage: keep as-is
+      else (out.toByteArray, removed, removedBytes)
+    } catch { case _: Exception => (bytes, 0, 0) }
+  }
+
+  /** A genuine tEXt chunk (len + type + keyword\0text + CRC32 over
+    * type+data) — fixture/ingest helper for planting metadata.
+    */
+  private[graft] def pngTextChunk(keyword: String, text: String): Array[Byte] = {
+    val data = keyword.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array(0.toByte) ++
+      text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val typ = "tEXt".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val crc = new java.util.zip.CRC32
+    crc.update(typ); crc.update(data)
+    val b = java.nio.ByteBuffer.allocate(12 + data.length)
+    b.putInt(data.length).put(typ).put(data).putInt(crc.getValue.toInt)
+    b.array()
+  }
+
+  /** Insert chunks immediately before IEND (valid placement for every
+    * metadata chunk type) — returns the input unchanged if it is not a
+    * well-formed PNG.
+    */
+  private[graft] def withPngChunks(bytes: Array[Byte],
+      chunks: Seq[Array[Byte]]): Array[Byte] = {
+    if (!isPng(bytes)) return bytes
+    var off = 8
+    while (off + 8 <= bytes.length) {
+      val len = be(bytes, off, 4).toInt
+      val typ = new String(bytes, off + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (typ == "IEND")
+        return bytes.take(off) ++ chunks.flatten ++ bytes.drop(off)
+      off += 12 + len
+    }
+    bytes
+  }
+
+  /** Media-table scrub: payloads rewritten without their metadata
+    * chunks, plus the audit columns a privacy run reports. Same
+    * iterator-to-iterator partition-local shape as [[imageDims]] —
+    * one pass, no shuffle, per-row cost linear in payload size.
+    */
+  def scrubPngMetadata(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("n_removed", IntegerType),
+      StructField("removed_bytes", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id").cast(LongType), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (scrubbed, n, nb) = stripPngMeta(r.getAs[Array[Byte]](1))
+          org.apache.spark.sql.Row(
+            if (r.isNullAt(0)) null else Long.box(r.getLong(0)),
+            scrubbed, Int.box(n), Int.box(nb))
+        }
+      }(enc)
+  }
+
   /** "Resize": deterministic stub for the image-resize verb — keeps
     * every `factor`-th byte of the payload and rewrites the metadata
     * dims accordingly. The real pipeline swaps the byte transform for a

@@ -69,6 +69,69 @@ object MultimodalOps {
         FROM h CROSS JOIN idx
         ORDER BY 1, 2""")),
 
+    // ---- PNG metadata scrub (q195) --------------------------------------
+    // The multimodal privacy screen, exercised on REAL containers:
+    // each doc becomes a genuine javax.imageio PNG with two planted
+    // tEXt chunks (a per-doc comment + an author tag — the camera-
+    // serial/GPS shape), and Multimodal.stripPngMeta must walk the
+    // actual chunk structure and remove exactly those, leaving bytes
+    // IDENTICAL to the never-tagged original (`restored` = md5
+    // equality, computed in-engine) and the image still decodable
+    // (dims re-read through imageio after the scrub). DuckDB predicts
+    // every column from chunk-layout arithmetic — 12 bytes of framing
+    // per chunk plus keyword\0text — and never sees a PNG byte.
+    QueryDef("q195_png_scrub",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val outSchema = StructType(Seq(
+          StructField("media_id", LongType),
+          StructField("n_removed", IntegerType),
+          StructField("removed_bytes", IntegerType),
+          StructField("restored", IntegerType),
+          StructField("width", IntegerType),
+          StructField("height", IntegerType)))
+        val enc = org.apache.spark.sql.Encoders.row(outSchema)
+        Tables.table(s, dir, "documents").select(col("doc_id"), col("lang"))
+          .mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0); val lang = r.getString(1)
+              val img = new java.awt.image.BufferedImage(8, 8,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var x = 0
+              while (x < 8) {
+                var y = 0
+                while (y < 8) {
+                  img.setRGB(x, y,
+                    (((id + x * 8 + y) * 2654435761L) & 0xFFFFFFL).toInt)
+                  y += 1
+                }
+                x += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              val base = bos.toByteArray
+              val planted = Multimodal.withPngChunks(base, Seq(
+                Multimodal.pngTextChunk("comment", s"src=$lang;id=$id"),
+                Multimodal.pngTextChunk("author", "graft")))
+              val (scrubbed, n, nb) = Multimodal.stripPngMeta(planted)
+              val dims = Multimodal.decodeDims(scrubbed)
+              org.apache.spark.sql.Row(id, n, nb,
+                if (java.util.Arrays.equals(scrubbed, base)) 1 else 0,
+                dims.map(d => Int.box(d._1)).orNull,
+                dims.map(d => Int.box(d._2)).orNull)
+            }
+          }(enc)
+          .orderBy("media_id")
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+               2 AS n_removed,
+               CAST(12 + 7 + 1 + 4 + length(lang) + 4 +
+                    length(CAST(doc_id AS VARCHAR)) +
+                    12 + 6 + 1 + 5 AS INT) AS removed_bytes,
+               1 AS restored, 8 AS width, 8 AS height
+        FROM documents ORDER BY media_id""")),
+
     // ---- REAL audio decode (q133) ---------------------------------------
     // Unlike q51 (whose corpus payloads fall back to the md5 stub),
     // this gate exercises the real javax.sound.sampled decode path

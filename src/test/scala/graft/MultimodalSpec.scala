@@ -167,6 +167,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) == Seq.empty)                    // 2 bytes < frame size
   }
 
+  test("stripPngMeta: removes metadata chunks byte-exactly; guards torn input") {
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val base = bos.toByteArray
+    val planted = Multimodal.withPngChunks(base, Seq(
+      Multimodal.pngTextChunk("comment", "secret gps"),
+      Multimodal.pngTextChunk("author", "x")))
+    val (scrubbed, n, nb) = Multimodal.stripPngMeta(planted)
+    assert(n == 2 && nb == planted.length - base.length)
+    assert(java.util.Arrays.equals(scrubbed, base),
+      "scrub must restore the never-tagged original byte-for-byte")
+    // scrubbed is still a valid decodable PNG
+    assert(Multimodal.decodeDims(scrubbed) == Some((4, 4)))
+    // clean input: untouched
+    val (same, n0, _) = Multimodal.stripPngMeta(base)
+    assert(n0 == 0 && java.util.Arrays.equals(same, base))
+    // non-PNG and torn containers pass through unchanged, never throw
+    val garbage = "not a png at all".getBytes
+    assert(Multimodal.stripPngMeta(garbage)._1 eq garbage)
+    val torn = planted.take(planted.length - 5)
+    assert(Multimodal.stripPngMeta(torn)._1 eq torn,
+      "a torn container must not be rewritten")
+    assert(Multimodal.stripPngMeta(null)._1 == null)
+  }
+
   test("mp4Meta parses a genuine ISO-BMFF header: dims, duration, codec") {
     val b = Multimodal.syntheticMp4(1920, 1080, 123456L, "hev1")
     assert(Multimodal.mp4Meta(b) ==
