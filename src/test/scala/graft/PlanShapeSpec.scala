@@ -226,6 +226,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q189 KMV: bounded-heap sketches, no unpartitioned window") {
+    // The sketch build must ride the grouped top-k heap plan — a
+    // row_number window over an unpartitioned or corpus-wide sort
+    // would funnel the stream; and estimates are projections, not
+    // joins back to raw data.
+    bothPlans("q189_kmv_distinct") { (p, mode) =>
+      assert(!p.contains("Window "), // TopKPerGroup never plans a Window
+        s"[$mode] KMV must use the bounded-heap plan, not a window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"[$mode]\n$p")
+    }
+  }
+
+  test("q193 semantic decontam: bucket equi-join, never corpus x benchmark") {
+    bothPlans("q193_semantic_decontam") { (p, mode) =>
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"[$mode] candidates must meet on bucket equality:\n$p")
+      assert(p.contains("bucket"), s"[$mode] bucket key must be in play:\n$p")
+    }
+  }
+
   test("q172 multi-touch: containment is bucket-keyed, never a raw theta join") {
     // The purchase↔touch pairing rides IntervalJoin.overlap: candidates
     // meet on (user_id, 30-min bucket) in an ordinary equi-join. A
