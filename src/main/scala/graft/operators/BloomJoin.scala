@@ -103,9 +103,14 @@ object BloomJoin {
 
   /** Build the (word, bits) cell table over `keys`' distinct values:
     * ≤ mBits/32 rows regardless of corpus size (broadcast-small for
-    * any practical mBits). One distributed bit_or aggregate.
+    * any practical mBits). One distributed bit_or aggregate. Building
+    * block — the persisted artifact face is [[bloomWrite]]/[[bloomProbe]],
+    * which FREEZES the geometry; probing cells with different
+    * (mBits, kHashes, salt) than the build silently yields FALSE
+    * NEGATIVES, so only the spec-differential tier may hold the
+    * parameters by hand.
     */
-  def bloomCells(keys: DataFrame, keyCol: String, mBits: Int,
+  private[graft] def bloomCells(keys: DataFrame, keyCol: String, mBits: Int,
       kHashes: Int, salt: String): DataFrame = {
     require(mBits >= 32 && kHashes >= 1,
       s"need mBits >= 32 and kHashes >= 1, got $mBits/$kHashes")
@@ -125,7 +130,8 @@ object BloomJoin {
     * negatives, by construction; false positives at the usual
     * (1-e^(-kn/m))^k rate.
     */
-  def bloomMightContainPortable(cells: DataFrame, probes: DataFrame,
+  private[graft] def bloomMightContainPortable(cells: DataFrame,
+      probes: DataFrame,
       keyCol: String, mBits: Int, kHashes: Int, salt: String): DataFrame = {
     val need = probes.filter(col(keyCol).isNotNull)
       .select(col(keyCol)).distinct()
@@ -141,5 +147,42 @@ object BloomJoin {
       .agg(bool_and(
         (coalesce(col("bits"), lit(0L)).bitwiseAND(col("__need"))) ===
           col("__need")).as("might_contain"))
+  }
+
+  private val bloomMetaSchema = "m_bits INT, k_hashes INT, salt STRING"
+
+  /** Persist the bloom artifact: the cell table plus a 1-row `__meta`
+    * sidecar FREEZING the geometry (mBits, kHashes, salt). The
+    * artifact is a cross-job interface, so the geometry must travel
+    * with it — a probe hashed with different parameters than the
+    * build would silently yield false negatives, the one failure a
+    * bloom must never have. Probing therefore reads the geometry from
+    * the artifact itself ([[bloomProbe]]), never from parameters —
+    * the same frozen-contract convention as every index ledger.
+    */
+  def bloomWrite(keys: DataFrame, keyCol: String, mBits: Int,
+      kHashes: Int, salt: String, path: String): Unit = {
+    val spark = keys.sparkSession
+    bloomCells(keys, keyCol, mBits, kHashes, salt)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          Int.box(mBits), Int.box(kHashes), salt)),
+        org.apache.spark.sql.types.StructType.fromDDL(bloomMetaSchema))
+      .coalesce(1).write.mode("overwrite").parquet(s"${path}__meta")
+  }
+
+  /** Membership probe against a persisted [[bloomWrite]] artifact: one
+    * row per distinct probe key with `might_contain`. Geometry comes
+    * from the artifact's own sidecar — a build/probe mismatch cannot
+    * happen by construction.
+    */
+  def bloomProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, keyCol: String): DataFrame = {
+    val m = spark.read.parquet(s"${path}__meta").collect()
+    require(m.length == 1, s"corrupt bloom meta at ${path}__meta: " +
+      s"expected 1 geometry row, got ${m.length}")
+    bloomMightContainPortable(spark.read.parquet(path), probes, keyCol,
+      m(0).getInt(0), m(0).getInt(1), m(0).getString(2))
   }
 }

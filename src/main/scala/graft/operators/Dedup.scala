@@ -278,7 +278,21 @@ object Dedup {
     */
   private def readBandMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): BandMeta = {
-    val rows = spark.read.parquet(s"${path}__meta").collect()
+    val rows =
+      try spark.read.parquet(s"${path}__meta").collect()
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        // A band index from before the ledgered layout (flat rows, no
+        // __meta) cannot be probed or appended: its signature geometry
+        // (k, n, bandWidth) is not recoverable from bare band rows and
+        // guessing it would silently produce garbage candidates. Fail
+        // with the migration instruction instead of a bare
+        // path-not-found.
+        throw new IllegalStateException(
+          s"band index at $path has no __meta ledger — it predates the " +
+            "ledgered layout (or is not a band index). Rebuild it with " +
+            "bandIndexWrite over the corpus; geometry cannot be inferred.",
+          e)
+      }
     require(rows.nonEmpty, s"empty band-index ledger at ${path}__meta")
     def one(i: Int, name: String): Int = {
       val vs = rows.map(_.getInt(i)).distinct
@@ -344,21 +358,11 @@ object Dedup {
   def bandIndexAppend(docs: DataFrame, id: String, body: String,
       path: String, batch: String): Unit =
     Upsert.withWriterLock(docs.sparkSession, path) {
-      require(batch != "build", "batch id 'build' is reserved for the build row")
-      require(batch.matches("[A-Za-z0-9._-]+") && batch.exists(!_.isDigit),
-        s"batch id must match [A-Za-z0-9._-]+ with a non-digit, got '$batch'")
+      IndexCommit.requireSaneBatchId(batch)
       val spark = docs.sparkSession
       val meta = readBandMeta(spark, path)
-      require(!meta.batches.contains(batch),
-        s"batch '$batch' is already committed in the ledger at ${path}__meta" +
-          " — appends are exactly-once per batch id; pick a new id")
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      fs.globStatus(new org.apache.hadoop.fs.Path(path,
-          s"shard=*/batch=$batch")) match {
-        case null => ()
-        case orphans => orphans.foreach(o => fs.delete(o.getPath, true))
-      }
+      IndexCommit.requireNotCommitted(batch, meta.batches, s"${path}__meta")
+      IndexCommit.dropOrphanDirs(spark, path, s"shard=*/batch=$batch")
       val nBands = writeBandRows(docs, id, body, meta.k, meta.n,
         meta.bandWidth, meta.nShards, path, batch, overwrite = false)
       // COMMIT POINT: the batch exists once this row is durable.

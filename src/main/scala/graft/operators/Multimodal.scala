@@ -445,6 +445,10 @@ object Multimodal {
     var off = 8
     while (off + 8 <= bytes.length) {
       val len = be(bytes, off, 4).toInt
+      // same torn-container guard as stripPngMeta: a negative or
+      // overrunning length (corrupt file) must return the input
+      // unchanged, not loop forever on a non-advancing offset
+      if (len < 0 || off + 12 + len > bytes.length) return bytes
       val typ = new String(bytes, off + 4, 4,
         java.nio.charset.StandardCharsets.US_ASCII)
       if (typ == "IEND")

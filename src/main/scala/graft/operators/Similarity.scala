@@ -907,6 +907,22 @@ object Similarity {
     ledger + "build"
   }
 
+  /** Distinct ids whose vectors belong to a COMMITTED batch — the
+    * "already indexed" face a streaming ingest diffs its arrivals
+    * against ([[graft.streaming.IncrementalStream.vectorIngestSink]];
+    * the [[Dedup.bandIndexedIds]] convention). Orphan vectors from
+    * torn appends are excluded ON PURPOSE: a torn batch must be
+    * re-ingested whole (replace-by-batch deletes its orphan dirs), so
+    * counting its ids as "indexed" would make the replay skip them and
+    * the prologue's orphan delete would then destroy the only copy.
+    */
+  def ivfIndexedIds(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("batch").cast("string")
+        .isin(committedBatches(spark, path).toSeq: _*))
+      .select(col(idCol)).distinct()
+
   /** Shared append prologue — the crash/retry contract of every
     * `ivfAppend*` face ([[graft.operators.TextIndex.append]]'s
     * protocol): the batch's `_stats` ledger row is the COMMIT POINT,
@@ -923,21 +939,10 @@ object Similarity {
     */
   private def appendPrologue(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: String): Unit = {
-    require(batch != "build", "batch id 'build' is reserved for the build")
-    require(batch.matches("[A-Za-z0-9._-]+") && batch.exists(!_.isDigit),
-      s"batch id must match [A-Za-z0-9._-]+ with a non-digit (it names a " +
-        s"partition directory; an all-digit id would flip the partition " +
-        s"column numeric on read), got '$batch'")
-    require(!committedBatches(spark, path).contains(batch),
-      s"batch '$batch' is already committed in the ledger at ${path}_stats" +
-        " — appends are exactly-once per batch id; pick a new id")
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.globStatus(new org.apache.hadoop.fs.Path(path,
-        s"cluster=*/batch=$batch")) match {
-      case null => ()
-      case orphans => orphans.foreach(o => fs.delete(o.getPath, true))
-    }
+    IndexCommit.requireSaneBatchId(batch)
+    IndexCommit.requireNotCommitted(batch, committedBatches(spark, path),
+      s"${path}_stats")
+    IndexCommit.dropOrphanDirs(spark, path, s"cluster=*/batch=$batch")
   }
 
   /** A fresh build resets the ledger: stale batch rows from a previous

@@ -63,19 +63,8 @@ object TextIndex {
     "batch STRING, n_docs LONG, sum_dl LONG, n_postings LONG, " +
       "n_tokens LONG, n_shards INT"
 
-  // Batch ids are partition DIRECTORY names (replace-by-batch deletes
-  // them by glob), so they must be path- and glob-safe.
-  private def requireSaneBatchId(batch: String): Unit = {
-    require(batch.matches("[A-Za-z0-9._-]+"),
-      s"batch id must match [A-Za-z0-9._-]+ (it names a partition " +
-        s"directory), got '$batch'")
-    // An all-digit id would make partition-type inference read the
-    // batch column as a NUMBER, and the committed-batch filter's
-    // string cast would then defeat partition pruning of orphan dirs.
-    require(batch.exists(!_.isDigit),
-      s"batch id must contain a non-digit (got '$batch'): all-digit ids " +
-        "flip the partition column to a numeric type on read")
-  }
+  // Batch-commit protocol rules live in [[IndexCommit]] — shared with
+  // the vector and band indexes so the three families cannot drift.
 
   /** One corpus scan → postings frame + its 1-row batch stats. */
   private def tokenize(docs: DataFrame, id: String, body: String)
@@ -155,23 +144,11 @@ object TextIndex {
   def append(docs: DataFrame, id: String, body: String, path: String,
       batch: String): Unit =
     Upsert.withWriterLock(docs.sparkSession, path) {
-      require(batch != "build", "batch id 'build' is reserved for the build row")
-      requireSaneBatchId(batch)
+      IndexCommit.requireSaneBatchId(batch)
       val spark = docs.sparkSession
       val meta = readMeta(spark, path)
-      require(!meta.batches.contains(batch),
-        s"batch '$batch' is already committed in the ledger at ${path}__meta" +
-          " — appends are exactly-once per batch id; pick a new id")
-      // Replace-by-batch: a previous attempt at this id that died before
-      // its ledger commit left orphan batch dirs — delete them so the
-      // retry cannot double-write a posting.
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.globStatus(new org.apache.hadoop.fs.Path(path, s"shard=*/batch=$batch"))
-        match {
-          case null => ()
-          case orphans => orphans.foreach(o => fs.delete(o.getPath, true))
-        }
+      IndexCommit.requireNotCommitted(batch, meta.batches, s"${path}__meta")
+      IndexCommit.dropOrphanDirs(spark, path, s"shard=*/batch=$batch")
       val (postings, stats) = tokenize(docs, id, body)
       writePostings(postings, batch, meta.nShards, path, overwrite = false)
       // COMMIT POINT: the batch exists once this row is durable.
@@ -182,37 +159,30 @@ object TextIndex {
   /** Compact an append-heavy index: every [[append]] leaves one file
     * per touched shard, and probe cost at scale is file-count-
     * dominated (footer reads + task scheduling), so compaction is
-    * part of the index lifecycle. All COMMITTED batches are folded
-    * into a single `batch=build` layout (one file per shard) and the
-    * ledger collapses to one build row carrying the summed totals;
-    * orphan postings from crashed appends are dropped — compaction is
-    * the index's garbage collector. Search results are identical
-    * afterwards (TextIndexSpec pins search-after-compact ≡ before):
-    * serving depends only on ledger SUMS and committed postings, both
-    * preserved — even the crash window between the postings swap and
-    * the meta swap serves identical results, because the folded
-    * `build` postings are committed under the OLD ledger too and the
-    * old per-batch rows sum to the folded row. The avgdl-drift
-    * baseline resets to the folded corpus, as a rebuild's would.
+    * part of the index lifecycle. All COMMITTED batches fold into a
+    * single `batch=build` layout (one file per shard); orphan
+    * postings from crashed appends are dropped — compaction is the
+    * index's garbage collector. The LEDGER IS UNTOUCHED, exactly as
+    * in [[Similarity.ivfCompact]]/[[Dedup.bandIndexCompact]]: its
+    * SUMS (all serving derives from) are unchanged by the fold, the
+    * per-batch rows stay as ingest history, and — decisively —
+    * keeping them preserves the exactly-once guard: a retry of an
+    * already-folded batch id must still be rejected, or a timeout
+    * retry whose first attempt succeeded would silently re-ingest
+    * and double-count. Search results are identical afterwards
+    * (TextIndexSpec pins it): folded `build` postings are committed
+    * under the unchanged ledger, df is derived live, and nDocs/avgdl
+    * come from the unchanged sums. One pass over the index: the
+    * rewrite streams from the original files into the swap.
     */
   def compact(spark: SparkSession, path: String): Unit =
     Upsert.withWriterLock(spark, path) {
       val meta = readMeta(spark, path)
-      // No checkpoint: `live` is the WHOLE index, so it must stream
-      // from the original files during the tmp rewrite (the swap only
-      // happens after the write completes), never be materialized.
-      val live = committedPostings(spark, path, meta)
-      val counts = live.agg(count(lit(1)).as("n_postings"),
-        count_distinct(col("token")).as("n_tokens")).head()
       graft.sources.Storage.rewriteInPlace(spark, path) { tmp =>
-        live.withColumn("batch", lit("build"))
+        committedPostings(spark, path, meta)
+          .withColumn("batch", lit("build"))
           .repartition(col("shard"))
           .write.mode("overwrite").partitionBy("shard", "batch").parquet(tmp)
-      }
-      graft.sources.Storage.rewriteInPlace(spark, s"${path}__meta") { tmp =>
-        metaRow(spark, "build", meta.nDocs, meta.sumDl,
-          counts.getLong(0), counts.getLong(1), meta.nShards)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
       }
     }
 

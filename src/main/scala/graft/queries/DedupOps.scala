@@ -706,10 +706,9 @@ object DedupOps {
           .select("dg").distinct()
         val path = sys.props("java.io.tmpdir") +
           s"/graft_bloom_q190_${java.lang.Integer.toHexString(dir.hashCode)}/cells"
-        BloomJoin.bloomCells(bench, "dg", m, k, "bl9")
-          .write.mode("overwrite").parquet(path)
-        val mc = BloomJoin.bloomMightContainPortable(
-          s.read.parquet(path), withDg, "dg", m, k, "bl9")
+        BloomJoin.bloomWrite(bench, "dg", m, k, "bl9", path)
+        // geometry rides the artifact's own sidecar — probe takes none
+        val mc = BloomJoin.bloomProbe(s, path, withDg, "dg")
         withDg.select("dg").distinct()
           .join(mc, "dg")
           .join(bench.withColumn("__in", lit(1)), Seq("dg"), "left")

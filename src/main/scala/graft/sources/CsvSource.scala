@@ -14,11 +14,14 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * and the quarantine write needs no second read.
   *
   * CSV corruption semantics differ from JSON's in one way that
-  * matters: a SHORT row (fewer columns than the schema) is
-  * schema-relaxation DATA (absent fields → nulls, like an absent JSON
-  * key), not corruption; quarantine triggers on rows whose fields
-  * cannot be COERCED (a non-numeric value in a numeric column) and on
-  * blank lines (null parse result, the [[JsonlSource]] rule).
+  * matters: positional formats get NO absent-field relaxation. A
+  * SHORT row (fewer columns than the schema) is malformed to
+  * `from_csv` and QUARANTINES — unlike an absent JSON key, a missing
+  * trailing CSV field is indistinguishable from a torn line. So do
+  * over-length rows, fields that cannot be COERCED (a non-numeric
+  * value in a numeric column), and blank lines (null parse result,
+  * the [[JsonlSource]] rule). CsvSourceSpec and the q187 gate pin all
+  * four.
   *
   * `options` passes through to the CSV parser (sep, quote, escape…);
   * the PERMISSIVE/corrupt-column plumbing is owned here and cannot be

@@ -222,9 +222,7 @@ object IncrementalStream {
               catch {
                 // replayed micro-batch whose index append already
                 // committed: the work is done, not an error
-                case e: IllegalArgumentException
-                  if e.getMessage != null &&
-                    e.getMessage.contains("already committed") => ()
+                case _: graft.operators.IndexCommit.AlreadyCommittedException => ()
               }
           }
         }
@@ -243,13 +241,16 @@ object IncrementalStream {
     * then anti-join against the ids already in the index (a
     * column-pruned scan), so a replayed batch appends nothing.
     *
-    * Ledger semantics under crashes: the parquet append and the
-    * ledger row are two writes, so a crash between them leaves rows
-    * indexed but unlogged — the replay then records a 0-row entry for
-    * that batch. The ledger is therefore an UNDER-approximation of
-    * ingest per batch (sum(ledger.n) ≤ index rows), exact on any run
-    * without a mid-batch crash; treat the index itself as the source
-    * of truth for row counts.
+    * Crash/replay semantics ride the ivfAppend commit protocol: the
+    * anti-join diffs against COMMITTED ids only
+    * ([[Similarity.ivfIndexedIds]]) — a torn append's orphan rows must
+    * NOT count as indexed, or the replay would compute an empty
+    * "fresh" set and the prologue's replace-by-batch delete would then
+    * destroy the only copy of those vectors while committing a 0-row
+    * ledger entry. And a replay of a batch whose append fully
+    * COMMITTED (crash landed between the ledger row and the stream
+    * checkpoint) is a no-op, not a poison pill: the typed
+    * exactly-once rejection is caught and skipped.
     */
   def vectorIngestSink(writer: DataStreamWriter[Row],
       spark: SparkSession, idCol: String, vecCol: String,
@@ -269,11 +270,17 @@ object IncrementalStream {
           val fresh =
             if (Storage.exists(spark, indexPath))
               arrivals.join(
-                spark.read.parquet(indexPath).select(col(idCol)),
+                Similarity.ivfIndexedIds(spark, indexPath, idCol),
                 Seq(idCol), "left_anti")
             else arrivals
-          Similarity.ivfAppend(fresh, idCol, vecCol, centroidDf,
-            indexPath, s"b$batchId")
+          if (!fresh.isEmpty)
+            try Similarity.ivfAppend(fresh, idCol, vecCol, centroidDf,
+              indexPath, s"b$batchId")
+            catch {
+              // replayed micro-batch whose append already committed:
+              // the work is done, not an error
+              case _: graft.operators.IndexCommit.AlreadyCommittedException => ()
+            }
         }
       }
 

@@ -103,10 +103,16 @@ class BloomJoinSpec extends SparkSpec {
     assert(probe(tiny, keys, 64).values.forall(identity))
     assert(probe(tiny, others, 64).values.exists(identity),
       "a saturated bloom must show false positives")
-    // round-trips through parquet (the cross-job artifact shape)
+    // the persisted artifact freezes its geometry: bloomProbe reads
+    // (m, k, salt) from the __meta sidecar, so a build/probe mismatch
+    // — the silent-false-negative failure — cannot happen
     val dir = java.nio.file.Files.createTempDirectory("bloomcells").toString
-    cells.write.mode("overwrite").parquet(dir + "/c")
-    assert(probe(spark.read.parquet(dir + "/c"), keys, 1 << 16)
-      .values.forall(identity))
+    BloomJoin.bloomWrite(keys, "k", 1 << 16, 3, "s", dir + "/c")
+    val viaArtifact = BloomJoin.bloomProbe(spark, dir + "/c", keys, "k")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaArtifact.values.forall(identity))
+    assert(BloomJoin.bloomProbe(spark, dir + "/c", others, "k")
+      .collect().forall(!_.getBoolean(1)),
+      "disjoint keys at roomy m must all probe false")
   }
 }

@@ -448,6 +448,11 @@ class SimilaritySpec extends SparkSpec {
       .withColumn("batch", lit("bT"))
       .repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster", "batch").parquet(p)
+    // Uncommitted vectors are NOT "indexed" to the streaming diff:
+    // counting them would make a replay skip them and the prologue's
+    // orphan delete would then destroy the only copy.
+    assert(Similarity.ivfIndexedIds(spark, p, "vec_id").count() ==
+      half1.count())
     // RETRY of the torn batch must not duplicate a single vector:
     // replace-by-batch deletes the orphan dirs first.
     Similarity.ivfAppend(half2, "vec_id", "embedding", cents, p, "bT")

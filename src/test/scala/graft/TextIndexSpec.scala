@@ -149,12 +149,17 @@ class TextIndexSpec extends SparkSpec {
     assert(files() < filesBefore,
       s"compaction must reduce file count (was $filesBefore, now ${files()})")
     assert(search() == before, "compaction must not change search results")
-    // batches fold into one build row (drift baseline resets to the
-    // folded corpus); appending still works afterwards
-    assert(TextIndex.indexStats(spark, path).count() == 1)
+    // the ledger is untouched: per-batch history survives and —
+    // decisively — a retry of an already-FOLDED batch id is still
+    // rejected (a timeout retry whose first attempt succeeded must
+    // not re-ingest and double-count)
+    assert(TextIndex.indexStats(spark, path).count() == 3) // build+b1+b2
+    intercept[IllegalArgumentException] {
+      TextIndex.append(appendCorpus, "doc_id", "text", path, "b1")
+    }
     TextIndex.append(df("doc_id BIGINT, text STRING",
       Row(Long.box(10), "merge again")), "doc_id", "text", path, "b3")
-    assert(TextIndex.indexStats(spark, path).count() == 2) // build+b3
+    assert(TextIndex.indexStats(spark, path).count() == 4) // + b3
   }
 
   test("torn append is invisible; retrying the batch never duplicates") {
