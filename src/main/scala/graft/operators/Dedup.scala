@@ -1155,6 +1155,72 @@ object Dedup {
         coalesce(length(body0), lit(0)).as("orig_chars"))
   }
 
+  /** Paragraph-level EXACT deduplication — the CCNet pre-dedup rung
+    * below [[removeDuplicatedSpans]]'s fuzzy span excision: split each
+    * document on `delim`, keep exactly ONE copy of every distinct
+    * non-blank paragraph across the WHOLE corpus (the occurrence with
+    * the smallest `(id, position)` — the same canonical-provenance
+    * rule as the fingerprint owner in span removal), and re-emit each
+    * document with its surviving paragraphs in original order.
+    *
+    * Scale shape — one paragraph-DIGEST shuffle, never paragraph text:
+    *  1. split + posexplode is map-side;
+    *  2. the keeper per digest is `min(struct(id, pos))` — an
+    *     AGGREGATE with map-side partial combine, deliberately NOT a
+    *     `row_number` window: a boilerplate paragraph shared by
+    *     millions of documents is ONE hot window partition under
+    *     row_number, but partial aggregation collapses it to one row
+    *     per map task before the exchange, so the hot key never
+    *     travels at its multiplicity;
+    *  3. the keep decision joins the (digest → keeper) table back on
+    *     the digest — uniform md5 keys, AQE-splittable, and the table
+    *     is one row per DISTINCT paragraph (broadcastable long after
+    *     the corpus itself is not);
+    *  4. reassembly is one id-keyed aggregate whose per-doc state is
+    *     bounded by that document's own paragraph count.
+    *
+    * Blank paragraphs (empty / whitespace-only — i.e. consecutive
+    * delimiters) are STRUCTURE, not content: they never enter the
+    * dedup and are kept verbatim, so formatting survives.
+    *
+    * Returns (id, text_clean, n_paras, n_dropped); documents with a
+    * NULL body pass through with a null `text_clean` and zero stats.
+    */
+  def dropDuplicatedParagraphs(docs: DataFrame, id: String, body: String,
+      delim: String = "\n"): DataFrame = {
+    val parts = docs
+      .select(col(id),
+        posexplode(split(col(body),
+          java.util.regex.Pattern.quote(delim), -1)).as(Seq("pos", "para")))
+      .withColumn("__dig",
+        when(length(trim(col("para"))) > 0, md5(col("para"))))
+    val keeper = parts.filter(col("__dig").isNotNull)
+      .groupBy("__dig")
+      .agg(min(struct(col(id).as("kid"), col("pos").as("kpos")))
+        .as("__first"))
+    val rebuilt = parts.join(keeper, Seq("__dig"), "left")
+      .withColumn("__keep",
+        col("__dig").isNull ||
+          (col("__first.kid") === col(id) &&
+            col("__first.kpos") === col("pos")))
+      .groupBy(col(id))
+      .agg(
+        concat_ws(delim,
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("pos"), col("para"))))),
+            _.getField("para"))).as("text_clean"),
+        count(lit(1)).as("n_paras"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_dropped"))
+    docs.select(col(id), col(body).as("__body"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id),
+        when(col("__body").isNull, lit(null))
+          .otherwise(coalesce(col("text_clean"), lit(""))).as("text_clean"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** Interpreted zip_with/aggregate restatement of the decimal-exact dot
     * product — the independent formulation the native `dot_exact`
     * expression is spec-verified against. The merge re-casts to D

@@ -1283,5 +1283,56 @@ object DedupOps {
         JOIN sizes s2 ON s2.doc_id = id2
         WHERE CAST(n_inter AS DOUBLE) / CAST(s1.sz + s2.sz - n_inter AS DOUBLE)
                 >= 0.5
-        ORDER BY id1, id2""")))
+        ORDER BY id1, id2""")),
+
+    // ---- corpus-wide paragraph dedup (CCNet) ----------------------------
+    // The CCNet pre-dedup step: exactly ONE copy of every distinct
+    // paragraph survives corpus-wide (first occurrence by (doc_id,
+    // position)); each document re-emits its survivors in order. The
+    // fixture has no newlines, so the gate materializes paragraphs as
+    // non-overlapping 3-word chunks joined by '\n' — the operator
+    // itself ([[Dedup.dropDuplicatedParagraphs]]) is delimiter-based
+    // and exercises its real split/keep/reassemble path. The keeper
+    // rule is an AGGREGATE (min(struct(id,pos)) with map-side partial
+    // combine), not a row_number window: a boilerplate paragraph in
+    // millions of docs must not become one hot window partition.
+    QueryDef("q196_paragraph_dedup",
+      (s, dir) => {
+        val w = split(col("text"), " ")
+        val withParas = docs(s, dir).select(col("doc_id"),
+          concat_ws("\n", transform(
+            sequence(lit(1),
+              greatest(org.apache.spark.sql.functions.size(w), lit(1)),
+              lit(3)),
+            st => concat_ws(" ", slice(w, st, lit(3))))).as("text"))
+        Dedup.dropDuplicatedParagraphs(withParas, "doc_id", "text", "\n")
+          .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
+            col("n_paras"), col("n_dropped"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents),
+        pp AS (SELECT doc_id, u.pos AS pos, u.para AS para FROM (
+                 SELECT doc_id,
+                   unnest(list_transform(range(1, len(l)+1, 3),
+                     s -> struct_pack(
+                       pos := CAST((s-1)/3 AS INT),
+                       para := array_to_string(
+                         l[CAST(s AS INT):CAST(s+2 AS INT)], ' ')))) AS u
+                 FROM w)),
+        rk AS (SELECT doc_id, pos, para,
+                 row_number() OVER (PARTITION BY md5(para)
+                   ORDER BY doc_id, pos) AS rn
+               FROM pp WHERE trim(para) <> ''),
+        np AS (SELECT doc_id, count(*) AS n FROM pp GROUP BY 1),
+        a AS (SELECT doc_id, count(*) AS nk,
+                string_agg(para, chr(10) ORDER BY pos) AS text_clean
+              FROM rk WHERE rn = 1 GROUP BY 1)
+        SELECT np.doc_id,
+               md5(coalesce(a.text_clean, '')) AS clean_md5,
+               CAST(np.n AS BIGINT) AS n_paras,
+               CAST(np.n - coalesce(a.nk, 0) AS BIGINT) AS n_dropped
+        FROM np LEFT JOIN a USING (doc_id)
+        ORDER BY doc_id""")))
 }

@@ -757,4 +757,35 @@ class DedupSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).count(
       normal.collect().map(_.getLong(0)).toSet) === 1)
   }
+
+  test("dropDuplicatedParagraphs: corpus-wide keep-first, blanks kept, nulls pass") {
+    val d = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), "alpha\nbeta\n\ngamma"), // first owner of all three
+      Row(Long.box(2), "beta\ndelta\nalpha"),   // loses beta+alpha, keeps delta
+      Row(Long.box(3), "delta\n  \ndelta"),     // loses both deltas; blank kept
+      Row(Long.box(4), null))
+    val out = Dedup.dropDuplicatedParagraphs(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: everything first-seen, blank line preserved verbatim
+    assert(out(1L) == (("alpha\nbeta\n\ngamma", 4L, 0L)))
+    // doc 2: beta and alpha already owned by doc 1
+    assert(out(2L) == (("delta", 3L, 2L)))
+    // doc 3: both deltas owned by doc 2 (earlier id); whitespace-only
+    // paragraph is structure — kept, never deduped
+    assert(out(3L) == (("  ", 3L, 2L)))
+    // null body passes through untouched with zero stats
+    assert(out(4L) == ((null, 0L, 0L)))
+    // within ONE doc the rule also applies: second copy drops
+    val self = Dedup.dropDuplicatedParagraphs(
+      df("doc_id BIGINT, text STRING", Row(Long.box(9), "x\ny\nx")),
+      "doc_id", "text").collect()(0)
+    assert(self.getString(1) == "x\ny" && self.getLong(3) == 1L)
+    // custom delimiter
+    val pipe = Dedup.dropDuplicatedParagraphs(
+      df("doc_id BIGINT, text STRING", Row(Long.box(1), "a|b"),
+        Row(Long.box(2), "b|c")), "doc_id", "text", "|")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pipe == Map(1L -> "a|b", 2L -> "c"))
+  }
 }
