@@ -90,6 +90,13 @@ object Engine {
       (children: Seq[Expression]) =>
         graft.functions.expressions.DotProduct(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("fwht"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.Fwht].getName,
+        "fwht"),
+      (children: Seq[Expression]) =>
+        graft.functions.expressions.Fwht(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(
         classOf[graft.functions.expressions.WordShingles].getName,

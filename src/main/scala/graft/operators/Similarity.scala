@@ -1254,4 +1254,111 @@ object Similarity {
       .select(col(idCol),
         transform(col("ys"), x => x.getField("y")).as("projected"))
   }
+
+  /** Seeded fast orthogonal rotation y = H·D·x / √d — the
+    * randomized-Hadamard core of Ailon & Chazelle's FJLT and the
+    * training-free stand-in for OPQ's learned rotation: D a seeded ±1
+    * diagonal (md5 first-nibble parity over `salt:i`, the portable
+    * hash family every sampler here uses — the matrix is never
+    * stored), H the d×d Walsh–Hadamard matrix. The rotation is an
+    * exact isometry, and it spreads energy evenly across dimensions —
+    * exactly what product quantization wants: per-subspace codebooks
+    * waste centroids when a few dimensions carry most of the
+    * variance, and a Hadamard rotation equalizes them without
+    * training (FAISS ships the same preprocessing as its
+    * `OPQ`/random-rotation + PQ recipes).
+    *
+    * Physical shape: the native `fwht` expression
+    * ([[graft.functions.expressions.Fwht]]) — the in-place O(d log d)
+    * butterfly in one tight loop inside whole-stage codegen, ZERO
+    * shuffle, vs the dense multiply's O(d²) + explode/groupBy
+    * exchange. (The declarative butterfly — chained
+    * `transform`/`element_at` projections — is a trap: CollapseProject
+    * merges the passes into one nested expression and interpreted
+    * ArrayTransform then re-evaluates the whole inner array per
+    * element access, 2^passes-fold recomputation; observed turning
+    * 500 rows into minutes.) Doubles throughout, deliberately: every
+    * engine executes the IDENTICAL IEEE-754 operation sequence (the
+    * oracle restates the same butterfly in DuckDB list ops), so
+    * results are bit-reproducible without decimal accumulation;
+    * SimilaritySpec additionally pins the butterfly against the dense
+    * decimal H·D·x formulation and the [[srhtRotateInverse]]
+    * round-trip.
+    *
+    * `d` must be a power of two (zero-pad upstream otherwise — the
+    * padding dimensions rotate to zero-mean noise the same way).
+    * Output elements are `round(y_i, 9)`, the [[randomProject]]
+    * convention. Null vectors pass through null; a wrong-length
+    * vector fails loudly, never silently truncates.
+    */
+  def srhtRotate(vecs: DataFrame, idCol: String, vecCol: String,
+      salt: String): DataFrame = {
+    val dRows = vecs.select(size(col(vecCol)).as("__d"))
+      .filter(col("__d").isNotNull).limit(1).collect()
+    require(dRows.nonEmpty,
+      "srhtRotate: input has no non-null vectors to infer the dimension from")
+    val d = dRows(0).getInt(0)
+    require(d >= 2 && (d & (d - 1)) == 0,
+      s"srhtRotate needs a power-of-two dimension >= 2, got $d")
+    // D's diagonal, driver-computed once and inlined as a literal:
+    // +1 iff the first hex nibble of md5("salt:i") is even — the q169
+    // sign-matrix family, so the oracle regenerates it in SQL.
+    val signLit = array(Array.tabulate(d) { i =>
+      val b0 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+      lit(if (((b0 >> 4) & 0x1) == 0) 1.0 else -1.0)
+    }: _*)
+    val checked = vecs
+      .withColumn(vecCol,
+        when(col(vecCol).isNull || size(col(vecCol)) === d, col(vecCol))
+          .otherwise(raise_error(concat(
+            lit(s"srhtRotate: expected $d-dim vector, got "),
+            size(col(vecCol)).cast("string"), lit(" at "),
+            col(idCol).cast("string")))))
+    val sqrtD = math.sqrt(d.toDouble)
+    checked.select(col(idCol),
+      transform(
+        call_function("fwht", transform(col(vecCol),
+          (x, i) => x.cast("double") * element_at(signLit, i + 1))),
+        y => round(y / lit(sqrtD), 9)).as("rotated"))
+  }
+
+  /** Inverse of [[srhtRotate]]: x = D·H·y / √d (H symmetric and
+    * H² = d·I, D² = I, so (D·H)(H·D) = d·I — note D lands on the
+    * OUTSIDE here; applying the forward rotation twice is NOT the
+    * identity). The de-rotation face a rotated-PQ serving path needs
+    * to reconstruct vectors in the ORIGINAL space (debugging,
+    * re-ranking against unrotated queries, exporting). Same native
+    * `fwht` physical shape as the forward pass; exact up to the
+    * forward output's round-9 quantization, which SimilaritySpec pins.
+    */
+  def srhtRotateInverse(vecs: DataFrame, idCol: String, vecCol: String,
+      salt: String): DataFrame = {
+    val dRows = vecs.select(size(col(vecCol)).as("__d"))
+      .filter(col("__d").isNotNull).limit(1).collect()
+    require(dRows.nonEmpty,
+      "srhtRotateInverse: no non-null vectors to infer the dimension from")
+    val d = dRows(0).getInt(0)
+    require(d >= 2 && (d & (d - 1)) == 0,
+      s"srhtRotateInverse needs a power-of-two dimension >= 2, got $d")
+    val signLit = array(Array.tabulate(d) { i =>
+      val b0 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+      lit(if (((b0 >> 4) & 0x1) == 0) 1.0 else -1.0)
+    }: _*)
+    val checked = vecs
+      .withColumn(vecCol,
+        when(col(vecCol).isNull || size(col(vecCol)) === d, col(vecCol))
+          .otherwise(raise_error(concat(
+            lit(s"srhtRotateInverse: expected $d-dim vector, got "),
+            size(col(vecCol)).cast("string"), lit(" at "),
+            col(idCol).cast("string")))))
+    val sqrtD = math.sqrt(d.toDouble)
+    checked.select(col(idCol),
+      transform(
+        call_function("fwht",
+          transform(col(vecCol), x => x.cast("double"))),
+        (y, i) => round(y * element_at(signLit, i + 1) / lit(sqrtD), 9))
+        .as("restored"))
+  }
 }

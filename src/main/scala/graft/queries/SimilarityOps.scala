@@ -2391,5 +2391,69 @@ object SimilarityOps {
                  CAST((SELECT count(*) FROM ex) AS BIGINT))
         SELECT method, hits, total,
                round(CAST(hits AS DOUBLE)/CAST(total AS DOUBLE), 9) AS recall
-        FROM raw ORDER BY method""")))
+        FROM raw ORDER BY method""")),
+
+    // ---- seeded fast orthogonal rotation (SRHT / OPQ-lite) --------------
+    // y = H·D·x/√d: the FJLT randomized-Hadamard rotation — FAISS's
+    // training-free OPQ preprocessing. The engine runs the O(d log d)
+    // BUTTERFLY (log₂d chained per-row transforms, zero shuffle); the
+    // oracle restates the IDENTICAL IEEE-754 operation sequence in
+    // DuckDB list ops, so doubles match bit-for-bit with no decimal
+    // accumulation. Isometry, the dense-H equivalence, and the
+    // inverse round-trip are spec-pinned ([[SimilaritySpec]]).
+    // Operator: [[graft.operators.Similarity.srhtRotate]].
+    QueryDef("q197_srht_rotation",
+      (s, dir) => {
+        graft.operators.Similarity.srhtRotate(
+            emb(s, dir), "vec_id", "embedding", "srht7")
+          .select(col("vec_id"),
+            posexplode(col("rotated")).as(Seq("pos", "rot")))
+          .orderBy("vec_id", "pos")
+      },
+      Some("""
+        WITH sl AS (SELECT list(CASE WHEN CAST('0x' ||
+                        substr(md5('srht7:' || i), 1, 1) AS INTEGER) % 2 = 0
+                      THEN 1.0 ELSE -1.0 END ORDER BY i) AS sl
+                    FROM range(64) t(i)),
+        h0 AS (SELECT vec_id,
+                 list_transform(range(1, 65), i ->
+                   CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                     * sl[CAST(i AS INT)]) AS l
+               FROM embeddings, sl),
+        h1 AS (SELECT vec_id, list_transform(range(0, 64), i ->
+                 CASE WHEN (i & 1) = 0
+                   THEN l[CAST(i+1 AS INT)] + l[CAST(xor(i, 1)+1 AS INT)]
+                   ELSE l[CAST(xor(i, 1)+1 AS INT)] - l[CAST(i+1 AS INT)]
+                 END) AS l FROM h0),
+        h2 AS (SELECT vec_id, list_transform(range(0, 64), i ->
+                 CASE WHEN (i & 2) = 0
+                   THEN l[CAST(i+1 AS INT)] + l[CAST(xor(i, 2)+1 AS INT)]
+                   ELSE l[CAST(xor(i, 2)+1 AS INT)] - l[CAST(i+1 AS INT)]
+                 END) AS l FROM h1),
+        h3 AS (SELECT vec_id, list_transform(range(0, 64), i ->
+                 CASE WHEN (i & 4) = 0
+                   THEN l[CAST(i+1 AS INT)] + l[CAST(xor(i, 4)+1 AS INT)]
+                   ELSE l[CAST(xor(i, 4)+1 AS INT)] - l[CAST(i+1 AS INT)]
+                 END) AS l FROM h2),
+        h4 AS (SELECT vec_id, list_transform(range(0, 64), i ->
+                 CASE WHEN (i & 8) = 0
+                   THEN l[CAST(i+1 AS INT)] + l[CAST(xor(i, 8)+1 AS INT)]
+                   ELSE l[CAST(xor(i, 8)+1 AS INT)] - l[CAST(i+1 AS INT)]
+                 END) AS l FROM h3),
+        h5 AS (SELECT vec_id, list_transform(range(0, 64), i ->
+                 CASE WHEN (i & 16) = 0
+                   THEN l[CAST(i+1 AS INT)] + l[CAST(xor(i, 16)+1 AS INT)]
+                   ELSE l[CAST(xor(i, 16)+1 AS INT)] - l[CAST(i+1 AS INT)]
+                 END) AS l FROM h4),
+        h6 AS (SELECT vec_id, list_transform(range(0, 64), i ->
+                 CASE WHEN (i & 32) = 0
+                   THEN l[CAST(i+1 AS INT)] + l[CAST(xor(i, 32)+1 AS INT)]
+                   ELSE l[CAST(xor(i, 32)+1 AS INT)] - l[CAST(i+1 AS INT)]
+                 END) AS l FROM h5)
+        SELECT vec_id, u.pos AS pos, u.rot AS rot FROM (
+          SELECT vec_id, unnest(list_transform(range(0, 64), i ->
+            struct_pack(pos := CAST(i AS INT),
+              rot := round(l[CAST(i+1 AS INT)] / sqrt(64.0), 9)))) AS u
+          FROM h6)
+        ORDER BY vec_id, pos""")))
 }

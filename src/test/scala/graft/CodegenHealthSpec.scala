@@ -267,4 +267,33 @@ class CodegenHealthSpec extends SparkSpec {
     }
     assertNoCodegenFallback(warnings)
   }
+
+  test("fwht: eval == codegen == textbook H, nulls and bad lengths, stays compiled") {
+    val vecs = df("id BIGINT, v ARRAY<DOUBLE>",
+      Row(Long.box(1), Seq(1.0, 0.0, 0.0, 0.0)),   // H column 0
+      Row(Long.box(2), Seq(1.0, 2.0, 3.0, 4.0)),
+      Row(Long.box(3), Seq(1.0, 2.0, 3.0)),        // not a power of two
+      Row(Long.box(4), null))
+    val warnings = capturedWarnings {
+      val got = vecs.select(col("id"),
+          call_function("fwht", col("v")).as("h"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+      // delta at 0 → first H column = all ones (row sums of H's top row)
+      assert(got(1L) == Seq(1.0, 1.0, 1.0, 1.0))
+      // textbook 4-point WHT: dense H[i][j] = (-1)^popcount(i&j)
+      val dense = (0 until 4).map(i => (0 until 4).map(j =>
+        (if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0) *
+          Seq(1.0, 2.0, 3.0, 4.0)(j)).sum)
+      assert(got(2L) == dense)
+      assert(got(3L) == null && got(4L) == null,
+        "non-power-of-two length and null input must both yield null")
+      // interpreted eval must agree exactly with the codegen'd project
+      val interp = graft.functions.expressions.Fwht.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          Array(1.0, 2.0, 3.0, 4.0))).toDoubleArray().toSeq
+      assert(interp == got(2L), "eval and codegen must agree")
+    }
+    assertNoCodegenFallback(warnings)
+  }
 }

@@ -627,4 +627,68 @@ class SimilaritySpec extends SparkSpec {
       Similarity.scaledSignPairs(1000000000L, dim = 16)
     }
   }
+
+  test("srhtRotate: dense H·D·x/√d agreement, isometry, inverse round-trip") {
+    val rnd = new scala.util.Random(11)
+    val d = 8
+    val rows = (1L to 20L).map(i =>
+      Row(Long.box(i), Seq.fill(d)(rnd.nextFloat() * 2f - 1f)))
+    val vecs = df("vec_id BIGINT, embedding ARRAY<FLOAT>", rows: _*)
+    val got = Similarity.srhtRotate(vecs, "vec_id", "embedding", "sp")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // dense restatement: signs from the same md5 family, H[i][j] =
+    // (-1)^popcount(i&j) — the formulation the butterfly replaces
+    val signs = Array.tabulate(d) { i =>
+      val b0 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sp:$i".getBytes("UTF-8"))(0)
+      if (((b0 >> 4) & 0x1) == 0) 1.0 else -1.0
+    }
+    rows.foreach { r =>
+      val x = r.getSeq[Float](1).toArray
+      val dense = Array.tabulate(d) { i =>
+        (0 until d).map(j =>
+          (if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0) *
+            signs(j) * x(j).toDouble).sum / math.sqrt(d.toDouble)
+      }
+      val y = got(r.getLong(0))
+      (0 until d).foreach(i => assert(math.abs(y(i) - dense(i)) < 1e-8,
+        s"vec ${r.getLong(0)} dim $i: butterfly ${y(i)} vs dense ${dense(i)}"))
+      // isometry: ‖y‖² = ‖x‖² (rotation preserves norms)
+      val ny = y.map(v => v * v).sum
+      val nx = x.map(v => v.toDouble * v.toDouble).sum
+      assert(math.abs(ny - nx) < 1e-7, s"norm drift: $ny vs $nx")
+    }
+    // inverse returns the original coordinates (round-9 fuzz only)
+    val rot = Similarity.srhtRotate(vecs, "vec_id", "embedding", "sp")
+    val back = Similarity.srhtRotateInverse(rot, "vec_id", "rotated", "sp")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { r =>
+      val x = r.getSeq[Float](1)
+      val z = back(r.getLong(0))
+      (0 until d).foreach(i => assert(math.abs(z(i) - x(i)) < 1e-7))
+    }
+    // forward twice is NOT the identity (H·D·H·D ≠ d·I): the inverse
+    // face exists because the naive "rotate again" intuition is wrong
+    val twice = Similarity.srhtRotate(rot, "vec_id", "rotated", "sp")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows.exists { r =>
+      val x = r.getSeq[Float](1)
+      val z = twice(r.getLong(0))
+      (0 until d).exists(i => math.abs(z(i) - x(i)) > 1e-3)
+    })
+    // wrong-length vector fails loudly, never silently truncates
+    val bad = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      Row(Long.box(1), Seq.fill(8)(0.5f)), Row(Long.box(2), Seq.fill(6)(0.5f)))
+    val e = intercept[Exception] {
+      Similarity.srhtRotate(bad, "vec_id", "embedding", "sp").collect()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+    // non-power-of-two dimension rejected up front
+    intercept[IllegalArgumentException] {
+      Similarity.srhtRotate(
+        df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+          Row(Long.box(1), Seq.fill(6)(0.5f))),
+        "vec_id", "embedding", "sp").collect()
+    }
+  }
 }
