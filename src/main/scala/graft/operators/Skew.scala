@@ -313,6 +313,49 @@ object Skew {
       .otherwise(round(lit((k - 1).toDouble) /
         (conv(element_at(kmv, k), 16, 10).cast("double") / lit(KmvDenom)), 9))
 
+  /** KMV set algebra (Beyer et al., SIGMOD'07, public result): union,
+    * intersection, and Jaccard ESTIMATES for every unordered pair of
+    * group sketches, without touching the raw data. The union of two
+    * KMV sketches is itself a KMV sketch of A∪B (merge, re-take the k
+    * smallest); within that union sketch the fraction of hashes
+    * present in BOTH input sketches is an unbiased Jaccard estimator
+    * (each of the union's k minima is a uniform sample of A∪B); the
+    * intersection estimate is that fraction times the union's
+    * (k-1)/h_(k) cardinality estimate. Everything is a deterministic
+    * function of md5 order statistics — exactly restatable by an
+    * independent engine, the [[kmvSketch]] contract.
+    *
+    * Pairs are enumerated with a bounded nested-loop self-join: the
+    * sketch table is one ≤ k·12-byte row per group, so this is for
+    * LOW-CARDINALITY group keys (sources, shards, days — the q109
+    * blocking posture). Guarded: refuses more than `maxGroups` rows
+    * rather than silently going quadratic on a data-sized key.
+    *
+    * Output: (src1, src2, jaccard_est, union_est, inter_est), one row
+    * per unordered pair, estimates on the 1e-9 grid.
+    */
+  def kmvPairwiseSetOps(sketches: DataFrame, groupCol: String, k: Int,
+      maxGroups: Int = 4096): DataFrame = {
+    val n = sketches.count()
+    require(n <= maxGroups,
+      s"kmvPairwiseSetOps: $n groups exceeds maxGroups=$maxGroups — " +
+        "pairwise sketch comparison is quadratic in the group count; " +
+        "raise the cap only for genuinely bounded keys")
+    val a = sketches.select(col(groupCol).as("src1"), col("kmv").as("__ka"))
+    val b = sketches.select(col(groupCol).as("src2"), col("kmv").as("__kb"))
+    val merged = slice(array_sort(array_union(col("__ka"), col("__kb"))), 1, k)
+    val m = size(array_intersect(col("__merged"),
+      array_intersect(col("__ka"), col("__kb"))))
+    a.join(broadcast(b), col("src1") < col("src2"))
+      .withColumn("__merged", merged)
+      .withColumn("jaccard_est",
+        round(m.cast("double") / size(col("__merged")).cast("double"), 9))
+      .withColumn("union_est", kmvEstimate(col("__merged"), k))
+      .withColumn("inter_est",
+        round(col("jaccard_est") * col("union_est"), 9))
+      .select("src1", "src2", "jaccard_est", "union_est", "inter_est")
+  }
+
   /** All unordered within-block pairs of a blocked SELF-join, with the
     * pair space decomposed into bucket-pair sub-blocks so parallelism
     * is `|blocks| · B(B+1)/2` instead of `|blocks|` — the fix for the

@@ -1655,6 +1655,101 @@ object Advanced {
                         THEN value END) AS p90
         FROM v GROUP BY 1 ORDER BY 1""")),
 
+    // ---- KMV set algebra: sketch-only source overlap (q199) -------------
+    // q189 proves the KMV estimate, q191 its maintenance; this gates
+    // the SET OPERATIONS tier (Beyer et al., SIGMOD'07): union,
+    // intersection, and Jaccard estimates for every source pair
+    // computed from the per-source 64-value sketches ALONE — at 100 TB
+    // the pairwise-overlap matrix (q109's diagnostic) costs a full
+    // vocabulary shuffle per refresh, while the sketch algebra reads
+    // 20 rows of ≤ 768 bytes. Each pair's exact unigram Jaccard rides
+    // alongside as the honesty yardstick (the q110/q189 convention:
+    // the estimate AND its truth in one gated row). Operator:
+    // [[graft.operators.Skew.kmvPairwiseSetOps]].
+    QueryDef("q199_kmv_setops",
+      (s, dir) => {
+        import graft.operators.Skew
+        val k = 64
+        val sw = t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .distinct()
+          .localCheckpoint(true) // read by the sketch, sizes AND overlap
+        val est = Skew.kmvPairwiseSetOps(
+          Skew.kmvSketch(sw, Seq("source"), "w", k, "kmv9"), "source", k)
+        val sz = sw.groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // both sides of the pair enumeration
+        val shared = sw.as("a").join(sw.as("b"),
+            col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src1"), col("b.source").as("src2"))
+          .agg(count(lit(1)).as("ni"))
+        val ex = sz.as("za").join(broadcast(sz.as("zb")),
+            col("za.source") < col("zb.source"))
+          .select(col("za.source").as("src1"), col("zb.source").as("src2"),
+            col("za.n").as("n1"), col("zb.n").as("n2"))
+          .join(shared, Seq("src1", "src2"), "left")
+          .select(col("src1"), col("src2"),
+            (col("n1") + col("n2") - coalesce(col("ni"), lit(0L)))
+              .as("n_union_exact"),
+            round(coalesce(col("ni"), lit(0L)).cast("double") /
+              (col("n1") + col("n2") - coalesce(col("ni"), lit(0L)))
+                .cast("double"), 9).as("jaccard_exact"))
+        est.join(ex, Seq("src1", "src2"))
+          .orderBy("src1", "src2")
+      },
+      Some("""
+        WITH w AS (SELECT DISTINCT source AS src, w FROM (
+                     SELECT source, unnest(string_split(text, ' ')) AS w
+                     FROM documents)),
+        h AS (SELECT DISTINCT src, substr(md5('kmv9:' || w), 1, 12) AS h
+              FROM w),
+        rk AS (SELECT src, h, row_number() OVER (PARTITION BY src
+                 ORDER BY h) AS rk FROM h),
+        sk AS (SELECT src, h FROM rk WHERE rk <= 64),
+        srcs AS (SELECT DISTINCT src FROM w),
+        pr AS (SELECT a.src AS s1, b.src AS s2
+               FROM srcs a JOIN srcs b ON a.src < b.src),
+        uh AS (SELECT pr.s1, pr.s2, sk.h FROM pr JOIN sk ON sk.src = pr.s1
+               UNION
+               SELECT pr.s1, pr.s2, sk.h FROM pr JOIN sk ON sk.src = pr.s2),
+        ur AS (SELECT s1, s2, h, row_number() OVER (PARTITION BY s1, s2
+                 ORDER BY h) AS rk FROM uh),
+        uk AS (SELECT s1, s2, h, rk FROM ur WHERE rk <= 64),
+        usz AS (SELECT s1, s2, count(*) AS u FROM uk GROUP BY 1, 2),
+        kth AS (SELECT s1, s2, h FROM uk WHERE rk = 64),
+        mm AS (SELECT uk.s1, uk.s2, count(*) AS m
+               FROM uk JOIN sk sa ON sa.src = uk.s1 AND sa.h = uk.h
+                       JOIN sk sb ON sb.src = uk.s2 AND sb.h = uk.h
+               GROUP BY 1, 2),
+        est AS (SELECT usz.s1, usz.s2,
+                       round(CAST(coalesce(mm.m, 0) AS DOUBLE) /
+                             CAST(usz.u AS DOUBLE), 9) AS jaccard_est,
+                       CASE WHEN usz.u < 64 THEN CAST(usz.u AS DOUBLE)
+                            ELSE round(63.0 /
+                              (CAST(CAST('0x' || kth.h AS BIGINT) AS DOUBLE)
+                               / 281474976710656.0), 9) END AS union_est
+                FROM usz
+                LEFT JOIN kth ON kth.s1 = usz.s1 AND kth.s2 = usz.s2
+                LEFT JOIN mm ON mm.s1 = usz.s1 AND mm.s2 = usz.s2),
+        sz AS (SELECT src, count(*) AS n FROM w GROUP BY 1),
+        sh AS (SELECT a.src AS s1, b.src AS s2, count(*) AS ni
+               FROM w a JOIN w b ON a.w = b.w AND a.src < b.src
+               GROUP BY 1, 2),
+        ex AS (SELECT pr.s1, pr.s2,
+                      za.n + zb.n - coalesce(sh.ni, 0) AS nu,
+                      coalesce(sh.ni, 0) AS ni
+               FROM pr
+               JOIN sz za ON za.src = pr.s1
+               JOIN sz zb ON zb.src = pr.s2
+               LEFT JOIN sh ON sh.s1 = pr.s1 AND sh.s2 = pr.s2)
+        SELECT est.s1 AS src1, est.s2 AS src2, est.jaccard_est,
+               est.union_est,
+               round(est.jaccard_est * est.union_est, 9) AS inter_est,
+               CAST(ex.nu AS BIGINT) AS n_union_exact,
+               round(CAST(ex.ni AS DOUBLE) / CAST(ex.nu AS DOUBLE), 9)
+                 AS jaccard_exact
+        FROM est JOIN ex ON ex.s1 = est.s1 AND ex.s2 = est.s2
+        ORDER BY 1, 2""")),
+
     // ---- CDC apply with deletes (q151) ----------------------------------
     // The merge shape MERGE-without-DELETE can't express: a change
     // batch of I/U/D ops, latest version per key winning, applied in

@@ -606,6 +606,174 @@ object SimilarityOps {
       JOIN vn USING (vec_id) JOIN n$i USING (cluster)) WHERE rk = 1)"""
   }
 
+  /** DuckDB restatement of the srht7 butterfly (q197's rotation):
+    * seeded ±1 diagonal (sl), sign-flip (h0), six in-place butterfly
+    * passes (h1..h6). Ends in h6(vec_id, l) holding the UNSCALED
+    * Hadamard outputs — the caller divides by √64 and rounds to the
+    * 1e-9 grid. Shared by q197/q198 so the two gates cannot drift.
+    */
+  private val srhtCte: String = """sl AS (SELECT list(CASE WHEN CAST('0x' ||
+                        substr(md5('srht7:' || i), 1, 1) AS INTEGER) % 2 = 0
+                      THEN 1.0 ELSE -1.0 END ORDER BY i) AS sl
+                    FROM range(64) t(i)),
+        h0 AS (SELECT vec_id,
+                 list_transform(range(1, 65), i ->
+                   CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                     * sl[CAST(i AS INT)]) AS l
+               FROM embeddings, sl),
+        h1 AS (SELECT vec_id, list_transform(range(0, 64), i ->
+                 CASE WHEN (i & 1) = 0
+                   THEN l[CAST(i+1 AS INT)] + l[CAST(xor(i, 1)+1 AS INT)]
+                   ELSE l[CAST(xor(i, 1)+1 AS INT)] - l[CAST(i+1 AS INT)]
+                 END) AS l FROM h0),
+        h2 AS (SELECT vec_id, list_transform(range(0, 64), i ->
+                 CASE WHEN (i & 2) = 0
+                   THEN l[CAST(i+1 AS INT)] + l[CAST(xor(i, 2)+1 AS INT)]
+                   ELSE l[CAST(xor(i, 2)+1 AS INT)] - l[CAST(i+1 AS INT)]
+                 END) AS l FROM h1),
+        h3 AS (SELECT vec_id, list_transform(range(0, 64), i ->
+                 CASE WHEN (i & 4) = 0
+                   THEN l[CAST(i+1 AS INT)] + l[CAST(xor(i, 4)+1 AS INT)]
+                   ELSE l[CAST(xor(i, 4)+1 AS INT)] - l[CAST(i+1 AS INT)]
+                 END) AS l FROM h2),
+        h4 AS (SELECT vec_id, list_transform(range(0, 64), i ->
+                 CASE WHEN (i & 8) = 0
+                   THEN l[CAST(i+1 AS INT)] + l[CAST(xor(i, 8)+1 AS INT)]
+                   ELSE l[CAST(xor(i, 8)+1 AS INT)] - l[CAST(i+1 AS INT)]
+                 END) AS l FROM h3),
+        h5 AS (SELECT vec_id, list_transform(range(0, 64), i ->
+                 CASE WHEN (i & 16) = 0
+                   THEN l[CAST(i+1 AS INT)] + l[CAST(xor(i, 16)+1 AS INT)]
+                   ELSE l[CAST(xor(i, 16)+1 AS INT)] - l[CAST(i+1 AS INT)]
+                 END) AS l FROM h4),
+        h6 AS (SELECT vec_id, list_transform(range(0, 64), i ->
+                 CASE WHEN (i & 32) = 0
+                   THEN l[CAST(i+1 AS INT)] + l[CAST(xor(i, 32)+1 AS INT)]
+                   ELSE l[CAST(xor(i, 32)+1 AS INT)] - l[CAST(i+1 AS INT)]
+                 END) AS l FROM h5)"""
+
+  /** DuckDB PQ stage over `src(vec_id, pos, v)` with every CTE name
+    * prefixed by `p`, so q198 can run the IDENTICAL chain twice (raw
+    * and rotated). Mirrors [[pqPartsFromEx]]/[[pqAdcScoresFromEx]]:
+    * sign buckets from lpos 0 vs 2 / 1 vs 3 within each subspace,
+    * decimal codebook means rounded to the 1e-9 grid and narrowed to
+    * REAL, decimal argmin assignment, ADC scores against `src`'s
+    * vec_id = 0 row, the top-10 cut, and the floored-micro MSE.
+    */
+  private def pqChainSql(src: String, p: String): String = s"""
+        ${p}e2 AS (SELECT vec_id, pos, v,
+                          CAST(floor(pos / 4) AS INT) AS sub,
+                          pos - CAST(floor(pos / 4) AS INT) * 4 AS lpos
+                   FROM $src),
+        ${p}bk AS (SELECT vec_id, sub,
+                     (CASE WHEN max(CASE WHEN lpos = 0 THEN v END) >
+                                max(CASE WHEN lpos = 2 THEN v END)
+                           THEN '1' ELSE '0' END) ||
+                     (CASE WHEN max(CASE WHEN lpos = 1 THEN v END) >
+                                max(CASE WHEN lpos = 3 THEN v END)
+                           THEN '1' ELSE '0' END) AS cluster
+                   FROM ${p}e2 GROUP BY 1, 2),
+        ${p}cb AS (SELECT e2.sub, bk.cluster, e2.lpos,
+                          CAST(round(CAST(SUM(CAST(e2.v AS DECIMAL(38,18)))
+                                          AS DOUBLE) / count(*), 9) AS REAL)
+                            AS c
+                   FROM ${p}e2 e2 JOIN ${p}bk bk
+                     ON bk.vec_id = e2.vec_id AND bk.sub = e2.sub
+                   GROUP BY 1, 2, 3),
+        ${p}cbd AS (SELECT sub, cluster, lpos, CAST(c AS DOUBLE) AS cd
+                    FROM ${p}cb),
+        ${p}asn AS (SELECT e2.vec_id, e2.sub, cbd.cluster,
+                           round(CAST(SUM(CAST(
+                             (e2.v - cbd.cd) * (e2.v - cbd.cd)
+                             AS DECIMAL(38,18))) AS DOUBLE), 9) AS d2
+                    FROM ${p}e2 e2 JOIN ${p}cbd cbd
+                      ON cbd.sub = e2.sub AND cbd.lpos = e2.lpos
+                    GROUP BY 1, 2, 3),
+        ${p}codes AS (SELECT vec_id, sub, cluster FROM (
+                        SELECT vec_id, sub, cluster,
+                               row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2 ASC, cluster ASC) AS rk
+                        FROM ${p}asn) WHERE rk = 1),
+        ${p}q AS (SELECT pos, v AS qv FROM $src WHERE vec_id = 0),
+        ${p}sc AS (SELECT cdx.vec_id,
+                          round(CAST(SUM(CAST(q.qv * cdx.cd
+                            AS DECIMAL(38,18))) AS DOUBLE), 9) AS score
+                   FROM (SELECT codes.vec_id,
+                                cbd.sub * 4 + cbd.lpos AS pos, cbd.cd
+                         FROM ${p}codes codes JOIN ${p}cbd cbd
+                           ON cbd.sub = codes.sub
+                          AND cbd.cluster = codes.cluster) cdx
+                   JOIN ${p}q q ON q.pos = cdx.pos
+                   GROUP BY 1),
+        ${p}top AS (SELECT vec_id FROM (
+                      SELECT vec_id, row_number() OVER (
+                        ORDER BY score DESC, vec_id) AS rk FROM ${p}sc)
+                    WHERE rk <= 10),
+        ${p}mse AS (SELECT CAST(floor(CAST(SUM(e2s) AS DOUBLE) /
+                      CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+                      AS mse_micro
+                    FROM (SELECT asn.vec_id,
+                                 CAST(SUM(CAST(asn.d2 AS DECIMAL(38,18)))
+                                   AS DECIMAL(38,18)) AS e2s
+                          FROM ${p}codes codes JOIN ${p}asn asn
+                            ON asn.vec_id = codes.vec_id
+                           AND asn.sub = codes.sub
+                           AND asn.cluster = codes.cluster
+                          GROUP BY 1))"""
+
+  /** PQ stage over a pre-exploded (vec_id, pos, v double) frame —
+    * [[pqParts]] with the sign buckets derived from the SAME exploded
+    * values (lpos 0 vs 2, 1 vs 3 per subspace) instead of the float
+    * array, which a rotated input does not have. Identical decimal
+    * discipline; mirrored 1:1 by [[pqChainSql]].
+    */
+  private final case class PqExParts(cbd: DataFrame, asn: DataFrame,
+      codes: DataFrame, q: DataFrame)
+
+  private def pqPartsFromEx(ex0: DataFrame): PqExParts = {
+    val w = PqW
+    val ex = ex0
+      .withColumn("sub", floor(col("pos") / w).cast(IntegerType))
+      .withColumn("lpos", col("pos") - col("sub") * w)
+      .localCheckpoint(true) // read by buckets, codebook AND assignment
+    val bk = ex.groupBy(col("vec_id"), col("sub"))
+      .agg(concat(
+        when(max(when(col("lpos") === 0, col("v"))) >
+             max(when(col("lpos") === 2, col("v"))), "1").otherwise("0"),
+        when(max(when(col("lpos") === 1, col("v"))) >
+             max(when(col("lpos") === 3, col("v"))), "1").otherwise("0"))
+        .as("cluster"))
+    val cb = ex.join(bk, Seq("vec_id", "sub"))
+      .groupBy("sub", "cluster", "lpos")
+      .agg((round(sum(col("v").cast(D)).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType), 9)).cast(FloatType).as("c"))
+      .localCheckpoint(true) // tiny (m·4·16 rows); read twice below
+    val cbd = cb.select(col("sub"), col("cluster"), col("lpos"),
+      col("c").cast(DoubleType).as("cd"))
+    val asn = ex.join(broadcast(cbd), Seq("sub", "lpos"))
+      .groupBy("vec_id", "sub", "cluster")
+      .agg(sum(((col("v") - col("cd")) * (col("v") - col("cd"))).cast(D))
+        .as("d2"))
+      .select(col("vec_id"), col("sub"), col("cluster"),
+        round(col("d2").cast(DoubleType), 9).as("d2r"))
+      .localCheckpoint(true) // read twice: argmin cut + the MSE join
+    val codes = graft.functions.ColumnLib.latestWins(asn,
+        Seq("vec_id", "sub"), Seq(col("d2r").asc, col("cluster").asc))
+      .select("vec_id", "sub", "cluster")
+    val q = ex0.filter(col("vec_id") === 0)
+      .select(col("pos"), col("v").as("qv"))
+    PqExParts(cbd, asn, codes, q)
+  }
+
+  private def pqAdcScoresFromEx(p: PqExParts): DataFrame =
+    p.codes.join(broadcast(p.cbd), Seq("sub", "cluster"))
+      .select(col("vec_id"), (col("sub") * PqW + col("lpos")).as("pos"),
+        col("cd"))
+      .join(broadcast(p.q), "pos")
+      .groupBy("vec_id")
+      .agg(sum((col("qv") * col("cd")).cast(D)).as("sd"))
+      .select(col("vec_id"), round(col("sd").cast(DoubleType), 9).as("score"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- brute-force exact cosine top-k (the ANN baseline) --------------
@@ -2410,50 +2578,107 @@ object SimilarityOps {
             posexplode(col("rotated")).as(Seq("pos", "rot")))
           .orderBy("vec_id", "pos")
       },
-      Some("""
-        WITH sl AS (SELECT list(CASE WHEN CAST('0x' ||
-                        substr(md5('srht7:' || i), 1, 1) AS INTEGER) % 2 = 0
-                      THEN 1.0 ELSE -1.0 END ORDER BY i) AS sl
-                    FROM range(64) t(i)),
-        h0 AS (SELECT vec_id,
-                 list_transform(range(1, 65), i ->
-                   CAST(embedding[CAST(i AS INT)] AS DOUBLE)
-                     * sl[CAST(i AS INT)]) AS l
-               FROM embeddings, sl),
-        h1 AS (SELECT vec_id, list_transform(range(0, 64), i ->
-                 CASE WHEN (i & 1) = 0
-                   THEN l[CAST(i+1 AS INT)] + l[CAST(xor(i, 1)+1 AS INT)]
-                   ELSE l[CAST(xor(i, 1)+1 AS INT)] - l[CAST(i+1 AS INT)]
-                 END) AS l FROM h0),
-        h2 AS (SELECT vec_id, list_transform(range(0, 64), i ->
-                 CASE WHEN (i & 2) = 0
-                   THEN l[CAST(i+1 AS INT)] + l[CAST(xor(i, 2)+1 AS INT)]
-                   ELSE l[CAST(xor(i, 2)+1 AS INT)] - l[CAST(i+1 AS INT)]
-                 END) AS l FROM h1),
-        h3 AS (SELECT vec_id, list_transform(range(0, 64), i ->
-                 CASE WHEN (i & 4) = 0
-                   THEN l[CAST(i+1 AS INT)] + l[CAST(xor(i, 4)+1 AS INT)]
-                   ELSE l[CAST(xor(i, 4)+1 AS INT)] - l[CAST(i+1 AS INT)]
-                 END) AS l FROM h2),
-        h4 AS (SELECT vec_id, list_transform(range(0, 64), i ->
-                 CASE WHEN (i & 8) = 0
-                   THEN l[CAST(i+1 AS INT)] + l[CAST(xor(i, 8)+1 AS INT)]
-                   ELSE l[CAST(xor(i, 8)+1 AS INT)] - l[CAST(i+1 AS INT)]
-                 END) AS l FROM h3),
-        h5 AS (SELECT vec_id, list_transform(range(0, 64), i ->
-                 CASE WHEN (i & 16) = 0
-                   THEN l[CAST(i+1 AS INT)] + l[CAST(xor(i, 16)+1 AS INT)]
-                   ELSE l[CAST(xor(i, 16)+1 AS INT)] - l[CAST(i+1 AS INT)]
-                 END) AS l FROM h4),
-        h6 AS (SELECT vec_id, list_transform(range(0, 64), i ->
-                 CASE WHEN (i & 32) = 0
-                   THEN l[CAST(i+1 AS INT)] + l[CAST(xor(i, 32)+1 AS INT)]
-                   ELSE l[CAST(xor(i, 32)+1 AS INT)] - l[CAST(i+1 AS INT)]
-                 END) AS l FROM h5)
+      Some(s"""
+        WITH $srhtCte
         SELECT vec_id, u.pos AS pos, u.rot AS rot FROM (
           SELECT vec_id, unnest(list_transform(range(0, 64), i ->
             struct_pack(pos := CAST(i AS INT),
               rot := round(l[CAST(i+1 AS INT)] / sqrt(64.0), 9)))) AS u
           FROM h6)
-        ORDER BY vec_id, pos""")))
+        ORDER BY vec_id, pos""")),
+
+    // ---- rotated PQ vs raw PQ, head-to-head (q198) -----------------------
+    // The payoff gate for q197's rotation — OPQ's adoption argument as
+    // a verified number: the SAME m=16/w=4 PQ pipeline (sign-bucket
+    // seeding, decimal codebook means, argmin assignment, ADC serving)
+    // trained once on the raw vectors and once on their SRHT-rotated
+    // images, scored against ONE yardstick (the decimal-exact raw-space
+    // top-10 — rotation is an isometry, so ⟨Rq,Rv⟩ estimates the same
+    // inner product and the rotated ADC competes on the same leaderboard).
+    // Output per variant: recall@10 AND whole-corpus reconstruction MSE
+    // in floored micro units (isometry again: rotated-space MSE IS
+    // original-space MSE, which is exactly why the Hadamard transform's
+    // energy-equalization shows up as a smaller number here — the
+    // q171 fidelity-metric convention). Buckets for the rotated variant
+    // derive from the rotated values themselves (lpos 0 vs 2, 1 vs 3 —
+    // pqParts' rule restated over the exploded frame), so both variants
+    // are seeded by the same data-independent family.
+    // Operator: [[graft.operators.Similarity.srhtRotate]] + the shared
+    // [[pqPartsFromEx]] stage.
+    QueryDef("q198_rotated_pq",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val exRaw = e.select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("pos", "vf")))
+          .select(col("vec_id"), col("pos"), col("vf").cast(DoubleType).as("v"))
+        val exRot = Similarity.srhtRotate(e, "vec_id", "embedding", "srht7")
+          .select(col("vec_id"), posexplode(col("rotated")).as(Seq("pos", "v")))
+        val raw = pqPartsFromEx(exRaw)
+        val rot = pqPartsFromEx(exRot)
+        val exactTop = exRaw.join(broadcast(raw.q), "pos")
+          .groupBy("vec_id")
+          .agg(sum((col("v") * col("qv")).cast(D)).as("sd"))
+          .select(col("vec_id"), round(col("sd").cast(DoubleType), 9).as("dot"))
+          .orderBy(col("dot").desc, col("vec_id"))
+          .limit(10).select("vec_id")
+          .localCheckpoint(true) // read by both recall rows
+        def gateRow(method: String, p: PqExParts): DataFrame = {
+          val top = pqAdcScoresFromEx(p)
+            .orderBy(col("score").desc, col("vec_id"))
+            .limit(10).select("vec_id")
+          val mse = p.codes.join(p.asn, Seq("vec_id", "sub", "cluster"))
+            .groupBy("vec_id").agg(sum(col("d2r").cast(D)).as("e2"))
+            .agg(sum(col("e2")).as("se2"), count(lit(1)).as("nv"))
+            .select(floor(col("se2").cast(DoubleType) /
+                col("nv").cast(DoubleType) * lit(1000000.0))
+              .cast(LongType).as("mse_micro"))
+          exactTop.join(top.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+            .agg(coalesce(sum(col("hit")), lit(0)).cast(LongType).as("hits"),
+              count(lit(1)).as("total"))
+            .select(lit(method).as("method"), col("hits"), col("total"),
+              round(col("hits").cast(DoubleType) /
+                col("total").cast(DoubleType), 9).as("recall"))
+            .crossJoin(mse)
+        }
+        gateRow("pq_raw", raw).unionByName(gateRow("pq_srht", rot))
+          .orderBy("method")
+      },
+      Some(s"""
+        WITH $srhtCte,
+        rote AS (SELECT vec_id, u.pos AS pos, u.v AS v FROM (
+                   SELECT vec_id, unnest(list_transform(range(0, 64), i ->
+                     struct_pack(pos := CAST(i AS INT),
+                       v := round(l[CAST(i+1 AS INT)] / sqrt(64.0), 9)))) AS u
+                   FROM h6)),
+        ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                      CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings),
+        ${pqChainSql("ex", "raw")},
+        ${pqChainSql("rote", "rot")},
+        exd AS (SELECT ex.vec_id,
+                       round(CAST(SUM(CAST(ex.v * q.qv AS DECIMAL(38,18)))
+                             AS DOUBLE), 9) AS dot
+                FROM ex JOIN rawq q ON q.pos = ex.pos GROUP BY 1),
+        ext AS (SELECT vec_id FROM (
+                  SELECT vec_id, row_number() OVER (
+                    ORDER BY dot DESC, vec_id) AS rk FROM exd)
+                WHERE rk <= 10)
+        SELECT * FROM (
+          SELECT 'pq_raw' AS method,
+                 (SELECT count(*) FROM ext JOIN rawtop USING (vec_id)) AS hits,
+                 (SELECT count(*) FROM ext) AS total,
+                 round(CAST((SELECT count(*) FROM ext
+                             JOIN rawtop USING (vec_id)) AS DOUBLE) /
+                       CAST((SELECT count(*) FROM ext) AS DOUBLE), 9)
+                   AS recall,
+                 (SELECT mse_micro FROM rawmse) AS mse_micro
+          UNION ALL
+          SELECT 'pq_srht',
+                 (SELECT count(*) FROM ext JOIN rottop USING (vec_id)),
+                 (SELECT count(*) FROM ext),
+                 round(CAST((SELECT count(*) FROM ext
+                             JOIN rottop USING (vec_id)) AS DOUBLE) /
+                       CAST((SELECT count(*) FROM ext) AS DOUBLE), 9),
+                 (SELECT mse_micro FROM rotmse))
+        ORDER BY method""")))
 }

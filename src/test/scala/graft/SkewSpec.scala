@@ -240,4 +240,43 @@ class SkewSpec extends SparkSpec {
       .head().getLong(1)
     assert(unseen == 0L)
   }
+
+  test("kmvPairwiseSetOps: exact below k, quadratic guard fails loudly") {
+    val k = 32
+    // Three sources, all below k distinct, so every sketch is exact
+    // and the set-op ESTIMATES must equal the true set sizes:
+    // A = 1..20, B = 11..30 (|A∩B|=10, |A∪B|=30, J=1/3), C = 100..104
+    // (disjoint from both).
+    val rows = (1 to 20).map(i => Row("A", Long.box(i))) ++
+      (11 to 30).map(i => Row("B", Long.box(i))) ++
+      (100 to 104).map(i => Row("C", Long.box(i)))
+    val d = df("g STRING, v BIGINT", rows: _*)
+    val sk = Skew.kmvSketch(d, Seq("g"), "v", k, "t")
+    val out = Skew.kmvPairwiseSetOps(sk, "g", k)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    val (jAB, uAB, iAB) = out(("A", "B"))
+    // inter_est is the product of the two ROUNDED estimates, so it can
+    // sit an ulp-of-grid below the true 10 (0.333333333 * 30).
+    assert(uAB == 30.0 && math.abs(iAB - 10.0) < 1e-6 &&
+      math.abs(jAB - 10.0 / 30.0) < 1e-8, s"A-B: $jAB $uAB $iAB")
+    val (jAC, uAC, iAC) = out(("A", "C"))
+    assert(jAC == 0.0 && uAC == 25.0 && iAC == 0.0)
+    // At-capacity regime still sane: two big overlapping sets, the
+    // Jaccard estimate lands within the sketch's statistical range.
+    val big = df("g STRING, v BIGINT",
+      ((1 to 600).map(i => Row("X", Long.box(i))) ++
+        (301 to 900).map(i => Row("Y", Long.box(i)))): _*)
+    val est = Skew.kmvPairwiseSetOps(
+        Skew.kmvSketch(big, Seq("g"), "v", k, "t"), "g", k)
+      .head()
+    val jXY = est.getDouble(2) // true J = 300/900 = 0.333
+    assert(jXY > 0.05 && jXY < 0.7, s"k=32 Jaccard estimate off: $jXY")
+    // The quadratic-pair guard: a data-sized group key must refuse.
+    val err = intercept[IllegalArgumentException] {
+      Skew.kmvPairwiseSetOps(sk, "g", k, maxGroups = 2)
+    }
+    assert(err.getMessage.contains("maxGroups"))
+  }
 }
