@@ -1750,6 +1750,86 @@ object Advanced {
         FROM est JOIN ex ON ex.s1 = est.s1 AND ex.s2 = est.s2
         ORDER BY 1, 2""")),
 
+    // ---- right-to-be-forgotten cascade (q200) ----------------------------
+    // GDPR-erasure as an operator: erase a customer seed set and let
+    // the FK walk ([[graft.operators.Cascade.deleteClosure]]) carry
+    // the deletion through orders into lineitem — the transitive
+    // closure a compliance pipeline must compute, with the orphan
+    // audit (child rows whose FK no longer resolves) emitted as a
+    // VERIFIED zero rather than assumed. Per-table before/deleted/
+    // after counts; the oracle recomputes the closure and the orphan
+    // audit independently in SQL. Scale shape: driver walks the table
+    // DAG (3 nodes), data pays one semi-join per edge against the
+    // (small) deleted-key set and one mirror anti-join — the seed is
+    // never collected, no table is scanned more than O(edges) times.
+    QueryDef("q200_forget_cascade",
+      (s, dir) => {
+        import graft.operators.Cascade
+        val tables = Map(
+          "customer" -> t(s, dir, "customer"),
+          "orders" -> t(s, dir, "orders"),
+          "lineitem" -> t(s, dir, "lineitem"))
+        val fks = Seq(
+          Cascade.Fk("orders", "o_custkey", "customer", "c_custkey"),
+          Cascade.Fk("lineitem", "l_orderkey", "orders", "o_orderkey"))
+        val seed = tables("customer")
+          .filter(col("c_custkey") % 97 === 0).select("c_custkey")
+        val out = Cascade.deleteClosure(tables, fks, "customer",
+          "c_custkey", seed)
+        val counts = Seq("customer", "orders", "lineitem").map { n =>
+          val e = out(n)
+          e.kept.agg(count(lit(1)).as("n_after"))
+            .crossJoin(e.deleted.agg(count(lit(1)).as("n_deleted")))
+            .select(lit(n).as("tbl"),
+              (col("n_after") + col("n_deleted")).as("n_before"),
+              col("n_deleted"), col("n_after"))
+        }.reduce(_ unionByName _)
+        val orphans = Cascade.orphanCounts(out, fks)
+          .agg(sum(col("n_orphans")).cast(LongType).as("n_orphans_total"))
+        counts.crossJoin(broadcast(orphans)).orderBy("tbl")
+      },
+      Some("""
+        WITH seed AS (SELECT c_custkey AS k FROM customer
+                      WHERE c_custkey % 97 = 0),
+        delo_keys AS (SELECT o_orderkey FROM orders
+                      WHERE o_custkey IN (SELECT k FROM seed)),
+        delc AS (SELECT count(*) AS d FROM customer
+                 WHERE c_custkey IN (SELECT k FROM seed)),
+        delo AS (SELECT count(*) AS d FROM delo_keys),
+        dell AS (SELECT count(*) AS d FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM delo_keys)),
+        nc AS (SELECT count(*) AS n FROM customer),
+        no_ AS (SELECT count(*) AS n FROM orders),
+        nl AS (SELECT count(*) AS n FROM lineitem),
+        kc AS (SELECT c_custkey FROM customer
+               WHERE c_custkey NOT IN (SELECT k FROM seed)),
+        ko AS (SELECT o_orderkey, o_custkey FROM orders
+               WHERE o_custkey NOT IN (SELECT k FROM seed)),
+        kl AS (SELECT l_orderkey FROM lineitem
+               WHERE l_orderkey NOT IN (SELECT o_orderkey FROM delo_keys)),
+        orph AS (SELECT CAST(
+                   (SELECT count(*) FROM ko
+                    WHERE o_custkey NOT IN (SELECT c_custkey FROM kc)) +
+                   (SELECT count(*) FROM kl
+                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ko))
+                   AS BIGINT) AS n_orphans_total)
+        SELECT u.tbl, u.n_before, u.n_deleted, u.n_after,
+               orph.n_orphans_total
+        FROM (
+          SELECT 'customer' AS tbl, CAST(nc.n AS BIGINT) AS n_before,
+                 CAST(delc.d AS BIGINT) AS n_deleted,
+                 CAST(nc.n - delc.d AS BIGINT) AS n_after
+          FROM nc, delc
+          UNION ALL
+          SELECT 'orders', CAST(no_.n AS BIGINT), CAST(delo.d AS BIGINT),
+                 CAST(no_.n - delo.d AS BIGINT)
+          FROM no_, delo
+          UNION ALL
+          SELECT 'lineitem', CAST(nl.n AS BIGINT), CAST(dell.d AS BIGINT),
+                 CAST(nl.n - dell.d AS BIGINT)
+          FROM nl, dell) u, orph
+        ORDER BY u.tbl""")),
+
     // ---- CDC apply with deletes (q151) ----------------------------------
     // The merge shape MERGE-without-DELETE can't express: a change
     // batch of I/U/D ops, latest version per key winning, applied in

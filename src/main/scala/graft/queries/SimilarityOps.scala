@@ -721,48 +721,77 @@ object SimilarityOps {
                            AND asn.cluster = codes.cluster
                           GROUP BY 1))"""
 
-  /** PQ stage over a pre-exploded (vec_id, pos, v double) frame —
-    * [[pqParts]] with the sign buckets derived from the SAME exploded
-    * values (lpos 0 vs 2, 1 vs 3 per subspace) instead of the float
-    * array, which a rotated input does not have. Identical decimal
-    * discipline; mirrored 1:1 by [[pqChainSql]].
+  /** PQ stage over a (vec_id, <vecCol> array) frame with elements of
+    * any numeric type — [[pqParts]] generalized so q198's ROTATED
+    * input (array<double>) trains through the identical pipeline as
+    * the raw floats. The sign buckets (element 1 vs 3, 2 vs 4 within
+    * each subspace — pqParts' rule) are computed MAP-SIDE from the
+    * array before the explode and ride along as a 16-slot array, so
+    * bucket assignment costs zero shuffle (the exploded-pivot
+    * formulation would pay a groupBy plus a re-join). Identical
+    * decimal discipline; mirrored 1:1 by [[pqChainSql]], whose
+    * lpos-pivot bucket restatement compares the same widened doubles.
     */
-  private final case class PqExParts(cbd: DataFrame, asn: DataFrame,
+  private final case class PqExParts(ex: DataFrame, cbd: DataFrame,
       codes: DataFrame, q: DataFrame)
 
-  private def pqPartsFromEx(ex0: DataFrame): PqExParts = {
-    val w = PqW
-    val ex = ex0
+  private def pqPartsFromVec(vecs: DataFrame, vecCol: String): PqExParts = {
+    val m = PqM; val w = PqW
+    val b = (j: Int, i: Int) => element_at(col(vecCol), j * w + i)
+    val bkArr = array((0 until m).map { j =>
+      concat(
+        when(b(j, 1) > b(j, 3), "1").otherwise("0"),
+        when(b(j, 2) > b(j, 4), "1").otherwise("0"))
+    }: _*)
+    val ex = vecs.select(col("vec_id"), bkArr.as("__bk"),
+        posexplode(col(vecCol)).as(Seq("pos", "__vf")))
+      .withColumn("v", col("__vf").cast(DoubleType))
       .withColumn("sub", floor(col("pos") / w).cast(IntegerType))
       .withColumn("lpos", col("pos") - col("sub") * w)
-      .localCheckpoint(true) // read by buckets, codebook AND assignment
-    val bk = ex.groupBy(col("vec_id"), col("sub"))
-      .agg(concat(
-        when(max(when(col("lpos") === 0, col("v"))) >
-             max(when(col("lpos") === 2, col("v"))), "1").otherwise("0"),
-        when(max(when(col("lpos") === 1, col("v"))) >
-             max(when(col("lpos") === 3, col("v"))), "1").otherwise("0"))
-        .as("cluster"))
-    val cb = ex.join(bk, Seq("vec_id", "sub"))
-      .groupBy("sub", "cluster", "lpos")
+      .withColumn("cluster", element_at(col("__bk"), col("sub") + 1))
+      .select("vec_id", "pos", "v", "sub", "lpos", "cluster")
+      .localCheckpoint(true) // read by codebook, query AND yardstick
+    val cb = ex.groupBy("sub", "cluster", "lpos")
       .agg((round(sum(col("v").cast(D)).cast(DoubleType) /
         count(lit(1)).cast(DoubleType), 9)).cast(FloatType).as("c"))
-      .localCheckpoint(true) // tiny (m·4·16 rows); read twice below
+      .localCheckpoint(true) // tiny (m·4·16 rows); read three times below
     val cbd = cb.select(col("sub"), col("cluster"), col("lpos"),
       col("c").cast(DoubleType).as("cd"))
-    val asn = ex.join(broadcast(cbd), Seq("sub", "lpos"))
-      .groupBy("vec_id", "sub", "cluster")
-      .agg(sum(((col("v") - col("cd")) * (col("v") - col("cd"))).cast(D))
-        .as("d2"))
-      .select(col("vec_id"), col("sub"), col("cluster"),
-        round(col("d2").cast(DoubleType), 9).as("d2r"))
-      .localCheckpoint(true) // read twice: argmin cut + the MSE join
-    val codes = graft.functions.ColumnLib.latestWins(asn,
-        Seq("vec_id", "sub"), Seq(col("d2r").asc, col("cluster").asc))
-      .select("vec_id", "sub", "cluster")
-    val q = ex0.filter(col("vec_id") === 0)
+    // Per-sub candidate codewords as 4-slot arrays (lpos-ordered), 16
+    // rows total — broadcast, so assignment + argmin run MAP-SIDE in
+    // one pass over (vec, sub) rows: all 4 candidate d2s are scored
+    // in-row (double diffs on identical inputs, DECIMAL(38,18)
+    // accumulation over the 4 terms — exact, so fold order is moot,
+    // then the round-9 grid), and array_sort(struct(d2r, cluster))
+    // picks the winner with the oracle's d2 ASC, cluster ASC
+    // tiebreak. The exploded-assignment alternative costs a 4x-blown
+    // shuffle aggregate plus an argmin window — measured ~1 s slower
+    // per variant at sf0.1.
+    val cands = cbd.groupBy("sub", "cluster")
+      .agg(transform(sort_array(collect_list(struct(col("lpos"), col("cd")))),
+        x => x.getField("cd")).as("carr"))
+      .groupBy("sub")
+      .agg(sort_array(collect_list(struct(col("cluster"), col("carr"))))
+        .as("cands"))
+    val dzero = lit(java.math.BigDecimal.ZERO).cast(D)
+    val codes = vecs.select(col("vec_id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("__vd"),
+        explode(array((0 until m).map(j => lit(j)): _*)).as("sub"))
+      .withColumn("varr", slice(col("__vd"), col("sub") * w + 1, lit(w)))
+      .join(broadcast(cands), Seq("sub"))
+      .withColumn("best", element_at(array_sort(
+        transform(col("cands"), c => struct(
+          round(aggregate(
+            zip_with(col("varr"), c.getField("carr"),
+              (x, y) => ((x - y) * (x - y)).cast(D)),
+            dzero, (acc, z) => (acc + z).cast(D)).cast(DoubleType), 9)
+            .as("d2r"),
+          c.getField("cluster").as("cluster")))), 1))
+      .select(col("vec_id"), col("sub"), col("best.cluster").as("cluster"),
+        col("best.d2r").as("d2r"))
+    val q = ex.filter(col("vec_id") === 0)
       .select(col("pos"), col("v").as("qv"))
-    PqExParts(cbd, asn, codes, q)
+    PqExParts(ex.select("vec_id", "pos", "v"), cbd, codes, q)
   }
 
   private def pqAdcScoresFromEx(p: PqExParts): DataFrame =
@@ -2608,14 +2637,10 @@ object SimilarityOps {
     QueryDef("q198_rotated_pq",
       (s, dir) => {
         val e = emb(s, dir)
-        val exRaw = e.select(col("vec_id"),
-            posexplode(col("embedding")).as(Seq("pos", "vf")))
-          .select(col("vec_id"), col("pos"), col("vf").cast(DoubleType).as("v"))
-        val exRot = Similarity.srhtRotate(e, "vec_id", "embedding", "srht7")
-          .select(col("vec_id"), posexplode(col("rotated")).as(Seq("pos", "v")))
-        val raw = pqPartsFromEx(exRaw)
-        val rot = pqPartsFromEx(exRot)
-        val exactTop = exRaw.join(broadcast(raw.q), "pos")
+        val raw = pqPartsFromVec(e, "embedding")
+        val rot = pqPartsFromVec(
+          Similarity.srhtRotate(e, "vec_id", "embedding", "srht7"), "rotated")
+        val exactTop = raw.ex.join(broadcast(raw.q), "pos")
           .groupBy("vec_id")
           .agg(sum((col("v") * col("qv")).cast(D)).as("sd"))
           .select(col("vec_id"), round(col("sd").cast(DoubleType), 9).as("dot"))
@@ -2626,7 +2651,7 @@ object SimilarityOps {
           val top = pqAdcScoresFromEx(p)
             .orderBy(col("score").desc, col("vec_id"))
             .limit(10).select("vec_id")
-          val mse = p.codes.join(p.asn, Seq("vec_id", "sub", "cluster"))
+          val mse = p.codes
             .groupBy("vec_id").agg(sum(col("d2r").cast(D)).as("e2"))
             .agg(sum(col("e2")).as("se2"), count(lit(1)).as("nv"))
             .select(floor(col("se2").cast(DoubleType) /
