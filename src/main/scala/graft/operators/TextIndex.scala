@@ -156,16 +156,103 @@ object TextIndex {
         overwrite = false)
     }
 
+  /** Tombstone-delete documents from the index — the erasure face the
+    * [[Cascade]] tier needs to reach SERVING state: postings are
+    * never rewritten (O(index-scan) to find the victims' stats, zero
+    * bytes of the index itself touched); instead the doc ids land in
+    * a `__tombstones` sidecar and ONE NEGATIVE LEDGER ROW
+    * (`del:<batch>`, −n_docs, −sum_dl, −n_postings) commits the
+    * batch, so the ledger sums serving reads stay correct by plain
+    * addition. Serving anti-joins committed tombstones before the
+    * live-df window, so both the candidate set AND every df/idf/avgdl
+    * constant behave as if the docs were rebuilt away —
+    * TextIndexSpec pins delete ≡ rebuild-without-them, and
+    * [[compact]] later removes the postings physically.
+    *
+    * Same commit protocol as [[append]] ([[IndexCommit]]): tombstone
+    * rows are batch-partitioned and only COMMITTED del batches are
+    * read, so a crash between the tombstone write and the ledger row
+    * leaves invisible orphans and a retry replaces them. Ids already
+    * tombstoned or absent from the index are no-ops (never
+    * double-decremented). `n_tokens` is ingest history and is NOT
+    * maintained under deletes (a term may survive in other docs;
+    * serving never reads it).
+    */
+  def delete(spark: SparkSession, path: String, docIds: DataFrame,
+      batch: String): Unit =
+    Upsert.withWriterLock(spark, path) {
+      IndexCommit.requireSaneBatchId(batch)
+      val meta = readMeta(spark, path)
+      IndexCommit.requireNotCommitted(s"del:$batch", meta.batches,
+        s"${path}__meta")
+      IndexCommit.dropOrphanDirs(spark, tombPath(path), s"batch=$batch")
+      val fresh = committedTombstones(spark, path, meta)
+        .foldLeft(docIds.select(col(docIds.columns.head).as("doc")).distinct())(
+          (ids, tomb) => ids.join(tomb, Seq("doc"), "left_anti"))
+      // Victim stats from the index itself: any one posting row of a
+      // doc carries its dl, and (doc, dl) is unique per doc.
+      val victims = committedPostings(spark, path, meta)
+        .join(fresh, Seq("doc"), "left_semi")
+        .localCheckpoint(true) // stats aggregate AND the tombstone write
+      val st = victims.agg(
+        count_distinct(col("doc")).as("d"),
+        count(lit(1)).as("p")).head()
+      val dlSum = victims.select(col("doc"), col("dl")).distinct()
+        .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+      victims.select(col("doc")).distinct()
+        .withColumn("batch", lit(batch))
+        .coalesce(1)
+        .write.mode("append").option("partitionOverwriteMode", "static")
+        .partitionBy("batch").parquet(tombPath(path))
+      // COMMIT POINT: the negative row makes the tombstones visible.
+      metaRow(spark, s"del:$batch", -st.getLong(0), -dlSum,
+        -st.getLong(1), 0L, meta.nShards)
+        .coalesce(1).write.mode("append").parquet(s"${path}__meta")
+    }
+
+  private def tombPath(path: String): String = s"${path}__tombstones"
+
+  /** Doc ids of COMMITTED delete batches (ledger row `del:<batch>`
+    * exists); an un-committed tombstone dir is invisible, mirroring
+    * [[committedPostings]]. None when no delete ever committed, so
+    * callers skip the anti-join entirely (and no empty-frame schema
+    * has to guess the doc id type).
+    */
+  private def committedTombstones(spark: SparkSession, path: String,
+      meta: Meta): Option[DataFrame] = {
+    val committedDels = meta.batches.collect {
+      case b if b.startsWith("del:") => b.stripPrefix("del:")
+    }
+    // The ledger keeps del rows FOREVER (they are what hold the sums
+    // right and the exactly-once guard), but the sidecar is dropped by
+    // compact once the postings are physically gone — and a delete of
+    // only-absent ids writes no files at all. Gate on what is actually
+    // on disk, not on the ledger.
+    val pTomb = new org.apache.hadoop.fs.Path(tombPath(path))
+    val fs = pTomb.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasDirs = fs.exists(pTomb) && {
+      val g = fs.globStatus(new org.apache.hadoop.fs.Path(pTomb, "batch=*"))
+      g != null && g.nonEmpty
+    }
+    if (committedDels.isEmpty || !hasDirs) None
+    else Some(spark.read.parquet(tombPath(path))
+      .filter(col("batch").cast("string").isin(committedDels.toSeq: _*))
+      .select(col("doc")))
+  }
+
   /** Compact an append-heavy index: every [[append]] leaves one file
     * per touched shard, and probe cost at scale is file-count-
     * dominated (footer reads + task scheduling), so compaction is
     * part of the index lifecycle. All COMMITTED batches fold into a
     * single `batch=build` layout (one file per shard); orphan
     * postings from crashed appends are dropped — compaction is the
-    * index's garbage collector. The LEDGER IS UNTOUCHED, exactly as
-    * in [[Similarity.ivfCompact]]/[[Dedup.bandIndexCompact]]: its
-    * SUMS (all serving derives from) are unchanged by the fold, the
-    * per-batch rows stay as ingest history, and — decisively —
+    * index's garbage collector — and TOMBSTONED postings are
+    * physically removed (the tombstone sidecar is then deleted: the
+    * negative ledger rows alone keep the sums right, and anti-joining
+    * absent docs would be dead weight). The LEDGER IS UNTOUCHED,
+    * exactly as in [[Similarity.ivfCompact]]/[[Dedup.bandIndexCompact]]:
+    * its SUMS (all serving derives from) are unchanged by the fold,
+    * the per-batch rows stay as ingest history, and — decisively —
     * keeping them preserves the exactly-once guard: a retry of an
     * already-folded batch id must still be rejected, or a timeout
     * retry whose first attempt succeeded would silently re-ingest
@@ -178,12 +265,21 @@ object TextIndex {
   def compact(spark: SparkSession, path: String): Unit =
     Upsert.withWriterLock(spark, path) {
       val meta = readMeta(spark, path)
+      val tomb = committedTombstones(spark, path, meta)
+        .map(_.localCheckpoint(true)) // read by the fold inside the swap
       graft.sources.Storage.rewriteInPlace(spark, path) { tmp =>
-        committedPostings(spark, path, meta)
+        tomb.foldLeft(committedPostings(spark, path, meta))(
+            (p, t) => p.join(t, Seq("doc"), "left_anti"))
           .withColumn("batch", lit("build"))
           .repartition(col("shard"))
           .write.mode("overwrite").partitionBy("shard", "batch").parquet(tmp)
       }
+      // Post-swap: tombstoned postings are gone, drop the sidecar. A
+      // crash before this line leaves stale tombstones — harmless
+      // (anti-join of absent docs), cleared by the next compact.
+      val pTomb = new org.apache.hadoop.fs.Path(tombPath(path))
+      val fs = pTomb.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(pTomb)) fs.delete(pTomb, true)
     }
 
   private case class Meta(nDocs: Long, sumDl: Long, nShards: Int,
@@ -279,9 +375,15 @@ object TextIndex {
         terms.map(Tuple1(_))).toDF("token")
       .select(pmod(xxhash64(col("token")), lit(meta.nShards)).as("shard"))
       .distinct().collect().map(_.getLong(0))
-    val posts = committedPostings(spark, path, meta)
+    val probed = committedPostings(spark, path, meta)
       .filter(col("shard").isin(shards.toIndexedSeq: _*) &&
         col("token").isin(terms: _*))
+    // Tombstoned docs drop BEFORE the live-df window: both the
+    // candidate set and every df/idf constant then match a rebuild
+    // without them (nDocs/avgdl already exclude them via the ledger's
+    // negative delete rows).
+    val posts = committedTombstones(spark, path, meta)
+      .foldLeft(probed)((p, t) => p.join(t, Seq("doc"), "left_anti"))
       // Live df: every posting of a probed term is in the probed rows,
       // so this token-keyed count IS the current document frequency —
       // exact across any append history, stale-proof by construction.

@@ -2058,6 +2058,71 @@ object TextOps {
         WHERE tf_spark > 0 AND tf_merge > 0
         ORDER BY bm25 DESC, doc_id LIMIT 25""")),
 
+    // ---- index erasure: tombstone delete ≡ rebuild-without (q201) --------
+    // The right-to-be-forgotten story carried into SERVING state
+    // (q200 erases tables; this erases the index built FROM them):
+    // [[graft.operators.TextIndex.delete]] tombstones every 7th doc —
+    // postings untouched, one negative ledger row commits — and the
+    // subsequent q168-style search must rank EXACTLY as the oracle's
+    // BM25 over the retained corpus: candidate set, live df, idf,
+    // nDocs and avgdl all behave as if the docs never existed. At
+    // scale the delete writes tombstones + 1 ledger row (never
+    // rewrites a shard); compaction removes the bytes later.
+    QueryDef("q201_index_erasure",
+      (s, dir) => {
+        val terms = Seq("spark", "query", "merge")
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_tidx_q201_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        val d = docs(s, dir)
+        graft.operators.TextIndex.write(d, "doc_id", "text", path)
+        graft.operators.TextIndex.delete(s, path,
+          d.filter(col("doc_id") % 7 === 0).select("doc_id"), "gdpr1")
+        graft.operators.TextIndex.searchBM25(s, path, terms, k = 25)
+          .select(col("doc").as("doc_id"), col("bm25"))
+      },
+      Some("""
+        WITH base AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
+                             len(list_filter(string_split(text,' '),
+                               x -> x = 'spark')) AS tf_spark,
+                             len(list_filter(string_split(text,' '),
+                               x -> x = 'query')) AS tf_query,
+                             len(list_filter(string_split(text,' '),
+                               x -> x = 'merge')) AS tf_merge
+                      FROM documents
+                      WHERE doc_id % 7 <> 0),
+        c AS (SELECT count(*) AS n_docs, SUM(dl) AS sum_dl,
+                     SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+                     SUM(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS df_query,
+                     SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+              FROM base)
+        SELECT doc_id,
+               round(CAST(
+                 CAST(round(CASE WHEN tf_spark > 0 THEN
+                   round(ln((CAST(n_docs AS DOUBLE) - df_spark + 0.5)
+                            / (df_spark + 0.5) + 1.0), 9)
+                     * (CAST(tf_spark AS DOUBLE) * 2.2)
+                     / (CAST(tf_spark AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                        CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   ELSE 0 END, 9) AS DECIMAL(38,18))
+                 + CAST(round(CASE WHEN tf_query > 0 THEN
+                   round(ln((CAST(n_docs AS DOUBLE) - df_query + 0.5)
+                            / (df_query + 0.5) + 1.0), 9)
+                     * (CAST(tf_query AS DOUBLE) * 2.2)
+                     / (CAST(tf_query AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                        CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   ELSE 0 END, 9) AS DECIMAL(38,18))
+                 + CAST(round(CASE WHEN tf_merge > 0 THEN
+                   round(ln((CAST(n_docs AS DOUBLE) - df_merge + 0.5)
+                            / (df_merge + 0.5) + 1.0), 9)
+                     * (CAST(tf_merge AS DOUBLE) * 2.2)
+                     / (CAST(tf_merge AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                        CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   ELSE 0 END, 9) AS DECIMAL(38,18))
+               AS DOUBLE), 6) AS bm25
+        FROM base, c
+        WHERE tf_spark > 0 OR tf_query > 0 OR tf_merge > 0
+        ORDER BY bm25 DESC, doc_id LIMIT 25""")),
+
     QueryDef("q140_nb_classifier",
       (s, dir) => {
         val lbl = col("source").isin("src1", "src2", "src3")

@@ -211,6 +211,64 @@ class TextIndexSpec extends SparkSpec {
       "compaction must drop uncommitted orphan postings")
   }
 
+  test("delete ≡ rebuild-without; torn delete invisible; compact removes bytes") {
+    val path = tmp("delete")
+    TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
+    def search(p: String) =
+      TextIndex.searchBM25(spark, p, Seq("spark", "merge"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    TextIndex.delete(spark, path,
+      df("doc_id BIGINT", Row(Long.box(2))), "d1")
+    val rebuilt = tmp("delete_rebuilt")
+    TextIndex.write(corpus.filter(col("doc_id") =!= 2L), "doc_id", "text",
+      rebuilt, nShards = 4)
+    assert(search(path) == search(rebuilt),
+      "tombstone delete must equal a rebuild without the docs " +
+        "(candidates, df, nDocs, avgdl)")
+    // Exactly-once per delete-batch id.
+    intercept[IllegalArgumentException] {
+      TextIndex.delete(spark, path,
+        df("doc_id BIGINT", Row(Long.box(3))), "d1")
+    }
+    // Re-deleting an already-tombstoned id must not double-decrement
+    // the ledger sums (delete of {2,3}: only 3 is fresh).
+    TextIndex.delete(spark, path,
+      df("doc_id BIGINT", Row(Long.box(2)), Row(Long.box(3))), "d2")
+    val rebuilt23 = tmp("delete_rebuilt23")
+    TextIndex.write(corpus.filter(col("doc_id") =!= 2L && col("doc_id") =!= 3L),
+      "doc_id", "text", rebuilt23, nShards = 4)
+    assert(search(path) == search(rebuilt23))
+    // Deleting absent ids is a no-op on the sums as well.
+    TextIndex.delete(spark, path,
+      df("doc_id BIGINT", Row(Long.box(777))), "d3")
+    assert(search(path) == search(rebuilt23))
+    // Torn delete: tombstones on disk with NO ledger row are invisible.
+    val torn = tmp("delete_torn")
+    TextIndex.write(corpus, "doc_id", "text", torn, nShards = 4)
+    val before = search(torn)
+    df("doc BIGINT", Row(Long.box(1)))
+      .withColumn("batch", lit("dX")).coalesce(1)
+      .write.mode("append").partitionBy("batch").parquet(torn + "__tombstones")
+    assert(search(torn) == before,
+      "uncommitted tombstones must be invisible to serving")
+    // Retry of the torn batch replaces the orphan rows and commits.
+    TextIndex.delete(spark, torn, df("doc_id BIGINT", Row(Long.box(1))), "dX")
+    val tornRebuilt = tmp("delete_torn_rebuilt")
+    TextIndex.write(corpus.filter(col("doc_id") =!= 1L), "doc_id", "text",
+      tornRebuilt, nShards = 4)
+    assert(search(torn) == search(tornRebuilt))
+    // Compaction physically removes tombstoned postings and drops the
+    // sidecar; results unchanged.
+    TextIndex.compact(spark, path)
+    assert(search(path) == search(rebuilt23),
+      "compaction over tombstones must not change results")
+    assert(!new java.io.File(path + "__tombstones").exists(),
+      "compaction must drop the tombstone sidecar")
+    val livePostings = spark.read.parquet(path)
+    assert(livePostings.filter(col("doc").isin(2L, 3L)).count() == 0,
+      "compaction must physically remove tombstoned postings")
+  }
+
   test("append respects the writer lock (concurrent ingest excluded)") {
     val path = tmp("append_lock")
     TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
