@@ -393,7 +393,7 @@ object Similarity {
       nprobe)
       .select(col(qidCol), col(qvecCol), col("cluster"))
     val probes = if (broadcastProbes) broadcast(probes0) else probes0
-    val scored = spark.read.parquet(path)
+    val scored = readLive(spark, path, idCol)
       .join(probes, Seq("cluster"))
       .filter(col(idCol) =!= col(qidCol))
       .select(col(qidCol), col(idCol),
@@ -481,7 +481,7 @@ object Similarity {
       zip_with(col("qvec"), col(qqC),
         (a, b) => (a.cast("int") * b.cast("int")).cast("long")),
       lit(0L), (acc, x) => acc + x)
-    val scored = spark.read.parquet(path)
+    val scored = readLive(spark, path, idCol)
       .join(probes, Seq("cluster"))
       .filter(col(idCol) =!= col(qidCol))
       .filter(col("nrm2") > 0 && col(qn2C) > 0)
@@ -533,7 +533,7 @@ object Similarity {
       zip_with(col("qvec"), array(qq.map(lit): _*),
         (a, b) => (a.cast("int") * b).cast("long")),
       lit(0L), (acc, x) => acc + x)
-    spark.read.parquet(path)
+    readLive(spark, path, idCol)
       .filter(col("cluster").isin(probes.toIndexedSeq: _*))
       .select(col(idCol), idot.as("__dot"), col("nrm2").as("__n2"))
       .filter(col("__n2") > 0 && lit(qnrm2) > 0)
@@ -553,7 +553,7 @@ object Similarity {
       idCol: String, vecCol: String, centroidDf: DataFrame,
       query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
     val probes = probeClusters(centroidDf, query, nprobe)
-    val pruned = spark.read.parquet(path)
+    val pruned = readLive(spark, path, idCol)
       .filter(col("cluster").isin(probes.toIndexedSeq: _*))
     bruteForceTopK(pruned, idCol, vecCol, array(query.map(lit): _*), k)
   }
@@ -575,7 +575,7 @@ object Similarity {
       query: Seq[Float], k: Int, nprobe: Int,
       predicate: Column): DataFrame = {
     val probes = probeClusters(centroidDf, query, nprobe)
-    val pruned = spark.read.parquet(path)
+    val pruned = readLive(spark, path, idCol)
       .filter(col("cluster").isin(probes.toIndexedSeq: _*))
       .filter(predicate)
     bruteForceTopK(pruned, idCol, vecCol, array(query.map(lit): _*), k)
@@ -739,7 +739,7 @@ object Similarity {
       idCol: String, centroidDf: DataFrame, codebook: DataFrame,
       query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
     val probes = probeClusters(centroidDf, query, nprobe)
-    val pruned = spark.read.parquet(path)
+    val pruned = readLive(spark, path, idCol)
       .filter(col("cluster").isin(probes.toIndexedSeq: _*))
       .select(col(idCol), col("sub"), col("code").as("cluster"))
     pqAdcTopK(pruned, codebook, idCol, query, k)
@@ -777,7 +777,7 @@ object Similarity {
       .select(col(qidCol), col(qvecCol), col("cluster"))
     val qsub = (cb: Column) =>
       slice(col(qvecCol), col("sub") * size(cb) + lit(1), size(cb))
-    val candidates = spark.read.parquet(path)
+    val candidates = readLive(spark, path, idCol)
       .join(broadcast(probes0.select(col(qidCol), col("cluster"))),
         Seq("cluster"))
       .filter(col(idCol) =!= col(qidCol))
@@ -954,6 +954,10 @@ object Similarity {
     val stats = new org.apache.hadoop.fs.Path(path + "_stats")
     val fs = stats.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(stats)) fs.delete(stats, true)
+    // A rebuild is a fresh index: stale tombstones from the previous
+    // index at this path must not shadow re-used ids.
+    val tomb = new org.apache.hadoop.fs.Path(path + "_tombstones")
+    if (fs.exists(tomb)) fs.delete(tomb, true)
   }
 
   /** Append a new embedding batch into an existing [[ivfWrite]] float
@@ -1078,15 +1082,92 @@ object Similarity {
       path: String): Unit =
     graft.operators.Upsert.withWriterLock(spark, path) {
       val committed = committedBatches(spark, path)
+      val tomb = ivfTombstones(spark, path)
+        .map(_.localCheckpoint(true)) // read by the fold inside the swap
       graft.sources.Storage.rewriteInPlace(spark, path) { tmp =>
-        graft.sources.Storage.read(spark, path)
+        val live = graft.sources.Storage.read(spark, path)
           .filter(col("batch").cast("string").isin(committed.toSeq: _*))
+        tomb.foldLeft(live)((d, t) =>
+            d.join(t, d(d.columns.head) === t("__id"), "left_anti"))
           .withColumn("batch", lit("build"))
           .repartition(col("cluster"))
           .write.mode("overwrite").partitionBy("cluster", "batch")
           .option("maxRecordsPerFile", 5000000L).parquet(tmp)
       }
+      // Post-swap: tombstoned vectors are physically gone, drop the
+      // sidecar (the del: ledger rows stay — exactly-once history). A
+      // crash before this line leaves stale tombstones — harmless.
+      val pTomb = new org.apache.hadoop.fs.Path(path + "_tombstones")
+      val fs = pTomb.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(pTomb)) fs.delete(pTomb, true)
     }
+
+  /** Tombstone-delete ids from an IVF-family index — the erasure face
+    * ([[graft.operators.TextIndex.delete]]'s protocol, simpler here
+    * because IVF scoring is pure geometry: no corpus constant needs a
+    * correction, erasure is exactly "these ids never rank"). Works on
+    * ALL THREE layouts (float/SQ8/PQ): deletion is by id, the payload
+    * is irrelevant. Ids land batch-partitioned in a `_tombstones`
+    * sidecar; the `del:<batch>` ledger row is the COMMIT POINT (torn
+    * deletes invisible, retries replace-by-batch, committed ids
+    * exactly-once); every search path anti-joins committed tombstones;
+    * [[ivfCompact]] removes the bytes and clears the sidecar. An
+    * erased id stays erased even if re-appended before the next
+    * compact — erased identities are treated as retired, the
+    * [[TextIndex.delete]] contract.
+    *
+    * O(|ids|): the index is never read, let alone rewritten.
+    */
+  def ivfDelete(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, batch: String): Unit =
+    Upsert.withWriterLock(spark, path) {
+      IndexCommit.requireSaneBatchId(batch)
+      IndexCommit.requireNotCommitted(s"del:$batch",
+        committedBatches(spark, path), s"${path}_stats")
+      IndexCommit.dropOrphanDirs(spark, path + "_tombstones",
+        s"batch=$batch")
+      val t = ids.select(col(ids.columns.head).as("__id")).distinct()
+        .localCheckpoint(true) // counted AND written
+      val n = t.count()
+      t.withColumn("batch", lit(batch)).coalesce(1)
+        .write.mode("append").partitionBy("batch")
+        .parquet(path + "_tombstones")
+      // COMMIT POINT: the ledger row makes the tombstones visible.
+      writeStatsRow(spark, path, s"del:$batch",
+        Map("n" -> n, "mean_sim" -> null, "min_sim" -> null),
+        overwrite = false)
+    }
+
+  /** Ids of COMMITTED delete batches; None when nothing is tombstoned
+    * on disk (no delete ever ran, or compact already folded them).
+    */
+  private def ivfTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val committedDels = committedBatches(spark, path).collect {
+      case b if b.startsWith("del:") => b.stripPrefix("del:")
+    }
+    val pTomb = new org.apache.hadoop.fs.Path(path + "_tombstones")
+    val fs = pTomb.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasDirs = fs.exists(pTomb) && {
+      val g = fs.globStatus(new org.apache.hadoop.fs.Path(pTomb, "batch=*"))
+      g != null && g.nonEmpty
+    }
+    if (committedDels.isEmpty || !hasDirs) None
+    else Some(spark.read.parquet(path + "_tombstones")
+      .filter(col("batch").cast("string").isin(committedDels.toSeq: _*))
+      .select(col("__id")))
+  }
+
+  /** Index rows minus committed tombstones — every search path reads
+    * the index through this (deleted ids must never rank, whatever
+    * the layout). When no tombstones exist the plan is the bare scan.
+    */
+  private def readLive(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    ivfTombstones(spark, path).fold(base)(t =>
+      base.join(t, base(idCol) === t("__id"), "left_anti"))
+  }
 
   /** Record the BUILD's own tightness baseline for an index written by
     * [[ivfWrite]]/[[ivfWriteSq8]]/[[ivfWritePq]] — run it over the same
@@ -1116,7 +1197,12 @@ object Similarity {
     */
   def ivfStats(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
+    // del: rows are erasure history (no tightness was observed for
+    // them — [[ivfDelete]] records null sims), not ingest batches;
+    // they'd show as null-drift noise in the ledger a re-train
+    // trigger reads.
     val s = spark.read.parquet(path + "_stats")
+      .filter(!col("batch").startsWith("del:"))
     val base = s.filter(col("batch") === "build")
       .select(col("mean_sim").as("__build_mean"))
     s.join(broadcast(base), lit(true), "left")
@@ -1183,7 +1269,7 @@ object Similarity {
     val coarseTerm = centroidDf
       .filter(col("cluster").isin(probes.toIndexedSeq: _*))
       .select(col("cluster"), dotNative(qlit, col("centroid")).as("cterm"))
-    val pruned = spark.read.parquet(path)
+    val pruned = readLive(spark, path, idCol)
       .filter(col("cluster").isin(probes.toIndexedSeq: _*))
     pruned
       .join(broadcast(pqAdcLut(codebook, query)

@@ -2705,5 +2705,54 @@ object SimilarityOps {
                              JOIN rottop USING (vec_id)) AS DOUBLE) /
                        CAST((SELECT count(*) FROM ext) AS DOUBLE), 9),
                  (SELECT mse_micro FROM rotmse))
-        ORDER BY method""")))
+        ORDER BY method""")),
+
+    // ---- vector-index erasure: tombstone delete ≡ rebuild-without (q202) -
+    // q201's right-to-be-forgotten contract for the DENSE index family
+    // ([[graft.operators.Similarity.ivfDelete]]): every 5th vector
+    // (mod-4 phase, so the probe query itself survives) is tombstoned
+    // — postings untouched, one `del:` ledger row commits — and the
+    // q54-shape probe search must rank EXACTLY as the oracle's
+    // restatement over the retained corpus. The quantizer stays FROZEN
+    // (erasure never retrains): centroids, norms and cluster
+    // assignment are full-corpus on both sides, only the candidate
+    // set shrinks. Portability is q54's contract (decimal-grid
+    // centroids, k=50 engine cut, rounded-decimal top-10).
+    QueryDef("q202_vector_erasure",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cents = labelCentsDecimal(e)
+        val qvec = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_ivf_q202_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        Similarity.ivfWrite(e, "vec_id", "embedding", cents, path)
+        Similarity.ivfDelete(s, path,
+          e.filter(col("vec_id") % 5 === 4).select("vec_id"), "gdpr1")
+        val hits = Similarity.ivfSearch(s, path, "vec_id", "embedding",
+          cents, qvec, k = 50, nprobe = 2)
+        decimalRerankTop10(e, hits.select("vec_id"))
+      },
+      Some(s"""
+        WITH $ivfAssignCte,
+        q AS (SELECT pos, v FROM e WHERE vec_id = 0),
+        qn AS (SELECT CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn FROM q),
+        pc AS (SELECT cd.label,
+                      CAST(SUM(CAST(cd.c*q.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM centd cd JOIN q ON q.pos = cd.pos GROUP BY 1),
+        probes AS (SELECT pc.label FROM pc JOIN cn USING (label), qn
+                   ORDER BY pc.dot/(sqrt(cn.nn)*sqrt(qn.nn)) DESC, pc.label
+                   LIMIT 2),
+        d AS (SELECT e.vec_id,
+                     CAST(SUM(CAST(e.v*q.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+              FROM e JOIN q ON q.pos = e.pos
+              WHERE e.vec_id IN (SELECT a.vec_id FROM assign a
+                                 JOIN probes p ON p.label = a.label)
+                AND e.vec_id % 5 <> 4
+              GROUP BY 1)
+        SELECT vec_id, round(dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) AS cosine
+        FROM d JOIN vn USING (vec_id), qn
+        WHERE vn.nn > 0 AND qn.nn > 0
+        ORDER BY round(dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) DESC, vec_id
+        LIMIT 10""")))
 }

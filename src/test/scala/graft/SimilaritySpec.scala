@@ -425,6 +425,89 @@ class SimilaritySpec extends SparkSpec {
       "compaction must not change search results")
   }
 
+  test("ivfDelete: delete ≡ rebuild-without (float/SQ8/PQ); torn delete; compact") {
+    val e = emb.select("vec_id", "embedding")
+    val cents = Similarity.centroids(
+      Similarity.signLshBuckets(e, "embedding")
+        .select(col("bucket").as("cluster"), col("embedding")),
+      "cluster", "embedding").localCheckpoint(true)
+    val q = e.filter(col("vec_id") === 3).head().getSeq[Float](1)
+    val victims = e.filter(col("vec_id") % 5 === 0).select("vec_id")
+    val retained = e.filter(col("vec_id") % 5 =!= 0)
+
+    // float layout: delete then search == rebuild without the victims
+    val p = tmpIndex("del_f"); val pRef = tmpIndex("del_f_ref")
+    Similarity.ivfWrite(e, "vec_id", "embedding", cents, p)
+    Similarity.ivfDelete(spark, p, victims, "d1")
+    Similarity.ivfWrite(retained, "vec_id", "embedding", cents, pRef)
+    def hits(path: String) =
+      Similarity.ivfSearch(spark, path, "vec_id", "embedding", cents, q,
+        k = 20, nprobe = 2).collect().map(_.getLong(0)).toSeq
+    assert(hits(p) == hits(pRef),
+      "tombstone delete must search identically to a rebuild without")
+    // exactly-once per delete batch id
+    intercept[IllegalArgumentException] {
+      Similarity.ivfDelete(spark, p, victims, "d1")
+    }
+    // a second delete batch composes
+    Similarity.ivfDelete(spark, p,
+      e.filter(col("vec_id") === 7).select("vec_id"), "d2")
+    val pRef2 = tmpIndex("del_f_ref2")
+    Similarity.ivfWrite(retained.filter(col("vec_id") =!= 7L),
+      "vec_id", "embedding", cents, pRef2)
+    assert(hits(p) == hits(pRef2))
+    // compact removes the bytes and the sidecar; results unchanged
+    Similarity.ivfCompact(spark, p)
+    assert(hits(p) == hits(pRef2),
+      "compaction over tombstones must not change results")
+    assert(!new java.io.File(p + "_tombstones").exists(),
+      "compaction must drop the tombstone sidecar")
+    assert(spark.read.parquet(p)
+      .filter(col("vec_id") % 5 === 0 || col("vec_id") === 7L).count() == 0,
+      "compaction must physically remove tombstoned vectors")
+
+    // torn delete (tombstones on disk, no ledger row) is invisible;
+    // the retry replaces the orphans and commits.
+    val pT = tmpIndex("del_torn")
+    Similarity.ivfWrite(e, "vec_id", "embedding", cents, pT)
+    val before = hits(pT)
+    df("__id BIGINT", org.apache.spark.sql.Row(Long.box(3)))
+      .withColumn("batch", lit("dX")).coalesce(1)
+      .write.mode("append").partitionBy("batch").parquet(pT + "_tombstones")
+    assert(hits(pT) == before,
+      "uncommitted tombstones must be invisible to searches")
+    Similarity.ivfDelete(spark, pT,
+      e.filter(col("vec_id") === 3).select("vec_id"), "dX")
+    val pTRef = tmpIndex("del_torn_ref")
+    Similarity.ivfWrite(e.filter(col("vec_id") =!= 3L), "vec_id",
+      "embedding", cents, pTRef)
+    assert(hits(pT) == hits(pTRef))
+    // drift ledger hides the del: history rows
+    assert(!Similarity.ivfStats(spark, pT).collect()
+      .exists(_.getString(0).startsWith("del:")))
+
+    // quantized layouts route through the same live-read: one check each
+    val p8 = tmpIndex("del_s"); val p8Ref = tmpIndex("del_s_ref")
+    Similarity.ivfWriteSq8(e, "vec_id", "embedding", cents, p8)
+    Similarity.ivfDelete(spark, p8, victims, "d1")
+    Similarity.ivfWriteSq8(retained, "vec_id", "embedding", cents, p8Ref)
+    def hits8(path: String) =
+      Similarity.ivfSearchSq8(spark, path, "vec_id", cents, q,
+        k = 20, nprobe = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hits8(p8) == hits8(p8Ref))
+    val cb = Similarity.pqCodebook(e, "embedding", m = 16, subDim = 4)
+      .localCheckpoint(true)
+    val pP = tmpIndex("del_p"); val pPRef = tmpIndex("del_p_ref")
+    Similarity.ivfWritePq(e, "vec_id", "embedding", cents, cb, 16, 4, pP)
+    Similarity.ivfDelete(spark, pP, victims, "d1")
+    Similarity.ivfWritePq(retained, "vec_id", "embedding", cents, cb, 16, 4,
+      pPRef)
+    def hitsP(path: String) =
+      Similarity.ivfSearchPq(spark, path, "vec_id", cents, cb, q,
+        k = 20, nprobe = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hitsP(pP) == hitsP(pPRef))
+  }
+
   test("ivfAppend crash/retry: replace-by-batch, exactly-once ids, orphan GC") {
     val e = emb.select("vec_id", "embedding")
     val half1 = e.filter(col("vec_id") % 2 === 0)
