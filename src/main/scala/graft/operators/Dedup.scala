@@ -338,6 +338,12 @@ object Dedup {
       nShards: Int = 16): Unit = {
     require(nShards >= 1, s"need nShards >= 1, got $nShards")
     require(k % bandWidth == 0, s"bandWidth must divide k ($bandWidth / $k)")
+    // A rebuild is a fresh index: stale tombstones from the previous
+    // index at this path must not shadow re-used ids.
+    val pTomb = new org.apache.hadoop.fs.Path(s"${path}__tombstones")
+    val fs = pTomb.getFileSystem(
+      docs.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(pTomb)) fs.delete(pTomb, true)
     val nBands = writeBandRows(docs, id, body, k, n, bandWidth, nShards,
       path, "build", overwrite = true)
     writeBandMetaRow(docs.sparkSession, path, "build", nBands, nShards,
@@ -383,10 +389,63 @@ object Dedup {
         .isin(readBandMeta(spark, path).batches.toSeq: _*))
       .select(col(id)).distinct()
 
+  /** Tombstone-delete doc ids from a band index — the erasure face of
+    * the dedup-candidate artifact ([[graft.operators.TextIndex.delete]]'s
+    * protocol, third of the three index families): erased documents
+    * must stop surfacing as near-dup candidates the moment the delete
+    * commits. Ids land batch-partitioned in a `__tombstones` sidecar;
+    * the `del:<batch>` ledger row is the COMMIT POINT (geometry
+    * columns repeated so the ledger's consistency check holds;
+    * `n_bands` is 0 — nothing sums it). Probes anti-join committed
+    * tombstones; [[bandIndexCompact]] removes the bytes and clears
+    * the sidecar. O(|ids|): the index is never read or rewritten. An
+    * erased id stays erased even if re-appended before the next
+    * compact (retired-identity contract, as [[Similarity.ivfDelete]]).
+    */
+  def bandIndexDelete(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, batch: String): Unit =
+    Upsert.withWriterLock(spark, path) {
+      IndexCommit.requireSaneBatchId(batch)
+      val meta = readBandMeta(spark, path)
+      IndexCommit.requireNotCommitted(s"del:$batch", meta.batches,
+        s"${path}__meta")
+      IndexCommit.dropOrphanDirs(spark, s"${path}__tombstones",
+        s"batch=$batch")
+      ids.select(col(ids.columns.head).as("__id")).distinct()
+        .withColumn("batch", lit(batch)).coalesce(1)
+        .write.mode("append").partitionBy("batch")
+        .parquet(s"${path}__tombstones")
+      // COMMIT POINT: the ledger row makes the tombstones visible.
+      writeBandMetaRow(spark, path, s"del:$batch", 0L, meta.nShards,
+        meta.k, meta.n, meta.bandWidth, overwrite = false)
+    }
+
+  /** Ids of COMMITTED delete batches; None when nothing is tombstoned
+    * on disk (no delete ever ran, or compact already folded them).
+    */
+  private def bandTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String, meta: BandMeta): Option[DataFrame] = {
+    val committedDels = meta.batches.collect {
+      case b if b.startsWith("del:") => b.stripPrefix("del:")
+    }
+    val pTomb = new org.apache.hadoop.fs.Path(s"${path}__tombstones")
+    val fs = pTomb.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasDirs = fs.exists(pTomb) && {
+      val g = fs.globStatus(new org.apache.hadoop.fs.Path(pTomb, "batch=*"))
+      g != null && g.nonEmpty
+    }
+    if (committedDels.isEmpty || !hasDirs) None
+    else Some(spark.read.parquet(s"${path}__tombstones")
+      .filter(col("batch").cast("string").isin(committedDels.toSeq: _*))
+      .select(col("__id")))
+  }
+
   /** Compact an append-heavy band index: fold COMMITTED batches into
     * one file per shard under `batch=build`, dropping orphan bands
     * from crashed appends (compaction is the garbage collector — a
-    * dropped batch id can be retried afterwards). The ledger is
+    * dropped batch id can be retried afterwards) and physically
+    * removing TOMBSTONED docs' bands (the sidecar is then deleted;
+    * the del: ledger rows stay as exactly-once history). The ledger is
     * untouched: probes derive nothing from it beyond the committed
     * set and geometry, both preserved, and keeping the rows preserves
     * the exactly-once guard. Probe results identical afterwards.
@@ -394,15 +453,22 @@ object Dedup {
   def bandIndexCompact(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =
     Upsert.withWriterLock(spark, path) {
-      val committed = readBandMeta(spark, path).batches
+      val meta = readBandMeta(spark, path)
+      val tomb = bandTombstones(spark, path, meta)
+        .map(_.localCheckpoint(true)) // read by the fold inside the swap
       graft.sources.Storage.rewriteInPlace(spark, path) { tmp =>
-        spark.read.parquet(path)
-          .filter(col("batch").cast("string").isin(committed.toSeq: _*))
+        val live = spark.read.parquet(path)
+          .filter(col("batch").cast("string").isin(meta.batches.toSeq: _*))
+        tomb.foldLeft(live)((d, t) =>
+            d.join(t, d(d.columns.head) === t("__id"), "left_anti"))
           .withColumn("batch", lit("build"))
           .repartition(col("shard"))
           .write.mode("overwrite").partitionBy("shard", "batch")
           .option("maxRecordsPerFile", 5000000L).parquet(tmp)
       }
+      val pTomb = new org.apache.hadoop.fs.Path(s"${path}__tombstones")
+      val fs = pTomb.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(pTomb)) fs.delete(pTomb, true)
     }
 
   /** Incremental near-dup detection — the daily-ingest posture: find
@@ -442,8 +508,12 @@ object Dedup {
     val newBands = lshBands(
       minhashSignatures(incoming.select(col(id), col(body)), id, body, k, n),
       id, k, bandWidth)
-    val idx = spark.read.parquet(indexPath)
+    val idx0 = spark.read.parquet(indexPath)
       .filter(col("batch").cast("string").isin(meta.batches.toSeq: _*))
+    // Tombstoned docs must not surface as candidates (the erasure
+    // contract): anti-join committed tombstones before probing.
+    val idx = bandTombstones(spark, indexPath, meta)
+      .foldLeft(idx0)((d, t) => d.join(t, d(id) === t("__id"), "left_anti"))
       .select(col(id), col("band_id"), col("band_key"))
     // The guard counts EXISTING docs per key (the index is the side
     // that can have accreted a boilerplate bucket over many ingests);

@@ -268,6 +268,61 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bandIndexDelete: erased docs stop surfacing; torn delete; compact") {
+    val extra = df("doc_id BIGINT, text STRING",
+      Row(Long.box(5), "the quick brown fox jumps over the lazy dog"),
+      Row(Long.box(6), "unrelated content that matches nothing else at all"))
+    val all = docs.union(extra)
+    val existing = all.filter(col("doc_id") <= 3)
+    val incoming = all.filter(col("doc_id") > 3)
+    def probe(p: String) =
+      Dedup.incrementalNearDupPairs(spark, p, existing, incoming,
+          "doc_id", "text", minJaccard = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val p = java.nio.file.Files
+      .createTempDirectory("bandidx_d").toString + "/index"
+    val pRef = java.nio.file.Files
+      .createTempDirectory("bandidx_dr").toString + "/index"
+    Dedup.bandIndexWrite(existing, "doc_id", "text", 4, 3, 2, p)
+    assert(probe(p).contains((4L, 1L)), "doc 1 matches before erasure")
+    Dedup.bandIndexDelete(spark, p,
+      df("doc_id BIGINT", Row(Long.box(1))), "d1")
+    Dedup.bandIndexWrite(existing.filter(col("doc_id") =!= 1L),
+      "doc_id", "text", 4, 3, 2, pRef)
+    assert(probe(p) == probe(pRef),
+      "delete must probe identically to a rebuild without the doc")
+    assert(!probe(p).keys.exists(_._2 == 1L),
+      "erased doc must never surface as a candidate")
+    // exactly-once per delete batch id
+    intercept[IllegalArgumentException] {
+      Dedup.bandIndexDelete(spark, p,
+        df("doc_id BIGINT", Row(Long.box(2))), "d1")
+    }
+    // torn delete (tombstones on disk, no ledger row) is invisible
+    val before = probe(p)
+    df("__id BIGINT", Row(Long.box(2)))
+      .withColumn("batch", lit("dX")).coalesce(1)
+      .write.mode("append").partitionBy("batch").parquet(p + "__tombstones")
+    assert(probe(p) == before, "uncommitted tombstones must be invisible")
+    // retry replaces the orphan rows and commits
+    Dedup.bandIndexDelete(spark, p,
+      df("doc_id BIGINT", Row(Long.box(2))), "dX")
+    val pRef2 = java.nio.file.Files
+      .createTempDirectory("bandidx_dr2").toString + "/index"
+    Dedup.bandIndexWrite(existing.filter(col("doc_id") === 3L),
+      "doc_id", "text", 4, 3, 2, pRef2)
+    assert(probe(p) == probe(pRef2))
+    // compact removes the bytes and the sidecar; probes unchanged
+    Dedup.bandIndexCompact(spark, p)
+    assert(probe(p) == probe(pRef2),
+      "compaction over tombstones must not change probes")
+    assert(!new java.io.File(p + "__tombstones").exists(),
+      "compaction must drop the tombstone sidecar")
+    assert(spark.read.parquet(p)
+      .filter(col("doc_id").isin(1L, 2L)).count() == 0,
+      "compaction must physically remove tombstoned bands")
+  }
+
   test("simhashNearDupPairs64: banding recovers every pair within Hamming 3") {
     val sig64 = Dedup.simhashSignatures64(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
