@@ -155,6 +155,99 @@ object TextOps {
       .select("doc_id", "source", "split", "n_words", "keep", "__tok")
   }
 
+  /** Fixed-point Naive-Bayes document log-odds — q140's in-engine
+    * CCNet-style model, single-sourced so the accuracy gate (q140) and
+    * the gains table (q203) score with literally the same expressions:
+    * ln-weights in 1e-6 fixed point (one IEEE ln + one round per
+    * weight, exact BIGINT sums afterwards — shuffle-order-proof
+    * without decimals), Laplace +1 smoothing, unseen tokens at the
+    * vocabulary default, train-split priors. Returns one row per doc:
+    * (doc_id, split, y, score_fp) with score_fp = dot_fp + prior_fp.
+    */
+  private def nbScored(s: SparkSession, dir: String): DataFrame = {
+    val lbl = col("source").isin("src1", "src2", "src3")
+    val d = graft.operators.Sampling.hashSplit(
+        docs(s, dir), "doc_id", "exp1",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"), lbl.as("y"), col("text"))
+    val toks = d.select(col("doc_id"), col("split"), col("y"),
+      explode(words(col("text"))).as("token"))
+    val cls = toks.filter(col("split") === "train")
+      .groupBy("token")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("cn"))
+      .localCheckpoint(true)
+    val tot = cls.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
+      count(lit(1)).as("v"))
+    def lnFp(num: Column, den: Column): Column =
+      round(log(num.cast("double") / den.cast("double")) * lit(1e6))
+        .cast("long")
+    val w = cls.crossJoin(broadcast(tot)).select(col("token"),
+      (lnFp(col("cp") + 1, col("tp") + col("v")) -
+        lnFp(col("cn") + 1, col("tn") + col("v"))).as("w_fp"))
+    val defaults = tot.select(
+      (lnFp(lit(1), col("tp") + col("v")) -
+        lnFp(lit(1), col("tn") + col("v"))).as("w0_fp"))
+    val priors = d.filter(col("split") === "train")
+      .agg(lnFp(sum(when(col("y"), 1L).otherwise(0L)),
+        sum(when(!col("y"), 1L).otherwise(0L))).as("prior_fp"))
+    val dt = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+    val scored = dt.join(broadcast(w), Seq("token"), "left")
+      .crossJoin(broadcast(defaults))
+      .groupBy("doc_id")
+      .agg(sum(col("n") * coalesce(col("w_fp"), col("w0_fp")))
+        .as("dot_fp"))
+    d.join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), col("split"), col("y"),
+        (coalesce(col("dot_fp"), lit(0L)) + col("prior_fp")).as("score_fp"))
+  }
+
+  /** q140's oracle chain through per-doc scores — shared verbatim by
+    * the q140 and q203 oracles (ends in `d`, `sc`, `pri`).
+    */
+  private val nbScoreCte = """
+        d AS (SELECT doc_id, text,
+                          source IN ('src1','src2','src3') AS y,
+                          CASE WHEN substr(md5('exp1:'||CAST(doc_id AS VARCHAR)),1,4) < 'cccd'
+                                 THEN 'train'
+                               WHEN substr(md5('exp1:'||CAST(doc_id AS VARCHAR)),1,4) < 'e666'
+                                 THEN 'val'
+                               ELSE 'test' END AS split
+                   FROM documents),
+        toks AS (SELECT doc_id, split, y,
+                        unnest(string_split(text,' ')) AS token
+                 FROM d),
+        cls AS (SELECT token,
+                       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                       CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cn
+                FROM toks WHERE split = 'train' GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp,
+                       CAST(SUM(cn) AS BIGINT) AS tn,
+                       CAST(count(*) AS BIGINT) AS v
+                FROM cls),
+        w AS (SELECT token,
+                     CAST(round(ln(CAST(cp+1 AS DOUBLE)/CAST(tp+v AS DOUBLE))*1000000)
+                       AS BIGINT) -
+                     CAST(round(ln(CAST(cn+1 AS DOUBLE)/CAST(tn+v AS DOUBLE))*1000000)
+                       AS BIGINT) AS w_fp
+              FROM cls, tot),
+        defs AS (SELECT CAST(round(ln(1.0/CAST(tp+v AS DOUBLE))*1000000) AS BIGINT) -
+                        CAST(round(ln(1.0/CAST(tn+v AS DOUBLE))*1000000) AS BIGINT)
+                          AS w0_fp
+                 FROM tot),
+        pri AS (SELECT CAST(round(ln(
+                         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) /
+                         CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS DOUBLE))
+                         *1000000) AS BIGINT) AS prior_fp
+                FROM d WHERE split = 'train'),
+        dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+               FROM toks GROUP BY 1, 2),
+        sc AS (SELECT dt.doc_id,
+                      CAST(SUM(dt.n * coalesce(w.w_fp, defs.w0_fp)) AS BIGINT)
+                        AS dot_fp
+               FROM dt LEFT JOIN w USING (token), defs GROUP BY 1)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- token counting: whitespace + BPE-ish regex pre-tokenizer ------
@@ -2125,42 +2218,8 @@ object TextOps {
 
     QueryDef("q140_nb_classifier",
       (s, dir) => {
-        val lbl = col("source").isin("src1", "src2", "src3")
-        val d = graft.operators.Sampling.hashSplit(
-            docs(s, dir), "doc_id", "exp1",
-            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-          .select(col("doc_id"), col("split"), lbl.as("y"), col("text"))
-        val toks = d.select(col("doc_id"), col("split"), col("y"),
-          explode(words(col("text"))).as("token"))
-        val cls = toks.filter(col("split") === "train")
-          .groupBy("token")
-          .agg(sum(when(col("y"), 1L).otherwise(0L)).as("cp"),
-            sum(when(!col("y"), 1L).otherwise(0L)).as("cn"))
-          .localCheckpoint(true)
-        val tot = cls.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
-          count(lit(1)).as("v"))
-        def lnFp(num: Column, den: Column): Column =
-          round(log(num.cast("double") / den.cast("double")) * lit(1e6))
-            .cast("long")
-        val w = cls.crossJoin(broadcast(tot)).select(col("token"),
-          (lnFp(col("cp") + 1, col("tp") + col("v")) -
-            lnFp(col("cn") + 1, col("tn") + col("v"))).as("w_fp"))
-        val defaults = tot.select(
-          (lnFp(lit(1), col("tp") + col("v")) -
-            lnFp(lit(1), col("tn") + col("v"))).as("w0_fp"))
-        val priors = d.filter(col("split") === "train")
-          .agg(lnFp(sum(when(col("y"), 1L).otherwise(0L)),
-            sum(when(!col("y"), 1L).otherwise(0L))).as("prior_fp"))
-        val dt = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
-        val scored = dt.join(broadcast(w), Seq("token"), "left")
-          .crossJoin(broadcast(defaults))
-          .groupBy("doc_id")
-          .agg(sum(col("n") * coalesce(col("w_fp"), col("w0_fp")))
-            .as("dot_fp"))
-        d.join(scored, Seq("doc_id"), "left")
-          .crossJoin(broadcast(priors))
-          .withColumn("pred",
-            (coalesce(col("dot_fp"), lit(0L)) + col("prior_fp")) > 0)
+        nbScored(s, dir)
+          .withColumn("pred", col("score_fp") > 0)
           .groupBy("split")
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("y"), 1L).otherwise(0L)).as("n_actual_pos"),
@@ -2169,47 +2228,8 @@ object TextOps {
               .as("n_correct"))
           .orderBy("split")
       },
-      Some("""
-        WITH d AS (SELECT doc_id, text,
-                          source IN ('src1','src2','src3') AS y,
-                          CASE WHEN substr(md5('exp1:'||CAST(doc_id AS VARCHAR)),1,4) < 'cccd'
-                                 THEN 'train'
-                               WHEN substr(md5('exp1:'||CAST(doc_id AS VARCHAR)),1,4) < 'e666'
-                                 THEN 'val'
-                               ELSE 'test' END AS split
-                   FROM documents),
-        toks AS (SELECT doc_id, split, y,
-                        unnest(string_split(text,' ')) AS token
-                 FROM d),
-        cls AS (SELECT token,
-                       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
-                       CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cn
-                FROM toks WHERE split = 'train' GROUP BY 1),
-        tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp,
-                       CAST(SUM(cn) AS BIGINT) AS tn,
-                       CAST(count(*) AS BIGINT) AS v
-                FROM cls),
-        w AS (SELECT token,
-                     CAST(round(ln(CAST(cp+1 AS DOUBLE)/CAST(tp+v AS DOUBLE))*1000000)
-                       AS BIGINT) -
-                     CAST(round(ln(CAST(cn+1 AS DOUBLE)/CAST(tn+v AS DOUBLE))*1000000)
-                       AS BIGINT) AS w_fp
-              FROM cls, tot),
-        defs AS (SELECT CAST(round(ln(1.0/CAST(tp+v AS DOUBLE))*1000000) AS BIGINT) -
-                        CAST(round(ln(1.0/CAST(tn+v AS DOUBLE))*1000000) AS BIGINT)
-                          AS w0_fp
-                 FROM tot),
-        pri AS (SELECT CAST(round(ln(
-                         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) /
-                         CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS DOUBLE))
-                         *1000000) AS BIGINT) AS prior_fp
-                FROM d WHERE split = 'train'),
-        dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
-               FROM toks GROUP BY 1, 2),
-        sc AS (SELECT dt.doc_id,
-                      CAST(SUM(dt.n * coalesce(w.w_fp, defs.w0_fp)) AS BIGINT)
-                        AS dot_fp
-               FROM dt LEFT JOIN w USING (token), defs GROUP BY 1)
+      Some(s"""
+        WITH $nbScoreCte
         SELECT d.split, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(SUM(CASE WHEN d.y THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_actual_pos,
@@ -2220,6 +2240,64 @@ object TextOps {
                  AS n_correct
         FROM d LEFT JOIN sc USING (doc_id), pri
         GROUP BY 1 ORDER BY 1""")),
+
+    // ---- model gains table: test-split score deciles (q203) --------------
+    // The evaluation artifact next to accuracy (q140) and AUC (q141):
+    // equi-depth deciles of the NB score over the held-out test split,
+    // each with its observed positive rate — the lift/gains table a
+    // threshold choice is read off, and the calibration-shaped check
+    // that the score ORDERS the label (monotone pos_rate), not just
+    // separates it at zero. Portability: scores are exact fixed-point
+    // BIGINTs ([[nbScored]]), decile cuts are percentile_disc order
+    // statistics (q142's binning contract), rates are one rounded
+    // double. Shape: cuts broadcast, binning map-side, one aggregate.
+    QueryDef("q203_nb_gains",
+      (s, dir) => {
+        val t = nbScored(s, dir).filter(col("split") === "test")
+          .select(col("doc_id"), col("y"), col("score_fp").as("score"))
+        val cutCols = (1 to 9).map(k => expr(
+          s"percentile_disc(0.${k}) WITHIN GROUP (ORDER BY score)").as(s"c$k"))
+        val cuts = t.agg(cutCols.head, cutCols.tail: _*)
+        val bin = (1 to 9).foldRight(lit(10): Column)((k, rest) =>
+          when(col("score") <= col(s"c$k"), k).otherwise(rest))
+        t.crossJoin(broadcast(cuts))
+          .withColumn("bin", bin.cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+            min(col("score")).as("lo_fp"), max(col("score")).as("hi_fp"))
+          .select(col("bin"), col("n"), col("n_pos"),
+            round(col("n_pos").cast("double") / col("n").cast("double"), 9)
+              .as("pos_rate"),
+            col("lo_fp"), col("hi_fp"))
+          .orderBy("bin")
+      },
+      Some {
+        val cutsSelect = (1 to 9).map(k =>
+          s"max(CASE WHEN rn <= ceil(n * 0.$k) THEN score END) AS c$k")
+          .mkString(", ")
+        val binCase = (1 to 9).map(k =>
+          s"WHEN score <= c$k THEN $k").mkString(" ")
+        s"""
+        WITH $nbScoreCte,
+        t AS (SELECT d.doc_id, d.y,
+                     coalesce(sc.dot_fp, 0) + pri.prior_fp AS score
+              FROM d LEFT JOIN sc USING (doc_id), pri
+              WHERE d.split = 'test'),
+        r AS (SELECT score, row_number() OVER (ORDER BY score) AS rn,
+                     count(*) OVER () AS n
+              FROM t),
+        cuts AS (SELECT $cutsSelect FROM r),
+        binned AS (SELECT t.y, t.score, CASE $binCase ELSE 10 END AS bin
+                   FROM t, cuts)
+        SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               round(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) /
+                     CAST(count(*) AS DOUBLE), 9) AS pos_rate,
+               CAST(min(score) AS BIGINT) AS lo_fp,
+               CAST(max(score) AS BIGINT) AS hi_fp
+        FROM binned GROUP BY 1 ORDER BY 1"""
+      }),
 
     // ---- exact ROC-AUC (q141) -------------------------------------------
     // Score-quality evaluation without approximation: the ROC-AUC of a
