@@ -506,6 +506,16 @@ class SimilaritySpec extends SparkSpec {
       Similarity.ivfSearchPq(spark, path, "vec_id", cents, cb, q,
         k = 20, nprobe = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(hitsP(pP) == hitsP(pPRef))
+
+    // The tombstone anti-join must not defeat cluster partition
+    // pruning — erasure cannot turn probe reads into full-index scans.
+    val plan = Similarity.ivfSearch(spark, pT, "vec_id", "embedding",
+        cents, q, k = 20, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"cluster partition filter must survive the tombstone anti-join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"tombstones must be served via an anti-join:\n$plan")
   }
 
   test("ivfAppend crash/retry: replace-by-batch, exactly-once ids, orphan GC") {

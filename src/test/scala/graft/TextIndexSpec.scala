@@ -60,6 +60,22 @@ class TextIndexSpec extends SparkSpec {
       s"the probed shard id must appear in the partition filter:\n$plan")
   }
 
+  test("tombstone anti-join does not defeat shard partition pruning") {
+    val path = tmp("prune_tomb")
+    TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
+    TextIndex.delete(spark, path, df("doc_id BIGINT",
+      org.apache.spark.sql.Row(Long.box(2))), "d1")
+    val plan = TextIndex.searchBM25(spark, path, Seq("spark"), k = 5)
+      .queryExecution.executedPlan.toString
+    // The anti-join sits ABOVE the probe scan; the shard filter must
+    // still reach the postings read or every erasure would turn probes
+    // into full-index scans at 100 TB.
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      s"shard partition filter must survive the tombstone anti-join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"tombstones must be served via an anti-join:\n$plan")
+  }
+
   test("conjunctive search: AND cut exact, scores match the OR path, append-safe") {
     val path = tmp("conj")
     TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
