@@ -1143,16 +1143,22 @@ object Similarity {
     */
   private def ivfTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[DataFrame] = {
-    val committedDels = committedBatches(spark, path).collect {
-      case b if b.startsWith("del:") => b.stripPrefix("del:")
-    }
+    // Sidecar presence first — one FS metadata call, no Spark job. The
+    // common case (no delete ever ran) must cost a search NOTHING: the
+    // ledger read below launches a collect job, and probe-heavy gates
+    // call search several times (measured +0.5-1.5 s per gate when
+    // this ordering was ledger-first).
     val pTomb = new org.apache.hadoop.fs.Path(path + "_tombstones")
     val fs = pTomb.getFileSystem(spark.sessionState.newHadoopConf())
     val hasDirs = fs.exists(pTomb) && {
       val g = fs.globStatus(new org.apache.hadoop.fs.Path(pTomb, "batch=*"))
       g != null && g.nonEmpty
     }
-    if (committedDels.isEmpty || !hasDirs) None
+    if (!hasDirs) return None
+    val committedDels = committedBatches(spark, path).collect {
+      case b if b.startsWith("del:") => b.stripPrefix("del:")
+    }
+    if (committedDels.isEmpty) None
     else Some(spark.read.parquet(path + "_tombstones")
       .filter(col("batch").cast("string").isin(committedDels.toSeq: _*))
       .select(col("__id")))

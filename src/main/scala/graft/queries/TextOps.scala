@@ -2299,6 +2299,51 @@ object TextOps {
         FROM binned GROUP BY 1 ORDER BY 1"""
       }),
 
+    // ---- stable vocabulary: frozen ids + append-only growth (q204) -------
+    // The id-assignment artifact a tokenizer pipeline freezes
+    // ([[graft.operators.Vocab]]): build mints 0..V-1 by
+    // (count DESC, token ASC) over half the corpus, the append mints
+    // maxId+1.. for the other half's NEW tokens only — existing ids
+    // must come out bit-identical to the build (stability is the whole
+    // contract: packed shards and embedding tables bake ids in). The
+    // oracle recomputes both assignments independently; a hash match
+    // proves the frequency order, the anti-join novelty cut, and the
+    // monotone id floor at once. Fourth artifact family on the
+    // index-commit protocol (ledger row = commit point, exactly-once
+    // batches, replace-by-batch retries — VocabSpec).
+    QueryDef("q204_stable_vocab",
+      (s, dir) => {
+        val d = docs(s, dir)
+        def toks(even: Boolean) = d
+          .filter(col("doc_id") % 2 === (if (even) 0 else 1))
+          .select(explode(split(col("text"), " ")).as("token"))
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_vocab_q204_${java.lang.Integer.toHexString(dir.hashCode)}/vocab"
+        graft.operators.Vocab.build(toks(even = true), "token", path)
+        graft.operators.Vocab.append(toks(even = false), "token", path, "b1")
+        graft.operators.Vocab.read(s, path).orderBy("id")
+      },
+      Some("""
+        WITH t1 AS (SELECT unnest(string_split(text, ' ')) AS token
+                    FROM documents WHERE doc_id % 2 = 0),
+        c1 AS (SELECT token, count(*) AS c FROM t1 GROUP BY 1),
+        v1 AS (SELECT token,
+                      row_number() OVER (ORDER BY c DESC, token) - 1 AS id
+               FROM c1),
+        t2 AS (SELECT unnest(string_split(text, ' ')) AS token
+               FROM documents WHERE doc_id % 2 = 1),
+        c2 AS (SELECT token, count(*) AS c FROM t2
+               WHERE token NOT IN (SELECT token FROM v1)
+               GROUP BY 1),
+        m AS (SELECT max(id) AS mx FROM v1),
+        v2 AS (SELECT c2.token, m.mx + row_number() OVER (
+                 ORDER BY c2.c DESC, c2.token) AS id
+               FROM c2, m)
+        SELECT token, CAST(id AS BIGINT) AS id FROM v1
+        UNION ALL
+        SELECT token, CAST(id AS BIGINT) FROM v2
+        ORDER BY id""")),
+
     // ---- exact ROC-AUC (q141) -------------------------------------------
     // Score-quality evaluation without approximation: the ROC-AUC of a
     // score column against a binary label, via the tie-corrected
