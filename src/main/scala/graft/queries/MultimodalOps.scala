@@ -92,6 +92,11 @@ object MultimodalOps {
           StructField("height", IntegerType)))
         val enc = org.apache.spark.sql.Encoders.row(outSchema)
         Tables.table(s, dir, "documents").select(col("doc_id"), col("lang"))
+          // One parquet row group = one task; the per-row ImageIO
+          // encode/parse chain would otherwise run serially (the
+          // fixture-widening rule — at production scale file splits
+          // provide this parallelism natively).
+          .repartition(s.sessionState.conf.numShufflePartitions)
           .mapPartitions { rows =>
             rows.map { r =>
               val id = r.getLong(0); val lang = r.getString(1)

@@ -191,13 +191,6 @@ object SimilarityOps {
     * this is its portable restatement, same pattern as the q54/q59
     * IVF gates.
     */
-  /** The PQ encode chain's intermediates: element stream with
-    * subspace indices, double codebook, code assignment with its
-    * squared error, and the chosen codes — shared by the ADC scorer
-    * and the q171 reconstruction-error audit.
-    */
-  private final case class PqParts(ex: DataFrame, cbd: DataFrame,
-      asn: DataFrame, codes: DataFrame)
 
   /** Subspace geometry shared by every PQ stage: 16 subspaces of
     * width 4 over the 64-dim fixtures. pos = sub·PqW + lpos is
@@ -214,65 +207,16 @@ object SimilarityOps {
   private def cutIf(cut: Boolean)(df: DataFrame): DataFrame =
     if (cut) df.localCheckpoint(true) else df
 
-  private def pqParts(s: SparkSession, dir: String,
-      exBase: Option[DataFrame] = None, cut: Boolean = false): PqParts = {
-    val m = PqM; val w = PqW
-    val e = emb(s, dir)
-    val ex = exBase.getOrElse(e
-        .select(col("vec_id"),
-          posexplode(col("embedding")).as(Seq("pos", "vf")))
-        .select(col("vec_id"), col("pos"), col("vf").cast(DoubleType).as("v")))
-      .withColumn("sub", floor(col("pos") / w).cast(IntegerType))
-      .withColumn("lpos", col("pos") - col("sub") * w)
-    // Subspace sign buckets: two relative comparisons inside each
-    // subspace (positions 1 vs 3 and 2 vs 4, 1-based) — the same
-    // data-independent seeding as signBucket, restated per subspace.
-    val bk = e.select(col("vec_id"), explode(array((0 until m).map { j =>
-        val b = (i: Int) => element_at(col("embedding"), j * w + i)
-        struct(lit(j).as("sub"),
-          concat(
-            when(b(1) > b(3), "1").otherwise("0"),
-            when(b(2) > b(4), "1").otherwise("0")).as("cluster"))
-      }: _*)).as("sb"))
-      .select(col("vec_id"), col("sb.sub").as("sub"),
-        col("sb.cluster").as("cluster"))
-    val cb = ex.join(bk, Seq("vec_id", "sub"))
-      .groupBy("sub", "cluster", "lpos")
-      .agg((round(sum(col("v").cast(D)).cast(DoubleType) /
-        count(lit(1)).cast(DoubleType), 9)).cast(FloatType).as("c"))
-      .localCheckpoint(true) // tiny (m·4·16 rows); read twice below
-    val cbd = cb.select(col("sub"), col("cluster"), col("lpos"),
-      col("c").cast(DoubleType).as("cd"))
-    val asn = ex.join(broadcast(cbd), Seq("sub", "lpos"))
-      .groupBy("vec_id", "sub", "cluster")
-      .agg(sum(((col("v") - col("cd")) * (col("v") - col("cd"))).cast(D))
-        .as("d2"))
-      .select(col("vec_id"), col("sub"), col("cluster"),
-        round(col("d2").cast(DoubleType), 9).as("d2r"))
-      // q171 reads this twice (argmin cut AND the MSE join) — cut
-      // there; the serving gates read it once
-      .transform(cutIf(cut))
-    val codes = graft.functions.ColumnLib.latestWins(asn,
-        Seq("vec_id", "sub"), Seq(col("d2r").asc, col("cluster").asc))
-      .select("vec_id", "sub", "cluster")
-    PqParts(ex, cbd, asn, codes)
-  }
+  /** Raw-vector PQ stage — [[pqPartsFromVec]] over the embeddings
+    * (map-side buckets, broadcast codebook, in-row argmin; the
+    * exploded-assignment formulation it replaced paid a 4x-blown
+    * shuffle aggregate plus an argmin window per training).
+    */
+  private def pqParts(s: SparkSession, dir: String): PqExParts =
+    pqPartsFromVec(emb(s, dir), "embedding")
 
   private def pqAdcScores(s: SparkSession, dir: String): DataFrame =
-    pqAdcScoresFrom(pqParts(s, dir))
-
-  private def pqAdcScoresFrom(p: PqParts): DataFrame = {
-    val w = PqW
-    val q = p.ex.filter(col("vec_id") === 0)
-      .select(col("pos"), col("v").as("qv"))
-    p.codes.join(broadcast(p.cbd), Seq("sub", "cluster"))
-      .select(col("vec_id"), (col("sub") * w + col("lpos")).as("pos"),
-        col("cd"))
-      .join(broadcast(q), "pos")
-      .groupBy("vec_id")
-      .agg(sum((col("qv") * col("cd")).cast(D)).as("sd"))
-      .select(col("vec_id"), round(col("sd").cast(DoubleType), 9).as("score"))
-  }
+    pqAdcScoresFromEx(pqParts(s, dir))
 
   /** DuckDB CTE chain mirroring [[pqAdcScores]]; ends in
     * `pqsc(vec_id, score)` (plus `ex`/`q` reused by q97's exact side).
@@ -412,53 +356,33 @@ object SimilarityOps {
     * under test is residual vs raw encoding.
     */
   private final case class ResidualPqParts(scores: DataFrame,
-      asn: DataFrame, codes: DataFrame)
+      codes: DataFrame)
 
   private def pqResidualParts(s: SparkSession, dir: String,
       parts: CoarseParts): ResidualPqParts = {
     val w = PqW
-    // Residual elements: v − c of the vector's own coarse centroid.
-    // Exact in double (both operands are float-representable grids).
-    val exr = parts.ex
-      .join(parts.assign, "vec_id")
-      .join(broadcast(parts.cd), Seq("cluster", "pos"))
-      .select(col("vec_id"), col("pos"), (col("v") - col("c")).as("r"))
-      .withColumn("sub", floor(col("pos") / w).cast(IntegerType))
-      .withColumn("lpos", col("pos") - col("sub") * w)
-      .localCheckpoint(true) // read by buckets, codebook, assignment
-    // Per-subspace sign buckets ON RESIDUALS (positions 0 vs 2 and
-    // 1 vs 3 within the subspace — pqAdcScores' seeding, residual-fed).
-    val bkr = exr.groupBy("vec_id", "sub")
-      .agg(
-        max(when(col("lpos") === 0, col("r"))).as("r0"),
-        max(when(col("lpos") === 1, col("r"))).as("r1"),
-        max(when(col("lpos") === 2, col("r"))).as("r2"),
-        max(when(col("lpos") === 3, col("r"))).as("r3"))
-      .select(col("vec_id"), col("sub"), concat(
-        when(col("r0") > col("r2"), "1").otherwise("0"),
-        when(col("r1") > col("r3"), "1").otherwise("0")).as("cluster"))
-    val cbr = exr.join(bkr, Seq("vec_id", "sub"))
-      .groupBy("sub", "cluster", "lpos")
-      .agg((round(sum(col("r").cast(D)).cast(DoubleType) /
-        count(lit(1)).cast(DoubleType), 9)).cast(FloatType).as("c"))
-      .localCheckpoint(true)
-    val cbd = cbr.select(col("sub"), col("cluster"), col("lpos"),
-      col("c").cast(DoubleType).as("cd"))
-    val asn = exr.join(broadcast(cbd), Seq("sub", "lpos"))
-      .groupBy("vec_id", "sub", "cluster")
-      .agg(sum(((col("r") - col("cd")) * (col("r") - col("cd"))).cast(D))
-        .as("d2"))
-      .select(col("vec_id"), col("sub"), col("cluster"),
-        round(col("d2").cast(DoubleType), 9).as("d2r"))
-      // read by the argmin cut AND the q171 MSE join — cut once
-      .localCheckpoint(true)
-    val codes = graft.functions.ColumnLib.latestWins(asn,
-        Seq("vec_id", "sub"), Seq(col("d2r").asc, col("cluster").asc))
-      .select("vec_id", "sub", "cluster")
+    // Residual VECTORS r = v − c of each vector's own coarse centroid,
+    // assembled map-side as arrays (centroid arrays broadcast; each
+    // element is the same IEEE subtract of the same doubles the
+    // exploded formulation computed) so the whole PQ stage below runs
+    // through the shared map-side [[pqPartsFromVec]] path — buckets,
+    // codebook seeding, argmin and the d2 grid all identical, the
+    // ONLY difference under test stays residual vs raw encoding.
+    val centArr = parts.cd.groupBy("cluster")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("carr"))
+    val resVec = emb(s, dir).select(col("vec_id"), col("embedding"))
+      .join(parts.assign.select("vec_id", "cluster"), "vec_id")
+      .join(broadcast(centArr), "cluster")
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("carr"),
+          (a, b) => a.cast(DoubleType) - b).as("rvec"))
+    val rp = pqPartsFromVec(resVec, "rvec")
+    // Residual ADC partial ⟨q, r̂⟩ scored against the RAW query (the
+    // reconstruction lives in residual space, the query does not).
     val q = parts.ex.filter(col("vec_id") === 0)
       .select(col("pos"), col("v").as("qv"))
-    // Residual ADC partial: ⟨q, r̂⟩ in decimal.
-    val rsc = codes.join(broadcast(cbd), Seq("sub", "cluster"))
+    val rsc = rp.codes.join(broadcast(rp.cbd), Seq("sub", "cluster"))
       .select(col("vec_id"), (col("sub") * w + col("lpos")).as("pos"),
         col("cd"))
       .join(broadcast(q), "pos")
@@ -473,7 +397,7 @@ object SimilarityOps {
     val scores = rsc.join(ct, "vec_id")
       .select(col("vec_id"),
         round((col("rsd") + col("ctd")).cast(DoubleType), 9).as("score"))
-    ResidualPqParts(scores, asn, codes)
+    ResidualPqParts(scores, rp.codes)
   }
 
   /** DuckDB CTE chain for the IVF-PQ gates: coarse assignment + probe
@@ -789,6 +713,12 @@ object SimilarityOps {
           c.getField("cluster").as("cluster")))), 1))
       .select(col("vec_id"), col("sub"), col("best.cluster").as("cluster"),
         col("best.d2r").as("d2r"))
+      // The chain above is all map-side — which also means NO shuffle
+      // files for Spark to reuse across the consumers' jobs (ADC
+      // scoring, MSE, recall cuts each recompute it otherwise;
+      // measured 2x whole-gate blowups on the multi-action gates).
+      // One eager cut of the compact (vec x sub) frame serves them all.
+      .localCheckpoint(true)
     val q = ex.filter(col("vec_id") === 0)
       .select(col("pos"), col("v").as("qv"))
     PqExParts(ex.select("vec_id", "pos", "v"), cbd, codes, q)
@@ -2358,7 +2288,7 @@ object SimilarityOps {
               round(col("hits").cast(DoubleType) /
                 col("total").cast(DoubleType), 9).as("recall"))
         }
-        val raw = pqParts(s, dir, exBase = Some(parts.ex), cut = true)
+        val raw = pqParts(s, dir)
         val res = pqResidualParts(s, dir, parts)
         // Mean squared reconstruction error over the WHOLE corpus in
         // floored micro units — the fidelity number that separates
@@ -2366,17 +2296,17 @@ object SimilarityOps {
         // residual codebook spends its 2 bits/sub on a tighter,
         // centered distribution. Chosen-code d2 is already on the
         // 1e-9 grid, so the decimal sums are exact in both engines.
-        def mseMicro(asn: DataFrame, codes: DataFrame): DataFrame =
-          codes.join(asn, Seq("vec_id", "sub", "cluster"))
+        def mseMicro(codes: DataFrame): DataFrame =
+          codes
             .groupBy("vec_id").agg(sum(col("d2r").cast(D)).as("e2"))
             .agg(sum(col("e2")).as("se2"), count(lit(1)).as("nv"))
             .select(floor(col("se2").cast(DoubleType) /
                 col("nv").cast(DoubleType) * lit(1000000.0))
               .cast(LongType).as("mse_micro"))
-        recallOf("ivf_pq_raw", pqAdcScoresFrom(raw))
-          .crossJoin(mseMicro(raw.asn, raw.codes))
+        recallOf("ivf_pq_raw", pqAdcScoresFromEx(raw))
+          .crossJoin(mseMicro(raw.codes))
           .unionByName(recallOf("ivf_pq_residual", res.scores)
-            .crossJoin(mseMicro(res.asn, res.codes)))
+            .crossJoin(mseMicro(res.codes)))
           .orderBy("method")
       },
       Some(s"""
