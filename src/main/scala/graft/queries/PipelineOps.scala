@@ -441,5 +441,87 @@ object PipelineOps {
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                min(doc_id) AS min_id, max(doc_id) AS max_id
         FROM documents WHERE doc_id % 3 = 0
-        GROUP BY 1, 2 ORDER BY 1, 2""")))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- forget pipeline end-to-end across every index family (q205) -----
+    // The GDPR capstone, composing the erasure faces the round built:
+    // build ALL THREE serving artifacts (BM25 postings, LSH band index,
+    // IVF vector index), tombstone-delete the forget set from each
+    // (q201/q202 and bandIndexDelete), compact, then MEASURE the
+    // leftovers — n_leaked is counted by scanning the real post-compact
+    // bytes for erased ids, and the oracle states the contract (exact
+    // retained-row counts, zero leaks), so the hash match proves the
+    // pipeline actually removed the data, not that the test assumed it.
+    // Every count is a bounded driver-side aggregate; the builds and
+    // compacts are the operators' own one-pass plans.
+    QueryDef("q205_forget_e2e",
+      (s, dir) => {
+        import graft.operators.{Dedup, Similarity, TextIndex}
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val badDocs = d.filter(col("doc_id") % 9 === 3).select("doc_id")
+          .localCheckpoint(true) // two deletes + two leak scans read it
+        val badVecs = e.filter(col("vec_id") % 9 === 3).select("vec_id")
+          .localCheckpoint(true) // delete + leak scan read it
+        val base = sys.props("java.io.tmpdir") +
+          s"/graft_forget_q205_${java.lang.Integer.toHexString(dir.hashCode)}"
+        val pText = base + "/text"; val pBand = base + "/band"
+        val pIvf = base + "/ivf"
+        TextIndex.write(d, "doc_id", "text", pText)
+        Dedup.bandIndexWrite(d, "doc_id", "text", 4, 3, 2, pBand)
+        val cents = Similarity.centroids(
+            e.select(col("label").as("cluster"), col("embedding")),
+            "cluster", "embedding")
+          .localCheckpoint(true) // write + compact lineage
+        Similarity.ivfWrite(e, "vec_id", "embedding", cents, pIvf)
+        def rows(p: String): Long = s.read.parquet(p).count()
+        val before = Map("text_index" -> rows(pText),
+          "band_index" -> rows(pBand), "vector_index" -> rows(pIvf))
+        TextIndex.delete(s, pText, badDocs, "gdpr1")
+        Dedup.bandIndexDelete(s, pBand, badDocs, "gdpr1")
+        Similarity.ivfDelete(s, pIvf, badVecs, "gdpr1")
+        TextIndex.compact(s, pText)
+        Dedup.bandIndexCompact(s, pBand)
+        Similarity.ivfCompact(s, pIvf)
+        def leak(p: String, idCol: String, bad: DataFrame): Long =
+          s.read.parquet(p)
+            .join(bad.select(col(bad.columns.head).as(idCol)),
+              Seq(idCol), "left_semi")
+            .count()
+        val out = Seq(
+          ("band_index", before("band_index"), rows(pBand),
+            leak(pBand, "doc_id", badDocs)),
+          ("text_index", before("text_index"), rows(pText),
+            leak(pText, "doc", badDocs)),
+          ("vector_index", before("vector_index"), rows(pIvf),
+            leak(pIvf, "vec_id", badVecs)))
+        s.createDataFrame(
+            java.util.List.of(out.map(r => Row(r._1, r._2, r._3, r._4)): _*),
+            StructType.fromDDL(
+              "artifact STRING, n_before LONG, n_after LONG, n_leaked LONG"))
+          .orderBy("artifact")
+      },
+      Some("""
+        WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        rd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+               WHERE doc_id % 9 <> 3),
+        pt AS (SELECT DISTINCT doc_id, token FROM (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents)),
+        tb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pt),
+        ta AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pt
+               WHERE doc_id % 9 <> 3),
+        nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        rv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+               WHERE vec_id % 9 <> 3)
+        SELECT * FROM (
+          SELECT 'band_index' AS artifact, 2 * nd.n AS n_before,
+                 2 * rd.n AS n_after, CAST(0 AS BIGINT) AS n_leaked
+          FROM nd, rd
+          UNION ALL
+          SELECT 'text_index', tb.n, ta.n, CAST(0 AS BIGINT) FROM tb, ta
+          UNION ALL
+          SELECT 'vector_index', nv.n, rv.n, CAST(0 AS BIGINT) FROM nv, rv)
+        ORDER BY artifact""")))
 }
