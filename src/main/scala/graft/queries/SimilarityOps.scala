@@ -2684,5 +2684,105 @@ object SimilarityOps {
         FROM d JOIN vn USING (vec_id), qn
         WHERE vn.nn > 0 AND qn.nn > 0
         ORDER BY round(dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) DESC, vec_id
-        LIMIT 10""")))
+        LIMIT 10""")),
+
+    // ---- hybrid retrieval: BM25 + dense, reciprocal-rank fusion (q206) ---
+    // The serving shape of a modern retrieval stack: a sparse list
+    // (q168's index-served BM25 top-20) and a dense list (q54's
+    // probe-searched decimal top-10) fused by RRF (Cormack et al.,
+    // SIGIR'09) — rank-only fusion, so no score calibration between
+    // the two spaces is needed. Portability: both input rankings are
+    // already gated total orders; each reciprocal is one IEEE divide
+    // of identical integers and the fusion is a fixed two-term
+    // expression over one full-outer join (never a shuffle-order sum).
+    // Operator: [[graft.operators.Retrieval.rrfFuse]].
+    QueryDef("q206_hybrid_rrf",
+      (s, dir) => {
+        import graft.operators.{Retrieval, TextIndex}
+        val terms = Seq("spark", "merge")
+        val tpath = sys.props("java.io.tmpdir") +
+          s"/graft_tidx_q206_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        TextIndex.write(graft.Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text")), "doc_id", "text", tpath)
+        val textTop = TextIndex.searchBM25(s, tpath, terms, k = 20)
+        val e = emb(s, dir)
+        val cents = labelCentsDecimal(e)
+        val qvec = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val vpath = sys.props("java.io.tmpdir") +
+          s"/graft_ivf_q206_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        Similarity.ivfWrite(e, "vec_id", "embedding", cents, vpath)
+        val vecTop = decimalRerankTop10(e,
+          Similarity.ivfSearch(s, vpath, "vec_id", "embedding", cents,
+            qvec, k = 50, nprobe = 2).select("vec_id"))
+        Retrieval.rrfFuse(Seq(
+            Retrieval.rankOf(textTop, "doc",
+              Seq(col("bm25").desc, col("doc").asc)),
+            Retrieval.rankOf(vecTop, "vec_id",
+              Seq(col("cosine").desc, col("vec_id").asc))),
+          k0 = 60, topK = 15)
+      },
+      Some(s"""
+        WITH $ivfAssignCte,
+        q AS (SELECT pos, v FROM e WHERE vec_id = 0),
+        qn AS (SELECT CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn FROM q),
+        pc AS (SELECT cd.label,
+                      CAST(SUM(CAST(cd.c*q.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM centd cd JOIN q ON q.pos = cd.pos GROUP BY 1),
+        probes AS (SELECT pc.label FROM pc JOIN cn USING (label), qn
+                   ORDER BY pc.dot/(sqrt(cn.nn)*sqrt(qn.nn)) DESC, pc.label
+                   LIMIT 2),
+        dd AS (SELECT e.vec_id,
+                      CAST(SUM(CAST(e.v*q.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM e JOIN q ON q.pos = e.pos
+               WHERE e.vec_id IN (SELECT a.vec_id FROM assign a
+                                  JOIN probes p ON p.label = a.label)
+               GROUP BY 1),
+        vtop AS (SELECT vec_id,
+                        round(dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) AS cosine
+                 FROM dd JOIN vn USING (vec_id), qn
+                 WHERE vn.nn > 0 AND qn.nn > 0
+                 ORDER BY round(dot/(sqrt(vn.nn)*sqrt(qn.nn)), 9) DESC, vec_id
+                 LIMIT 10),
+        tbase AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
+                         len(list_filter(string_split(text,' '),
+                           x -> x = 'spark')) AS tf_spark,
+                         len(list_filter(string_split(text,' '),
+                           x -> x = 'merge')) AS tf_merge
+                  FROM documents),
+        tc AS (SELECT count(*) AS n_docs, SUM(dl) AS sum_dl,
+                      SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END)
+                        AS df_spark,
+                      SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END)
+                        AS df_merge
+               FROM tbase),
+        ttop AS (SELECT doc_id,
+               round(CAST(
+                 CAST(round(CASE WHEN tf_spark > 0 THEN
+                   round(ln((CAST(n_docs AS DOUBLE) - df_spark + 0.5)
+                            / (df_spark + 0.5) + 1.0), 9)
+                     * (CAST(tf_spark AS DOUBLE) * 2.2)
+                     / (CAST(tf_spark AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                        CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   ELSE 0 END, 9) AS DECIMAL(38,18))
+                 + CAST(round(CASE WHEN tf_merge > 0 THEN
+                   round(ln((CAST(n_docs AS DOUBLE) - df_merge + 0.5)
+                            / (df_merge + 0.5) + 1.0), 9)
+                     * (CAST(tf_merge AS DOUBLE) * 2.2)
+                     / (CAST(tf_merge AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                        CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   ELSE 0 END, 9) AS DECIMAL(38,18))
+               AS DOUBLE), 6) AS bm25
+          FROM tbase, tc
+          WHERE tf_spark > 0 OR tf_merge > 0
+          ORDER BY bm25 DESC, doc_id LIMIT 20),
+        tr AS (SELECT doc_id AS id, row_number() OVER (
+                 ORDER BY bm25 DESC, doc_id) AS r FROM ttop),
+        vr AS (SELECT vec_id AS id, row_number() OVER (
+                 ORDER BY cosine DESC, vec_id) AS r FROM vtop),
+        f AS (SELECT id,
+                     round(coalesce(1.0/(60 + tr.r), 0) +
+                           coalesce(1.0/(60 + vr.r), 0), 9) AS rrf
+              FROM tr FULL JOIN vr USING (id))
+        SELECT id, rrf FROM f ORDER BY rrf DESC, id LIMIT 15""")))
 }
