@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,5 +53,75 @@ object Retrieval {
     joined.select(col("id"), round(score, 9).as("rrf"))
       .orderBy(col("rrf").desc, col("id").asc)
       .limit(topK)
+  }
+
+  /** Maximal Marginal Relevance diversification (Carbonell & Goldstein,
+    * SIGIR'98 — public result): greedily re-rank a bounded candidate
+    * list so each pick balances relevance against redundancy with what
+    * is already picked, mmr(d) = λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)
+    * (empty-S max = 0, so pick 1 is the pure-relevance argmax scaled
+    * by λ). The serving-side dedup: a near-dup cluster in the top-k
+    * contributes ONE result instead of k copies.
+    *
+    * Inputs are SERVING-SIZED by contract — `cands` is a top-k list
+    * (id, rel) and `sims` its pairwise similarities (a, b, sim; both
+    * orientations or symmetric duplicates are fine, missing pairs
+    * count as 0 similarity) — and the guard refuses a corpus-sized
+    * list rather than running a greedy quadratic loop over it. Each
+    * step is one tiny Spark job. The returned `mmr` is the RAW double
+    * — every input is a shared-grid value, so the score is
+    * bit-identical across engines and the argmax needs no rounding
+    * (ties break by id ascending); callers snap it for display
+    * (floored micro units, the repo's fixed-point convention) rather
+    * than re-rounding, because round() edge behavior differs between
+    * engines on near-half values.
+    */
+  def mmrDiversify(cands: DataFrame, sims: DataFrame, lambda: Double,
+      k: Int, maxCandidates: Int = 4096): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmr lambda must be in [0,1], got $lambda")
+    require(k >= 1, s"mmr needs k >= 1, got $k")
+    val c = cands.select(col("id"), col("rel").cast("double").as("rel"))
+      .localCheckpoint(true) // read once per greedy step
+    val n = c.count()
+    require(n <= maxCandidates,
+      s"mmrDiversify: $n candidates exceeds maxCandidates=$maxCandidates " +
+        "— this is a serving-list operator, not a corpus one")
+    val sm = sims.select(col("a"), col("b"), col("sim").cast("double")
+        .as("sim"))
+      .localCheckpoint(true) // read once per greedy step
+    val picks = scala.collection.mutable.ArrayBuffer[Row]()
+    var selected = Seq.empty[Any]
+    var step = 1
+    while (step <= math.min(k, n)) {
+      val remaining = c.filter(!col("id").isin(selected: _*))
+      val scored =
+        if (selected.isEmpty)
+          remaining.select(col("id"),
+            (lit(lambda) * col("rel")).as("mmr"))
+        else {
+          val maxSim = sm.filter(col("b").isin(selected: _*))
+            .groupBy(col("a").as("id"))
+            .agg(max(col("sim")).as("__ms"))
+          remaining.join(maxSim, Seq("id"), "left")
+            .select(col("id"),
+              (lit(lambda) * col("rel") -
+                lit(1.0 - lambda) * coalesce(col("__ms"), lit(0.0)))
+                .as("mmr"))
+        }
+      val best = scored.orderBy(col("mmr").desc, col("id").asc).head()
+      picks += Row(step, best.get(0), best.getDouble(1))
+      selected = selected :+ best.get(0)
+      step += 1
+    }
+    val idType = c.schema("id").dataType
+    cands.sparkSession.createDataFrame(
+      java.util.List.of(picks.toSeq: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pick",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("mmr",
+          org.apache.spark.sql.types.DoubleType))))
   }
 }

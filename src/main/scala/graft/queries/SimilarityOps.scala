@@ -2784,5 +2784,99 @@ object SimilarityOps {
                      round(coalesce(1.0/(60 + tr.r), 0) +
                            coalesce(1.0/(60 + vr.r), 0), 9) AS rrf
               FROM tr FULL JOIN vr USING (id))
-        SELECT id, rrf FROM f ORDER BY rrf DESC, id LIMIT 15""")))
+        SELECT id, rrf FROM f ORDER BY rrf DESC, id LIMIT 15""")),
+
+    // ---- MMR diversification of a result list (q207) ---------------------
+    // Serving-side dedup (Carbonell & Goldstein, SIGIR'98): the exact
+    // top-10 is greedily re-ranked so each pick trades relevance
+    // against similarity to what is already picked — a near-dup
+    // cluster contributes ONE result instead of k copies. λ = 0.7,
+    // 5 picks; the redundancy penalty uses (1.0 − 0.7) SPELLED AS THE
+    // SUBTRACTION in both engines (the literal 0.3 is a different
+    // double). Candidates and pairwise sims are the decimal-grid
+    // cosines; each greedy step's argmax compares the RAW doubles (all
+    // inputs are shared-grid values, so the scores are bit-identical
+    // across engines — re-rounding them would reintroduce the engines'
+    // divergent round() edge behavior) with an id tiebreak, and the
+    // emitted score is floored micro fixed-point. Operator: [[graft.operators.Retrieval.mmrDiversify]]
+    // (bounded serving lists only — the guard refuses corpus-sized
+    // input).
+    QueryDef("q207_mmr_diversify",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cands = exactCosine(e)
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id").as("id"), col("cosine").as("rel"))
+          .localCheckpoint(true) // rel reads + the candidate-id semi-join
+        val ex = e.join(cands.select(col("id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+          .select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("pos", "vf")))
+          .select(col("vec_id"), col("pos"),
+            col("vf").cast(DoubleType).as("v"))
+          .localCheckpoint(true) // norms AND the pairwise self-join
+        val nrm = ex.groupBy("vec_id")
+          .agg(sum((col("v") * col("v")).cast(D)).as("nnd"))
+          .select(col("vec_id"), col("nnd").cast(DoubleType).as("nn"))
+        val sims = ex.as("x").join(ex.as("y"),
+            col("x.pos") === col("y.pos") &&
+              col("x.vec_id") =!= col("y.vec_id"))
+          .groupBy(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+          .agg(sum((col("x.v") * col("y.v")).cast(D)).as("dotd"))
+          .join(nrm.select(col("vec_id").as("a"), col("nn").as("na")), "a")
+          .join(nrm.select(col("vec_id").as("b"), col("nn").as("nb")), "b")
+          .select(col("a"), col("b"),
+            round(col("dotd").cast(DoubleType) /
+              (sqrt(col("na")) * sqrt(col("nb"))), 9).as("sim"))
+        graft.operators.Retrieval.mmrDiversify(cands, sims,
+            lambda = 0.7, k = 5)
+          .select(col("pick"), col("id"),
+            floor(col("mmr") * lit(1000000.0)).cast(LongType)
+              .as("mmr_micro"))
+      },
+      Some {
+        def step(i: Int): String = s"""
+        sel${i - 1} AS (${(1 until i).map(j => s"SELECT id FROM p$j")
+            .mkString(" UNION ALL ")}),
+        p$i AS (SELECT c.id,
+                  0.7 * c.rel - (1.0 - 0.7) * coalesce(
+                    (SELECT max(ps.sim) FROM ps
+                     WHERE ps.a = c.id
+                       AND ps.b IN (SELECT id FROM sel${i - 1})), 0)
+                    AS mmr
+                FROM cands c
+                WHERE c.id NOT IN (SELECT id FROM sel${i - 1})
+                ORDER BY 2 DESC, 1 LIMIT 1)"""
+        s"""
+        WITH $cosineCte,
+        cands AS (SELECT vec_id AS id, cosine AS rel FROM cos
+                  ORDER BY cosine DESC, vec_id LIMIT 10),
+        pex AS (SELECT e.vec_id, e.pos, e.v FROM e
+                WHERE e.vec_id IN (SELECT id FROM cands)),
+        pn AS (SELECT vec_id,
+                      CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+               FROM pex GROUP BY 1),
+        pd AS (SELECT x.vec_id AS a, y.vec_id AS b,
+                      CAST(SUM(CAST(x.v*y.v AS DECIMAL(38,18))) AS DOUBLE)
+                        AS dot
+               FROM pex x JOIN pex y
+                 ON x.pos = y.pos AND x.vec_id <> y.vec_id
+               GROUP BY 1, 2),
+        ps AS (SELECT a, b, round(dot/(sqrt(na.nn)*sqrt(nb.nn)), 9) AS sim
+               FROM pd JOIN pn na ON na.vec_id = a
+                       JOIN pn nb ON nb.vec_id = b),
+        p1 AS (SELECT id, 0.7 * rel AS mmr FROM cands
+               ORDER BY 2 DESC, 1 LIMIT 1),
+        ${(2 to 5).map(step).mkString(",")}
+        SELECT pick, id,
+               CAST(floor(mmr * 1000000.0) AS BIGINT) AS mmr_micro
+        FROM (
+          SELECT 1 AS pick, id, mmr FROM p1
+          UNION ALL SELECT 2, id, mmr FROM p2
+          UNION ALL SELECT 3, id, mmr FROM p3
+          UNION ALL SELECT 4, id, mmr FROM p4
+          UNION ALL SELECT 5, id, mmr FROM p5)
+        ORDER BY pick"""
+      }))
 }
