@@ -76,6 +76,32 @@ object Retrieval {
     * than re-rounding, because round() edge behavior differs between
     * engines on near-half values.
     */
+  /** Pseudo-relevance-feedback term expansion (the RM3-lite recipe,
+    * public result): assume the first pass's top documents are
+    * relevant, mine their most frequent terms, and append them to the
+    * query for a second pass. Selection is deterministic — top
+    * `nExpand` tokens by (total tf across the feedback docs DESC,
+    * token ASC), original query terms excluded — so an independent
+    * engine restates it exactly. The corpus scan is semi-joined to
+    * the (bounded) feedback doc ids BEFORE the token explode; the
+    * returned list is driver-side by design (a query is driver
+    * state, exactly like the term list the caller already holds).
+    */
+  def prfExpandTerms(corpus: DataFrame, idCol: String, textCol: String,
+      topDocs: DataFrame, exclude: Seq[String], nExpand: Int)
+      : Seq[String] = {
+    require(nExpand >= 1, s"prfExpandTerms needs nExpand >= 1, got $nExpand")
+    corpus.join(topDocs.select(col(topDocs.columns.head).as(idCol)),
+        Seq(idCol), "left_semi")
+      .select(explode(graft.functions.TextFunctions.words(col(textCol)))
+        .as("token"))
+      .filter(!col("token").isin(exclude: _*))
+      .groupBy("token").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("token").asc)
+      .limit(nExpand)
+      .collect().map(_.getString(0)).toSeq
+  }
+
   def mmrDiversify(cands: DataFrame, sims: DataFrame, lambda: Double,
       k: Int, maxCandidates: Int = 4096): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0,

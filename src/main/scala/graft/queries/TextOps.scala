@@ -2344,6 +2344,74 @@ object TextOps {
         SELECT token, CAST(id AS BIGINT) FROM v2
         ORDER BY id""")),
 
+    // ---- pseudo-relevance feedback: two-pass BM25 (q208) ------------------
+    // The RM3-lite retrieval recipe completing the serving triad
+    // (hybrid fusion q206, diversification q207): pass 1 ranks with
+    // the user's terms, the top-5 docs are ASSUMED relevant, their 3
+    // most frequent non-query tokens join the query, pass 2 re-ranks
+    // with the expanded term set — recall recovery for under-specified
+    // queries without any model. Expansion selection is deterministic
+    // (total tf DESC, token ASC — [[graft.operators.Retrieval
+    // .prfExpandTerms]]); the oracle re-derives BOTH passes and the
+    // expansion in join-form BM25, so a hash match proves the whole
+    // feedback loop, not just the final scoring.
+    QueryDef("q208_prf_bm25",
+      (s, dir) => {
+        import graft.operators.{Retrieval, TextIndex}
+        val orig = Seq("spark", "merge")
+        val d = docs(s, dir)
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_tidx_q208_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        TextIndex.write(d, "doc_id", "text", path)
+        val first = TextIndex.searchBM25(s, path, orig, k = 5)
+        val exp = Retrieval.prfExpandTerms(d, "doc_id", "text",
+          first.select("doc"), orig, nExpand = 3)
+        TextIndex.searchBM25(s, path, orig ++ exp, k = 25)
+          .select(col("doc").as("doc_id"), col("bm25"))
+      },
+      Some {
+        def pass(name: String, termPred: String): String = s"""
+        $name AS (
+          SELECT tf.doc_id,
+                 CAST(SUM(CAST(round(
+                   round(ln((CAST(c.n_docs AS DOUBLE) - df.df + 0.5)
+                            / (df.df + 0.5) + 1.0), 9)
+                   * (CAST(tf.tf AS DOUBLE) * 2.2)
+                   / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                      CAST(dl.dl AS DOUBLE) /
+                      (CAST(c.sum_dl AS DOUBLE) / c.n_docs)))
+                 , 9) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sc
+          FROM tf JOIN df USING (token) JOIN dl USING (doc_id), c
+          WHERE $termPred
+          GROUP BY 1)"""
+        s"""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                      FROM documents),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM toks GROUP BY 1),
+        c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY 1, 2),
+        df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY 1),
+        ${pass("score1", "tf.token IN ('spark','merge')")},
+        top1 AS (SELECT doc_id FROM (
+                   SELECT doc_id, round(CAST(sc AS DOUBLE), 6) AS bm25
+                   FROM score1 ORDER BY bm25 DESC, doc_id LIMIT 5)),
+        exp AS (SELECT token FROM (
+                  SELECT t.token, CAST(count(*) AS BIGINT) AS n
+                  FROM toks t JOIN top1 USING (doc_id)
+                  WHERE t.token NOT IN ('spark','merge')
+                  GROUP BY 1 ORDER BY n DESC, t.token LIMIT 3)),
+        terms AS (SELECT 'spark' AS token UNION ALL SELECT 'merge'
+                  UNION ALL SELECT token FROM exp),
+        ${pass("score2", "tf.token IN (SELECT token FROM terms)")}
+        SELECT doc_id, round(CAST(sc AS DOUBLE), 6) AS bm25
+        FROM score2
+        ORDER BY bm25 DESC, doc_id LIMIT 25"""
+      }),
+
     // ---- exact ROC-AUC (q141) -------------------------------------------
     // Score-quality evaluation without approximation: the ROC-AUC of a
     // score column against a binary label, via the tie-corrected
