@@ -41,6 +41,65 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("mmrDiversify: plain-Scala greedy restatement; guards") {
+    // Three near-identical docs (1,2,3: sim 0.99) and one distinct (4).
+    // Pure relevance would pick 1,2,3; MMR must interleave 4 early.
+    val cands = df("id BIGINT, rel DOUBLE",
+      Row(Long.box(1), Double.box(0.95)), Row(Long.box(2), Double.box(0.94)),
+      Row(Long.box(3), Double.box(0.93)), Row(Long.box(4), Double.box(0.60)))
+    val simPairs = for {
+      a <- Seq(1L, 2L, 3L); b <- Seq(1L, 2L, 3L) if a != b
+    } yield Row(Long.box(a), Long.box(b), Double.box(0.99))
+    val dis = for {
+      a <- Seq(1L, 2L, 3L); b <- Seq(4L); s <- Seq(0.05)
+      r <- Seq(Row(Long.box(a), Long.box(b), Double.box(s)),
+        Row(Long.box(b), Long.box(a), Double.box(s)))
+    } yield r
+    val sims = df("a BIGINT, b BIGINT, sim DOUBLE", (simPairs ++ dis): _*)
+    val got = graft.operators.Retrieval
+      .mmrDiversify(cands, sims, lambda = 0.7, k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // plain-Scala greedy restatement
+    val rel = Map(1L -> 0.95, 2L -> 0.94, 3L -> 0.93, 4L -> 0.60)
+    val sim = (a: Long, b: Long) =>
+      if (a == b) 0.0
+      else if (a <= 3 && b <= 3) 0.99
+      else 0.05
+    var sel = Seq.empty[Long]
+    val want = (1 to 4).map { step =>
+      val scored = rel.keys.toSeq.filterNot(sel.contains).map { d =>
+        val ms = if (sel.isEmpty) 0.0 else sel.map(s => sim(d, s)).max
+        d -> (0.7 * rel(d) - (1.0 - 0.7) * ms)
+      }
+      val (id, m) = scored.minBy { case (d, m) => (-m, d) }
+      sel = sel :+ id
+      (step, id, m)
+    }
+    assert(got.toSeq == want, s"\n${got.toSeq}\n$want")
+    // doc 4 must be picked SECOND (diversity beats the near-dups)
+    assert(got(1)._2 == 4L)
+    // corpus-sized input refuses
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.mmrDiversify(cands, sims, 0.7, 2,
+        maxCandidates = 2)
+    }
+    assert(err.getMessage.contains("maxCandidates"))
+  }
+
+  test("prfExpandTerms: tf-ordered, query terms excluded, tie by token") {
+    val corpus = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), "spark merge delta delta lake lake lake"),
+      Row(Long.box(2), "spark delta iceberg iceberg"),
+      Row(Long.box(3), "unrelated words never counted"))
+    val top = df("doc_id BIGINT", Row(Long.box(1)), Row(Long.box(2)))
+    val got = graft.operators.Retrieval.prfExpandTerms(
+      corpus, "doc_id", "text", top, Seq("spark", "merge"), nExpand = 2)
+    // counts over docs 1+2: delta=3, lake=3, iceberg=2; tie delta<lake
+    assert(got == Seq("delta", "lake"), got.toString)
+    // doc 3's tokens never leak into the expansion
+    assert(!got.contains("unrelated"))
+  }
+
   test("rankOf: 1-based ranks under the given total order") {
     val d = df("k BIGINT, s DOUBLE",
       Row(Long.box(7), Double.box(0.5)), Row(Long.box(8), Double.box(0.9)),
