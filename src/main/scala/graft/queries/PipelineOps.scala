@@ -457,6 +457,17 @@ object PipelineOps {
     QueryDef("q205_forget_e2e",
       (s, dir) => {
         import graft.operators.{Dedup, Similarity, TextIndex}
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        // The three artifact pipelines are INDEPENDENT (own paths, own
+        // locks) and each underfills the cluster on its own — submit
+        // their jobs concurrently at every phase boundary (Spark
+        // sessions accept jobs from multiple threads; this is the
+        // driver-side analog of the fixed-N widening).
+        def par[T](xs: (() => T)*): Seq[T] =
+          Await.result(Future.sequence(xs.map(f => Future(f()))),
+            Duration.Inf)
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), col("label"))
@@ -468,22 +479,27 @@ object PipelineOps {
           s"/graft_forget_q205_${java.lang.Integer.toHexString(dir.hashCode)}"
         val pText = base + "/text"; val pBand = base + "/band"
         val pIvf = base + "/ivf"
-        TextIndex.write(d, "doc_id", "text", pText)
-        Dedup.bandIndexWrite(d, "doc_id", "text", 4, 3, 2, pBand)
         val cents = Similarity.centroids(
             e.select(col("label").as("cluster"), col("embedding")),
             "cluster", "embedding")
           .localCheckpoint(true) // write + compact lineage
-        Similarity.ivfWrite(e, "vec_id", "embedding", cents, pIvf)
+        par(
+          () => TextIndex.write(d, "doc_id", "text", pText),
+          () => Dedup.bandIndexWrite(d, "doc_id", "text", 4, 3, 2, pBand),
+          () => Similarity.ivfWrite(e, "vec_id", "embedding", cents, pIvf))
         def rows(p: String): Long = s.read.parquet(p).count()
-        val before = Map("text_index" -> rows(pText),
-          "band_index" -> rows(pBand), "vector_index" -> rows(pIvf))
-        TextIndex.delete(s, pText, badDocs, "gdpr1")
-        Dedup.bandIndexDelete(s, pBand, badDocs, "gdpr1")
-        Similarity.ivfDelete(s, pIvf, badVecs, "gdpr1")
-        TextIndex.compact(s, pText)
-        Dedup.bandIndexCompact(s, pBand)
-        Similarity.ivfCompact(s, pIvf)
+        val Seq(bT, bB, bV) =
+          par(() => rows(pText), () => rows(pBand), () => rows(pIvf))
+        val before = Map("text_index" -> bT, "band_index" -> bB,
+          "vector_index" -> bV)
+        par(
+          () => TextIndex.delete(s, pText, badDocs, "gdpr1"),
+          () => Dedup.bandIndexDelete(s, pBand, badDocs, "gdpr1"),
+          () => Similarity.ivfDelete(s, pIvf, badVecs, "gdpr1"))
+        par(
+          () => TextIndex.compact(s, pText),
+          () => Dedup.bandIndexCompact(s, pBand),
+          () => Similarity.ivfCompact(s, pIvf))
         def leak(p: String, idCol: String, bad: DataFrame): Long =
           s.read.parquet(p)
             .join(bad.select(col(bad.columns.head).as(idCol)),

@@ -2699,19 +2699,26 @@ object SimilarityOps {
     QueryDef("q206_hybrid_rrf",
       (s, dir) => {
         import graft.operators.{Retrieval, TextIndex}
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
         val terms = Seq("spark", "merge")
         val tpath = sys.props("java.io.tmpdir") +
           s"/graft_tidx_q206_${java.lang.Integer.toHexString(dir.hashCode)}/index"
-        TextIndex.write(graft.Tables.table(s, dir, "documents")
-          .select(col("doc_id"), col("text")), "doc_id", "text", tpath)
-        val textTop = TextIndex.searchBM25(s, tpath, terms, k = 20)
         val e = emb(s, dir)
         val cents = labelCentsDecimal(e)
         val qvec = e.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0)
         val vpath = sys.props("java.io.tmpdir") +
           s"/graft_ivf_q206_${java.lang.Integer.toHexString(dir.hashCode)}/index"
-        Similarity.ivfWrite(e, "vec_id", "embedding", cents, vpath)
+        // The two index builds are independent (own paths) and each
+        // underfills the cluster — submit their jobs concurrently.
+        Await.result(Future.sequence(Seq(
+          Future(TextIndex.write(graft.Tables.table(s, dir, "documents")
+            .select(col("doc_id"), col("text")), "doc_id", "text", tpath)),
+          Future(Similarity.ivfWrite(e, "vec_id", "embedding", cents,
+            vpath)))), Duration.Inf)
+        val textTop = TextIndex.searchBM25(s, tpath, terms, k = 20)
         val vecTop = decimalRerankTop10(e,
           Similarity.ivfSearch(s, vpath, "vec_id", "embedding", cents,
             qvec, k = 50, nprobe = 2).select("vec_id"))
