@@ -2257,11 +2257,23 @@ object SimilarityOps {
     // adoption argument for residual encoding as a verified number.
     QueryDef("q171_residual_pq",
       (s, dir) => {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
         val parts = coarseParts(s, dir, cut = true)
-        val candidates = parts.assign
-          .join(broadcast(parts.probes), Seq("cluster"), "left_semi")
-          .select("vec_id")
-          .localCheckpoint(true) // shared by yardstick + both variants
+        // The yardstick and the two PQ trainings are independent
+        // subtrees over the shared (already-cut) coarse parts, each a
+        // chain of blocking materializations that underfills the
+        // cluster — build them concurrently (the q205 posture).
+        val candidatesF = Future {
+          parts.assign
+            .join(broadcast(parts.probes), Seq("cluster"), "left_semi")
+            .select("vec_id")
+            .localCheckpoint(true) // shared by yardstick + both variants
+        }
+        val rawF = Future(pqParts(s, dir))
+        val resF = Future(pqResidualParts(s, dir, parts))
+        val candidates = Await.result(candidatesF, Duration.Inf)
         val q = parts.ex.filter(col("vec_id") === 0)
           .select(col("pos"), col("v").as("qv"))
         // Yardstick: exact top-10 WITHIN the probed candidates — both
@@ -2288,8 +2300,8 @@ object SimilarityOps {
               round(col("hits").cast(DoubleType) /
                 col("total").cast(DoubleType), 9).as("recall"))
         }
-        val raw = pqParts(s, dir)
-        val res = pqResidualParts(s, dir, parts)
+        val raw = Await.result(rawF, Duration.Inf)
+        val res = Await.result(resF, Duration.Inf)
         // Mean squared reconstruction error over the WHOLE corpus in
         // floored micro units — the fidelity number that separates
         // the encodings even when a 10-deep recall cut ties: the
