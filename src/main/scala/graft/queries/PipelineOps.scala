@@ -539,5 +539,42 @@ object PipelineOps {
           SELECT 'text_index', tb.n, ta.n, CAST(0 AS BIGINT) FROM tb, ta
           UNION ALL
           SELECT 'vector_index', nv.n, rv.n, CAST(0 AS BIGINT) FROM nv, rv)
-        ORDER BY artifact""")))
+        ORDER BY artifact""")),
+
+    // ---- bucketed-table co-located join, round-trip gated (q209) ---------
+    // The 100 TB layout lever (SURVEY §4): both fact tables written
+    // bucketed on the join key, so the repeated fact-fact join runs
+    // with NO exchange on either side (StorageSpec pins the
+    // exchange-free plan; this gate pins the bucketed ROUND-TRIP's
+    // correctness — every row lands in the right bucket and the
+    // bucket-wise join loses and duplicates nothing). Sums accumulate
+    // in DECIMAL (order-free) and surface rounded.
+    QueryDef("q209_bucketed_join",
+      (s, dir) => {
+        import graft.sources.Storage
+        Storage.writeBucketed(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderpriority")),
+          "graft_q209_orders", "o_orderkey", 8)
+        Storage.writeBucketed(
+          t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+            col("l_quantity")),
+          "graft_q209_lineitem", "o_orderkey", 8)
+        s.table("graft_q209_orders")
+          .join(s.table("graft_q209_lineitem"), "o_orderkey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_quantity").cast(DecimalType(38, 9)))
+              .cast(DoubleType), 9).as("sum_qty"),
+            min(col("o_orderkey")).as("min_ok"),
+            max(col("o_orderkey")).as("max_ok"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+               round(CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,9)))
+                          AS DOUBLE), 9) AS sum_qty,
+               min(o.o_orderkey) AS min_ok, max(o.o_orderkey) AS max_ok
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1 ORDER BY 1""")))
 }
