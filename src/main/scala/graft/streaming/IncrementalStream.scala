@@ -284,6 +284,49 @@ object IncrementalStream {
         }
       }
 
+  /** Streaming erasure propagation — right-to-be-forgotten requests
+    * arrive as a stream of ids and must reach every serving artifact
+    * without a batch job in the loop: each micro-batch
+    * tombstone-deletes its ids from the text, band, and vector
+    * indexes (whichever paths are given), under the per-family commit
+    * protocol. Replay-idempotent the [[vectorIngestSink]] way: the
+    * delete batch id is the micro-batch id, so a replayed trigger
+    * whose deletes already committed is recognized
+    * ([[graft.operators.IndexCommit.AlreadyCommittedException]]) and
+    * skipped — ids are never double-decremented (the text ledger's
+    * negative rows make that the one real hazard). Already-tombstoned
+    * or absent ids are no-ops inside the operators themselves, so
+    * at-least-once delivery of the same request across DIFFERENT
+    * batches is also safe.
+    */
+  def erasureSink(writer: DataStreamWriter[Row], spark: SparkSession,
+      idCol: String, textIndexPath: Option[String],
+      bandIndexPath: Option[String], vectorIndexPath: Option[String],
+      checkpointDir: String): DataStreamWriter[Row] =
+    writer
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val ids = batch.select(col(idCol)).dropDuplicates(idCol)
+            .localCheckpoint(true) // read once per target artifact
+          def applyDelete(f: () => Unit): Unit =
+            try f()
+            catch {
+              // replayed micro-batch whose delete already committed:
+              // the work is done, not an error
+              case _: graft.operators.IndexCommit.AlreadyCommittedException =>
+                ()
+            }
+          textIndexPath.foreach(p => applyDelete(() =>
+            graft.operators.TextIndex.delete(spark, p, ids, s"d$batchId")))
+          bandIndexPath.foreach(p => applyDelete(() =>
+            graft.operators.Dedup.bandIndexDelete(spark, p, ids,
+              s"d$batchId")))
+          vectorIndexPath.foreach(p => applyDelete(() =>
+            Similarity.ivfDelete(spark, p, ids, s"d$batchId")))
+        }
+      }
+
   final case class KeyCount(key: String, n: Long)
 
   /** A completed session's training example — the streaming analog of

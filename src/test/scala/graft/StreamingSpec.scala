@@ -323,6 +323,61 @@ class StreamingSpec extends SparkSpec {
     assert(ledger.values.sum == 4, s"ledger: $ledger")
   }
 
+  test("erasureSink: forget requests reach text+band+vector; duplicates safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, Similarity, TextIndex}
+    val docs = df("doc_id BIGINT, text STRING",
+      org.apache.spark.sql.Row(Long.box(1), "spark runs fast spark scales"),
+      org.apache.spark.sql.Row(Long.box(2), "query planning in spark"),
+      org.apache.spark.sql.Row(Long.box(3), "merge statements update tables"))
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val vecs = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      org.apache.spark.sql.Row(Long.box(1), v(10, 0, 0, 0)),
+      org.apache.spark.sql.Row(Long.box(2), v(9, 1, 0, 0)),
+      org.apache.spark.sql.Row(Long.box(3), v(0, 10, 0, 0)))
+    val cents = Similarity.centroids(
+      Similarity.signLshBuckets(vecs, "embedding")
+        .select(col("bucket").as("cluster"), col("embedding")),
+      "cluster", "embedding").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_es").toString
+    TextIndex.write(docs, "doc_id", "text", s"$dir/text", nShards = 4)
+    Dedup.bandIndexWrite(docs, "doc_id", "text", 4, 3, 2, s"$dir/band")
+    Similarity.ivfWrite(vecs, "vec_id", "embedding", cents, s"$dir/ivf")
+    val mem = MemoryStream[Long]
+    val q = graft.streaming.IncrementalStream.erasureSink(
+        mem.toDF().toDF("doc_id").writeStream, spark, "doc_id",
+        Some(s"$dir/text"), Some(s"$dir/band"), Some(s"$dir/ivf"),
+        s"$dir/ck")
+      .outputMode("append").start()
+    mem.addData(2L)
+    q.processAllAvailable()
+    // a later batch re-requests id 2 (at-least-once) plus a fresh id
+    mem.addData(2L, 3L)
+    q.processAllAvailable()
+    q.stop()
+    // text: ids 2 and 3 gone, df/nDocs behave as rebuilt-without
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_es_ref").toString + "/text"
+    TextIndex.write(docs.filter(col("doc_id") === 1L), "doc_id", "text",
+      rebuilt, nShards = 4)
+    def bm(p: String) = TextIndex.searchBM25(spark, p, Seq("spark"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bm(s"$dir/text") == bm(rebuilt),
+      "streamed erasure must equal rebuild-without on the text index")
+    // vector: erased ids never rank
+    val hits = Similarity.ivfSearch(spark, s"$dir/ivf", "vec_id",
+        "embedding", cents, v(10, 0, 0, 0), k = 5, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L), s"expected only id 1, got $hits")
+    // band: erased docs never surface as near-dup candidates
+    val probe = Dedup.incrementalNearDupPairs(spark, s"$dir/band",
+      docs, df("doc_id BIGINT, text STRING",
+        org.apache.spark.sql.Row(Long.box(9),
+          "query planning in spark")), "doc_id", "text", minJaccard = 0.3)
+    assert(probe.collect().isEmpty,
+      "erased doc 2 must not match its own duplicate")
+  }
+
   test("sessionExamples: completed sessions emit via gap break AND watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
