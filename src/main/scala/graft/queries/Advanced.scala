@@ -1750,6 +1750,111 @@ object Advanced {
         FROM est JOIN ex ON ex.s1 = est.s1 AND ex.s2 = est.s2
         ORDER BY 1, 2""")),
 
+    // ---- sketch-based join-size estimation (q210) -------------------------
+    // The planner diagnostic a 100 TB warehouse runs BEFORE a giant
+    // join: estimate |A ⋈ B| from per-side KMV sketches alone —
+    // distinct-key intersection via the q199 set algebra, scaled by
+    // each side's mean key multiplicity (the classic independence
+    // estimate |A⋈B| ≈ D_∩ · (n_A/D_A) · (n_B/D_B)) — next to the
+    // ACTUAL join cardinality as the honesty column. The estimate
+    // chain is a fixed expression over grid doubles and surfaces
+    // FLOORED (floor of identical doubles is exact; round() edge
+    // behavior is not), so both engines print identical integers.
+    QueryDef("q210_join_size_estimate",
+      (s, dir) => {
+        import graft.operators.Skew
+        val k = 64
+        val oKeys = t(s, dir, "orders")
+          .select(lit("a").as("side"), col("o_orderkey").as("key"))
+        val lKeys = t(s, dir, "lineitem")
+          .select(lit("b").as("side"), col("l_orderkey").as("key"))
+        val both = oKeys.unionByName(lKeys)
+          .localCheckpoint(true) // sketch, per-side counts AND the join
+        val sk = Skew.kmvSketch(both, Seq("side"), "key", k, "kmv9")
+          .localCheckpoint(true) // pairwise set ops + per-side estimates
+        val d = sk.select(col("side"),
+          Skew.kmvEstimate(col("kmv"), k).as("dest"))
+        val n = both.groupBy("side").agg(count(lit(1)).as("n"))
+        val inter = Skew.kmvPairwiseSetOps(sk, "side", k)
+          .select(col("inter_est"))
+        val actual = both.filter(col("side") === "a")
+          .join(both.filter(col("side") === "b")
+            .select(col("key"), lit(1).as("__x")), Seq("key"))
+          .agg(count(lit(1)).as("actual_rows"))
+        def side(c: String, src: DataFrame, v: String) =
+          src.filter(col("side") === c).select(col(v))
+        side("a", n, "n").withColumnRenamed("n", "n_a")
+          .crossJoin(side("b", n, "n").withColumnRenamed("n", "n_b"))
+          .crossJoin(side("a", d, "dest").withColumnRenamed("dest", "d_a"))
+          .crossJoin(side("b", d, "dest").withColumnRenamed("dest", "d_b"))
+          .crossJoin(inter)
+          .crossJoin(actual)
+          .select(col("n_a"), col("n_b"),
+            floor(col("d_a")).cast(LongType).as("d_a_est"),
+            floor(col("d_b")).cast(LongType).as("d_b_est"),
+            floor(col("inter_est")).cast(LongType).as("d_inter_est"),
+            floor(col("inter_est") *
+              (col("n_a").cast(DoubleType) / col("d_a")) *
+              (col("n_b").cast(DoubleType) / col("d_b")))
+              .cast(LongType).as("est_rows"),
+            col("actual_rows"))
+      },
+      Some("""
+        WITH ks AS (SELECT 'a' AS side, o_orderkey AS key FROM orders
+                    UNION ALL
+                    SELECT 'b', l_orderkey FROM lineitem),
+        n AS (SELECT side, CAST(count(*) AS BIGINT) AS n
+              FROM ks GROUP BY 1),
+        h AS (SELECT DISTINCT side,
+                     substr(md5('kmv9:' || CAST(key AS VARCHAR)), 1, 12) AS h
+              FROM ks),
+        rk AS (SELECT side, h, row_number() OVER (PARTITION BY side
+                 ORDER BY h) AS rk FROM h),
+        sk AS (SELECT side, h, rk FROM rk WHERE rk <= 64),
+        nh AS (SELECT side, count(*) AS nh FROM h GROUP BY 1),
+        dst AS (SELECT nh.side,
+                       CASE WHEN nh.nh < 64 THEN CAST(nh.nh AS DOUBLE)
+                            ELSE round(63.0 /
+                              (CAST(CAST('0x' || kth.h AS BIGINT) AS DOUBLE)
+                               / 281474976710656.0), 9) END AS dest
+                FROM nh LEFT JOIN (SELECT side, h FROM sk WHERE rk = 64) kth
+                  USING (side)),
+        uh AS (SELECT h FROM sk WHERE side = 'a'
+               UNION SELECT h FROM sk WHERE side = 'b'),
+        ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM uh),
+        uk AS (SELECT h, rk FROM ur WHERE rk <= 64),
+        usz AS (SELECT count(*) AS u FROM uk),
+        mm AS (SELECT count(*) AS m FROM uk
+               WHERE h IN (SELECT h FROM sk WHERE side = 'a')
+                 AND h IN (SELECT h FROM sk WHERE side = 'b')),
+        uest AS (SELECT CASE WHEN usz.u < 64 THEN CAST(usz.u AS DOUBLE)
+                             ELSE round(63.0 /
+                               (CAST(CAST('0x' ||
+                                  (SELECT h FROM uk WHERE rk = 64)
+                                  AS BIGINT) AS DOUBLE)
+                                / 281474976710656.0), 9) END AS union_est,
+                        round(CAST(mm.m AS DOUBLE) /
+                              CAST(usz.u AS DOUBLE), 9) AS jaccard_est
+                 FROM usz, mm),
+        inter AS (SELECT round(jaccard_est * union_est, 9) AS inter_est
+                  FROM uest),
+        act AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+                FROM orders o JOIN lineitem l
+                  ON l.l_orderkey = o.o_orderkey)
+        SELECT na.n AS n_a, nb.n AS n_b,
+               CAST(floor(da.dest) AS BIGINT) AS d_a_est,
+               CAST(floor(db.dest) AS BIGINT) AS d_b_est,
+               CAST(floor(inter.inter_est) AS BIGINT) AS d_inter_est,
+               CAST(floor(inter.inter_est *
+                 (CAST(na.n AS DOUBLE) / da.dest) *
+                 (CAST(nb.n AS DOUBLE) / db.dest)) AS BIGINT) AS est_rows,
+               act.actual_rows
+        FROM (SELECT n FROM n WHERE side = 'a') na,
+             (SELECT n FROM n WHERE side = 'b') nb,
+             (SELECT dest FROM dst WHERE side = 'a') da,
+             (SELECT dest FROM dst WHERE side = 'b') db,
+             inter, act""")),
+
     // ---- right-to-be-forgotten cascade (q200) ----------------------------
     // GDPR-erasure as an operator: erase a customer seed set and let
     // the FK walk ([[graft.operators.Cascade.deleteClosure]]) carry
