@@ -210,6 +210,19 @@ object TextIndex {
         .coalesce(1).write.mode("append").parquet(s"${path}__meta")
     }
 
+  /** Distinct doc ids whose postings belong to a COMMITTED batch — the
+    * "already indexed" face a streaming ingest diffs its arrivals
+    * against ([[graft.streaming.IncrementalStream.textIngestSink]];
+    * the [[Similarity.ivfIndexedIds]] convention). Orphan postings
+    * from torn appends are excluded ON PURPOSE: a torn batch must be
+    * re-ingested whole. Tombstoned ids still count as indexed —
+    * erased identities are retired, a replay must not re-ingest them.
+    */
+  def indexedIds(spark: SparkSession, path: String): DataFrame = {
+    val meta = readMeta(spark, path)
+    committedPostings(spark, path, meta).select(col("doc")).distinct()
+  }
+
   private def tombPath(path: String): String = s"${path}__tombstones"
 
   /** Doc ids of COMMITTED delete batches (ledger row `del:<batch>`

@@ -284,6 +284,42 @@ object IncrementalStream {
         }
       }
 
+  /** Streaming text-index ingest — the sparse-retrieval analog of
+    * [[vectorIngestSink]], completing the streaming face across all
+    * three index families: each micro-batch's documents append into
+    * the persisted BM25 index under the frozen shard routing, batch id
+    * = micro-batch id, exactly-once by the ledger-commit protocol.
+    * Already-indexed doc ids are diffed away first, so at-least-once
+    * redelivery across DIFFERENT micro-batches is safe, and a replayed
+    * trigger whose append already committed is recognized and skipped.
+    * The index must exist ([[graft.operators.TextIndex.write]] the
+    * bootstrap corpus first) — shard routing is frozen by the build.
+    */
+  def textIngestSink(writer: DataStreamWriter[Row], spark: SparkSession,
+      idCol: String, bodyCol: String, indexPath: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    writer
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val arrivals = batch.select(col(idCol), col(bodyCol))
+            .dropDuplicates(idCol)
+          val fresh = arrivals.join(
+            graft.operators.TextIndex.indexedIds(spark, indexPath)
+              .select(col("doc").as(idCol)),
+            Seq(idCol), "left_anti")
+          if (!fresh.isEmpty)
+            try graft.operators.TextIndex.append(fresh, idCol, bodyCol,
+              indexPath, s"b$batchId")
+            catch {
+              // replayed micro-batch whose append already committed:
+              // the work is done, not an error
+              case _: graft.operators.IndexCommit.AlreadyCommittedException =>
+                ()
+            }
+        }
+      }
+
   /** Streaming erasure propagation — right-to-be-forgotten requests
     * arrive as a stream of ids and must reach every serving artifact
     * without a batch job in the loop: each micro-batch

@@ -323,6 +323,42 @@ class StreamingSpec extends SparkSpec {
     assert(ledger.values.sum == 4, s"ledger: $ledger")
   }
 
+  test("textIngestSink: micro-batches append; search == bulk rebuild; dups safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextIndex
+    val all = Seq(
+      1L -> "spark runs fast spark scales",
+      2L -> "query planning in spark",
+      3L -> "merge statements update tables",
+      4L -> "unrelated words only here")
+    def rows(xs: Seq[(Long, String)]) = df("doc_id BIGINT, text STRING",
+      xs.map { case (i, t) =>
+        org.apache.spark.sql.Row(Long.box(i), t) }: _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tis").toString
+    // Bootstrap build freezes the shard routing; the stream grows it.
+    TextIndex.write(rows(all.take(1)), "doc_id", "text", s"$dir/index",
+      nShards = 4)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.IncrementalStream.textIngestSink(
+        mem.toDF().toDF("doc_id", "text").writeStream, spark,
+        "doc_id", "text", s"$dir/index", s"$dir/ck")
+      .outputMode("append").start()
+    mem.addData(all(1), all(2))
+    q.processAllAvailable()
+    mem.addData(all(3), all(0)) // doc 1 re-arrives: already indexed
+    q.processAllAvailable()
+    q.stop()
+    val bulk = s"$dir/bulk"
+    TextIndex.write(rows(all), "doc_id", "text", bulk, nShards = 4)
+    def bm(p: String) = TextIndex.searchBM25(spark, p,
+        Seq("spark", "merge"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bm(s"$dir/index") == bm(bulk),
+      "streamed index must search identically to a bulk build")
+    assert(TextIndex.indexedIds(spark, s"$dir/index").count() == 4,
+      "each doc indexed exactly once despite the duplicate arrival")
+  }
+
   test("erasureSink: forget requests reach text+band+vector; duplicates safe") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Dedup, Similarity, TextIndex}
