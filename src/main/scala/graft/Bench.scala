@@ -69,6 +69,24 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // Idle guard: a pass that starts under ambient load produces numbers
+    // that are not comparable round-over-round (BENCH_r05/r12 both ran at
+    // loadavg 3–7 and inflated the IVF family). If the 1-min loadavg
+    // exceeds the threshold, wait (bounded) for the machine to drain;
+    // if it never does, record loudly rather than silently.
+    def load1(): Double =
+      try loadavg().split(",").headOption.map(_.toDouble).getOrElse(0.0)
+      catch { case _: Throwable => 0.0 }
+    val idleMax = sys.env.getOrElse("SPARK_GRAFT_IDLE_MAX", "1.5").toDouble
+    val idleWaitSec = sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT_SEC", "600").toInt
+    val waitDeadline = System.nanoTime() + idleWaitSec * 1000000000L
+    while (load1() > idleMax && System.nanoTime() < waitDeadline) {
+      System.err.println(s"[bench] waiting for idle: loadavg ${load1()} > $idleMax")
+      Thread.sleep(15000)
+    }
+    val busyStart = load1() > idleMax
+    if (busyStart)
+      System.err.println(s"[bench] WARNING: starting busy (loadavg ${load1()} > $idleMax after ${idleWaitSec}s wait); numbers are load-polluted")
     calibrate() // warm
     val loadStart = loadavg()
     val calib1 = calibrate()
@@ -105,7 +123,7 @@ object Bench {
     val filterJson = only.map(f => s""","filter":"${f.mkString(",")}"""").getOrElse("")
     val loadJson =
       s""","loadavg":{"start":"$loadStart","mid":"$loadMid","end":"$loadEnd"}""" +
-        s""","calib_sec":[$calib1,$calib2,$calib3]"""
+        s""","calib_sec":[$calib1,$calib2,$calib3],"busy_start":$busyStart"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_norm":$totalNorm,"queries":$qs,"n_queries":${results.size},"n_errors":$nErr$filterJson$loadJson,"sf":"$sfDir"}""")
     // The driver captures only the TAIL of stdout; with 120+ queries the
     // per-query map pushes the leading "metric":"total" key out of the
