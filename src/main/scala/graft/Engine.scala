@@ -147,6 +147,14 @@ object Engine {
         graft.functions.expressions.SimHashBits(
           children(0), litInt("simhash")(children(1), "bits"))))
     ext.injectFunction((
+      FunctionIdentifier("char_ngram_stats"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.CharNgramStats].getName,
+        "char_ngram_stats"),
+      (children: Seq[Expression]) =>
+        graft.functions.expressions.CharNgramStats(
+          children(0), litInt("char_ngram_stats")(children(1), "n"))))
+    ext.injectFunction((
       FunctionIdentifier("deflate_len"),
       new ExpressionInfo(
         classOf[graft.functions.expressions.DeflateLen].getName,

@@ -2929,6 +2929,90 @@ object TextOps {
             round(avg(col("ratio")), 6).as("mean_ratio"))
           .orderBy("lang", "band")
       },
-      None))
+      None),
+
+    // ---- portable compressibility proxy (q180b) --------------------------
+    // The hash-matched companion to q180: the same per-language
+    // low/mid/high banding, driven by the distinct-char-4-gram /
+    // total-char-4-gram ratio instead of the raw DEFLATE length.
+    // Substring repetition is exactly what DEFLATE's LZ77 window
+    // exploits, so the ratio tracks the same repetition signal — but it
+    // is engine-portable (a substring comprehension + list_distinct in
+    // DuckDB), which the zlib byte count is not. Banding compares with
+    // CROSS-MULTIPLIED integers (distinct*20 < total*11 ⇔ ratio < 0.55)
+    // so the thresholds involve no float division at all; the reported
+    // ratios use the decimal-exact division pattern (q181). Thresholds
+    // 0.55/0.75 are the corpus quartiles at sf0.01. One map-side pass
+    // (native `char_ngram_stats`, one loop per row in codegen) + one
+    // 2-key aggregate: the 100 TB cost is a single corpus scan.
+    QueryDef("q180b_compressibility_proxy",
+      (s, dir) => {
+        val st = call_function("char_ngram_stats", col("text"), lit(4))
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            st.getField("n_grams").cast("long").as("total_g"),
+            st.getField("n_distinct").cast("long").as("distinct_g"))
+          .withColumn("band",
+            when(col("total_g") === 0, "short")
+              .when(col("distinct_g") * 20 < col("total_g") * 11, "low")
+              .when(col("distinct_g") * 4 < col("total_g") * 3, "mid")
+              .otherwise("high"))
+          .withColumn("ppm",
+            when(col("total_g") === 0, lit(null).cast("long"))
+              .otherwise(expr("distinct_g * 1000000L div total_g")))
+          .groupBy("lang", "band")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("distinct_g")).as("n_distinct_grams"),
+            sum(col("total_g")).as("n_total_grams"),
+            when(sum(col("total_g")) === 0, lit(null).cast("double"))
+              .otherwise(
+                round(sum(col("distinct_g"))
+                    .cast(org.apache.spark.sql.types.DecimalType(38, 18))
+                  / sum(col("total_g"))
+                    .cast(org.apache.spark.sql.types.DecimalType(38, 18)), 6)
+                  .cast("double")).as("pooled_ratio"),
+            when(count(col("ppm")) === 0, lit(null).cast("double"))
+              .otherwise(
+                round(sum(col("ppm"))
+                    .cast(org.apache.spark.sql.types.DecimalType(38, 18))
+                  / count(col("ppm"))
+                    .cast(org.apache.spark.sql.types.DecimalType(38, 18)), 3)
+                  .cast("double")).as("mean_doc_ppm"))
+          .orderBy("lang", "band")
+      },
+      Some("""
+        WITH c AS (SELECT doc_id, lang, text, length(text) AS n
+                   FROM documents),
+             d AS (SELECT doc_id, lang,
+                     CAST(CASE WHEN n >= 4 THEN n - 3 ELSE 0 END
+                       AS BIGINT) AS total_g,
+                     CAST(CASE WHEN n >= 4
+                       THEN len(list_distinct(
+                         [substr(text, i, 4)
+                          for i in generate_series(1, n - 3)]))
+                       ELSE 0 END AS BIGINT) AS distinct_g
+                   FROM c),
+             b AS (SELECT lang,
+                     CASE WHEN total_g = 0 THEN 'short'
+                          WHEN distinct_g * 20 < total_g * 11 THEN 'low'
+                          WHEN distinct_g * 4 < total_g * 3 THEN 'mid'
+                          ELSE 'high' END AS band,
+                     total_g, distinct_g,
+                     CASE WHEN total_g = 0 THEN NULL
+                          ELSE distinct_g * 1000000 // total_g END AS ppm
+                   FROM d)
+        SELECT lang, band,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(distinct_g) AS BIGINT) AS n_distinct_grams,
+               CAST(SUM(total_g) AS BIGINT) AS n_total_grams,
+               CASE WHEN SUM(total_g) = 0 THEN NULL
+                 ELSE CAST(round(CAST(SUM(distinct_g) AS DECIMAL(38,18))
+                   / CAST(SUM(total_g) AS DECIMAL(38,18)), 6) AS DOUBLE)
+                 END AS pooled_ratio,
+               CASE WHEN count(ppm) = 0 THEN NULL
+                 ELSE CAST(round(CAST(SUM(ppm) AS DECIMAL(38,18))
+                   / CAST(count(ppm) AS DECIMAL(38,18)), 3) AS DOUBLE)
+                 END AS mean_doc_ppm
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2""")))
 
 }
