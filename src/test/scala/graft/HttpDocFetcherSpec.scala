@@ -1,0 +1,173 @@
+package graft
+
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.sources.{HttpDocFetcher, PagedSource}
+import graft.sources.PagedSource.{AuthExpired, ResultWindowTooLarge}
+
+/** Local stub of the reference REST backend (api.py protocol): login
+  * issues sequential tokens, pages serve a fixed one-doc-per-minute
+  * universe with INCLUSIVE from/to (the wire contract the reference's
+  * slice planner steps around with -1), tokens can be limited to K uses
+  * (to force 401s), and windows wider than `windowLimitMs` are refused
+  * with the reference's 400 body. Network-free: binds 127.0.0.1 on an
+  * ephemeral port.
+  */
+class CallioStub(t0: Long, nDocs: Int,
+    tokenUses: Int = Int.MaxValue,
+    windowLimitMs: Long = Long.MaxValue) {
+
+  val loginCount = new AtomicInteger(0)
+  val pageRequests = new AtomicInteger(0)
+  private val tokenUsesLeft =
+    new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.setExecutor(Executors.newFixedThreadPool(8))
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os: OutputStream = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  server.createContext("/auth/login", (ex: HttpExchange) => {
+    val tok = s"tok-${loginCount.incrementAndGet()}"
+    tokenUsesLeft.put(tok, new AtomicInteger(tokenUses))
+    respond(ex, 200, s"""{"token":"$tok"}""")
+  })
+
+  server.createContext("/customer", (ex: HttpExchange) => {
+    pageRequests.incrementAndGet()
+    val tok = Option(ex.getRequestHeaders.getFirst("token")).getOrElse("")
+    val uses = tokenUsesLeft.get(tok)
+    if (uses == null || uses.decrementAndGet() < 0) respond(ex, 401, "unauthorized")
+    else {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+        .filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
+      val from = q("from").toLong
+      val to = q("to").toLong // INCLUSIVE, like the reference API
+      val page = q("page").toInt
+      val pageSize = q("pageSize").toInt
+      if (to - from + 1 > windowLimitMs)
+        respond(ex, 400, "Result window is too large for this index")
+      else {
+        val window = (0 until nDocs).map(i => t0 + i * 60000L)
+          .filter(ts => ts >= from && ts <= to).sortBy(-_)
+        val slice = window.slice((page - 1) * pageSize, page * pageSize)
+        val docs = slice.map { ts =>
+          val i = ((ts - t0) / 60000L).toInt
+          s"""{"_id":"d$i","updateTime":$ts,"v":$i}"""
+        }
+        val hasNext = page * pageSize < window.size
+        respond(ex, 200,
+          s"""{"docs":[${docs.mkString(",")}],"hasNextPage":$hasNext,"totalDocs":${window.size}}""")
+      }
+    }
+  })
+
+  server.start()
+  def baseUrl: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  def stop(): Unit = server.stop(0)
+}
+
+class HttpDocFetcherSpec extends SparkSpec {
+
+  private val T0 = 1700000000000L
+
+  private def withStub[A](stub: CallioStub)(f: CallioStub => A): A =
+    try f(stub)
+    finally { stub.stop(); HttpDocFetcher.clearTokenCache() }
+
+  private def cfgFor(stub: CallioStub) =
+    HttpDocFetcher.Config(stub.baseUrl, "u@example.test", "pw")
+
+  test("end-to-end: real client through fetchDescUntil — paged, sorted, deduped") {
+    withStub(new CallioStub(T0, 120)) { stub =>
+      HttpDocFetcher.clearTokenCache()
+      val fetcher = HttpDocFetcher.retrying(cfgFor(stub), "t1")
+      val res = PagedSource.fetchDescUntil(spark, fetcher, "customer", "t1",
+        "updateTime", cutoffMs = T0 - 1, nowMs = T0 + 120 * 60000L,
+        sliceMs = 3600000L, pageSize = 7)
+      val rows = res.docs.collect()
+      assert(rows.length == 120)
+      val times = rows.map(_.getAs[Long]("updateTime"))
+      assert(times.toSeq == times.sortBy(-_).toSeq, "must be sorted desc")
+      assert(!res.hitResultWindowLimit)
+      // One token per JVM, not per page or per slice task: the cache's
+      // single-flight login absorbs the parallel slice tasks' race.
+      assert(stub.loginCount.get() == 1,
+        s"token must be cached across pages, saw ${stub.loginCount.get()} logins")
+      assert(stub.pageRequests.get() >= 18, "every page goes over the wire")
+    }
+  }
+
+  test("token cache: TTL expiry re-logins; fresh token within TTL is reused") {
+    withStub(new CallioStub(T0, 10)) { stub =>
+      var now = 1000L
+      val f = new HttpDocFetcher(cfgFor(stub), clock = () => now)
+      f.fetchPage("customer", "t1", "updateTime", T0, T0 + 600000L, 1, 5)
+      f.fetchPage("customer", "t1", "updateTime", T0, T0 + 600000L, 2, 5)
+      assert(stub.loginCount.get() == 1, "second page rides the cached token")
+      now += 26 * 60 * 1000L // past the 25-min TTL
+      f.fetchPage("customer", "t1", "updateTime", T0, T0 + 600000L, 1, 5)
+      assert(stub.loginCount.get() == 2, "expired token must force re-login")
+    }
+  }
+
+  test("401: bare client raises AuthExpired; retrying client re-logins and succeeds") {
+    withStub(new CallioStub(T0, 20, tokenUses = 2)) { stub =>
+      HttpDocFetcher.clearTokenCache()
+      val bare = new HttpDocFetcher(cfgFor(stub))
+      val p1 = bare.fetchPage("customer", "t1", "updateTime", T0, T0 + 1200000L, 1, 5)
+      assert(p1.docs.size == 5 && p1.hasNextPage)
+      bare.fetchPage("customer", "t1", "updateTime", T0, T0 + 1200000L, 2, 5)
+      intercept[AuthExpired] { // third use of tok-1 → server 401s
+        bare.fetchPage("customer", "t1", "updateTime", T0, T0 + 1200000L, 3, 5)
+      }
+      // The decorated client retries the SAME page on a fresh login.
+      val retrying = HttpDocFetcher.retrying(cfgFor(stub), "t1")
+      val p3 = retrying.fetchPage("customer", "t1", "updateTime", T0, T0 + 1200000L, 3, 5)
+      assert(p3.docs.size == 5, "refresh-once retry must deliver the page")
+      assert(stub.loginCount.get() == 2)
+    }
+  }
+
+  test("400 'Result window is too large' → typed signal → recovery fetches all") {
+    // Server refuses windows wider than 30 min; slices are 1 h, so every
+    // slice must binary-split once before it fits.
+    withStub(new CallioStub(T0, 120, windowLimitMs = 1800000L)) { stub =>
+      HttpDocFetcher.clearTokenCache()
+      val bare = new HttpDocFetcher(cfgFor(stub))
+      intercept[ResultWindowTooLarge] {
+        bare.fetchPage("customer", "t1", "updateTime", T0, T0 + 3600000L, 1, 50)
+      }
+      val fetcher = HttpDocFetcher.retrying(cfgFor(stub), "t1")
+      val res = PagedSource.fetchDescUntil(spark, fetcher, "customer", "t1",
+        "updateTime", cutoffMs = T0 - 1, nowMs = T0 + 120 * 60000L,
+        sliceMs = 3600000L, minSliceMs = 600000L, pageSize = 50)
+      assert(res.docs.count() == 120, "split recovery must still fetch everything")
+      assert(res.hitResultWindowLimit, "the limit flag must surface")
+    }
+  }
+
+  test("wire boundary: engine's half-open [from, to) maps to the API's inclusive to") {
+    withStub(new CallioStub(T0, 3)) { stub =>
+      HttpDocFetcher.clearTokenCache()
+      val bare = new HttpDocFetcher(cfgFor(stub))
+      // Engine window [T0, T0+60000): must return ONLY the T0 doc even
+      // though the server treats `to` inclusively.
+      val p = bare.fetchPage("customer", "t1", "updateTime", T0, T0 + 60000L, 1, 10)
+      assert(p.docs.size == 1 && p.docs.head.contains(s""""updateTime":$T0"""))
+    }
+  }
+}
