@@ -139,15 +139,53 @@ object Similarity {
     */
   def scaledSignPairs(n: Long, dim: Int,
       targetBucketSize: Int = 32): Seq[(Int, Int)] = {
-    require(n > 0 && dim >= 2 && targetBucketSize >= 1)
-    val bits = math.max(4, math.ceil(
-      math.log(n.toDouble / targetBucketSize) / math.log(2)).toInt)
+    require(dim >= 2)
+    val bits = scaledSignBits(n, targetBucketSize)
     require(bits <= dim / 2,
       s"need $bits sign bits for n=$n at target bucket $targetBucketSize, " +
         s"but a $dim-dim vector supplies at most ${dim / 2} disjoint pairs — " +
         "raise targetBucketSize or use a learned quantizer (kmeans/IVF)")
     (0 until bits).map(i => (2 * i + 1, 2 * i + 2))
   }
+
+  /** Bit count for [[scaledSignPairs]]: the smallest b (≥ 4) with
+    * `targetBucketSize * 2^b >= n`. INTEGER arithmetic throughout —
+    * `ceil(log2(n/target))` through doubles can land on either side of
+    * an exact power of two depending on the engine's libm, and the
+    * oracle gates need Scala and DuckDB to derive the IDENTICAL width
+    * from the corpus count ([[scaledSignBitsSql]] is the SQL twin;
+    * PlanShapeSpec pins them equal across the boundary range).
+    */
+  def scaledSignBits(n: Long, targetBucketSize: Int = 32): Int = {
+    require(n > 0 && targetBucketSize >= 1)
+    val m = (n + targetBucketSize - 1) / targetBucketSize // ceil(n/target)
+    val raw = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.max(4, raw)
+  }
+
+  /** DuckDB scalar subquery computing [[scaledSignBits]] over
+    * `count(*)` of `tbl` — `length(format('{:b}', m-1))` is the exact
+    * integer ceil-log2, never a libm rounding.
+    */
+  def scaledSignBitsSql(tbl: String, targetBucketSize: Int = 32): String =
+    s"""(SELECT GREATEST(4, CASE WHEN __m <= 1 THEN 0
+          ELSE length(format('{:b}', __m - 1)) END)
+        FROM (SELECT (count(*) + ${targetBucketSize - 1}) // $targetBucketSize
+                AS __m FROM $tbl))"""
+
+  /** DuckDB bucket-string expression over the SIZED pair set — the
+    * oracle twin of `signLshBuckets(vecs, vecCol, scaledSignPairs(n,
+    * dim, target))`: same disjoint consecutive pairs (2i-1, 2i), same
+    * '1'/'0' encoding with NULL/out-of-range comparisons folding to
+    * '0' (SQL three-valued CASE), bit count derived from the same
+    * corpus count.
+    */
+  def scaledBucketSql(tbl: String, vecCol: String,
+      targetBucketSize: Int = 32): String =
+    s"""array_to_string([CASE WHEN $vecCol[2*__i-1] > $vecCol[2*__i]
+          THEN '1' ELSE '0' END
+        for __i in generate_series(1,
+          ${scaledSignBitsSql(tbl, targetBucketSize)})], '')"""
 
   /** Bucket assignment for the whole table (write `partitionBy(bucket)`
     * for an IVF-style layout where search touches one partition).

@@ -12,6 +12,24 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Sign-LSH width for the embedding near-dup family, sized from the
+    * corpus count (target bucket 2 — the pair stage is quadratic in
+    * bucket population, so dedup wants the finest buckets the corpus
+    * supports). Sizes to 8 bits at the sf0.01 gate — exactly the old
+    * fixed `finePairs`, so oracle hashes are unchanged there — and
+    * grows with the corpus (10 bits at sf0.1). The SQL twin
+    * [[graft.operators.Similarity.scaledBucketSql]] derives the same
+    * width from `count(*)`.
+    */
+  private def sizedDedupPairs(s: SparkSession, dir: String): Seq[(Int, Int)] =
+    graft.operators.Similarity.scaledSignPairs(
+      Tables.table(s, dir, "embeddings").count(), dim = 64,
+      targetBucketSize = 2)
+
+  private def dedupBucketSql(vecCol: String): String =
+    graft.operators.Similarity.scaledBucketSql("embeddings", vecCol,
+      targetBucketSize = 2)
+
   /** DuckDB CTE chain ending in `cand(id1, id2)` — the declarative
     * restatement of `Dedup.lshCandidatePairs(k=4, n=3, bandWidth=2,
     * maxBucket=1000)` over `doc_id < 300`, shared by the q111 and
@@ -313,13 +331,11 @@ object DedupOps {
       (s, dir) => {
         graft.operators.Dedup.embeddingNearDupPairs(
             Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
-            graft.operators.Similarity.finePairs, threshold = 0.15)
+            sizedDedupPairs(s, dir), threshold = 0.15)
           .orderBy("id1", "id2")
       },
       Some {
-        val bucket = graft.operators.Similarity.finePairs.map { case (i, j) =>
-          s"CASE WHEN embedding[$i] > embedding[$j] THEN '1' ELSE '0' END"
-        }.mkString(" || ")
+        val bucket = dedupBucketSql("embedding")
         s"""
         WITH b AS (SELECT vec_id, $bucket AS bucket FROM embeddings),
         p AS (SELECT a.vec_id AS id1, c.vec_id AS id2
@@ -354,15 +370,13 @@ object DedupOps {
         Dedup.connectedComponents(
             Dedup.embeddingNearDupPairs(
                 Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
-                graft.operators.Similarity.finePairs, threshold = 0.15)
+                sizedDedupPairs(s, dir), threshold = 0.15)
               .select("id1", "id2"))
           .withColumn("keep", col("node") === col("component"))
           .orderBy("node")
       },
       Some {
-        val bucket = graft.operators.Similarity.finePairs.map { case (i, j) =>
-          s"CASE WHEN embedding[$i] > embedding[$j] THEN '1' ELSE '0' END"
-        }.mkString(" || ")
+        val bucket = dedupBucketSql("embedding")
         s"""
         WITH RECURSIVE b AS (SELECT vec_id, $bucket AS bucket FROM embeddings),
         p AS (SELECT a.vec_id AS id1, c.vec_id AS id2
@@ -1040,13 +1054,11 @@ object DedupOps {
       (s, dir) => {
         graft.operators.Dedup.semDedup(
             Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
-            graft.operators.Similarity.finePairs, eps = 0.15)
+            sizedDedupPairs(s, dir), eps = 0.15)
           .orderBy("vec_id")
       },
       Some {
-        val bucket = graft.operators.Similarity.finePairs.map { case (i, j) =>
-          s"CASE WHEN m.embedding[$i] > m.embedding[$j] THEN '1' ELSE '0' END"
-        }.mkString(" || ")
+        val bucket = dedupBucketSql("m.embedding")
         s"""
         WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
                           generate_subscripts(embedding, 1) AS pos

@@ -32,6 +32,21 @@ object SimilarityOps {
     Tables.table(s, dir, "embeddings")
       .repartition(s.sessionState.conf.numShufflePartitions)
 
+  /** The SHIPPED sign-LSH width: sized from the corpus count
+    * ([[Similarity.scaledSignBits]], target bucket 32) instead of a
+    * fixed pair list — SCALING.md measured the fixed width's candidate
+    * mass at growth exponent 2.0, the sized one ~linear. The count is
+    * one parquet-metadata job (no scan); dim 64 is the fixture
+    * embedding width (TESTDATA.md). At sf0.01 this sizes to 4 bits —
+    * exactly the old `defaultPairs` — so every oracle hash is
+    * unchanged at the gate SF while larger corpora get wider buckets
+    * automatically (the oracle derives the same width from `count(*)`,
+    * [[Similarity.scaledBucketSql]]).
+    */
+  private def sizedPairs(s: SparkSession, dir: String): Seq[(Int, Int)] =
+    Similarity.scaledSignPairs(emb(s, dir).count(), dim = 64,
+      targetBucketSize = 32)
+
   /** Exact (decimal-accumulated) cosine of every vector vs `vec_id = 0`,
     * over an optional candidate subset.
     */
@@ -419,20 +434,18 @@ object SimilarityOps {
     $pqCte"""
 
   private def bucketSql(tbl: String): String =
-    Similarity.defaultPairs.map { case (i, j) =>
-      s"CASE WHEN $tbl.embedding[$i] > $tbl.embedding[$j] THEN '1' ELSE '0' END"
-    }.mkString(" || ")
+    Similarity.scaledBucketSql(tbl, s"$tbl.embedding", targetBucketSize = 32)
 
   /** SQL predicate: Hamming distance between two '0'/'1' bucket strings
     * is ≤ `h` — the declarative mirror of the multi-probe expansion
     * ([[Similarity.probeBuckets]] explodes each query to every bucket
     * in its Hamming-`h` ball; joining on bucket equality against that
-    * set selects exactly the pairs this predicate admits).
+    * set selects exactly the pairs this predicate admits). Width-
+    * agnostic (iterates `length(a)`) so it tracks the sized bucket.
     */
   private def hammingLeSql(a: String, b: String, h: Int): String =
-    "(" + (1 to Similarity.defaultPairs.length).map(i =>
-      s"(CASE WHEN substr($a,$i,1) <> substr($b,$i,1) THEN 1 ELSE 0 END)")
-      .mkString(" + ") + s") <= $h"
+    s"""len([__x for __x in generate_series(1, length($a))
+         if substr($a,__x,1) <> substr($b,__x,1)]) <= $h"""
 
   /** Decimal-exact all-pairs batch top-3 (the recall yardstick): every
     * `%97` query scored against every other vector, cut per query on
@@ -470,14 +483,15 @@ object SimilarityOps {
       probeHamming: Int,
       band: Option[(Double, Double)] = None): DataFrame = {
     def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
+    val pairs = sizedPairs(s, dir)
     val base = emb(s, dir).select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-    val bucketed = Similarity.signLshBuckets(base, "embedding")
+    val bucketed = Similarity.signLshBuckets(base, "embedding", pairs)
     val queries = bucketed.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         col("nrm").as("qnrm"),
         explode(Similarity.probeBuckets(col("bucket"),
-          Similarity.defaultPairs.length, probeHamming)).as("qbucket"))
+          pairs.length, probeHamming)).as("qbucket"))
     val scored = bucketed.join(broadcast(queries),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -760,7 +774,8 @@ object SimilarityOps {
       (s, dir) => {
         def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
         val b = Similarity.signLshBuckets(
-            emb(s, dir).select(col("vec_id"), col("embedding")), "embedding")
+            emb(s, dir).select(col("vec_id"), col("embedding")), "embedding",
+            sizedPairs(s, dir))
           .select(col("vec_id"), col("embedding"), col("bucket"),
             sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
           .localCheckpoint(true) // benchmark AND corpus splits read it
@@ -812,7 +827,8 @@ object SimilarityOps {
     QueryDef("q41_ann_lsh",
       (s, dir) => {
         val vecs = emb(s, dir)
-        val bucketed = Similarity.signLshBuckets(vecs, "embedding")
+        val bucketed = Similarity.signLshBuckets(vecs, "embedding",
+          sizedPairs(s, dir))
         val qBucket = bucketed.filter(col("vec_id") === 0)
           .select(col("bucket").as("qb"))
         // The query vector matches its own bucket, so `cands` always
@@ -1320,7 +1336,7 @@ object SimilarityOps {
             Seq("vec_id"), Seq(col("sim").desc_nulls_last, col("cluster").asc))
             .select(col("vec_id"), col("embedding"), col("cluster"))
         val seed = Similarity.signLshBuckets(
-            e.select("vec_id", "embedding"), "embedding")
+            e.select("vec_id", "embedding"), "embedding", sizedPairs(s, dir))
           .select(col("vec_id"), col("embedding"),
             concat(lit("b"), col("bucket")).as("cluster"))
         // Two kmeansSteps (assign → means), eagerly materialized: the

@@ -7,7 +7,7 @@ import java.nio.charset.StandardCharsets
 import java.time.Duration
 import java.util.concurrent.ConcurrentHashMap
 
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.ObjectMapper
 
 import graft.sources.PagedSource.{AuthExpired, DocFetcher, Page, ResultWindowTooLarge}
 

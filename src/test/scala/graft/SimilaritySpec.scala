@@ -721,6 +721,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("scaledSignBits: integer-exact at power-of-two boundaries; gate widths pinned") {
+    // The sizing is smallest b >= 4 with target * 2^b >= n, computed in
+    // integer arithmetic — ceil(log2(n/target)) through doubles can land
+    // on either side of an exact power of two depending on libm, and the
+    // oracle derives the SAME width in SQL (scaledSignBitsSql uses the
+    // binary-format length). Pin the boundaries on both sides.
+    assert(Similarity.scaledSignBits(512, 32) == 4) // 32*2^4 = 512 exactly
+    assert(Similarity.scaledSignBits(513, 32) == 5)
+    assert(Similarity.scaledSignBits(1024, 32) == 5)
+    assert(Similarity.scaledSignBits(1025, 32) == 6)
+    assert(Similarity.scaledSignBits(1, 32) == 4, "floor of 4 bits")
+    // The shipped gate widths: the sf0.01 fixture (500 embeddings) must
+    // size to the historical fixed widths — 4 bits for the ANN family
+    // (old defaultPairs), 8 for the dedup family (old finePairs) — so
+    // oracle hashes are unchanged; sf0.1 (2000) grows both.
+    assert(Similarity.scaledSignBits(500, 32) == 4)
+    assert(Similarity.scaledSignBits(500, 2) == 8)
+    assert(Similarity.scaledSignBits(2000, 32) == 6)
+    assert(Similarity.scaledSignBits(2000, 2) == 10)
+  }
+
   test("srhtRotate: dense H·D·x/√d agreement, isometry, inverse round-trip") {
     val rnd = new scala.util.Random(11)
     val d = 8
