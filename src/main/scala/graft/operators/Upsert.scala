@@ -44,47 +44,105 @@ object Upsert {
   final class ConcurrentWriterException(msg: String)
     extends IllegalStateException(msg)
 
-  /** Create-exclusive writer lock on a table root. `fs.create(p, false)`
-    * is atomic on HDFS and object-store semantics vary but stay
-    * create-exclusive under the Hadoop contract; on RawLocalFileSystem it
-    * is check-then-create — adequate for the single-orchestrator design
-    * this enforces (the failure mode it guards is *operational* double
-    * scheduling, not sub-millisecond races). The lock is released on BOTH
-    * success and failure: the merge is idempotent and crash-repairable
-    * (see recovery block in [[applyToPartitionedParquet]]), so only LIVE
-    * concurrency needs excluding. A lock left by a hard JVM kill must be
-    * deleted by the operator after confirming the writer is dead — the
-    * lock file records pid/app/time for exactly that call.
+  /** Create-exclusive writer lock on a table root, with LEASE-WAIT
+    * serialization. `fs.create(p, false)` is atomic on HDFS and
+    * object-store semantics vary but stay create-exclusive under the
+    * Hadoop contract; on RawLocalFileSystem it is check-then-create —
+    * adequate for the design this enforces (the failure mode it guards
+    * is *operational* double scheduling, not sub-millisecond races).
+    *
+    * Concurrency contract (the streaming sinks and any double-scheduled
+    * batch ingest are the consumers):
+    *  - a second writer WAITS (polling) up to `waitMs` for the holder
+    *    to release, then proceeds — two interleaved appends serialize
+    *    instead of one dying;
+    *  - every lock carries a lease expiry (`lease_expires_at`, now +
+    *    `leaseMs`). A waiter that finds an EXPIRED lease breaks the
+    *    lock and takes over: the holder is presumed dead (hard JVM
+    *    kill), and every protected operation is idempotent and
+    *    crash-repairable, so takeover after a crash is safe. Size
+    *    `leaseMs` (default 15 min, `-Dgraft.lockLeaseMs`) above the
+    *    longest expected write — a LIVE writer that outruns its lease
+    *    can be overtaken, the standard lease tradeoff;
+    *  - a lease-less lock (operator-made, or pre-lease writers) is
+    *    never broken — waited on, then failed LOUDLY with the holder
+    *    identity, as before;
+    *  - `waitMs` exhausted (default 60 s, `-Dgraft.lockWaitMs`) →
+    *    [[ConcurrentWriterException]]: the caller decides, nothing was
+    *    mutated.
+    *
+    * The lock is released on BOTH success and failure: the merge is
+    * idempotent and crash-repairable (see recovery block in
+    * [[applyToPartitionedParquet]]), so only LIVE concurrency needs
+    * excluding.
     */
   private[graft] def withWriterLock[T](
-      spark: org.apache.spark.sql.SparkSession, path: String)(body: => T): T = {
+      spark: org.apache.spark.sql.SparkSession, path: String)(body: => T): T =
+    withWriterLock(spark, path,
+      waitMs = sys.props.get("graft.lockWaitMs").map(_.toLong)
+        .getOrElse(60000L),
+      leaseMs = sys.props.get("graft.lockLeaseMs").map(_.toLong)
+        .getOrElse(15L * 60 * 1000))(body)
+
+  private[graft] def withWriterLock[T](
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      waitMs: Long, leaseMs: Long)(body: => T): T = {
     val hLock = new org.apache.hadoop.fs.Path(path + ".merge-lock")
     val fs = hLock.getFileSystem(spark.sessionState.newHadoopConf())
     Option(hLock.getParent).foreach(fs.mkdirs)
-    val stream =
-      try fs.create(hLock, false)
+    val leaseRe = """lease_expires_at=(\d+)""".r
+    val deadline = System.currentTimeMillis() + waitMs
+    val pollMs = math.max(50L, math.min(1000L, waitMs / 10))
+
+    def tryAcquire(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
+      try Some(fs.create(hLock, false))
       catch { case e: java.io.IOException =>
         val held = try fs.exists(hLock) catch { case _: Throwable => false }
-        if (held) {
-          val holder = try {
-            val in = fs.open(hLock)
-            try new String(in.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8).trim
-            finally in.close()
-          } catch { case _: Throwable => "<unreadable>" }
-          throw new ConcurrentWriterException(
-            s"merge target $path is locked by another writer [$holder] " +
-              s"(lock file $hLock). Concurrent merges into one target are " +
-              "undefined — this engine enforces the reference's serial " +
-              "orchestration. If the holder crashed, delete the lock file " +
-              "and re-run: the merge is idempotent and crash-recovered.")
-        } else throw e
+        if (held) None else throw e
       }
+
+    def holderInfo(): String =
+      try {
+        val in = fs.open(hLock)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      } catch { case _: Throwable => "<unreadable>" }
+
+    var stream: org.apache.hadoop.fs.FSDataOutputStream = null
+    while (stream == null) {
+      tryAcquire() match {
+        case Some(s0) => stream = s0
+        case None =>
+          val holder = holderInfo()
+          val expired = leaseRe.findFirstMatchIn(holder)
+            .exists(_.group(1).toLong < System.currentTimeMillis())
+          if (expired) {
+            // Presumed-dead holder: break the lock and re-race for the
+            // create. Two waiters may both delete — create-exclusive
+            // still admits exactly one.
+            try fs.delete(hLock, false) catch { case _: Throwable => () }
+          } else if (System.currentTimeMillis() < deadline) {
+            Thread.sleep(pollMs)
+          } else {
+            throw new ConcurrentWriterException(
+              s"merge target $path is locked by another writer [$holder] " +
+                s"(lock file $hLock) and did not release within ${waitMs}ms. " +
+                "Concurrent merges into one target are undefined — this " +
+                "engine serializes writers via the lock's lease. If the " +
+                "holder crashed, its lease expires and the next writer " +
+                "takes over; a lease-less (operator-made) lock must be " +
+                "deleted manually: the merge is idempotent and " +
+                "crash-recovered.")
+          }
+      }
+    }
     try {
       stream.write(
         (s"pid=${ProcessHandle.current().pid()} " +
           s"app=${spark.sparkContext.applicationId} " +
-          s"at=${java.time.Instant.now()}")
+          s"at=${java.time.Instant.now()} " +
+          s"lease_expires_at=${System.currentTimeMillis() + leaseMs}")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       stream.close()
       body

@@ -336,14 +336,24 @@ class UpsertSpec extends SparkSpec {
     init.write.mode("overwrite").partitionBy("d").parquet(dir)
     val beforeRows = spark.read.parquet(dir)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    // Simulate a live first writer: its create-exclusive lock is present.
+    // Simulate a live first writer: its create-exclusive lock is
+    // present. LEASE-LESS (operator-made) locks are never broken — the
+    // waiter polls out its bounded wait (shortened here) then fails.
     val lock = new java.io.File(dir + ".merge-lock")
     java.nio.file.Files.writeString(lock.toPath, "pid=999 app=other-writer")
     val source = df("k BIGINT, v STRING, d STRING",
       Row(Long.box(2), "B2", "2024-01-02"))
     val e = intercept[Upsert.ConcurrentWriterException] {
-      Upsert.applyToPartitionedParquet(spark, dir, source, Seq("k"), "d")
+      Upsert.withWriterLock(spark, dir, waitMs = 300, leaseMs = 60000) {
+        fail("body must not run under a held lease-less lock")
+      }
     }
+    // The normal entry point refuses the same way (default wait spans
+    // are production-sized; exercise the wiring with a tight prop).
+    sys.props("graft.lockWaitMs") = "200"
+    try intercept[Upsert.ConcurrentWriterException] {
+      Upsert.applyToPartitionedParquet(spark, dir, source, Seq("k"), "d")
+    } finally sys.props.remove("graft.lockWaitMs")
     // Loud AND actionable: names the holder and the lock file.
     assert(e.getMessage.contains("other-writer"))
     assert(e.getMessage.contains(".merge-lock"))
@@ -362,6 +372,32 @@ class UpsertSpec extends SparkSpec {
     assert(spark.read.parquet(dir)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
       Map(1L -> "a", 2L -> "B2"))
+    assert(!lock.exists())
+  }
+
+  test("an expired lease is broken and taken over; a live one is waited out") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_lease").toString
+    df("k BIGINT, v STRING, d STRING", Row(Long.box(1), "a", "2024-01-01"))
+      .write.mode("overwrite").partitionBy("d").parquet(dir)
+    val lock = new java.io.File(dir + ".merge-lock")
+    // Crashed holder: its lease expired in the past. The next writer
+    // breaks the lock and proceeds without waiting out the full budget.
+    java.nio.file.Files.writeString(lock.toPath,
+      s"pid=999 app=dead-writer lease_expires_at=${System.currentTimeMillis() - 1000}")
+    Upsert.applyToPartitionedParquet(spark, dir,
+      df("k BIGINT, v STRING, d STRING", Row(Long.box(2), "b", "2024-01-02")),
+      Seq("k"), "d")
+    assert(spark.read.parquet(dir).count() == 2,
+      "takeover of an expired lease must let the merge land")
+    assert(!lock.exists(), "the taking-over writer releases its own lock")
+    // Live holder that releases mid-wait: the waiter serializes behind
+    // it instead of failing.
+    java.nio.file.Files.writeString(lock.toPath,
+      s"pid=998 app=live-writer lease_expires_at=${System.currentTimeMillis() + 60000}")
+    val releaser = new Thread(() => { Thread.sleep(700); lock.delete(); () })
+    releaser.start()
+    Upsert.withWriterLock(spark, dir, waitMs = 10000, leaseMs = 60000) { () }
+    releaser.join()
     assert(!lock.exists())
   }
 

@@ -64,9 +64,10 @@ class VocabSpec extends SparkSpec {
     Vocab.build(toks("a"), "token", p)
     val lock = new java.io.File(p + ".merge-lock")
     java.nio.file.Files.writeString(lock.toPath, "pid=1 app=other")
-    intercept[graft.operators.Upsert.ConcurrentWriterException] {
+    sys.props("graft.lockWaitMs") = "200" // lease-less: waited out, refused
+    try intercept[graft.operators.Upsert.ConcurrentWriterException] {
       Vocab.append(toks("b"), "token", p, "b1")
-    }
+    } finally sys.props.remove("graft.lockWaitMs")
     assert(lock.delete())
     Vocab.append(toks("b"), "token", p, "b1")
     assert(vocabMap(p)("b") == 1L)
