@@ -570,6 +570,60 @@ class SimilaritySpec extends SparkSpec {
       "compaction must drop uncommitted orphan vectors")
   }
 
+  test("ivfCompact crash between swap renames recovers with live tombstones") {
+    // The park-then-replace swap (Storage.rewriteInPlace) has a
+    // one-rename-wide no-table window: live dir parked at .compact-old,
+    // replacement still at .compact-tmp. A crash THERE must be fully
+    // recoverable on the next compact run — including when a committed
+    // tombstone sidecar is live (sidecar dirs are siblings of the index
+    // dir, so the park does not move them; the recovered compact must
+    // still fold them away).
+    val e = emb.select("vec_id", "embedding")
+    val cents = Similarity.centroids(
+      Similarity.signLshBuckets(e, "embedding")
+        .select(col("bucket").as("cluster"), col("embedding")),
+      "cluster", "embedding").localCheckpoint(true)
+    val q = e.filter(col("vec_id") === 3).head().getSeq[Float](1)
+    def hits(path: String) =
+      Similarity.ivfSearch(spark, path, "vec_id", "embedding", cents, q,
+        k = 20, nprobe = 2).collect().map(_.getLong(0)).toSeq
+
+    val p = tmpIndex("crash_tomb")
+    Similarity.ivfWrite(e, "vec_id", "embedding", cents, p)
+    Similarity.ivfDelete(spark, p,
+      e.filter(col("vec_id") % 5 === 0).select("vec_id"), "d1")
+    val expected = {
+      val pRef = tmpIndex("crash_tomb_ref")
+      Similarity.ivfWrite(e.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", cents, pRef)
+      hits(pRef)
+    }
+    // Inject the crash state between the two renames: live parked at
+    // .compact-old, a half-written tmp in place, NO live dir. The
+    // tombstone sidecar stays where the crash left it — live.
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(p),
+      new org.apache.hadoop.fs.Path(p + ".compact-old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p + ".compact-tmp"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p + "_tombstones")))
+    // Next compact run: recovery restores the parked table, the stale
+    // tmp is discarded, and the compact proceeds — tombstones folded,
+    // sidecar dropped, search identical to rebuild-without.
+    Similarity.ivfCompact(spark, p)
+    assert(hits(p) == expected,
+      "recovered compact must serve exactly the rebuild-without results")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p + "_tombstones")),
+      "recovered compact must still drop the tombstone sidecar")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p + ".compact-old")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(p + ".compact-tmp")),
+      "no swap debris may survive a successful recovered compact")
+    assert(spark.read.parquet(p)
+      .filter(col("vec_id") % 5 === 0).count() == 0,
+      "tombstoned vectors must be physically gone after recovery")
+  }
+
   test("ivfStats: drift ledger separates in-distribution from shifted batches") {
     def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
     // Build corpus: tight clusters on the +e1 and +e2 axes — the

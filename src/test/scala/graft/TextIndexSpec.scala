@@ -76,6 +76,92 @@ class TextIndexSpec extends SparkSpec {
       s"tombstones must be served via an anti-join:\n$plan")
   }
 
+  test("doclens sidecar: O(deleted) victim stats, coverage fallback, compact fold") {
+    val path = tmp("doclens")
+    TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
+    TextIndex.append(appendCorpus, "doc_id", "text", path, "b1")
+    val dlp = new java.io.File(path + "__doclens")
+    assert(dlp.exists(), "write/append must emit the doclens sidecar")
+    // One (doc, dl) row per doc per batch, doc-hash bucketed.
+    val rows = spark.read.parquet(path + "__doclens")
+    assert(rows.select("doc").distinct().count() == rows.count(),
+      "doclens must be one row per doc")
+    // The delete's victim stats come from the sidecar: the negative
+    // ledger row must carry the victims' true n_docs/sum_dl.
+    val dl2 = rows.filter(col("doc") === 2L).head().getLong(1)
+    TextIndex.delete(spark, path,
+      df("doc_id BIGINT", Row(Long.box(2)), Row(Long.box(999))), "d1")
+    val delRow = spark.read.parquet(path + "__meta")
+      .filter(col("batch") === "del:d1").head()
+    assert(delRow.getLong(1) == -1L, "absent id 999 must not be counted")
+    assert(delRow.getLong(2) == -dl2, "sum_dl decrement from the sidecar")
+    // Coverage fallback: an index whose sidecar is missing (pre-sidecar
+    // build) must fall back to the postings scan with identical stats.
+    val legacy = tmp("doclens_legacy")
+    TextIndex.write(corpus, "doc_id", "text", legacy, nShards = 4)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+    }
+    rmrf(new java.io.File(legacy + "__doclens"))
+    TextIndex.delete(spark, legacy, df("doc_id BIGINT", Row(Long.box(2))), "d1")
+    val legacyRow = spark.read.parquet(legacy + "__meta")
+      .filter(col("batch") === "del:d1").head()
+    assert(legacyRow.getLong(1) == -1L && legacyRow.getLong(2) == -dl2,
+      "postings-scan fallback must produce the same victim stats")
+    // Compact folds the sidecar: tombstoned docs' rows physically gone,
+    // everything under batch=build, indexedIds unchanged.
+    val idsBefore = TextIndex.indexedIds(spark, path)
+      .collect().map(_.getLong(0)).toSet
+    TextIndex.compact(spark, path)
+    val folded = spark.read.parquet(path + "__doclens")
+    assert(folded.filter(col("doc") === 2L).count() == 0,
+      "compact must drop tombstoned docs from the doclens sidecar")
+    assert(folded.select("batch").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("build"))
+    // Post-compact the erased id leaves indexedIds (retired-identity
+    // window ends at compact, same as postings) — remaining ids agree.
+    assert(TextIndex.indexedIds(spark, path).collect()
+      .map(_.getLong(0)).toSet == idsBefore - 2L)
+  }
+
+  test("compact crash between swap renames recovers with live tombstones") {
+    // Same composition as SimilaritySpec's IVF twin: the park-then-
+    // replace swap crashes in its one-rename-wide window while a
+    // committed tombstone sidecar is live. The next compact must
+    // recover the parked postings, still fold the tombstones, drop
+    // the sidecar, and serve exactly the rebuild-without results.
+    val path = tmp("crash_tomb")
+    TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
+    TextIndex.append(df("doc_id BIGINT, text STRING",
+      Row(Long.box(8), "spark appends postings"),
+      Row(Long.box(9), "spark compacts postings")), "doc_id", "text", path, "b2")
+    TextIndex.delete(spark, path, df("doc_id BIGINT",
+      Row(Long.box(2)), Row(Long.box(8))), "d1")
+    def search() = TextIndex.searchBM25(spark, path, Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = search()
+    assert(!before.exists(r => r._1 == 2L || r._1 == 8L))
+    // Inject the crash: live postings parked, stale tmp present, no
+    // live dir; the sidecar (a sibling dir) stays live.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".compact-old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path + ".compact-tmp"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path + "__tombstones")))
+    TextIndex.compact(spark, path)
+    assert(search() == before,
+      "recovered compact must not change search results")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__tombstones")),
+      "recovered compact must still drop the tombstone sidecar")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".compact-old")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(path + ".compact-tmp")),
+      "no swap debris may survive a successful recovered compact")
+    assert(spark.read.parquet(path)
+      .filter(col("doc").isin(2L, 8L)).count() == 0,
+      "tombstoned postings must be physically gone after recovery")
+  }
+
   test("conjunctive search: AND cut exact, scores match the OR path, append-safe") {
     val path = tmp("conj")
     TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
@@ -289,12 +375,44 @@ class TextIndexSpec extends SparkSpec {
     val path = tmp("append_lock")
     TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
     val lock = new java.io.File(path + ".merge-lock")
+    // Lease-less lock (operator-made): never broken, waited out (wait
+    // shortened via the prop), then refused loudly.
     java.nio.file.Files.writeString(lock.toPath, "pid=1 app=other")
-    intercept[graft.operators.Upsert.ConcurrentWriterException] {
+    sys.props("graft.lockWaitMs") = "200"
+    try intercept[graft.operators.Upsert.ConcurrentWriterException] {
       TextIndex.append(appendCorpus, "doc_id", "text", path, "b1")
-    }
+    } finally sys.props.remove("graft.lockWaitMs")
     assert(lock.delete())
     TextIndex.append(appendCorpus, "doc_id", "text", path, "b1")
     assert(TextIndex.searchBM25(spark, path, Seq("spark"), 10).count() == 4)
+  }
+
+  test("two interleaved appends serialize on the lease and BOTH land") {
+    val path = tmp("append_race")
+    TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
+    // Two writers race the same index root. The loser must WAIT on the
+    // winner's lease (not die), then append — the multi-writer shape a
+    // double-scheduled batch ingest or two streaming sinks produce.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(batch: String, id: Long, text: String) = new Thread(() => {
+      try TextIndex.append(
+        df("doc_id BIGINT, text STRING", Row(Long.box(id), text)),
+        "doc_id", "text", path, batch)
+      catch { case t: Throwable => errs.add(t); () }
+    })
+    val t1 = writer("r1", 21L, "spark raced first")
+    val t2 = writer("r2", 22L, "spark raced second")
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errs.isEmpty, s"both writers must land, got: ${errs.peek()}")
+    // Ledger shows both batches; both docs serve.
+    val batches = spark.read.parquet(path + "__meta")
+      .select("batch").collect().map(_.getString(0)).toSet
+    assert(batches.contains("r1") && batches.contains("r2"),
+      s"ledger must show both racing batches, got $batches")
+    val served = TextIndex.searchBM25(spark, path, Seq("spark"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(served.contains(21L) && served.contains(22L),
+      "both raced appends must serve")
+    assert(!new java.io.File(path + ".merge-lock").exists())
   }
 }
