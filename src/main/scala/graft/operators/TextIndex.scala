@@ -66,18 +66,72 @@ object TextIndex {
   // Batch-commit protocol rules live in [[IndexCommit]] — shared with
   // the vector and band indexes so the three families cannot drift.
 
-  /** One corpus scan → postings frame + its 1-row batch stats. */
+  /** Doc-hash bucket count of the `__doclens` sidecar layout — part of
+    * the ON-DISK contract (readers prune `dbucket` partitions computed
+    * with this constant; changing it would silently miss rows written
+    * under the old value). 64 buckets: a delete of k docs touches
+    * ≤ min(k, 64) partition dirs of a sidecar holding one tiny row per
+    * doc — the access path that makes erasure O(deleted), not
+    * O(index).
+    */
+  private val DocLenBuckets = 64
+
+  private def dbucket(doc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(doc), lit(DocLenBuckets))
+
+  /** One corpus scan → postings frame + per-doc lengths + 1-row batch
+    * stats.
+    */
   private def tokenize(docs: DataFrame, id: String, body: String)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val base = docs.select(col(id).as("doc"), words(col(body)).as("__ws"))
       .select(col("doc"), col("__ws"), size(col("__ws")).cast("long").as("dl"))
-      .localCheckpoint(true) // postings AND stats read it: one corpus scan
+      .localCheckpoint(true) // postings AND doclens AND stats: one scan
     val postings = base
       .select(col("doc"), col("dl"), explode(col("__ws")).as("token"))
       .groupBy("token", "doc", "dl").agg(count(lit(1)).as("tf"))
     (postings,
+      base.select(col("doc"), col("dl")),
       base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
   }
+
+  private def doclenPath(path: String): String = s"${path}__doclens"
+
+  /** True iff the `__doclens` sidecar covers EVERY committed ingest
+    * batch — the guard that keeps a pre-sidecar build appended by a
+    * post-sidecar writer correct: partial coverage falls back to the
+    * postings scan instead of silently under-counting victims. One
+    * glob over ≤ 64 × batches partition dirs.
+    */
+  private def doclensCover(spark: SparkSession, path: String,
+      meta: Meta): Boolean = {
+    val dlp = new org.apache.hadoop.fs.Path(doclenPath(path))
+    val fs = dlp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(dlp) && {
+      val g = fs.globStatus(
+        new org.apache.hadoop.fs.Path(dlp, "dbucket=*/batch=*"))
+      val have =
+        if (g == null) Set.empty[String]
+        else g.map(_.getPath.getName.stripPrefix("batch=")).toSet
+      meta.batches.filterNot(_.startsWith("del:")).subsetOf(have)
+    }
+  }
+
+  /** Write a batch's (doc, dl) rows doc-hash-bucketed. The sidecar is
+    * the index's doc-keyed access path: erasure reads ONLY the victim
+    * ids' buckets (partition pruning) instead of scanning postings for
+    * victim stats, and [[indexedIds]] reads one row per doc instead of
+    * one per posting.
+    */
+  private def writeDoclens(doclens: DataFrame, batch: String, path: String,
+      overwrite: Boolean): Unit =
+    doclens
+      .withColumn("dbucket", dbucket(col("doc")))
+      .withColumn("batch", lit(batch))
+      .repartition(col("dbucket"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("dbucket", "batch").parquet(doclenPath(path))
 
   private def metaRow(spark: SparkSession, batch: String, nDocs: Long,
       sumDl: Long, nPostings: Long, nTokens: Long, nShards: Int): DataFrame =
@@ -119,8 +173,9 @@ object TextIndex {
   def write(docs: DataFrame, id: String, body: String, path: String,
       nShards: Int = 16): Unit = {
     require(nShards >= 1, s"need nShards >= 1, got $nShards")
-    val (postings, stats) = tokenize(docs, id, body)
+    val (postings, doclens, stats) = tokenize(docs, id, body)
     writePostings(postings, "build", nShards, path, overwrite = true)
+    writeDoclens(doclens, "build", path, overwrite = true)
     // nShards rides in the ledger: serving and appends MUST hash with
     // the build's shard count — a mismatch would silently prune live
     // postings. A rebuild overwrites the ledger = resets the baseline.
@@ -149,8 +204,11 @@ object TextIndex {
       val meta = readMeta(spark, path)
       IndexCommit.requireNotCommitted(batch, meta.batches, s"${path}__meta")
       IndexCommit.dropOrphanDirs(spark, path, s"shard=*/batch=$batch")
-      val (postings, stats) = tokenize(docs, id, body)
+      IndexCommit.dropOrphanDirs(spark, doclenPath(path),
+        s"dbucket=*/batch=$batch")
+      val (postings, doclens, stats) = tokenize(docs, id, body)
       writePostings(postings, batch, meta.nShards, path, overwrite = false)
+      writeDoclens(doclens, batch, path, overwrite = false)
       // COMMIT POINT: the batch exists once this row is durable.
       writeMetaRow(postings, stats, batch, meta.nShards, path,
         overwrite = false)
@@ -158,12 +216,12 @@ object TextIndex {
 
   /** Tombstone-delete documents from the index — the erasure face the
     * [[Cascade]] tier needs to reach SERVING state: postings are
-    * never rewritten (O(index-scan) to find the victims' stats, zero
-    * bytes of the index itself touched); instead the doc ids land in
-    * a `__tombstones` sidecar and ONE NEGATIVE LEDGER ROW
-    * (`del:<batch>`, −n_docs, −sum_dl, −n_postings) commits the
-    * batch, so the ledger sums serving reads stay correct by plain
-    * addition. Serving anti-joins committed tombstones before the
+    * never rewritten or scanned (victim stats come from the
+    * doc-bucketed `__doclens` sidecar — O(deleted) partition-pruned
+    * reads, see inline note); instead the doc ids land in a
+    * `__tombstones` sidecar and ONE NEGATIVE LEDGER ROW
+    * (`del:<batch>`, −n_docs, −sum_dl) commits the batch, so the
+    * ledger sums serving reads stay correct by plain addition. Serving anti-joins committed tombstones before the
     * live-df window, so both the candidate set AND every df/idf/avgdl
     * constant behave as if the docs were rebuilt away —
     * TextIndexSpec pins delete ≡ rebuild-without-them, and
@@ -189,24 +247,41 @@ object TextIndex {
       val fresh = committedTombstones(spark, path, meta)
         .foldLeft(docIds.select(col(docIds.columns.head).as("doc")).distinct())(
           (ids, tomb) => ids.join(tomb, Seq("doc"), "left_anti"))
-      // Victim stats from the index itself: any one posting row of a
-      // doc carries its dl, and (doc, dl) is unique per doc.
-      val victims = committedPostings(spark, path, meta)
-        .join(fresh, Seq("doc"), "left_semi")
-        .localCheckpoint(true) // stats aggregate AND the tombstone write
+        .localCheckpoint(true) // bucket collect AND the victim semi-join
+      // Victim stats (doc, dl) from the doc-keyed `__doclens` sidecar:
+      // the victims' hash buckets prune the read to ≤ min(k, 64)
+      // partition dirs of a one-row-per-doc table — erasure cost is
+      // O(deleted), never an O(index) postings scan. The bucket list
+      // is a bounded collect: an erasure request is a bounded id set,
+      // and its distinct bucket count is ≤ 64 literals. Indexes built
+      // before the sidecar existed fall back to the postings scan.
+      // `n_postings`/`n_tokens` are ingest history and NOT maintained
+      // under deletes (nothing in serving reads them; df is derived
+      // live from probed postings).
+      val victims = (if (doclensCover(spark, path, meta)) {
+        val buckets = fresh.select(dbucket(col("doc")).as("b")).distinct()
+          .collect().map(r => Long.box(r.getLong(0))).toSeq
+        spark.read.parquet(doclenPath(path))
+          .filter(col("batch").cast("string").isin(meta.batches.toSeq: _*))
+          .filter(col("dbucket").isin(buckets: _*))
+          .join(fresh, Seq("doc"), "left_semi")
+          .select(col("doc"), col("dl")).distinct()
+      } else {
+        committedPostings(spark, path, meta)
+          .join(fresh, Seq("doc"), "left_semi")
+          .select(col("doc"), col("dl")).distinct()
+      }).localCheckpoint(true) // stats aggregate AND the tombstone write
       val st = victims.agg(
-        count_distinct(col("doc")).as("d"),
-        count(lit(1)).as("p")).head()
-      val dlSum = victims.select(col("doc"), col("dl")).distinct()
-        .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
-      victims.select(col("doc")).distinct()
+        count(lit(1)).as("d"),
+        coalesce(sum(col("dl")), lit(0L)).as("dl")).head()
+      victims.select(col("doc"))
         .withColumn("batch", lit(batch))
         .coalesce(1)
         .write.mode("append").option("partitionOverwriteMode", "static")
         .partitionBy("batch").parquet(tombPath(path))
       // COMMIT POINT: the negative row makes the tombstones visible.
-      metaRow(spark, s"del:$batch", -st.getLong(0), -dlSum,
-        -st.getLong(1), 0L, meta.nShards)
+      metaRow(spark, s"del:$batch", -st.getLong(0), -st.getLong(1),
+        0L, 0L, meta.nShards)
         .coalesce(1).write.mode("append").parquet(s"${path}__meta")
     }
 
@@ -220,7 +295,15 @@ object TextIndex {
     */
   def indexedIds(spark: SparkSession, path: String): DataFrame = {
     val meta = readMeta(spark, path)
-    committedPostings(spark, path, meta).select(col("doc")).distinct()
+    // One row per doc from the doclens sidecar beats one per posting;
+    // pre-sidecar (or partially covered) indexes fall back to the
+    // postings scan.
+    if (doclensCover(spark, path, meta))
+      spark.read.parquet(doclenPath(path))
+        .filter(col("batch").cast("string").isin(meta.batches.toSeq: _*))
+        .select(col("doc")).distinct()
+    else
+      committedPostings(spark, path, meta).select(col("doc")).distinct()
   }
 
   private def tombPath(path: String): String = s"${path}__tombstones"
@@ -279,7 +362,7 @@ object TextIndex {
     Upsert.withWriterLock(spark, path) {
       val meta = readMeta(spark, path)
       val tomb = committedTombstones(spark, path, meta)
-        .map(_.localCheckpoint(true)) // read by the fold inside the swap
+        .map(_.localCheckpoint(true)) // read by BOTH folds inside the swaps
       graft.sources.Storage.rewriteInPlace(spark, path) { tmp =>
         tomb.foldLeft(committedPostings(spark, path, meta))(
             (p, t) => p.join(t, Seq("doc"), "left_anti"))
@@ -287,11 +370,27 @@ object TextIndex {
           .repartition(col("shard"))
           .write.mode("overwrite").partitionBy("shard", "batch").parquet(tmp)
       }
+      // The doclens sidecar folds the same way (committed batches minus
+      // tombstoned docs → batch=build), in its own swap AFTER the
+      // postings swap: a crash between them leaves extra committed-
+      // batch doclens dirs, which the batch filter keeps serving
+      // correctly, and the next compact folds.
+      val dlp = new org.apache.hadoop.fs.Path(doclenPath(path))
+      val fs = dlp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(dlp))
+        graft.sources.Storage.rewriteInPlace(spark, doclenPath(path)) { tmp =>
+          val live = spark.read.parquet(doclenPath(path))
+            .filter(col("batch").cast("string").isin(meta.batches.toSeq: _*))
+          tomb.foldLeft(live)((d, t) => d.join(t, Seq("doc"), "left_anti"))
+            .withColumn("batch", lit("build"))
+            .repartition(col("dbucket"))
+            .write.mode("overwrite").partitionBy("dbucket", "batch")
+            .parquet(tmp)
+        }
       // Post-swap: tombstoned postings are gone, drop the sidecar. A
       // crash before this line leaves stale tombstones — harmless
       // (anti-join of absent docs), cleared by the next compact.
       val pTomb = new org.apache.hadoop.fs.Path(tombPath(path))
-      val fs = pTomb.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(pTomb)) fs.delete(pTomb, true)
     }
 
