@@ -75,6 +75,27 @@ object AsofJoin {
 
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
 
+    // Fast path for the dominant call shape (backward, no tolerance):
+    // the carried struct needs NO `__rts` field (nothing filters on
+    // match age) and the post-window acceptance check collapses to
+    // plain field extraction (a null struct extracts null fields), so
+    // the window carries the minimal payload and the projection is
+    // branch-free. Row semantics are identical to the general path —
+    // the struct wrapper still carries the WHOLE most-recent right row,
+    // nulls included (AsofSessionSpec pins both paths).
+    if (direction == "backward" && tolerance.isEmpty) {
+      val rowNoTs = when(col("__side") === 0,
+        struct(values.map(c => col(s"__v_$c")): _*))
+      val wBackOnly = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("__ts").asc, col("__side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return unioned
+        .withColumn("__back", last(rowNoTs, ignoreNulls = true).over(wBackOnly))
+        .filter(col("__side") === 1)
+        .select(leftCols.map(col) ++ values.map(c =>
+          col("__back").getField(s"__v_$c").as(c)): _*)
+    }
+
     // Carry the matched right ROW as one struct (never per-column): the
     // match must be the whole most-recent right row even when some of
     // its value columns are null — per-column last_value(ignoreNulls)
