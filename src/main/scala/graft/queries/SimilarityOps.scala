@@ -44,8 +44,10 @@ object SimilarityOps {
     * [[Similarity.scaledBucketSql]]).
     */
   private def sizedPairs(s: SparkSession, dir: String): Seq[(Int, Int)] =
-    Similarity.scaledSignPairs(emb(s, dir).count(), dim = 64,
-      targetBucketSize = 32)
+    // Count the RAW table, not emb() — the fixture repartition would
+    // turn a parquet-metadata count into a real shuffle job.
+    Similarity.scaledSignPairs(Tables.table(s, dir, "embeddings").count(),
+      dim = 64, targetBucketSize = 32)
 
   /** Exact (decimal-accumulated) cosine of every vector vs `vec_id = 0`,
     * over an optional candidate subset.
@@ -1335,8 +1337,15 @@ object SimilarityOps {
                 (col("__nrm") * col("__cnrm")), 9)),
             Seq("vec_id"), Seq(col("sim").desc_nulls_last, col("cluster").asc))
             .select(col("vec_id"), col("embedding"), col("cluster"))
+        // Seed-cluster count is IVF nlist, not a dedup bucket: target
+        // 128 sizes to 4 bits (16 clusters) at both gate SFs and grows
+        // past n=4096 — Lloyd + the partitioned write pay per cluster,
+        // so nlist grows at the coarser rung of the sizing ladder.
         val seed = Similarity.signLshBuckets(
-            e.select("vec_id", "embedding"), "embedding", sizedPairs(s, dir))
+            e.select("vec_id", "embedding"), "embedding",
+            Similarity.scaledSignPairs(
+              Tables.table(s, dir, "embeddings").count(), dim = 64,
+              targetBucketSize = 128))
           .select(col("vec_id"), col("embedding"),
             concat(lit("b"), col("bucket")).as("cluster"))
         // Two kmeansSteps (assign → means), eagerly materialized: the
@@ -1360,7 +1369,10 @@ object SimilarityOps {
                    FROM embeddings),
         vn AS (SELECT vec_id, CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
                FROM e GROUP BY 1),
-        seed AS (SELECT vec_id, 'b' || ${bucketSql("embeddings")} AS cluster
+        seed AS (SELECT vec_id,
+                   'b' || ${Similarity.scaledBucketSql("embeddings",
+                     "embeddings.embedding", targetBucketSize = 128)}
+                     AS cluster
                  FROM embeddings),
         ${kmCentSql("seed", 0)},
         ${kmAssignSql(0, "s1", rounded = true)},

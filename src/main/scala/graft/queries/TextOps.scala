@@ -2860,20 +2860,20 @@ object TextOps {
                CAST(SUM(clean_len) AS BIGINT) AS n_chars_clean
         FROM m GROUP BY 1 ORDER BY 1""")),
 
-    // ---- compression-ratio quality signal (q180, spec-gated) ------------
+    // ---- compression-ratio quality signal (deflate; spec-gated) ---------
     // The Gopher/MassiveText model-free quality screen: raw-DEFLATE
     // ratio per document via the native `deflate_len` expression
-    // (one codegen'd pass, thread-local zlib stream). Repetitive
-    // generator junk compresses far below natural prose; the gate
-    // buckets documents per language into low/mid/high-compressibility
-    // bands and reports band populations + mean ratios. NO SQL oracle
-    // by design: the exact deflate length is a property of the JDK's
-    // zlib build and not portable across engines (the expression doc
-    // explains); the signal's semantics are spec-gated instead
-    // (TextFunctionsSpec orders repetitive < prose < random, and
-    // CodegenHealthSpec pins eval == codegen). The driver records the
-    // weaker rows-only check for this entry, as the harness defines
-    // for non-SQL-expressible operators.
+    // (one codegen'd pass, thread-local zlib stream). The exact
+    // deflate length is a property of the JDK's zlib build and not
+    // portable across engines (the expression doc explains), so the
+    // signal has NO SQL oracle: its semantics are spec-gated
+    // (TextFunctionsSpec orders repetitive < prose < random,
+    // CodegenHealthSpec pins eval == codegen), and the BANDING logic
+    // it feeds is hash-oracled by q180b below over the portable
+    // distinct-4-gram proxy. The former q180 registry entry (the same
+    // banding over the raw deflate ratio) was retired in round 13: it
+    // could only ever take the driver's weak rows-only check, and
+    // q180b gates the identical chain exactly.
     // ---- dataset card: release manifest in one grouping-sets pass -------
     // Facet rollups (lang, source) + the all-corpus row share one scan
     // and one aggregate (Spark plans grouping sets as expand+agg);
@@ -2913,23 +2913,6 @@ object TextOps {
         FROM d
         GROUP BY GROUPING SETS ((lang), (source), ())
         ORDER BY facet, value""")),
-
-    QueryDef("q180_compression_quality",
-      (s, dir) => {
-        val ratio = round(call_function("deflate_len", col("text"))
-          .cast("double") / octet_length(col("text")).cast("double"), 6)
-        docs(s, dir)
-          .select(col("doc_id"), col("lang"), ratio.as("ratio"))
-          .withColumn("band",
-            when(col("ratio") < 0.2, "low")        // repetitive junk
-              .when(col("ratio") < 0.5, "mid")     // typical prose
-              .otherwise("high"))                  // high-entropy
-          .groupBy("lang", "band")
-          .agg(count(lit(1)).as("n_docs"),
-            round(avg(col("ratio")), 6).as("mean_ratio"))
-          .orderBy("lang", "band")
-      },
-      None),
 
     // ---- portable compressibility proxy (q180b) --------------------------
     // The hash-matched companion to q180: the same per-language
