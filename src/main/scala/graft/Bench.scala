@@ -78,7 +78,10 @@ object Bench {
       try loadavg().split(",").headOption.map(_.toDouble).getOrElse(0.0)
       catch { case _: Throwable => 0.0 }
     val idleMax = sys.env.getOrElse("SPARK_GRAFT_IDLE_MAX", "1.5").toDouble
-    val idleWaitSec = sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT_SEC", "600").toInt
+    // Default wait is bounded at 4 min: the driver invokes Bench right
+    // after heavier steps and must never be timed out by the guard —
+    // a busy start after the bounded wait is recorded loudly instead.
+    val idleWaitSec = sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT_SEC", "240").toInt
     val waitDeadline = System.nanoTime() + idleWaitSec * 1000000000L
     while (load1() > idleMax && System.nanoTime() < waitDeadline) {
       System.err.println(s"[bench] waiting for idle: loadavg ${load1()} > $idleMax")

@@ -160,6 +160,41 @@ class HttpDocFetcherSpec extends SparkSpec {
     }
   }
 
+  test("production wiring end-to-end: env config → HTTP client → PagedStream tick → merged table") {
+    // The full deployable chain, network-free: ApiConfig wires tenant
+    // credentials from the (injected) env into the retrying HTTP
+    // client, PagedStream.tick fetches over real HTTP from the stub,
+    // spools, and drains through AvailableNow into the upsert target.
+    withStub(new CallioStub(T0, 60)) { stub =>
+      HttpDocFetcher.clearTokenCache()
+      val cfg = graft.sources.ApiConfig.fromEnv(Map(
+        "CALLIO_API_BASE_URL" -> stub.baseUrl,
+        "API_TIMEOUT" -> "10",
+        "CALLIO_ACCOUNTS_JSON" ->
+          """[{"tenant":"t1","email":"u@example.test","password":"pw"}]"""))
+      val dir = java.nio.file.Files.createTempDirectory("http_stream")
+      import org.apache.spark.sql.functions._
+      def transform(docs: org.apache.spark.sql.DataFrame) =
+        docs.select(col("_id"), col("updateTime"), col("v"),
+          date_format((col("updateTime") / 1000).cast("timestamp"),
+            "yyyy-MM-dd").as("d"))
+      val r = graft.streaming.PagedStream.tick(spark,
+        cfg.fetcherFor("t1"),
+        entity = "customer", tenant = "t1", timeField = "updateTime",
+        cutoffMs = T0 - 1, nowMs = T0 + 60 * 60000L,
+        transform = transform,
+        spoolDir = dir.resolve("spool").toString,
+        targetPath = dir.resolve("customer").toString,
+        keys = Seq("_id"), partitionCol = "d",
+        checkpointDir = dir.resolve("ck").toString,
+        sliceMs = 1800000L, pageSize = cfg.pageSize)
+      assert(r.stagedRows == 60 && !r.hitResultWindowLimit)
+      val t = spark.read.parquet(dir.resolve("customer").toString)
+      assert(t.count() == 60, "all fetched docs must land in the target")
+      assert(stub.loginCount.get() == 1, "one login for the whole tick")
+    }
+  }
+
   test("wire boundary: engine's half-open [from, to) maps to the API's inclusive to") {
     withStub(new CallioStub(T0, 3)) { stub =>
       HttpDocFetcher.clearTokenCache()
