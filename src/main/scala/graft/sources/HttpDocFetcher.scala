@@ -52,9 +52,17 @@ object HttpDocFetcher {
     * @param password   login credential
     * @param timeoutSec per-request timeout (reference default 90 s)
     * @param tokenTtlMs cached-token lifetime (reference: 25 min)
+    * @param maxTransientRetries retries per request on 5xx / IO errors
+    *                   (exponential backoff); 0 disables. Local mode
+    *                   runs with task-max-failures = 1, so one blip on
+    *                   one page would otherwise kill the whole fetch —
+    *                   the transport absorbs transience, the task
+    *                   scheduler handles real failures.
+    * @param retryBackoffMs first backoff step (doubles per attempt)
     */
   final case class Config(baseUrl: String, email: String, password: String,
-      timeoutSec: Int = 90, tokenTtlMs: Long = 25L * 60 * 1000)
+      timeoutSec: Int = 90, tokenTtlMs: Long = 25L * 60 * 1000,
+      maxTransientRetries: Int = 3, retryBackoffMs: Long = 500)
       extends Serializable
 
   /** JVM-global token cache: (baseUrl, tenant) → (token, expiresAtMs).
@@ -92,6 +100,35 @@ final class HttpDocFetcher(cfg: HttpDocFetcher.Config,
 
   private def enc(s: String): String = URLEncoder.encode(s, StandardCharsets.UTF_8)
 
+  /** Send with bounded transient-failure retry: 5xx responses and IO
+    * errors (connect/timeout/reset) back off exponentially and retry
+    * up to `maxTransientRetries` times; everything else — including
+    * the protocol signals 401 and the 400 result-window — returns to
+    * the caller untouched. GETs and the login POST are idempotent, so
+    * the retry is safe.
+    */
+  private def sendWithRetry(req: HttpRequest): HttpResponse[String] = {
+    var attempt = 0
+    while (true) {
+      val resOrErr: Either[java.io.IOException, HttpResponse[String]] =
+        try Right(client.send(req, HttpResponse.BodyHandlers.ofString()))
+        catch { case e: java.io.IOException => Left(e) }
+      val transient = resOrErr match {
+        case Right(r) => r.statusCode() / 100 == 5
+        case Left(_) => true
+      }
+      if (!transient) return resOrErr.toOption.get
+      if (attempt >= cfg.maxTransientRetries)
+        return resOrErr match {
+          case Right(r) => r
+          case Left(e) => throw e
+        }
+      Thread.sleep(cfg.retryBackoffMs << attempt)
+      attempt += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Cached-or-fresh token for `tenant` (reference api.py:43-69).
     * Single-flight: concurrent slice tasks that all miss the cache must
     * produce ONE login, not one per task — `compute` runs atomically
@@ -117,7 +154,7 @@ final class HttpDocFetcher(cfg: HttpDocFetcher.Config,
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body)))
       .build()
-    val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+    val res = sendWithRetry(req)
     if (res.statusCode() / 100 != 2)
       throw new RuntimeException(
         s"login failed: HTTP ${res.statusCode()} from ${cfg.baseUrl}/auth/login")
@@ -145,7 +182,7 @@ final class HttpDocFetcher(cfg: HttpDocFetcher.Config,
       .header("token", token(tenant))
       .GET()
       .build()
-    val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+    val res = sendWithRetry(req)
     res.statusCode() match {
       case 401 =>
         // Invalidate here so even an undecorated client re-logins on

@@ -21,7 +21,12 @@ import graft.sources.PagedSource.{AuthExpired, ResultWindowTooLarge}
   */
 class CallioStub(t0: Long, nDocs: Int,
     tokenUses: Int = Int.MaxValue,
-    windowLimitMs: Long = Long.MaxValue) {
+    windowLimitMs: Long = Long.MaxValue,
+    flakyFirst: Int = 0) {
+
+  // First `flakyFirst` page requests answer 500 (transient backend
+  // blip), then the stub behaves.
+  private val flakyLeft = new AtomicInteger(flakyFirst)
 
   val loginCount = new AtomicInteger(0)
   val pageRequests = new AtomicInteger(0)
@@ -46,6 +51,8 @@ class CallioStub(t0: Long, nDocs: Int,
 
   server.createContext("/customer", (ex: HttpExchange) => {
     pageRequests.incrementAndGet()
+    if (flakyLeft.getAndDecrement() > 0) respond(ex, 500, "backend blip")
+    else {
     val tok = Option(ex.getRequestHeaders.getFirst("token")).getOrElse("")
     val uses = tokenUsesLeft.get(tok)
     if (uses == null || uses.decrementAndGet() < 0) respond(ex, 401, "unauthorized")
@@ -72,6 +79,7 @@ class CallioStub(t0: Long, nDocs: Int,
         respond(ex, 200,
           s"""{"docs":[${docs.mkString(",")}],"hasNextPage":$hasNext,"totalDocs":${window.size}}""")
       }
+    }
     }
   })
 
@@ -192,6 +200,32 @@ class HttpDocFetcherSpec extends SparkSpec {
       val t = spark.read.parquet(dir.resolve("customer").toString)
       assert(t.count() == 60, "all fetched docs must land in the target")
       assert(stub.loginCount.get() == 1, "one login for the whole tick")
+    }
+  }
+
+  test("transient 5xx: bounded backoff-retry absorbs blips; retries=0 surfaces them") {
+    // Two consecutive 500s, then healthy: the default client (3
+    // retries, small backoff here) must deliver the page — local mode
+    // runs task-max-failures=1, so without transport-level absorption
+    // one blip on one page kills the whole fetch.
+    withStub(new CallioStub(T0, 10, flakyFirst = 2)) { stub =>
+      HttpDocFetcher.clearTokenCache()
+      val resilient = new HttpDocFetcher(
+        cfgFor(stub).copy(retryBackoffMs = 10))
+      val p = resilient.fetchPage("customer", "t1", "updateTime",
+        T0, T0 + 600000L, 1, 5)
+      assert(p.docs.size == 5, "retry must absorb the transient 500s")
+      assert(stub.pageRequests.get() == 3, "two blips + one success")
+    }
+    withStub(new CallioStub(T0, 10, flakyFirst = 1)) { stub =>
+      HttpDocFetcher.clearTokenCache()
+      val fragile = new HttpDocFetcher(
+        cfgFor(stub).copy(maxTransientRetries = 0))
+      val e = intercept[RuntimeException] {
+        fragile.fetchPage("customer", "t1", "updateTime",
+          T0, T0 + 600000L, 1, 5)
+      }
+      assert(e.getMessage.contains("500"), "retries=0 must surface the 5xx")
     }
   }
 
