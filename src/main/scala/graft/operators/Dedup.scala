@@ -1225,6 +1225,106 @@ object Dedup {
         coalesce(length(body0), lit(0)).as("orig_chars"))
   }
 
+  /** EXACT substring deduplication — the Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499) rung, in its deterministic q-gram-cover
+    * formulation: every duplicated token window of length
+    * `minTokens` — ACROSS documents and WITHIN one (self-repeats) —
+    * is removed except the corpus-first occurrence (smallest
+    * `(id, pos)`, the canonical-provenance rule), overlapping marked
+    * windows fuse into maximal spans, and each document re-emits its
+    * surviving tokens in order. Token-EXACT boundaries: unlike
+    * [[removeDuplicatedSpans]] (winnowing-sampled, ±(w−1)-char edge
+    * slop, gap slivers excised), nothing unique is ever removed and
+    * nothing duplicated survives at a span edge — any duplicated run
+    * of ≥ `minTokens` tokens contains a duplicated window, so the
+    * union of marked windows covers exactly the duplicated runs
+    * (minus the first occurrence). The suffix-array formulation of
+    * the paper finds the same ≥-L duplicated runs; the window cover
+    * is the shuffle-friendly restatement.
+    *
+    * Scale shape (the [[dropDuplicatedParagraphs]] discipline):
+    *  1. windows + md5 digests are map-side (native `word_shingles`
+    *     → posexplode; only (id, pos, 16-byte digest) ever shuffles,
+    *     never window text);
+    *  2. keeper per digest = `min(struct(id, pos))` + count — ONE
+    *     aggregate with map-side partial combine, deliberately not a
+    *     window (a boilerplate window shared by millions of docs
+    *     collapses per map task instead of traveling at its
+    *     multiplicity);
+    *  3. marked occurrences join back on the digest (uniform md5
+    *     keys, AQE-splittable);
+    *  4. span fusion is gaps-and-islands WITHIN one document
+    *     (per-doc window partition, bounded by doc length);
+    *  5. rebuild walks the doc's sorted span array once (aggregate
+    *     HOF over token-array slices).
+    *
+    * Default `minTokens` mirrors the paper's ~50-BPE threshold at
+    * word granularity; gates use a small L so the fixture corpus
+    * carries signal. Returns (id, text_clean, n_spans,
+    * removed_tokens, orig_tokens); null bodies pass through with a
+    * null `text_clean` and zero stats.
+    */
+  def exactSubstringDedup(docs: DataFrame, id: String, body: String,
+      minTokens: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minTokens >= 2, s"need minTokens >= 2, got $minTokens")
+    val toks = split(col(body), " ")
+    // (id, 1-based token pos, digest) — feeds the keeper aggregate AND
+    // the mark join; checkpointed so the shingle pass runs once.
+    val grams = docs.where(col(body).isNotNull)
+      .select(col(id), posexplode(
+          call_function("word_shingles", toks, lit(minTokens)))
+        .as(Seq("__p0", "__g")))
+      .select(col(id), (col("__p0") + 1).as("pos"), md5(col("__g")).as("dig"))
+      .localCheckpoint(true)
+    val keepers = grams.groupBy("dig").agg(count(lit(1)).as("__cnt"),
+      min(struct(col(id).as("kid"), col("pos").as("kpos"))).as("__k"))
+    val marked = grams.join(keepers, "dig")
+      .filter(col("__cnt") > 1 &&
+        !(col(id) === col("__k.kid") && col("pos") === col("__k.kpos")))
+      .select(col(id), col("pos").as("s"),
+        (col("pos") + lit(minTokens - 1)).as("e"))
+    // Fuse overlapping/adjacent windows (gap 0 — exact semantics, no
+    // sliver excision). Running max end, not lag: a window contained
+    // in its predecessor must not split the island.
+    val byPos = Window.partitionBy(col(id)).orderBy(col("s"), col("e"))
+    val spans = marked
+      .withColumn("__brk",
+        when(col("s") <= max(col("e")).over(
+            byPos.rowsBetween(Window.unboundedPreceding, -1)) + 1, 0)
+          .otherwise(1))
+      .withColumn("__isl", sum(col("__brk")).over(byPos))
+      .groupBy(col(id), col("__isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col(id))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("__spans"))
+    // Rebuild: concatenate the kept token slices around the spans.
+    val rebuilt = aggregate(
+      col("__spans"),
+      struct(lit(1).as("cur"), array().cast("array<string>").as("acc")),
+      (st, sp) => struct(
+        (sp.getField("e") + lit(1)).as("cur"),
+        concat(st.getField("acc"),
+          slice(toks, st.getField("cur"),
+            sp.getField("s") - st.getField("cur"))).as("acc")),
+      st => array_join(concat(st.getField("acc"),
+        slice(toks, st.getField("cur"),
+          size(toks) - st.getField("cur") + lit(1))), " "))
+    docs.join(spans, Seq(id), "left")
+      .select(col(id),
+        when(col(body).isNull, lit(null).cast("string"))
+          .when(col("__spans").isNull, col(body))
+          .otherwise(rebuilt).as("text_clean"),
+        when(col("__spans").isNull, lit(0))
+          .otherwise(size(col("__spans"))).as("n_spans"),
+        coalesce(aggregate(col("__spans"), lit(0),
+          (acc, sp) => acc + sp.getField("e") - sp.getField("s") + lit(1)),
+          lit(0)).as("removed_tokens"),
+        when(col(body).isNull, lit(0))
+          .otherwise(size(toks)).as("orig_tokens"))
+  }
+
   /** Paragraph-level EXACT deduplication — the CCNet pre-dedup rung
     * below [[removeDuplicatedSpans]]'s fuzzy span excision: split each
     * document on `delim`, keep exactly ONE copy of every distinct

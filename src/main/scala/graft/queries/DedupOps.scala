@@ -1346,5 +1346,81 @@ object DedupOps {
                CAST(np.n AS BIGINT) AS n_paras,
                CAST(np.n - coalesce(a.nk, 0) AS BIGINT) AS n_dropped
         FROM np LEFT JOIN a USING (doc_id)
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // ---- exact substring dedup (Lee et al. 2021, q-gram cover) ----------
+    // Every duplicated 4-token window (cross-doc AND self-repeat) is
+    // removed except the corpus-first occurrence; overlapping windows
+    // fuse into maximal spans; documents re-emit surviving tokens.
+    // Token-EXACT boundaries — the deterministic counterpart of the
+    // winnowing span removal (q134 family), oracle-restated window by
+    // window: same md5 digests, same min(doc,pos) keeper (encoded as
+    // doc*1000000+pos in SQL — pos is bounded by doc length, so the
+    // encoding is the lexicographic order), same gaps-and-islands
+    // fusion, same token rebuild. Operator:
+    // [[graft.operators.Dedup.exactSubstringDedup]] (production
+    // default L=20; the gate uses L=4 so the fixture corpus carries
+    // signal — 2,986 duplicated windows across 369 docs at sf0.01).
+    QueryDef("q211_exact_substring_dedup",
+      (s, dir) => {
+        Dedup.exactSubstringDedup(docs(s, dir), "doc_id", "text",
+            minTokens = 4)
+          .select(col("doc_id"),
+            md5(col("text_clean")).as("clean_md5"),
+            col("n_spans").cast("long").as("n_spans"),
+            col("removed_tokens").cast("long").as("removed_tokens"),
+            col("orig_tokens").cast("long").as("orig_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, text, string_split(text,' ') AS l
+                   FROM documents),
+        g AS (SELECT doc_id, u.pos AS pos, u.dig AS dig FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(l)-2),
+                  i -> struct_pack(pos := CAST(i AS INT),
+                    dig := md5(array_to_string(
+                      l[CAST(i AS INT):CAST(i+3 AS INT)], ' '))))) AS u
+                FROM w WHERE len(l) >= 4)),
+        k AS (SELECT dig, count(*) AS cnt,
+                     min(doc_id * 1000000 + pos) AS keeper
+              FROM g GROUP BY 1),
+        m AS (SELECT doc_id, pos AS s, pos + 3 AS e
+              FROM g JOIN k USING (dig)
+              WHERE cnt > 1 AND doc_id * 1000000 + pos <> keeper),
+        i AS (SELECT doc_id, s, e,
+                CASE WHEN s <= coalesce(MAX(e) OVER (PARTITION BY doc_id
+                       ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     -10) + 1
+                  THEN 0 ELSE 1 END AS brk
+              FROM m),
+        si AS (SELECT doc_id, s, e,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+               FROM i),
+        sp AS (SELECT doc_id, min(s) AS s, max(e) AS e
+               FROM si GROUP BY doc_id, isl),
+        spl AS (SELECT doc_id,
+                  list(struct_pack(s := s, e := e) ORDER BY s) AS spans,
+                  count(*) AS n_spans,
+                  SUM(e - s + 1) AS removed
+                FROM sp GROUP BY 1),
+        r AS (SELECT w.doc_id,
+                CASE WHEN spl.spans IS NULL THEN w.text
+                  -- coalesce: array_to_string([]) is NULL in DuckDB,
+                  -- but a fully-gutted doc must clean to '' (Spark's
+                  -- array_join of an empty array)
+                  ELSE coalesce(array_to_string(
+                    [w.l[ix] for ix in generate_series(1, len(w.l))
+                     if len(list_filter(spl.spans,
+                          q -> q.s <= ix AND ix <= q.e)) = 0], ' '), '')
+                  END AS text_clean,
+                coalesce(spl.n_spans, 0) AS n_spans,
+                coalesce(spl.removed, 0) AS removed_tokens,
+                len(w.l) AS orig_tokens
+              FROM w LEFT JOIN spl USING (doc_id))
+        SELECT doc_id, md5(text_clean) AS clean_md5,
+               CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(removed_tokens AS BIGINT) AS removed_tokens,
+               CAST(orig_tokens AS BIGINT) AS orig_tokens
+        FROM r ORDER BY doc_id""")))
 }

@@ -813,6 +813,52 @@ class DedupSpec extends SparkSpec {
       normal.collect().map(_.getLong(0)).toSet) === 1)
   }
 
+  test("exactSubstringDedup: token-exact spans, corpus-first keeper, self-repeats") {
+    import graft.operators.Dedup
+    val boiler = "terms of service apply to all users of this site"  // 10 toks
+    val d = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), s"alpha beta $boiler gamma delta"),
+      Row(Long.box(2), s"epsilon $boiler zeta"),               // cross-doc dup
+      Row(Long.box(3), "one two three four five one two three four five"), // self-repeat
+      Row(Long.box(4), "totally unique words nobody else uses anywhere at all"),
+      Row(Long.box(5), null))
+    val out = Dedup.exactSubstringDedup(d, "doc_id", "text", minTokens = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    // Doc 1 is the corpus-first owner of the boilerplate: kept verbatim.
+    assert(out(1L) == (s"alpha beta $boiler gamma delta", 0, 0, 14))
+    // Doc 2 loses EXACTLY the 10 boilerplate tokens — token-exact
+    // boundaries, the unique neighbors survive untouched (the property
+    // winnowing span removal cannot give).
+    assert(out(2L) == ("epsilon zeta", 1, 10, 12))
+    // Self-repeat: the second copy of the 5-token run goes, first stays.
+    assert(out(3L) == ("one two three four five", 1, 5, 10))
+    assert(out(4L)._1.startsWith("totally unique") && out(4L)._2 == 0)
+    assert(out(5L) == ((null, 0, 0, 0)), "null body passes through")
+
+    // Boundary: a duplicated run of exactly minTokens-1 tokens is NOT
+    // removed; exactly minTokens is.
+    val b = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), "p q r s t u v w"),
+      Row(Long.box(2), "x p q r s y"),          // 4-token overlap only
+      Row(Long.box(3), "z p q r s t y"))        // 5-token overlap
+    val ob = Dedup.exactSubstringDedup(b, "doc_id", "text", minTokens = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(3))).toMap
+    assert(ob(2L) == ("x p q r s y", 0), "run shorter than L survives")
+    assert(ob(3L) == ("z y", 5), "run of exactly L is excised")
+
+    // Fusion: overlapping windows from ONE long duplicated run merge
+    // into a single maximal span (here 7 duplicated tokens -> 3
+    // overlapping 5-windows -> one span of 7).
+    val f = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), "a1 a2 a3 a4 a5 a6 a7"),
+      Row(Long.box(2), s"lead a1 a2 a3 a4 a5 a6 a7 tail"))
+    val of = Dedup.exactSubstringDedup(f, "doc_id", "text", minTokens = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(of(2L) == (("lead tail", 1, 7)))
+  }
+
   test("dropDuplicatedParagraphs: corpus-wide keep-first, blanks kept, nulls pass") {
     val d = df("doc_id BIGINT, text STRING",
       Row(Long.box(1), "alpha\nbeta\n\ngamma"), // first owner of all three
