@@ -208,6 +208,14 @@ object ScaleRehearsal {
 
     def batteries(docs: DataFrame, vecs: DataFrame, tag: String,
         copies: Int): Seq[(String, () => Long)] = Seq(
+      ("exact_substring (q211)", () =>
+        // Removed-token mass of the q-gram-cover dedup — replica
+        // windows are disjoint across copies (Caesar bijection), so
+        // the duplicate structure and the removal mass are linear by
+        // construction; the digest-keyed aggregate must track it.
+        graft.operators.Dedup
+          .exactSubstringDedup(docs, "doc_id", "text", minTokens = 4)
+          .agg(sum(col("removed_tokens")).cast("long")).head().getLong(0)),
       ("paragraph_dedup (q196)", () => {
         // Non-overlapping 3-word chunks as paragraphs (the q196 gate's
         // materialization); value = corpus-wide dropped duplicates —

@@ -859,6 +859,24 @@ class DedupSpec extends SparkSpec {
     assert(of(2L) == (("lead tail", 1, 7)))
   }
 
+  test("exactSubstringDedup conservation on the corpus: kept + removed == orig") {
+    import graft.operators.Dedup
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val out = Dedup.exactSubstringDedup(docs, "doc_id", "text", minTokens = 4)
+    assert(out.count() == docs.count(), "every doc re-emits")
+    val bad = out.filter(
+      (when(col("text_clean") === "", lit(0))
+        .otherwise(size(split(col("text_clean"), " ")))
+        + col("removed_tokens")) =!= col("orig_tokens"))
+    assert(bad.count() == 0,
+      "token conservation: kept + removed must equal original everywhere")
+    // The signal is real on this corpus: something was removed, and at
+    // least one doc survived untouched.
+    val stats = out.agg(sum(col("removed_tokens")),
+      sum(when(col("n_spans") === 0, 1).otherwise(0))).head()
+    assert(stats.getLong(0) > 0 && stats.getLong(1) > 0)
+  }
+
   test("dropDuplicatedParagraphs: corpus-wide keep-first, blanks kept, nulls pass") {
     val d = df("doc_id BIGINT, text STRING",
       Row(Long.box(1), "alpha\nbeta\n\ngamma"), // first owner of all three
