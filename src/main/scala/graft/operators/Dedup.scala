@@ -1267,17 +1267,10 @@ object Dedup {
     */
   def exactSubstringDedup(docs: DataFrame, id: String, body: String,
       minTokens: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(minTokens >= 2, s"need minTokens >= 2, got $minTokens")
-    val toks = split(col(body), " ")
     // (id, 1-based token pos, digest) — feeds the keeper aggregate AND
     // the mark join; checkpointed so the shingle pass runs once.
-    val grams = docs.where(col(body).isNotNull)
-      .select(col(id), posexplode(
-          call_function("word_shingles", toks, lit(minTokens)))
-        .as(Seq("__p0", "__g")))
-      .select(col(id), (col("__p0") + 1).as("pos"), md5(col("__g")).as("dig"))
-      .localCheckpoint(true)
+    val grams = windowDigests(docs, id, body, minTokens).localCheckpoint(true)
     val keepers = grams.groupBy("dig").agg(count(lit(1)).as("__cnt"),
       min(struct(col(id).as("kid"), col("pos").as("kpos"))).as("__k"))
     val marked = grams.join(keepers, "dig")
@@ -1285,9 +1278,33 @@ object Dedup {
         !(col(id) === col("__k.kid") && col("pos") === col("__k.kpos")))
       .select(col(id), col("pos").as("s"),
         (col("pos") + lit(minTokens - 1)).as("e"))
-    // Fuse overlapping/adjacent windows (gap 0 — exact semantics, no
-    // sliver excision). Running max end, not lag: a window contained
-    // in its predecessor must not split the island.
+    exciseTokenSpans(docs, id, body, marked)
+  }
+
+  /** (id, 1-based pos, md5 digest) of every `minTokens`-token window —
+    * map-side (native shingles → posexplode); only the 16-byte digest
+    * ever shuffles, never window text.
+    */
+  private def windowDigests(docs: DataFrame, id: String, body: String,
+      minTokens: Int): DataFrame =
+    docs.where(col(body).isNotNull)
+      .select(col(id), posexplode(
+          call_function("word_shingles", split(col(body), " "),
+            lit(minTokens)))
+        .as(Seq("__p0", "__g")))
+      .select(col(id), (col("__p0") + 1).as("pos"), md5(col("__g")).as("dig"))
+
+  /** Shared excision tail of the exact-substring family: fuse marked
+    * token ranges `(id, s, e)` (1-based, inclusive) into maximal spans
+    * (gap 0 — exact semantics, no sliver excision; running max so a
+    * range contained in its predecessor can't split the island), then
+    * rebuild each doc's surviving tokens around them. Span fusion
+    * windows partition per-document only (bounded by doc length).
+    */
+  private def exciseTokenSpans(docs: DataFrame, id: String, body: String,
+      marked: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col(body), " ")
     val byPos = Window.partitionBy(col(id)).orderBy(col("s"), col("e"))
     val spans = marked
       .withColumn("__brk",
@@ -1323,6 +1340,139 @@ object Dedup {
           lit(0)).as("removed_tokens"),
         when(col(body).isNull, lit(0))
           .otherwise(size(toks)).as("orig_tokens"))
+  }
+
+  private val windowMetaSchema =
+    "batch STRING, n_windows LONG, n_shards INT, min_tokens INT"
+
+  private case class WindowMeta(minTokens: Int, nShards: Int,
+    batches: Set[String])
+
+  /** Ledger of a persisted window-digest index: freezes the WINDOW
+    * GEOMETRY (`min_tokens` — a probe hashed with a different width
+    * would silently miss every duplicate) and the shard modulus, plus
+    * one row per committed batch (the [[TextIndex]] commit protocol).
+    */
+  private def readWindowMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): WindowMeta = {
+    val rows =
+      try spark.read.parquet(s"${path}__meta").collect()
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"window index at $path has no __meta ledger (or is not a " +
+            "window index). Rebuild it with windowIndexWrite; geometry " +
+            "cannot be inferred.", e)
+      }
+    require(rows.nonEmpty, s"empty window-index ledger at ${path}__meta")
+    def one(i: Int, name: String): Int = {
+      val vs = rows.map(_.getInt(i)).distinct
+      require(vs.length == 1,
+        s"corrupt window-index meta: inconsistent $name ${vs.mkString("/")}")
+      vs.head
+    }
+    WindowMeta(one(3, "min_tokens"), one(2, "n_shards"),
+      rows.map(_.getString(0)).toSet)
+  }
+
+  private def writeWindowMetaRow(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: String, nWindows: Long, nShards: Int,
+      minTokens: Int, overwrite: Boolean): Unit =
+    spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          batch, nWindows, nShards, minTokens)),
+        org.apache.spark.sql.types.StructType.fromDDL(windowMetaSchema))
+      .coalesce(1)
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .parquet(s"${path}__meta")
+
+  private def writeWindowRows(docs: DataFrame, id: String, body: String,
+      minTokens: Int, nShards: Int, path: String, batch: String,
+      overwrite: Boolean): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    // One DISTINCT digest row per batch: the probe face only asks
+    // "does this window exist in the corpus", never how often.
+    windowDigests(docs, id, body, minTokens)
+      .select(col("dig")).distinct()
+      .withColumn("shard", pmod(xxhash64(col("dig")), lit(nShards)))
+      .withColumn("batch", lit(batch))
+      .observe(obs, count(lit(1)).as("n_windows"))
+      .repartition(col("shard"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("shard", "batch").parquet(path)
+    obs.get("n_windows").asInstanceOf[Long]
+  }
+
+  /** Persist the corpus's window-digest set — the incremental face of
+    * [[exactSubstringDedup]] (the [[bandIndexWrite]] convention, third
+    * sibling after the band and text indexes): 16-byte digests of
+    * every `minTokens`-token window, shard-partitioned by digest hash,
+    * ledger-committed per batch. O(corpus) once; thereafter a batch
+    * dedups against the WHOLE history via
+    * [[incrementalExactSubstringDedup]] + grows the index via
+    * [[windowIndexAppend]] without ever re-reading raw history.
+    */
+  def windowIndexWrite(docs: DataFrame, id: String, body: String,
+      minTokens: Int, path: String, nShards: Int = 16): Unit = {
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    require(minTokens >= 2, s"need minTokens >= 2, got $minTokens")
+    val n = writeWindowRows(docs, id, body, minTokens, nShards, path,
+      "build", overwrite = true)
+    writeWindowMetaRow(docs.sparkSession, path, "build", n, nShards,
+      minTokens, overwrite = true)
+  }
+
+  /** Append a batch's window digests — frozen geometry from the
+    * ledger, replace-by-batch retry, one ledger row commits
+    * (exactly-once per batch id; the [[IndexCommit]] contract).
+    */
+  def windowIndexAppend(docs: DataFrame, id: String, body: String,
+      path: String, batch: String): Unit =
+    Upsert.withWriterLock(docs.sparkSession, path) {
+      IndexCommit.requireSaneBatchId(batch)
+      val spark = docs.sparkSession
+      val meta = readWindowMeta(spark, path)
+      IndexCommit.requireNotCommitted(batch, meta.batches, s"${path}__meta")
+      IndexCommit.dropOrphanDirs(spark, path, s"shard=*/batch=$batch")
+      val n = writeWindowRows(docs, id, body, meta.minTokens, meta.nShards,
+        path, batch, overwrite = false)
+      writeWindowMetaRow(spark, path, batch, n, meta.nShards,
+        meta.minTokens, overwrite = false)
+    }
+
+  /** Exact substring dedup of an INCOMING batch against the indexed
+    * corpus + itself — byte-identical to running
+    * [[exactSubstringDedup]] over (corpus ∪ incoming) and keeping the
+    * incoming rows, PROVIDED corpus ids order before incoming ids
+    * (the append-only ingest contract; the corpus-first keeper is
+    * then always on the corpus side). An incoming window is excised
+    * iff its digest exists in a COMMITTED index batch (probe: a
+    * digest-keyed semi-join against ≤ |batch-digest| shard rows,
+    * never the raw corpus) or occurs earlier within the incoming
+    * batch itself (the self-repeat rule, batch-local aggregate).
+    * O(batch + probed shard rows): raw history is never re-read.
+    */
+  def incrementalExactSubstringDedup(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      incoming: DataFrame, id: String, body: String): DataFrame = {
+    val meta = readWindowMeta(spark, path)
+    val inc = windowDigests(incoming, id, body, meta.minTokens)
+      .localCheckpoint(true) // probe join AND self-dup aggregate
+    val idx = spark.read.parquet(path)
+      .filter(col("batch").cast("string").isin(meta.batches.toSeq: _*))
+      .select(col("dig"))
+    val corpusHit = inc.join(idx, Seq("dig"), "left_semi")
+      .select(col(id), col("pos"))
+    val keepers = inc.groupBy("dig").agg(count(lit(1)).as("__cnt"),
+      min(struct(col(id).as("kid"), col("pos").as("kpos"))).as("__k"))
+    val selfDup = inc.join(keepers, "dig")
+      .filter(col("__cnt") > 1 &&
+        !(col(id) === col("__k.kid") && col("pos") === col("__k.kpos")))
+      .select(col(id), col("pos"))
+    val marked = corpusHit.unionByName(selfDup).distinct()
+      .select(col(id), col("pos").as("s"),
+        (col("pos") + lit(meta.minTokens - 1)).as("e"))
+    exciseTokenSpans(incoming, id, body, marked)
   }
 
   /** Paragraph-level EXACT deduplication — the CCNet pre-dedup rung

@@ -1422,5 +1422,83 @@ object DedupOps {
                CAST(n_spans AS BIGINT) AS n_spans,
                CAST(removed_tokens AS BIGINT) AS removed_tokens,
                CAST(orig_tokens AS BIGINT) AS orig_tokens
-        FROM r ORDER BY doc_id""")))
+        FROM r ORDER BY doc_id""")),
+
+    // ---- incremental exact substring dedup (q212) -----------------------
+    // q211's window-digest index face (the q184 proof shape for the
+    // exact rung): build the index on doc_id < 400, APPEND 400-449 as
+    // batch "b1", then dedup the incoming >= 450 slice against the
+    // indexed history + itself. The oracle computes the FLAT q211
+    // chain over ALL documents and keeps the >= 450 rows — it knows
+    // nothing about the build/append split, so a hash match proves
+    // probe-after-append ≡ flat corpus dedup (valid because corpus
+    // ids order before incoming ids: the corpus-first keeper is
+    // always on the index side).
+    QueryDef("q212_incremental_substring_dedup",
+      (s, dir) => {
+        val all = docs(s, dir)
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_winidx_q212_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        Dedup.windowIndexWrite(all.filter(col("doc_id") < 400),
+          "doc_id", "text", minTokens = 4, path)
+        Dedup.windowIndexAppend(
+          all.filter(col("doc_id") >= 400 && col("doc_id") < 450),
+          "doc_id", "text", path, "b1")
+        Dedup.incrementalExactSubstringDedup(s, path,
+            all.filter(col("doc_id") >= 450), "doc_id", "text")
+          .select(col("doc_id"),
+            md5(col("text_clean")).as("clean_md5"),
+            col("n_spans").cast("long").as("n_spans"),
+            col("removed_tokens").cast("long").as("removed_tokens"),
+            col("orig_tokens").cast("long").as("orig_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, text, string_split(text,' ') AS l
+                   FROM documents),
+        g AS (SELECT doc_id, u.pos AS pos, u.dig AS dig FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(l)-2),
+                  i -> struct_pack(pos := CAST(i AS INT),
+                    dig := md5(array_to_string(
+                      l[CAST(i AS INT):CAST(i+3 AS INT)], ' '))))) AS u
+                FROM w WHERE len(l) >= 4)),
+        k AS (SELECT dig, count(*) AS cnt,
+                     min(doc_id * 1000000 + pos) AS keeper
+              FROM g GROUP BY 1),
+        m AS (SELECT doc_id, pos AS s, pos + 3 AS e
+              FROM g JOIN k USING (dig)
+              WHERE cnt > 1 AND doc_id * 1000000 + pos <> keeper),
+        i AS (SELECT doc_id, s, e,
+                CASE WHEN s <= coalesce(MAX(e) OVER (PARTITION BY doc_id
+                       ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     -10) + 1
+                  THEN 0 ELSE 1 END AS brk
+              FROM m),
+        si AS (SELECT doc_id, s, e,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+               FROM i),
+        sp AS (SELECT doc_id, min(s) AS s, max(e) AS e
+               FROM si GROUP BY doc_id, isl),
+        spl AS (SELECT doc_id,
+                  list(struct_pack(s := s, e := e) ORDER BY s) AS spans,
+                  count(*) AS n_spans,
+                  SUM(e - s + 1) AS removed
+                FROM sp GROUP BY 1),
+        r AS (SELECT w.doc_id,
+                CASE WHEN spl.spans IS NULL THEN w.text
+                  ELSE coalesce(array_to_string(
+                    [w.l[ix] for ix in generate_series(1, len(w.l))
+                     if len(list_filter(spl.spans,
+                          q -> q.s <= ix AND ix <= q.e)) = 0], ' '), '')
+                  END AS text_clean,
+                coalesce(spl.n_spans, 0) AS n_spans,
+                coalesce(spl.removed, 0) AS removed_tokens,
+                len(w.l) AS orig_tokens
+              FROM w LEFT JOIN spl USING (doc_id))
+        SELECT doc_id, md5(text_clean) AS clean_md5,
+               CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(removed_tokens AS BIGINT) AS removed_tokens,
+               CAST(orig_tokens AS BIGINT) AS orig_tokens
+        FROM r WHERE doc_id >= 450 ORDER BY doc_id""")))
 }

@@ -877,6 +877,59 @@ class DedupSpec extends SparkSpec {
     assert(stats.getLong(0) > 0 && stats.getLong(1) > 0)
   }
 
+  test("windowIndex: incremental dedup == flat; exactly-once; torn append; frozen geometry") {
+    import graft.operators.Dedup
+    val boiler = "terms of service apply to all users here"
+    val corpusA = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1), s"alpha beta $boiler gamma"),
+      Row(Long.box(2), "one two three four five six seven"))
+    val corpusB = df("doc_id BIGINT, text STRING",
+      Row(Long.box(3), "eight nine ten eleven twelve thirteen"))
+    val incoming = df("doc_id BIGINT, text STRING",
+      Row(Long.box(10), s"lead $boiler tail"),                  // corpus hit
+      Row(Long.box(11), "one two three four five extra words"), // hit in doc 2
+      Row(Long.box(12), "rep pe at rep2 rep pe at rep2 x"),     // pure self-dup? no: 4-windows
+      Row(Long.box(13), "nothing shared with anyone anywhere truly"))
+    val all = corpusA.union(corpusB).union(incoming)
+    // Flat truth: exactSubstringDedup over everything, incoming rows.
+    val flat = Dedup.exactSubstringDedup(all, "doc_id", "text", minTokens = 4)
+      .filter(col("doc_id") >= 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val p = java.nio.file.Files
+      .createTempDirectory("winidx").toString + "/index"
+    Dedup.windowIndexWrite(corpusA, "doc_id", "text", minTokens = 4, p)
+    Dedup.windowIndexAppend(corpusB, "doc_id", "text", p, "b1")
+    def probe() = Dedup
+      .incrementalExactSubstringDedup(spark, p, incoming, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(probe() == flat,
+      "incremental dedup against build+append must equal the flat corpus run")
+    // Exactly-once per batch id.
+    intercept[IllegalArgumentException] {
+      Dedup.windowIndexAppend(corpusB, "doc_id", "text", p, "b1")
+    }
+    // Torn append (digest rows on disk, no ledger row) is invisible;
+    // the retry replaces the orphans and then counts.
+    val extra = df("doc_id BIGINT, text STRING",
+      Row(Long.box(4), "lead x y z w tail end marker")) // shares "lead"? single token only
+    val before = probe()
+    spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row("deadbeefdeadbeefdeadbeefdeadbeef")),
+      org.apache.spark.sql.types.StructType.fromDDL("dig STRING"))
+      .withColumn("shard", lit(0L)).withColumn("batch", lit("bT"))
+      .write.mode("append").partitionBy("shard", "batch").parquet(p)
+    assert(probe() == before, "uncommitted digest rows must be invisible")
+    Dedup.windowIndexAppend(extra, "doc_id", "text", p, "bT")
+    assert(probe() == before,
+      "the retried batch shares no 4-window with incoming — probe unchanged")
+    // Frozen geometry: the ledger's min_tokens drives probes, so an
+    // incoming batch is always hashed with the build's width.
+    val meta = spark.read.parquet(p + "__meta")
+    assert(meta.select("min_tokens").distinct().head().getInt(0) == 4)
+  }
+
   test("dropDuplicatedParagraphs: corpus-wide keep-first, blanks kept, nulls pass") {
     val d = df("doc_id BIGINT, text STRING",
       Row(Long.box(1), "alpha\nbeta\n\ngamma"), // first owner of all three
