@@ -1440,6 +1440,32 @@ object Dedup {
         meta.minTokens, overwrite = false)
     }
 
+  /** Compact an append-heavy window index: fold COMMITTED batches into
+    * one file per shard under `batch=build`, dropping orphan digests
+    * from crashed appends (compaction is the garbage collector — a
+    * dropped batch id can be retried afterwards) and collapsing
+    * digests re-appended by several batches to ONE row (the probe is
+    * a semi-join, so multiplicity never mattered; the fold just
+    * shrinks the index). Ledger untouched — the committed set and the
+    * frozen geometry are what probes read, and keeping the rows
+    * preserves the exactly-once guard. Probe results identical
+    * afterwards (DedupSpec pins it).
+    */
+  def windowIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    Upsert.withWriterLock(spark, path) {
+      val meta = readWindowMeta(spark, path)
+      graft.sources.Storage.rewriteInPlace(spark, path) { tmp =>
+        spark.read.parquet(path)
+          .filter(col("batch").cast("string").isin(meta.batches.toSeq: _*))
+          .select(col("dig"), col("shard")).distinct()
+          .withColumn("batch", lit("build"))
+          .repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard", "batch")
+          .option("maxRecordsPerFile", 5000000L).parquet(tmp)
+      }
+    }
+
   /** Exact substring dedup of an INCOMING batch against the indexed
     * corpus + itself — byte-identical to running
     * [[exactSubstringDedup]] over (corpus ∪ incoming) and keeping the

@@ -928,6 +928,20 @@ class DedupSpec extends SparkSpec {
     // incoming batch is always hashed with the build's width.
     val meta = spark.read.parquet(p + "__meta")
     assert(meta.select("min_tokens").distinct().head().getInt(0) == 4)
+    // Compaction folds committed batches, GC's orphans, probes unchanged.
+    spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row("0badc0de0badc0de0badc0de0badc0de")),
+      org.apache.spark.sql.types.StructType.fromDDL("dig STRING"))
+      .withColumn("shard", lit(1L)).withColumn("batch", lit("bOrphan"))
+      .write.mode("append").partitionBy("shard", "batch").parquet(p)
+    Dedup.windowIndexCompact(spark, p)
+    assert(probe() == before, "compaction must not change probe results")
+    assert(spark.read.parquet(p).select("batch").distinct().collect()
+      .map(_.getString(0).toString).toSeq == Seq("build"),
+      "everything folds under batch=build")
+    assert(!java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      .anyMatch(q => q.toString.contains("batch=bOrphan")),
+      "compaction must drop uncommitted orphan digests")
   }
 
   test("dropDuplicatedParagraphs: corpus-wide keep-first, blanks kept, nulls pass") {
