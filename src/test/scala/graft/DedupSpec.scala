@@ -859,6 +859,50 @@ class DedupSpec extends SparkSpec {
     assert(of(2L) == (("lead tail", 1, 7)))
   }
 
+  test("exactSubstringDedup == plain-Scala reference on adversarial random corpora") {
+    import graft.operators.Dedup
+    // 5-word vocab × short docs = dense window collisions: overlapping
+    // marks, self-repeats, cross-doc keepers and full gutting all occur,
+    // exercising the fusion/rebuild logic far harder than real text.
+    def reference(docsSeq: Seq[(Long, String)], l: Int)
+        : Map[Long, (String, Int, Int, Int)] = {
+      val occ = for {
+        (id, t) <- docsSeq
+        toks = t.split(" ", -1).toSeq
+        i <- 0 to toks.length - l
+      } yield (toks.slice(i, i + l).mkString(" "), id, i + 1)
+      val byW = occ.groupBy(_._1)
+      val marked = occ.filter { case (w, id, p) =>
+        val all = byW(w)
+        all.size > 1 && all.map(o => (o._2, o._3)).min != ((id, p))
+      }.map { case (_, id, p) => (id, p) }.toSet
+      docsSeq.map { case (id, t) =>
+        val toks = t.split(" ", -1).toSeq
+        val covered = Array.fill(toks.length + 2)(false)
+        for (p <- 1 to toks.length; if marked.contains((id, p));
+             k <- p until math.min(p + l, toks.length + 1)) covered(k) = true
+        val kept = (1 to toks.length).filterNot(covered(_)).map(i => toks(i - 1))
+        val nSpans = (1 to toks.length).count(i => covered(i) && !covered(i - 1))
+        val removed = (1 to toks.length).count(covered(_))
+        id -> (kept.mkString(" "), nSpans, removed, toks.length)
+      }.toMap
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 5) {
+      val docsSeq = (1L to 12L).map(i => i ->
+        (1 to (3 + rnd.nextInt(15)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val l = 2 + rnd.nextInt(3)
+      val d = df("doc_id BIGINT, text STRING",
+        docsSeq.map { case (i, t) => Row(Long.box(i), t) }: _*)
+      val got = Dedup.exactSubstringDedup(d, "doc_id", "text", l).collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+      assert(got == reference(docsSeq, l), s"trial $trial l=$l docs=$docsSeq")
+    }
+  }
+
   test("exactSubstringDedup conservation on the corpus: kept + removed == orig") {
     import graft.operators.Dedup
     val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
