@@ -1491,4 +1491,80 @@ object Similarity {
         (y, i) => round(y * element_at(signLit, i + 1) / lit(sqrtD), 9))
         .as("restored"))
   }
+
+  /** Margin-criterion bitext mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix parallel-pair miner): mine aligned pairs across two
+    * embedding corpora.  Plain cosine thresholds can't separate true
+    * translations from "hub" vectors that sit close to everything; the
+    * ratio margin normalizes each pair's cosine by the mean of both
+    * endpoints' k-NN cosines:
+    *
+    *   margin(x,y) = cos(x,y) / ((avgK(x -> T) + avgK(S <- y)) / 2)
+    *
+    * Candidates meet on sign-LSH bucket equality — a cross-frame
+    * equi-join, never |S| x |T| — and the k-NN means are computed over
+    * the SAME candidate set (the approximate-kNN margin the mining
+    * deployments use; exact kNN would be the quadratic scan this
+    * operator exists to avoid).  Buckets with more than `maxBucket`
+    * rows on either side are dropped whole (skew guard — an all-zero
+    * or boilerplate embedding cluster must not quadratically dominate
+    * the join; same discipline as Dedup.lshCandidatePairs). Size
+    * `pairs` from the corpus count ([[scaledSignPairs]]) so the guard
+    * only ever fires on genuine pathologies.
+    *
+    * Returns one row per source vector that has candidates: its best
+    * target by margin (deterministic tiebreak: margin desc, target id
+    * asc), with `mutual` = true when the source is also that target's
+    * best source — the high-precision subset a translation-pair
+    * harvest keeps.  Filter `margin >= minMargin` is applied last so
+    * the caller sees the same frontier the threshold was tuned on.
+    *
+    * Scale shape: one shuffle on `bucket` (join + both guards reuse
+    * it), one on `s_id`, one on `t_id` (window + grouped kNN mean
+    * share each exchange); everything else is map-side. 100 TB posture:
+    * all frames are id+vector projections, the mined-pair frame is
+    * O(candidates), bounded by maxBucket^2 per bucket.
+    */
+  def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, pairs: Seq[(Int, Int)] = defaultPairs, k: Int = 4,
+      minMargin: Double = 0.0, maxBucket: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(d: DataFrame, p: String): DataFrame = {
+      val b = signLshBuckets(d.select(col(idCol), col(vecCol)), vecCol, pairs)
+        .select(col(idCol).as(p + "id"), col(vecCol).as(p + "vec"),
+          col("bucket"))
+      val fat = b.groupBy("bucket").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucket).select("bucket")
+      b.join(fat, Seq("bucket"), "left_anti")
+    }
+    val cand = side(src, "s_").join(side(tgt, "t_"), "bucket")
+      .withColumn("cos", cosineNative(col("s_vec"), col("t_vec")))
+      .filter(col("cos").isNotNull)
+      .select("s_id", "t_id", "cos")
+    val wF = Window.partitionBy("s_id").orderBy(col("cos").desc, col("t_id"))
+    val wB = Window.partitionBy("t_id").orderBy(col("cos").desc, col("s_id"))
+    val ranked = cand
+      .withColumn("__rf", row_number().over(wF))
+      .withColumn("__rb", row_number().over(wB))
+    val fAvg = ranked.filter(col("__rf") <= k).groupBy("s_id")
+      .agg(avg(col("cos")).as("__favg"))
+    val bAvg = ranked.filter(col("__rb") <= k).groupBy("t_id")
+      .agg(avg(col("cos")).as("__bavg"))
+    val scored = cand.join(fAvg, "s_id").join(bAvg, "t_id")
+      .withColumn("margin",
+        col("cos") * 2 / (col("__favg") + col("__bavg")))
+    val wBestF = Window.partitionBy("s_id")
+      .orderBy(col("margin").desc, col("t_id"))
+    val wBestB = Window.partitionBy("t_id")
+      .orderBy(col("margin").desc, col("s_id"))
+    scored
+      .withColumn("__bf", row_number().over(wBestF))
+      .withColumn("__bb", row_number().over(wBestB))
+      // A pair is mutual iff IT is both its source's and its target's
+      // argmax — flag computable on the pair row itself, no self-join.
+      .withColumn("mutual", col("__bf") === 1 && col("__bb") === 1)
+      .filter(col("__bf") === 1 && col("margin") >= minMargin)
+      .select(col("s_id"), col("t_id"), col("cos").as("cosine"),
+        col("margin"), col("mutual"))
+  }
 }

@@ -32,6 +32,19 @@ object SimilarityOps {
     Tables.table(s, dir, "embeddings")
       .repartition(s.sessionState.conf.numShufflePartitions)
 
+  /** The BARE scan, for the probe-index gates (q54/q67/q86/q183/q202):
+    * their pipeline is assignNearest → repartition(cluster) → write
+    * plus a ≤k-row decimal rerank, so the fixture-widening shuffle in
+    * [[emb]] sits directly in front of another full shuffle and is
+    * pure overhead — measured +0.4–0.7 s per gate at sf0.1 (r13 A/B,
+    * full suite vs full suite). The decimal-heavy gates (PQ trainings,
+    * all-pairs recall yardsticks) KEEP [[emb]]: the same A/B showed
+    * them 2–5 s/gate faster widened, because their decimal work feeds
+    * straight off the single-row-group fixture scan.
+    */
+  private def embNarrow(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+
   /** The SHIPPED sign-LSH width: sized from the corpus count
     * ([[Similarity.scaledSignBits]], target bucket 32) instead of a
     * fixed pair list — SCALING.md measured the fixed width's candidate
@@ -1170,7 +1183,7 @@ object SimilarityOps {
     // is a fixed per-corpus temp path (overwritten, never accumulated).
     QueryDef("q54_ivf_search",
       (s, dir) => {
-        val e = emb(s, dir)
+        val e = embNarrow(s, dir)
         val cents = labelCentsDecimal(e)
         val qvec = e.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0)
@@ -1415,7 +1428,7 @@ object SimilarityOps {
     QueryDef("q67_ivf_batch",
       (s, dir) => {
         def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
-        val e = emb(s, dir)
+        val e = embNarrow(s, dir)
         val cents = labelCentsDecimal(e)
         val path = sys.props("java.io.tmpdir") +
           s"/graft_ivf_q67_${java.lang.Integer.toHexString(dir.hashCode)}/index"
@@ -1537,7 +1550,7 @@ object SimilarityOps {
     // post-search without shrinking the result.
     QueryDef("q86_ivf_sq8",
       (s, dir) => {
-        val e = emb(s, dir)
+        val e = embNarrow(s, dir)
         val cents = labelCentsDecimal(e)
         val path = sys.props("java.io.tmpdir") +
           s"/graft_ivf_q86_${java.lang.Integer.toHexString(dir.hashCode)}/index"
@@ -2483,7 +2496,7 @@ object SimilarityOps {
     // engine's double-ranked candidate cut and the portable top-10.
     QueryDef("q183_filtered_ann",
       (s, dir) => {
-        val e = emb(s, dir)
+        val e = embNarrow(s, dir)
         val cents = labelCentsDecimal(e)
         val qvec = e.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0)
@@ -2690,7 +2703,7 @@ object SimilarityOps {
     // centroids, k=50 engine cut, rounded-decimal top-10).
     QueryDef("q202_vector_erasure",
       (s, dir) => {
-        val e = emb(s, dir)
+        val e = embNarrow(s, dir)
         val cents = labelCentsDecimal(e)
         val qvec = e.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0)
@@ -2925,5 +2938,137 @@ object SimilarityOps {
           UNION ALL SELECT 4, id, mmr FROM p4
           UNION ALL SELECT 5, id, mmr FROM p5)
         ORDER BY pick"""
-      }))
+      }),
+
+    // ---- bitext margin mining (Artetxe & Schwenk 2019) ------------------
+    // The LASER/CCMatrix parallel-pair miner: a pair's cosine is
+    // normalized by the mean of both endpoints' k-NN cosines, so "hub"
+    // vectors that sit close to everything stop winning. Candidates
+    // meet on sized sign-LSH bucket equality (cross-frame equi-join,
+    // never |S|x|T|); the k-NN means use the SAME candidate set — the
+    // approximate-kNN margin mining deployments run. Corpora are the
+    // even/odd vec_id halves (deterministic synthetic bilingual split).
+    // Output: each source's best target by margin with the mutual-best
+    // flag — the high-precision subset a pair harvest keeps. Production
+    // float path: [[Similarity.bitextMine]] (spec-pinned in
+    // SimilaritySpec); this gate takes the portable decimal-exact path.
+    QueryDef("q213_bitext_margin",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        def dot(a: Column, b: Column) = call_function("dot_exact", a, b)
+        val b = Similarity.signLshBuckets(
+            emb(s, dir).select(col("vec_id"), col("embedding")), "embedding",
+            sizedPairs(s, dir))
+          .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+          .filter(col("nrm") > 0)
+          .localCheckpoint(true) // both corpus halves read it
+        val src = b.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("s_id"), col("embedding").as("svec"),
+            col("nrm").as("snrm"), col("bucket"))
+        val tgt = b.filter(col("vec_id") % 2 =!= 0)
+          .select(col("vec_id").as("t_id"), col("embedding").as("tvec"),
+            col("nrm").as("tnrm"), col("bucket"))
+        // Candidate cosines are consumed by three branches (forward
+        // kNN mean, backward kNN mean, the margin join) — checkpoint
+        // the bucket join + decimal dots once.
+        val cand = src.join(tgt, "bucket")
+          .select(col("s_id"), col("t_id"),
+            round(dot(col("svec"), col("tvec")) /
+              (col("snrm") * col("tnrm")), 9).as("cosv"))
+          .localCheckpoint(true)
+        val rk = cand
+          .withColumn("rf", row_number().over(
+            Window.partitionBy("s_id").orderBy(col("cosv").desc, col("t_id"))))
+          .withColumn("rb", row_number().over(
+            Window.partitionBy("t_id").orderBy(col("cosv").desc, col("s_id"))))
+          .localCheckpoint(true) // forward AND backward means read it
+        // kNN means on the decimal grid: each cosine is a 9-dp value,
+        // so the decimal(18,9) sum is exact and order-insensitive in
+        // both engines; the mean is one double division of identical
+        // inputs.
+        val fa = rk.filter(col("rf") <= 4).groupBy("s_id")
+          .agg((sum(col("cosv").cast(DecimalType(18, 9))).cast(DoubleType) /
+            count(lit(1))).as("favg"))
+        val ba = rk.filter(col("rb") <= 4).groupBy("t_id")
+          .agg((sum(col("cosv").cast(DecimalType(18, 9))).cast(DoubleType) /
+            count(lit(1))).as("bavg"))
+        // The margin is DERIVED from grid inputs — identical doubles in
+        // both engines, so ranking on the raw value is portable, but
+        // round(x, 9) on it is NOT (near-half edges diverge between
+        // engines; verify-skill gotcha). Rank raw, emit floored
+        // micro fixed-point.
+        val m = cand.join(fa, "s_id").join(ba, "t_id")
+          // Ratio margin presumes a positive neighborhood mean; a
+          // non-positive denominator is not translation-like and is
+          // excluded EXPLICITLY on both sides (IEEE /0 portability).
+          .filter(col("favg") + col("bavg") > 0)
+          .withColumn("margin",
+            col("cosv") * 2 / (col("favg") + col("bavg")))
+        m.withColumn("bf", row_number().over(
+            Window.partitionBy("s_id").orderBy(col("margin").desc, col("t_id"))))
+          .withColumn("bb", row_number().over(
+            Window.partitionBy("t_id").orderBy(col("margin").desc, col("s_id"))))
+          .withColumn("mutual",
+            (col("bf") === 1 && col("bb") === 1).cast("int"))
+          .filter(col("bf") === 1)
+          .select(col("s_id"), col("t_id"), col("cosv").as("cosine"),
+            floor(col("margin") * lit(1000000.0)).cast(LongType)
+              .as("margin_micro"),
+            col("mutual"))
+          .orderBy("s_id")
+      },
+      Some(s"""
+        WITH b AS (SELECT vec_id, ${bucketSql("embeddings")} AS bucket
+                   FROM embeddings),
+        e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings),
+        n AS (SELECT vec_id,
+                     CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+              FROM e GROUP BY 1),
+        cand AS (SELECT sb.vec_id AS s_id, tb.vec_id AS t_id
+                 FROM b sb JOIN b tb
+                   ON tb.bucket = sb.bucket AND tb.vec_id % 2 = 1
+                 WHERE sb.vec_id % 2 = 0),
+        d AS (SELECT cand.s_id, cand.t_id,
+                     CAST(SUM(CAST(e1.v*e2.v AS DECIMAL(38,18))) AS DOUBLE)
+                       AS dot
+              FROM cand JOIN e e1 ON e1.vec_id = cand.s_id
+                        JOIN e e2 ON e2.vec_id = cand.t_id
+                                 AND e2.pos = e1.pos
+              GROUP BY 1, 2),
+        cosv AS (SELECT s_id, t_id,
+                        round(dot/(sqrt(n1.nn)*sqrt(n2.nn)), 9) AS cosv
+                 FROM d JOIN n n1 ON n1.vec_id = s_id
+                        JOIN n n2 ON n2.vec_id = t_id
+                 WHERE n1.nn > 0 AND n2.nn > 0),
+        rk AS (SELECT s_id, t_id, cosv,
+                      row_number() OVER (PARTITION BY s_id
+                        ORDER BY cosv DESC, t_id) AS rf,
+                      row_number() OVER (PARTITION BY t_id
+                        ORDER BY cosv DESC, s_id) AS rb
+               FROM cosv),
+        fa AS (SELECT s_id,
+                      CAST(SUM(CAST(cosv AS DECIMAL(18,9))) AS DOUBLE)
+                        / COUNT(*) AS favg
+               FROM rk WHERE rf <= 4 GROUP BY 1),
+        ba AS (SELECT t_id,
+                      CAST(SUM(CAST(cosv AS DECIMAL(18,9))) AS DOUBLE)
+                        / COUNT(*) AS bavg
+               FROM rk WHERE rb <= 4 GROUP BY 1),
+        m AS (SELECT c.s_id, c.t_id, c.cosv,
+                     c.cosv * 2 / (fa.favg + ba.bavg) AS margin
+              FROM cosv c JOIN fa USING (s_id) JOIN ba USING (t_id)
+              WHERE fa.favg + ba.bavg > 0),
+        mb AS (SELECT s_id, t_id, cosv, margin,
+                      row_number() OVER (PARTITION BY s_id
+                        ORDER BY margin DESC, t_id) AS bf,
+                      row_number() OVER (PARTITION BY t_id
+                        ORDER BY margin DESC, s_id) AS bb
+               FROM m)
+        SELECT s_id, t_id, cosv AS cosine,
+               CAST(floor(margin * 1000000.0) AS BIGINT) AS margin_micro,
+               CAST(CASE WHEN bf = 1 AND bb = 1 THEN 1 ELSE 0 END AS INT)
+                 AS mutual
+        FROM mb WHERE bf = 1 ORDER BY s_id""")))
 }

@@ -859,4 +859,65 @@ class SimilaritySpec extends SparkSpec {
         "vec_id", "embedding", "sp").collect()
     }
   }
+
+  // ---- bitext margin mining ------------------------------------------
+
+  /** 10-dim fixture: dims 1-4 are tiny constants that put EVERY vector
+    * in sign bucket "10" (pairs (1,2),(3,4)); geometry lives in dims
+    * 5-8. The hub target sits at cos ~0.707 to BOTH sources — closer
+    * than either's true mate (0.6) — so raw cosine picks the hub for
+    * every source while the margin criterion, normalizing by the hub's
+    * high backward k-NN mean, picks the mate. That flip is the whole
+    * point of the operator.
+    */
+  private def bitextVec(g: Seq[Double]): Seq[Float] =
+    (Seq(0.001, 0.0005, 0.0005, 0.001) ++ g ++
+      Seq.fill(6 - g.length)(0.0)).map(_.toFloat)
+
+  private def bitextSrc = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+    Row(Long.box(10), bitextVec(Seq(1.0, 0.0))),
+    Row(Long.box(20), bitextVec(Seq(0.0, 1.0))))
+
+  private def bitextTgt = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+    Row(Long.box(11), bitextVec(Seq(0.6, 0.0, 0.8, 0.0))),
+    Row(Long.box(21), bitextVec(Seq(0.0, 0.6, 0.0, 0.8))),
+    Row(Long.box(99), bitextVec(Seq(0.7071, 0.7071))))
+
+  test("bitextMine: margin criterion rejects the hub that raw cosine picks") {
+    val pairs = Seq((1, 2), (3, 4))
+    // Sanity: the hub really does beat the mate on raw cosine.
+    val rawCos = bitextSrc.crossJoin(
+        bitextTgt.select(col("vec_id").as("t_id"),
+          col("embedding").as("tvec")))
+      .select(col("vec_id"), col("t_id"),
+        Similarity.cosine(col("embedding"), col("tvec")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(rawCos((10L, 99L)) > rawCos((10L, 11L)))
+    assert(rawCos((20L, 99L)) > rawCos((20L, 21L)))
+
+    val mined = Similarity.bitextMine(bitextSrc, bitextTgt,
+        "vec_id", "embedding", pairs, k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(mined.keySet == Set(10L, 20L))
+    val (t1, c1, m1, mu1) = mined(10L)
+    val (t2, _, _, mu2) = mined(20L)
+    assert(t1 == 11L && t2 == 21L, s"margin must pick mates, got $mined")
+    assert(mu1 && mu2, "mate pairs are mutual best")
+    assert(m1 > 1.0 && c1 > 0.55 && c1 < 0.65)
+  }
+
+  test("bitextMine: minMargin filters, maxBucket drops the skewed bucket whole") {
+    val pairs = Seq((1, 2), (3, 4))
+    val strict = Similarity.bitextMine(bitextSrc, bitextTgt,
+      "vec_id", "embedding", pairs, k = 4, minMargin = 1e9)
+    assert(strict.count() == 0)
+    // All three targets share one bucket; maxBucket=2 drops the whole
+    // target side of that bucket -> no candidates survive.
+    val guarded = Similarity.bitextMine(bitextSrc, bitextTgt,
+      "vec_id", "embedding", pairs, k = 4, maxBucket = 2)
+    assert(guarded.count() == 0)
+  }
 }
