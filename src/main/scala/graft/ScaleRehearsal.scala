@@ -244,7 +244,33 @@ object ScaleRehearsal {
       ("signlsh_cand_scaled", () =>
         signLshCandidateMass(vecs,
           Similarity.scaledSignPairs(2000L * copies, 64))),
-      ("ivf_probe_rows (q54-q59)", () => ivfProbeMass(vecs, tag)))
+      ("ivf_probe_rows (q54-q59)", () => ivfProbeMass(vecs, tag)),
+      // Bitext mining candidate mass: Σ |b∩src|·|b∩tgt| over sized
+      // sign buckets — the cross-frame join volume bitextMine shuffles.
+      // With corpus-sized bits the per-bucket product is bounded, so
+      // growth must stay ~linear; the fixed-width hazard is the same
+      // one signlsh_cand_fixed8 measures at exponent 2.
+      ("bitext_cand_scaled (q213)", () => {
+        val pairs = Similarity.scaledSignPairs(2000L * copies, 64)
+        val b = Similarity.signLshBuckets(
+          vecs.select("vec_id", "embedding"), "embedding", pairs)
+        val srcN = b.filter(col("vec_id") % 2 === 0)
+          .groupBy("bucket").agg(count(lit(1)).as("ns"))
+        val tgtN = b.filter(col("vec_id") % 2 =!= 0)
+          .groupBy("bucket").agg(count(lit(1)).as("nt"))
+        srcN.join(tgtN, "bucket")
+          .agg(sum(col("ns") * col("nt")).cast("long")).head().getLong(0)
+      }),
+      // End-to-end mine over the even/odd split: output is one row per
+      // source with candidates — linear by construction; the TIME
+      // exponent is the battery's real signal (windows + kNN means
+      // must track the candidate mass, never n²).
+      ("bitext_mine (q213)", () =>
+        Similarity.bitextMine(
+          vecs.filter(col("vec_id") % 2 === 0),
+          vecs.filter(col("vec_id") % 2 =!= 0),
+          "vec_id", "embedding",
+          Similarity.scaledSignPairs(2000L * copies, 64), k = 4).count()))
 
     val scales = Seq(1, 3, 10)
     val results = scala.collection.mutable.LinkedHashMap
