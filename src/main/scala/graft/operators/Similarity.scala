@@ -1492,6 +1492,104 @@ object Similarity {
         .as("restored"))
   }
 
+  /** Split ONE hot cluster of a float IVF index in place — the
+    * maintenance face a growing or drifting index needs between full
+    * rebuilds, completing the incremental story (append / delete /
+    * compact / SPLIT): when the drift ledger or the cluster-size
+    * histogram flags `cluster`, 2-means its rows locally and rewrite
+    * just that cluster's bytes under two new cluster ids. O(|cluster|):
+    * the rest of the index is never read, let alone rewritten — at
+    * 100 TB a hot cluster splits in minutes while a rebuild is hours.
+    *
+    * Returns the UPDATED centroid frame (`cluster` replaced by
+    * `newIdA`/`newIdB`, centroids = the float means of each side's
+    * actual members), which the caller must use for subsequent probes —
+    * centroids are caller-owned, the ivfWrite/ivfSearch contract.
+    * Float layout only: 2-means needs raw vectors; re-splitting an
+    * SQ8/PQ index re-reads its float source (the standard posture).
+    * Tombstoned ids are dropped during the rewrite (a split doubles as
+    * a cluster-local compact, mirroring [[ivfCompact]]).
+    *
+    * Crash contract (the DEVIATIONS §11 protocol with the CLUSTER as
+    * the replacement unit): new dirs are written under
+    * `batch=split-<c>-<a>-<b>` first, the ledger row is the commit
+    * point, the source dir is deleted after. A crash before the commit
+    * leaves orphan new dirs (GC'd by retry or [[ivfCompact]], source
+    * intact); a crash between commit and source delete leaves BOTH
+    * copies briefly visible — the same torn-visibility window
+    * [[appendPrologue]] documents for appends — and a REPLAY of the
+    * same split is the recovery: it finishes the source delete and
+    * returns the updated centroids (idempotent, the streaming-sink
+    * convention). The returned means can differ at ulp level between
+    * a fresh run and a replay (float avg over shuffle order); IVF
+    * probe selection tolerates ulp wiggle by construction.
+    */
+  def ivfSplitCluster(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, centroidDf: DataFrame,
+      cluster: Any, newIdA: Any, newIdB: Any, steps: Int = 3): DataFrame =
+    Upsert.withWriterLock(spark, path) {
+      val tag = s"split-$cluster-$newIdA-$newIdB"
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      IndexCommit.requireSaneBatchId(tag)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val srcDir = new org.apache.hadoop.fs.Path(path, s"cluster=$cluster")
+      def updatedCents(two: DataFrame): DataFrame =
+        centroidDf.filter(!(col("cluster") <=> lit(cluster)))
+          .unionByName(two)
+      def memberMeans(assigned: DataFrame): DataFrame =
+        centroids(assigned.select(col("cluster"), col(vecCol)),
+          "cluster", vecCol)
+      if (committedBatches(spark, path).contains(tag)) {
+        // Replay after a crash in the commit→delete window: finish the
+        // source delete, rebuild the two centroids from the committed
+        // members. Idempotent — never an error.
+        if (fs.exists(srcDir)) fs.delete(srcDir, true)
+        updatedCents(memberMeans(
+          spark.read.parquet(path)
+            .filter(col("batch").cast("string") === tag)))
+      } else {
+      IndexCommit.dropOrphanDirs(spark, path, s"cluster=*/batch=$tag")
+      val rows = readLive(spark, path, idCol)
+        .filter(col("cluster") <=> lit(cluster))
+        .select(col(idCol), col(vecCol))
+        .localCheckpoint(true) // seeds + Lloyd steps + the write read it
+      val n = rows.count()
+      require(n >= 2, s"cluster $cluster has $n live rows — nothing to split")
+      // Deterministic 2-seed: the min-id vector and the vector LEAST
+      // similar to it (one bounded pass each, never pairwise).
+      val aRow = rows.orderBy(col(idCol)).limit(1).collect()(0)
+      val aVec = aRow.getSeq[Float](1)
+      val bRow = rows.filter(col(idCol) =!= lit(aRow.get(0)))
+        .orderBy(cosineNative(col(vecCol), array(aVec.map(lit): _*))
+          .asc_nulls_last, col(idCol))
+        .limit(1).collect()(0)
+      val cSchema = StructType(Seq(
+        StructField("cluster", centroidDf.schema("cluster").dataType),
+        StructField("centroid", ArrayType(FloatType))))
+      var two = spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(newIdA, aVec),
+        org.apache.spark.sql.Row(newIdB, bRow.getSeq[Float](1))), cSchema)
+      for (_ <- 1 to steps) {
+        val next = kmeansStep(rows, idCol, vecCol, two).localCheckpoint(true)
+        // A step that empties one side would degenerate the split —
+        // keep the last 2-sided iterate instead.
+        if (next.count() == 2) two = next
+      }
+      val assigned = assignNearest(rows, idCol, vecCol, two)
+        .localCheckpoint(true) // written AND averaged for the result
+      val (observed, commit) = observeTightness(assigned, path, tag,
+        overwrite = false)
+      observed.select(col(idCol), col(vecCol), col("cluster"))
+        .withColumn("batch", lit(tag))
+        .repartition(col("cluster"))
+        .write.mode("append").partitionBy("cluster", "batch").parquet(path)
+      commit() // the ledger row: the split is now durable
+      if (fs.exists(srcDir)) fs.delete(srcDir, true)
+      updatedCents(memberMeans(assigned))
+      }
+    }
+
   /** Margin-criterion bitext mining (Artetxe & Schwenk 2019, the
     * LASER/CCMatrix parallel-pair miner): mine aligned pairs across two
     * embedding corpora.  Plain cosine thresholds can't separate true

@@ -1236,7 +1236,12 @@ object SimilarityOps {
           .select("embedding").head().getSeq[Float](0)
         val path = sys.props("java.io.tmpdir") +
           s"/graft_ivf_q58_${java.lang.Integer.toHexString(dir.hashCode)}/index"
-        Similarity.ivfWrite(e, "vec_id", "embedding", cents, path)
+        // Build from the BARE scan: assignNearest is map-side float
+        // work ending in a cluster repartition, so the fixture
+        // widening in e would shuffle twice for nothing (measured
+        // ~0.5 s; the decimal yardstick below keeps the widened e).
+        Similarity.ivfWrite(embNarrow(s, dir), "vec_id", "embedding",
+          cents, path)
         // The exact full-scan baseline feeds all three union branches;
         // as with q57, plan-tree reuse does not happen across union
         // children, so materialize the 10-row result once instead of
@@ -1617,8 +1622,11 @@ object SimilarityOps {
           .select("embedding").head().getSeq[Float](0)
         val base = sys.props("java.io.tmpdir") +
           s"/graft_ivf_q88_${java.lang.Integer.toHexString(dir.hashCode)}"
-        Similarity.ivfWrite(e, "vec_id", "embedding", cents, s"$base/float")
-        Similarity.ivfWriteSq8(e.select("vec_id", "embedding"),
+        // Both builds read the BARE scan (q58's rationale); the
+        // decimal recall yardstick keeps the widened e.
+        val eN = embNarrow(s, dir)
+        Similarity.ivfWrite(eN, "vec_id", "embedding", cents, s"$base/float")
+        Similarity.ivfWriteSq8(eN.select("vec_id", "embedding"),
           "vec_id", "embedding", cents, s"$base/sq8")
         val exact = decimalRerankTop10(e, e.select("vec_id"))
           .select("vec_id").localCheckpoint(true)
@@ -3070,5 +3078,58 @@ object SimilarityOps {
                CAST(floor(margin * 1000000.0) AS BIGINT) AS margin_micro,
                CAST(CASE WHEN bf = 1 AND bb = 1 THEN 1 ELSE 0 END AS INT)
                  AS mutual
-        FROM mb WHERE bf = 1 ORDER BY s_id""")))
+        FROM mb WHERE bf = 1 ORDER BY s_id""")),
+
+    // ---- in-place cluster split: conservation through maintenance -------
+    // ivfSplitCluster rewrites ONE hot cluster as two (O(cluster) index
+    // maintenance between rebuilds — append/delete/compact/split is the
+    // full incremental story). The gate pins the two facts an oracle
+    // CAN see without restating float Lloyd means: (1) the served set
+    // is conserved — probing every cluster after the split reproduces
+    // the exact decimal top-10 (a lost, duplicated, or double-visible
+    // row in the head breaks the hash); (2) the physical layout is
+    // exactly "source retired, both children populated" — n_clusters
+    // read from the index must equal distinct labels + 1. Placement
+    // quality and the crash/replay protocol are spec-pinned
+    // (SimilaritySpec "ivfSplitCluster").
+    QueryDef("q214_ivf_split",
+      (s, dir) => {
+        val e = embNarrow(s, dir)
+        val cents = labelCentsDecimal(e)
+        val qvec = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_ivf_q214_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        Similarity.ivfWrite(e, "vec_id", "embedding", cents, path)
+        val newCents = Similarity.ivfSplitCluster(s, path, "vec_id",
+          "embedding", cents, 0, 100, 101, steps = 2)
+          .localCheckpoint(true) // probe ranking + nprobe sizing read it
+        val nClusters = s.read.parquet(path)
+          .agg(count_distinct(col("cluster"))).head().getLong(0)
+        val hits = Similarity.ivfSearch(s, path, "vec_id", "embedding",
+          newCents, qvec, k = 50, nprobe = newCents.count().toInt)
+        decimalRerankTop10(e, hits.select("vec_id"))
+          .withColumn("n_clusters", lit(nClusters))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                          generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings),
+        q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 0),
+        qn AS (SELECT CAST(SUM(CAST(qv*qv AS DECIMAL(38,18))) AS DOUBLE) AS nn
+               FROM q),
+        n AS (SELECT vec_id,
+                     CAST(SUM(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+              FROM e GROUP BY 1),
+        d AS (SELECT e.vec_id,
+                     CAST(SUM(CAST(e.v*q.qv AS DECIMAL(38,18))) AS DOUBLE)
+                       AS dot
+              FROM e JOIN q USING (pos) GROUP BY 1)
+        SELECT vec_id, round(dot/(sqrt(n.nn)*sqrt(qn.nn)), 9) AS cosine,
+               (SELECT COUNT(DISTINCT label) + 1 FROM embeddings)
+                 AS n_clusters
+        FROM d JOIN n USING (vec_id), qn
+        WHERE n.nn > 0 AND qn.nn > 0
+        ORDER BY round(dot/(sqrt(n.nn)*sqrt(qn.nn)), 9) DESC, vec_id
+        LIMIT 10""")))
 }

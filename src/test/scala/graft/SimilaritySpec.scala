@@ -860,6 +860,84 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfSplitCluster: served set preserved; replay heals crash window; tombstones dropped") {
+    val e = emb.select("vec_id", "embedding").localCheckpoint(true)
+    val cents = Similarity.centroids(
+      e.withColumn("cluster", pmod(col("vec_id"), lit(2)).cast("int"))
+        .select(col("cluster"), col("embedding")),
+      "cluster", "embedding").localCheckpoint(true)
+    val q = e.filter(col("vec_id") === 3).head().getSeq[Float](1)
+    val p = tmpIndex("split")
+    Similarity.ivfWrite(e, "vec_id", "embedding", cents, p)
+    val preIds = spark.read.parquet(p).filter(col("cluster") === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(preIds.size >= 2)
+
+    val newCents = Similarity.ivfSplitCluster(spark, p, "vec_id",
+      "embedding", cents, 0, 10, 11).localCheckpoint(true)
+    // centroid frame: 0 replaced by {10, 11}
+    val ids = newCents.select("cluster").collect().map(_.getInt(0)).toSet
+    assert(ids == Set(1, 10, 11), s"got $ids")
+    // id conservation: the two new clusters hold exactly the old rows
+    val post = spark.read.parquet(p)
+    assert(post.filter(col("cluster") === 0).count() == 0,
+      "source cluster dir must be retired")
+    assert(post.filter(col("cluster").isin(10, 11))
+      .select("vec_id").collect().map(_.getLong(0)).toSet == preIds)
+    assert(post.filter(col("cluster") === 10).count() > 0 &&
+      post.filter(col("cluster") === 11).count() > 0,
+      "a split must populate BOTH children")
+    // served set: probing every cluster equals the brute-force list
+    def served(c: org.apache.spark.sql.DataFrame, np: Int) =
+      Similarity.ivfSearch(spark, p, "vec_id", "embedding", c, q,
+        k = 20, nprobe = np).collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      array(q.map(lit): _*), 20).collect().map(_.getLong(0)).toSeq
+    assert(served(newCents, 3) == brute,
+      "split must not change the full-probe served set")
+    // the ledger carries the split batch (tightness row)
+    assert(Similarity.ivfStats(spark, p).collect()
+      .exists(_.getString(0) == "split-0-10-11"))
+
+    // crash window: ledger committed but source dir resurrected —
+    // a REPLAY of the same split is the recovery
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val srcDir = new org.apache.hadoop.fs.Path(p, "cluster=0")
+    fs.mkdirs(srcDir)
+    val stray = e.filter(col("vec_id").isin(preIds.take(3).toSeq.map(Long.box): _*))
+      .withColumn("batch", lit("build"))
+    stray.coalesce(1).write.mode("append").partitionBy("batch")
+      .parquet(srcDir.toString)
+    val replayed = Similarity.ivfSplitCluster(spark, p, "vec_id",
+      "embedding", cents, 0, 10, 11)
+    assert(!fs.exists(srcDir), "replay must finish the source delete")
+    assert(replayed.select("cluster").collect().map(_.getInt(0)).toSet ==
+      Set(1, 10, 11))
+    assert(served(newCents, 3) == brute, "recovery restores the served set")
+
+    // tombstones in the split cluster are dropped (cluster-local compact)
+    val victim = post.filter(col("cluster") === 1)
+      .select("vec_id").orderBy("vec_id").head().getLong(0)
+    Similarity.ivfDelete(spark, p,
+      e.filter(col("vec_id") === victim).select("vec_id"), "dsplit")
+    val afterDel = Similarity.ivfSplitCluster(spark, p, "vec_id",
+      "embedding", newCents, 1, 20, 21).localCheckpoint(true)
+    assert(spark.read.parquet(p)
+      .filter(col("vec_id") === victim).count() == 0,
+      "a split must not carry tombstoned rows into the children")
+    val bruteLive = Similarity.bruteForceTopK(
+      e.filter(col("vec_id") =!= victim), "vec_id", "embedding",
+      array(q.map(lit): _*), 20).collect().map(_.getLong(0)).toSeq
+    assert(served(afterDel, 4) == bruteLive)
+
+    // refusing nonsense: splitting a gone cluster has no live rows
+    intercept[IllegalArgumentException] {
+      Similarity.ivfSplitCluster(spark, p, "vec_id", "embedding",
+        afterDel, 0, 30, 31)
+    }
+  }
+
   // ---- bitext margin mining ------------------------------------------
 
   /** 10-dim fixture: dims 1-4 are tiny constants that put EVERY vector
