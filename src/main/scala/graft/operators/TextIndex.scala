@@ -72,9 +72,13 @@ object TextIndex {
     * under the old value). 64 buckets: a delete of k docs touches
     * ≤ min(k, 64) partition dirs of a sidecar holding one tiny row per
     * doc — the access path that makes erasure O(deleted), not
-    * O(index).
+    * O(index). 16, not more: every partition dir costs a file-commit
+    * rename at write time (measured ~30 ms each locally, so a 64-dir
+    * sidecar taxed EVERY index build ~2 s), while erasure already
+    * prunes to ≤ min(k, buckets) dirs — at 16 the build tax is ~0.5 s
+    * and a production bucket dir simply holds more files.
     */
-  private val DocLenBuckets = 64
+  private val DocLenBuckets = 16
 
   private def dbucket(doc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(doc), lit(DocLenBuckets))
