@@ -187,6 +187,47 @@ object ScaleRehearsal {
             Seq("spark", "query", "merge"), k = 10).count()))
     }
 
+    /** In-place cluster split (q214): the index grows with n but the
+      * SPLIT CLUSTER is pinned — 200 planted vectors tightly packed
+      * around a far-off direction no corpus vector approaches, owned
+      * by a dedicated centroid. ivfSplitCluster on that cluster must
+      * stay ~flat as the index grows 10x (value = rows rewritten =
+      * the planted 200): the O(cluster) claim, measured the way the
+      * erasure batteries pin fixed victims.
+      */
+    def splitBattery(vecs: DataFrame, tag: String)
+        : Seq[(String, () => Long)] = {
+      val d = 64
+      val planted = spark.range(200).select(
+        (col("id") + 900000000L).as("vec_id"),
+        array((0 until d).map(i =>
+          (lit(if (i == 0) 100.0f else 0.0f) +
+            (col("id") % 7).cast("float") * lit(0.01f)).cast("float")): _*)
+          .as("embedding"))
+      val all = vecs.select("vec_id", "embedding").unionByName(planted)
+      val n = all.count()
+      val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val seedRows = vecs.orderBy("vec_id").limit(k - 1).collect()
+      val schema = StructType(Seq(
+        StructField("cluster", IntegerType),
+        StructField("centroid", ArrayType(FloatType))))
+      val cents = spark.createDataFrame(
+        java.util.Arrays.asList(
+          (seedRows.zipWithIndex.map { case (r, i) =>
+            Row(i, r.getSeq[Float](1)) } :+
+            Row(9999, (0 until d).map(i =>
+              if (i == 0) 100.0f else 0.0f))): _*), schema)
+        .localCheckpoint(true)
+      val idx = s"$work/ivf_split_$tag"
+      Similarity.ivfWrite(all, "vec_id", "embedding", cents, idx)
+      Seq(("ivf_split_pinned (q214)", () => {
+        Similarity.ivfSplitCluster(spark, idx, "vec_id", "embedding",
+          cents, 9999, 10001, 10002, steps = 2)
+        spark.read.parquet(idx)
+          .filter(col("cluster").isin(10001, 10002)).count()
+      }))
+    }
+
     /** KMV incremental maintenance (q191): sketches over the corpus
       * are PRE-BUILT; the timed battery folds a fixed 500-doc batch
       * in. O(batch + touched sketches) — the raw history is never
@@ -280,7 +321,8 @@ object ScaleRehearsal {
       val vecs = spark.read.parquet(buildVecs(copies)).localCheckpoint(true)
       val nDocs = docs.count()
       val all = batteries(docs, vecs, s"x$copies", copies) ++
-        kmvBattery(docs) ++ indexBatteries(docs, s"x$copies")
+        kmvBattery(docs) ++ indexBatteries(docs, s"x$copies") ++
+        splitBattery(vecs, s"x$copies")
       all.foreach { case (name, run) =>
         val t0 = System.nanoTime()
         val v = run()

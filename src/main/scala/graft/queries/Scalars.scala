@@ -105,8 +105,7 @@ object Scalars {
             last_day(d).as("eom"),
             add_months(d, 3).as("plus3m"),
             date_add(d, 45).as("plus45d"),
-            datediff(lit("1998-12-31").cast(DateType), d).as("days_to_end"))
-          .orderBy("o_orderkey")
+            datediff(lit("1998-12-31").cast(DateType), d).as("days_to_end")) // (driver comparator sorts rows before hashing - no cosmetic sort)
       },
       Some("""
         SELECT o_orderkey,

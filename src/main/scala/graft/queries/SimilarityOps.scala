@@ -2595,8 +2595,7 @@ object SimilarityOps {
         graft.operators.Similarity.srhtRotate(
             emb(s, dir), "vec_id", "embedding", "srht7")
           .select(col("vec_id"),
-            posexplode(col("rotated")).as(Seq("pos", "rot")))
-          .orderBy("vec_id", "pos")
+            posexplode(col("rotated")).as(Seq("pos", "rot"))) // (driver comparator sorts rows before hashing - no cosmetic sort)
       },
       Some(s"""
         WITH $srhtCte

@@ -2996,6 +2996,141 @@ object TextOps {
                  ELSE CAST(round(CAST(SUM(ppm) AS DECIMAL(38,18))
                    / CAST(count(ppm) AS DECIMAL(38,18)), 3) AS DOUBLE)
                  END AS mean_doc_ppm
-        FROM b GROUP BY 1, 2 ORDER BY 1, 2""")))
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- retrieval evaluation: nDCG@10 / MRR@10 / P@10 ------------------
+    // The eval harness a retrieval stack ships with: rank by the q136
+    // portable BM25, grade relevance by query-term coverage (0..3),
+    // report P@10, MRR@10 and rank-reciprocal nDCG@10 per query. The
+    // ideal DCG ranks the WHOLE corpus by grade (true nDCG, not
+    // in-set self-normalization). ALL metric arithmetic is integer:
+    // rank discounts are 27720/(r+1) (27720 = lcm(1..11), so every
+    // discount is an exact integer), DCG/IDCG are integer sums, and
+    // the final ratio is one double division of exact integers
+    // (identical bits in both engines; micro-floor is safe because a
+    // non-integer ratio with denominator idcg sits ≥ 1/idcg ≫ 1 ulp
+    // from any floor boundary). No libm log2, no float accumulation —
+    // the portability lesson of q180/q213 applied to eval metrics.
+    QueryDef("q215_retrieval_eval",
+      (s, dir) => {
+        val queries = Seq(
+          "spark query merge", "join hash scan", "stream window batch")
+        val perQuery = queries.map { q =>
+          val terms = q.split(' ').toSeq
+          val ws = words(col("text"))
+          val base = docs(s, dir).select(
+            (col("doc_id") +:
+              size(ws).cast("long").as("dl") +:
+              terms.zipWithIndex.map { case (t, i) =>
+                size(filter(ws, x => x === lit(t))).cast("long").as(s"tf_$i")
+              }): _*)
+          val aggCols = count(lit(1)).cast("long").as("n_docs") +:
+            sum(col("dl")).cast("long").as("sum_dl") +:
+            terms.indices.map(i =>
+              sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+          val consts = base.agg(aggCols.head, aggCols.tail: _*)
+          val graded = base.crossJoin(broadcast(consts))
+            .withColumn("avgdl",
+              col("sum_dl").cast("double") / col("n_docs").cast("double"))
+            .withColumn("bm25", terms.indices.map { i =>
+              val tf = col(s"tf_$i").cast("double")
+              val idf = round(log(
+                (col("n_docs").cast("double") - col(s"df_$i") + 0.5) /
+                  (col(s"df_$i") + 0.5) + 1.0), 9)
+              idf * (tf * lit(2.2)) /
+                (tf + lit(1.2) * (lit(0.25) +
+                  lit(0.75) * col("dl").cast("double") / col("avgdl")))
+            }.reduce(_ + _))
+            .withColumn("grade", terms.indices.map(i =>
+              when(col(s"tf_$i") > 0, 1L).otherwise(0L)).reduce(_ + _))
+            .select("doc_id", "bm25", "grade")
+            .localCheckpoint(true) // retrieved top-10 AND ideal read it
+          val top = graded
+            .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+            .withColumn("rank", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("bm25").desc, col("doc_id"))))
+            .withColumn("w", floor(lit(27720) / (col("rank") + 1))
+              .cast("long"))
+          val ideal = graded
+            .orderBy(col("grade").desc, col("doc_id")).limit(10)
+            .withColumn("rank", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("grade").desc, col("doc_id"))))
+            .agg(sum(col("grade") *
+              floor(lit(27720) / (col("rank") + 1)).cast("long"))
+              .as("idcg_scaled"))
+          top.agg(
+              sum(when(col("grade") > 0, 1L).otherwise(0L)).as("p10_hits"),
+              coalesce(floor(lit(27720) /
+                min(when(col("grade") > 0, col("rank")))).cast("long"),
+                lit(0L)).as("mrr_scaled"),
+              sum(col("grade") * col("w")).as("dcg_scaled"))
+            .crossJoin(ideal)
+            .select(lit(q).as("query"), col("p10_hits"), col("mrr_scaled"),
+              col("dcg_scaled"), col("idcg_scaled"),
+              when(col("idcg_scaled") > 0,
+                floor(col("dcg_scaled").cast("double") * 1000000.0 /
+                  col("idcg_scaled").cast("double")).cast("long"))
+                .otherwise(0L).as("ndcg_micro"))
+        }
+        perQuery.reduce(_ unionByName _).orderBy("query")
+      },
+      Some {
+        def block(q: String): String = {
+          val terms = q.split(' ').toSeq
+          val tfCols = terms.zipWithIndex.map { case (t, i) =>
+            s"len(list_filter(string_split(text,' '), x -> x = '$t')) AS tf_$i"
+          }.mkString(", ")
+          val dfCols = terms.indices.map(i =>
+            s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+            .mkString(", ")
+          val bm25 = terms.indices.map(i =>
+            s"""round(ln((CAST(n_docs AS DOUBLE) - df_$i + 0.5)
+                 / (df_$i + 0.5) + 1.0), 9)
+               * (CAST(tf_$i AS DOUBLE) * 2.2)
+               / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                  CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))""")
+            .mkString(" + ")
+          val grade = terms.indices.map(i =>
+            s"(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+          s"""(
+          WITH base AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
+                               $tfCols
+                        FROM documents),
+          c AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl, $dfCols
+                FROM base),
+          g AS (SELECT doc_id, $bm25 AS bm25,
+                       CAST($grade AS BIGINT) AS grade
+                FROM base, c),
+          top AS (SELECT doc_id, grade,
+                         row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                           AS rnk
+                  FROM g ORDER BY bm25 DESC, doc_id LIMIT 10),
+          ideal AS (SELECT grade,
+                           row_number() OVER (ORDER BY grade DESC, doc_id)
+                             AS rnk
+                    FROM g ORDER BY grade DESC, doc_id LIMIT 10),
+          idcg AS (SELECT CAST(SUM(grade * (27720 // (rnk + 1))) AS BIGINT)
+                     AS idcg_scaled FROM ideal),
+          m AS (SELECT CAST(SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS p10_hits,
+                       COALESCE(27720 // MIN(CASE WHEN grade > 0
+                         THEN rnk END), 0) AS mrr_scaled,
+                       CAST(SUM(grade * (27720 // (rnk + 1))) AS BIGINT) AS dcg_scaled
+                FROM top)
+          SELECT '$q' AS query, CAST(p10_hits AS BIGINT) AS p10_hits,
+                 CAST(mrr_scaled AS BIGINT) AS mrr_scaled,
+                 CAST(dcg_scaled AS BIGINT) AS dcg_scaled,
+                 CAST(idcg_scaled AS BIGINT) AS idcg_scaled,
+                 CASE WHEN idcg_scaled > 0
+                   THEN CAST(floor(CAST(dcg_scaled AS DOUBLE) * 1000000.0
+                     / CAST(idcg_scaled AS DOUBLE)) AS BIGINT)
+                   ELSE 0 END AS ndcg_micro
+          FROM m, idcg)"""
+        }
+        Seq("spark query merge", "join hash scan", "stream window batch")
+          .map(block).mkString(" UNION ALL ") + " ORDER BY query"
+      }))
 
 }
