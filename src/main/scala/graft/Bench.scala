@@ -92,13 +92,31 @@ object Bench {
       System.err.println(s"[bench] WARNING: starting busy (loadavg ${load1()} > $idleMax after ${idleWaitSec}s wait); numbers are load-polluted")
     calibrate() // warm
     val loadStart = loadavg()
-    val calib1 = calibrate()
-    val pass1 = named.map { case (name, fn) => pass(name, fn) }
+    // INTERLEAVED calibration: the r13 artifact proved a single calib
+    // sample per pass boundary cannot represent a load profile that
+    // changes WITHIN a pass (a transient loadavg-9.3 spike at one
+    // boundary scaled every pass-2 time by 0.27 and produced a
+    // meaningless total_norm). Each pass now re-times the fixed
+    // calibration workload every CalEvery queries, and each query is
+    // normalized by its BRACKETING calib samples (mean of the segment's
+    // two endpoints), so a mid-run spike deflates only the ~25 queries
+    // it actually inflated.
+    val CalEvery = 25
+    def timedPass(): (IndexedSeq[Double], IndexedSeq[Double]) = {
+      val times = Array.fill(named.size)(-1.0)
+      val calibs = scala.collection.mutable.ArrayBuffer(calibrate())
+      named.zipWithIndex.foreach { case ((name, fn), i) =>
+        times(i) = pass(name, fn)
+        if ((i + 1) % CalEvery == 0 && i + 1 < named.size)
+          calibs += calibrate()
+      }
+      calibs += calibrate()
+      (times.toIndexedSeq, calibs.toIndexedSeq)
+    }
+    val (pass1, calibs1) = timedPass()
     val loadMid = loadavg()
-    val calib2 = calibrate()
-    val pass2 = named.map { case (name, fn) => pass(name, fn) }
+    val (pass2, calibs2) = timedPass()
     val loadEnd = loadavg()
-    val calib3 = calibrate()
     // A query is an error only if it NEVER ran: a transient failure in
     // one pass must not discard the other pass's valid measurement.
     val results = named.zip(pass1.zip(pass2)).map { case ((name, _), (t1, t2)) =>
@@ -108,25 +126,36 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nErr = results.count(_._2 < 0)
-    // Load-corrected total: scale each pass's times by (median calib /
-    // that pass's calib) before the per-query min, so a pass that ran
-    // under ambient load is deflated by exactly the slowdown the fixed
-    // calibration workload observed at its boundary. Round-over-round
-    // deltas compare total_norm mechanically instead of eyeballing
-    // loadavg (pass1 is bracketed by calib1, pass2 by calib2).
-    val calibs = Seq(calib1, calib2, calib3).sorted
-    val calibMed = calibs(1)
+    // Load-corrected total: scale each query by (median calib / its
+    // segment's local calib) before the per-query min, so a query that
+    // ran under ambient load is deflated by exactly the slowdown the
+    // calibration workload observed AROUND it. Round-over-round deltas
+    // compare total_norm mechanically instead of eyeballing loadavg.
+    val allCalibs = (calibs1 ++ calibs2).sorted
+    val calibMed = allCalibs(allCalibs.size / 2)
+    def localCalib(calibs: IndexedSeq[Double], i: Int): Double = {
+      val seg = i / CalEvery
+      (calibs(seg) + calibs(math.min(seg + 1, calibs.size - 1))) / 2.0
+    }
     val totalNorm = named.indices.map { i =>
-      val n1 = if (pass1(i) < 0) -1.0 else pass1(i) * calibMed / calib1
-      val n2 = if (pass2(i) < 0) -1.0 else pass2(i) * calibMed / calib2
+      val n1 = if (pass1(i) < 0) -1.0
+               else pass1(i) * calibMed / localCalib(calibs1, i)
+      val n2 = if (pass2(i) < 0) -1.0
+               else pass2(i) * calibMed / localCalib(calibs2, i)
       if (n1 < 0) n2 else if (n2 < 0) n1 else math.min(n1, n2)
     }.filter(_ >= 0).sum
+    // Dispersion flag: when the calib samples disagree by more than 2x,
+    // machine load varied enough during the run that even the bracketed
+    // normalization is an estimate — the artifact says so instead of
+    // pretending (the r12/r13 lesson, mechanized).
+    val loadPolluted = allCalibs.last / allCalibs.head > 2.0
     // Surface any subset filter so a partial run is distinguishable from
     // a full one in round-over-round BENCH artifacts.
     val filterJson = only.map(f => s""","filter":"${f.mkString(",")}"""").getOrElse("")
+    val calibJson = (calibs1 ++ calibs2).map(c => f"$c%.3f").mkString("[", ",", "]")
     val loadJson =
       s""","loadavg":{"start":"$loadStart","mid":"$loadMid","end":"$loadEnd"}""" +
-        s""","calib_sec":[$calib1,$calib2,$calib3],"busy_start":$busyStart"""
+        s""","calib_sec":$calibJson,"busy_start":$busyStart,"load_polluted":$loadPolluted"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_norm":$totalNorm,"queries":$qs,"n_queries":${results.size},"n_errors":$nErr$filterJson$loadJson,"sf":"$sfDir"}""")
     // The driver captures only the TAIL of stdout; with 120+ queries the
     // per-query map pushes the leading "metric":"total" key out of the

@@ -391,7 +391,7 @@ object ScaleRehearsal {
     sb.append("  growing index. Value = tombstone rows (flat). The time metric\n")
     sb.append("  is the contract: O(deleted), never an index scan — text victim\n")
     sb.append("  stats come from the doc-bucketed __doclens sidecar (pruned to\n")
-    sb.append("  the victims' <=64 buckets), band/IVF deletes write ids only.\n\n")
+    sb.append("  the victims' <=DocLenBuckets buckets), band/IVF deletes write ids only.\n\n")
     sb.append("Excluded metrics, and why: VERIFIED simhash pair counts are not a\n")
     sb.append("linearity diagnostic under replica corpora — the Caesar transform\n")
     sb.append("preserves Jaccard exactly but re-draws every token hash, and for\n")

@@ -69,11 +69,11 @@ object TextIndex {
   /** Doc-hash bucket count of the `__doclens` sidecar layout — part of
     * the ON-DISK contract (readers prune `dbucket` partitions computed
     * with this constant; changing it would silently miss rows written
-    * under the old value). 64 buckets: a delete of k docs touches
-    * ≤ min(k, 64) partition dirs of a sidecar holding one tiny row per
-    * doc — the access path that makes erasure O(deleted), not
-    * O(index). 16, not more: every partition dir costs a file-commit
-    * rename at write time (measured ~30 ms each locally, so a 64-dir
+    * under the old value). Bucketing is what makes erasure cheap: a
+    * delete of k docs touches ≤ min(k, DocLenBuckets) partition dirs of
+    * a sidecar holding one tiny row per doc — O(deleted), not O(index).
+    * 16, not more: every partition dir costs a file-commit rename at
+    * write time (measured ~30 ms each locally, so the original 64-dir
     * sidecar taxed EVERY index build ~2 s), while erasure already
     * prunes to ≤ min(k, buckets) dirs — at 16 the build tax is ~0.5 s
     * and a production bucket dir simply holds more files.
@@ -101,23 +101,38 @@ object TextIndex {
 
   private def doclenPath(path: String): String = s"${path}__doclens"
 
-  /** True iff the `__doclens` sidecar covers EVERY committed ingest
-    * batch — the guard that keeps a pre-sidecar build appended by a
-    * post-sidecar writer correct: partial coverage falls back to the
-    * postings scan instead of silently under-counting victims. One
-    * glob over ≤ 64 × batches partition dirs.
+  /** True iff the `__doclens` sidecar covers EVERY ingest batch that
+    * PHYSICALLY EXISTS in the postings (∩ committed) — the guard that
+    * keeps a pre-sidecar build appended by a post-sidecar writer
+    * correct: partial coverage falls back to the postings scan instead
+    * of silently under-counting victims. Coverage is judged against the
+    * postings' on-disk batch dirs, NOT the ledger's batch set: the
+    * ledger keeps folded ids forever (the exactly-once guard), so after
+    * a [[compact]] — which folds BOTH stores to `batch=build` — the
+    * ledger over-states what the sidecar must cover, and a ledger-based
+    * check would permanently disable the sidecar on any index that was
+    * ever appended to and then compacted. Two globs over
+    * ≤ DocLenBuckets/nShards × batches partition dirs.
     */
+  private[graft] def doclensCover(spark: SparkSession, path: String): Boolean =
+    doclensCover(spark, path, readMeta(spark, path))
+
   private def doclensCover(spark: SparkSession, path: String,
       meta: Meta): Boolean = {
     val dlp = new org.apache.hadoop.fs.Path(doclenPath(path))
     val fs = dlp.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(dlp) && {
+    def batchDirs(root: String, pattern: String): Set[String] = {
       val g = fs.globStatus(
-        new org.apache.hadoop.fs.Path(dlp, "dbucket=*/batch=*"))
-      val have =
-        if (g == null) Set.empty[String]
-        else g.map(_.getPath.getName.stripPrefix("batch=")).toSet
-      meta.batches.filterNot(_.startsWith("del:")).subsetOf(have)
+        new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root),
+          pattern))
+      if (g == null) Set.empty[String]
+      else g.map(_.getPath.getName.stripPrefix("batch=")).toSet
+    }
+    fs.exists(dlp) && {
+      val have = batchDirs(doclenPath(path), "dbucket=*/batch=*")
+      val served = batchDirs(path, "shard=*/batch=*")
+        .intersect(meta.batches.filterNot(_.startsWith("del:")))
+      served.subsetOf(have)
     }
   }
 
@@ -248,21 +263,35 @@ object TextIndex {
       IndexCommit.requireNotCommitted(s"del:$batch", meta.batches,
         s"${path}__meta")
       IndexCommit.dropOrphanDirs(spark, tombPath(path), s"batch=$batch")
+      val cover = doclensCover(spark, path, meta)
+      // Caller-supplied ids are cast to the INDEXED doc type before any
+      // hashing or joining: xxhash64 is type-sensitive (an int 7 and a
+      // long 7 hash differently), so an uncast id column of a narrower
+      // type would compute the WRONG dbucket, prune to the wrong
+      // partitions, find zero victims, and commit an empty tombstone
+      // batch — a silent missed delete. The authoritative type comes
+      // from the sidecar (or the postings when no sidecar covers).
+      val indexedDocType =
+        (if (cover) spark.read.parquet(doclenPath(path))
+         else committedPostings(spark, path, meta)).schema("doc").dataType
       val fresh = committedTombstones(spark, path, meta)
-        .foldLeft(docIds.select(col(docIds.columns.head).as("doc")).distinct())(
+        .foldLeft(docIds
+          .select(col(docIds.columns.head).cast(indexedDocType).as("doc"))
+          .distinct())(
           (ids, tomb) => ids.join(tomb, Seq("doc"), "left_anti"))
         .localCheckpoint(true) // bucket collect AND the victim semi-join
       // Victim stats (doc, dl) from the doc-keyed `__doclens` sidecar:
-      // the victims' hash buckets prune the read to ≤ min(k, 64)
-      // partition dirs of a one-row-per-doc table — erasure cost is
-      // O(deleted), never an O(index) postings scan. The bucket list
-      // is a bounded collect: an erasure request is a bounded id set,
-      // and its distinct bucket count is ≤ 64 literals. Indexes built
-      // before the sidecar existed fall back to the postings scan.
+      // the victims' hash buckets prune the read to
+      // ≤ min(k, DocLenBuckets) partition dirs of a one-row-per-doc
+      // table — erasure cost is O(deleted), never an O(index) postings
+      // scan. The bucket list is a bounded collect: an erasure request
+      // is a bounded id set, and its distinct bucket count is
+      // ≤ DocLenBuckets literals. Indexes built before the sidecar
+      // existed fall back to the postings scan.
       // `n_postings`/`n_tokens` are ingest history and NOT maintained
       // under deletes (nothing in serving reads them; df is derived
       // live from probed postings).
-      val victims = (if (doclensCover(spark, path, meta)) {
+      val victims = (if (cover) {
         val buckets = fresh.select(dbucket(col("doc")).as("b")).distinct()
           .collect().map(r => Long.box(r.getLong(0))).toSeq
         spark.read.parquet(doclenPath(path))

@@ -88,65 +88,142 @@ object Upsert {
       spark: org.apache.spark.sql.SparkSession, path: String,
       waitMs: Long, leaseMs: Long)(body: => T): T = {
     val hLock = new org.apache.hadoop.fs.Path(path + ".merge-lock")
+    val hClaim = new org.apache.hadoop.fs.Path(path + ".merge-lock.claim")
     val fs = hLock.getFileSystem(spark.sessionState.newHadoopConf())
     Option(hLock.getParent).foreach(fs.mkdirs)
     val leaseRe = """lease_expires_at=(\d+)""".r
     val deadline = System.currentTimeMillis() + waitMs
     val pollMs = math.max(50L, math.min(1000L, waitMs / 10))
 
-    def tryAcquire(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
-      try Some(fs.create(hLock, false))
-      catch { case e: java.io.IOException =>
-        val held = try fs.exists(hLock) catch { case _: Throwable => false }
-        if (held) None else throw e
+    // ATOMIC create-exclusive-with-content. On HDFS `fs.create(p, false)`
+    // is atomic, but Hadoop's LOCAL filesystem implements overwrite=false
+    // as check-then-create — two racing creators can BOTH pass the exists
+    // check and both believe they won (the UpsertSpec lease-race spec
+    // reproduces it). Local paths therefore go through NIO CREATE_NEW
+    // (O_CREAT|O_EXCL — kernel-atomic); the Hadoop branch keeps serving
+    // genuinely-atomic DFS creates. Content is written at create time, so
+    // a lock never exists in an empty half-created state.
+    val isLocalFs = fs.getUri.getScheme == null || fs.getUri.getScheme == "file"
+    def createExclusive(p: org.apache.hadoop.fs.Path, content: String): Boolean =
+      if (isLocalFs) {
+        try {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(p.toUri.getPath),
+            content.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        try {
+          val out = fs.create(p, false)
+          try {
+            out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            out.close()
+            true
+          } catch { case e: Throwable =>
+            // A half-written file must not masquerade as a held lock.
+            try fs.delete(p, false) catch { case _: Throwable => () }
+            throw e
+          }
+        } catch { case e: java.io.IOException =>
+          val held = try fs.exists(p) catch { case _: Throwable => false }
+          if (held) false else throw e
+        }
       }
 
-    def holderInfo(): String =
+    def lockContent(): String =
+      s"pid=${ProcessHandle.current().pid()} " +
+        s"app=${spark.sparkContext.applicationId} " +
+        s"at=${java.time.Instant.now()} " +
+        s"lease_expires_at=${System.currentTimeMillis() + leaseMs}"
+
+    def readFile(p: org.apache.hadoop.fs.Path): String =
       try {
-        val in = fs.open(hLock)
+        val in = fs.open(p)
         try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8).trim
         finally in.close()
       } catch { case _: Throwable => "<unreadable>" }
 
-    var stream: org.apache.hadoop.fs.FSDataOutputStream = null
-    while (stream == null) {
-      tryAcquire() match {
-        case Some(s0) => stream = s0
-        case None =>
-          val holder = holderInfo()
-          val expired = leaseRe.findFirstMatchIn(holder)
-            .exists(_.group(1).toLong < System.currentTimeMillis())
-          if (expired) {
-            // Presumed-dead holder: break the lock and re-race for the
-            // create. Two waiters may both delete — create-exclusive
-            // still admits exactly one.
+    def holderInfo(): String = readFile(hLock)
+
+    // Break an expired lease SAFELY. A blind fs.delete(hLock) here has a
+    // TOCTOU hole: between this waiter reading the expired content and
+    // deleting, another waiter can break the same lock and re-create it
+    // with a FRESH lease — the stale delete then removes a LIVE writer's
+    // lock and a third writer acquires concurrently. The break therefore
+    // goes through a create-exclusive CLAIM file: exactly one waiter
+    // holds the claim, and ONLY claim holders ever delete a lock they
+    // did not create. Under the claim the breaker re-reads the lock; if
+    // the bytes still equal the expired content it observed, the holder
+    // is dead (a dead holder cannot rewrite its lock, the normal release
+    // path only deletes one's OWN lock, and no other waiter can break
+    // without the claim) — deleting is then safe. If the bytes changed,
+    // the lock was released and re-acquired by a live writer: no break.
+    // The claim carries its own short lease so a waiter that dies inside
+    // this (tiny, body-free) window cannot wedge every future breaker;
+    // the uuid re-check before the delete guards the claim's own expiry
+    // takeover, narrowing the residual race from the seconds-scale poll
+    // window to a double-fault (holder dead AND claimer stalled past its
+    // claim lease at the exact re-check instant) measured in microseconds.
+    val claimLeaseMs = 60000L
+    def breakExpired(sawContent: String): Unit = {
+      val uuid = java.util.UUID.randomUUID().toString
+      val claimed = createExclusive(hClaim,
+        s"claim=$uuid lease_expires_at=" +
+          s"${System.currentTimeMillis() + claimLeaseMs}")
+      if (claimed) {
+        try {
+          if (holderInfo() == sawContent &&
+              readFile(hClaim).contains(s"claim=$uuid")) {
             try fs.delete(hLock, false) catch { case _: Throwable => () }
-          } else if (System.currentTimeMillis() < deadline) {
-            Thread.sleep(pollMs)
-          } else {
-            throw new ConcurrentWriterException(
-              s"merge target $path is locked by another writer [$holder] " +
-                s"(lock file $hLock) and did not release within ${waitMs}ms. " +
-                "Concurrent merges into one target are undefined — this " +
-                "engine serializes writers via the lock's lease. If the " +
-                "holder crashed, its lease expires and the next writer " +
-                "takes over; a lease-less (operator-made) lock must be " +
-                "deleted manually: the merge is idempotent and " +
-                "crash-recovered.")
           }
+        } finally {
+          try fs.delete(hClaim, false) catch { case _: Throwable => () }
+        }
+      } else {
+        // Another waiter holds the claim. If ITS lease expired (it died
+        // between claim-create and claim-delete), clear it; else yield.
+        val cInfo = readFile(hClaim)
+        val cExpired = leaseRe.findFirstMatchIn(cInfo)
+          .exists(_.group(1).toLong < System.currentTimeMillis())
+        if (cExpired) { try fs.delete(hClaim, false) catch { case _: Throwable => () } }
+        else Thread.sleep(math.min(pollMs, 100L))
       }
     }
-    try {
-      stream.write(
-        (s"pid=${ProcessHandle.current().pid()} " +
-          s"app=${spark.sparkContext.applicationId} " +
-          s"at=${java.time.Instant.now()} " +
-          s"lease_expires_at=${System.currentTimeMillis() + leaseMs}")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      stream.close()
-      body
-    } finally fs.delete(hLock, false)
+
+    var acquired = false
+    while (!acquired) {
+      if (createExclusive(hLock, lockContent())) acquired = true
+      else {
+        val holder = holderInfo()
+        val expired = leaseRe.findFirstMatchIn(holder)
+          .exists(_.group(1).toLong < System.currentTimeMillis())
+        if (expired) {
+          // Presumed-dead holder: break the lock (claim-guarded, see
+          // breakExpired) and re-race for the create. Create-exclusive
+          // still admits exactly one winner.
+          breakExpired(holder)
+        } else if (System.currentTimeMillis() < deadline) {
+          Thread.sleep(pollMs)
+        } else {
+          throw new ConcurrentWriterException(
+            s"merge target $path is locked by another writer [$holder] " +
+              s"(lock file $hLock) and did not release within ${waitMs}ms. " +
+              "Concurrent merges into one target are undefined — this " +
+              "engine serializes writers via the lock's lease. If the " +
+              "holder crashed, its lease expires and the next writer " +
+              "takes over; a lease-less (operator-made) lock must be " +
+              "deleted manually: the merge is idempotent and " +
+              "crash-recovered.")
+        }
+      }
+    }
+    try body
+    finally fs.delete(hLock, false)
   }
 
   /** Pure relational merge: returns the post-MERGE state of `target`.

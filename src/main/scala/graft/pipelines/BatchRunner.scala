@@ -139,27 +139,56 @@ final class BatchRunner(
     * missed-slot catch-up and error backoff, via the
     * [[graft.incremental.Daemon]] tick loop, then — like the reference's
     * post-job hook (runner.py:925-931) — refresh the reporting fact for
-    * the slot's VN7 civil date. Per-table checkpoints still advance
+    * the slot's VN7 civil date. The refresh is BEST-EFFORT, exactly as
+    * the reference wraps it (runner.py:925-931 try/except): a reporting
+    * failure is logged and must never fail — let alone re-run — an
+    * ingest that already committed. Per-table checkpoints still advance
     * inside the batches themselves; the returned instant is the last
     * successful whole-batch run, for the caller to persist and feed
     * back as `lastRun` on restart.
+    *
+    * `staffGroupSchedule` (reference `SCHEDULER_STAFF_GROUP_TIME_UTC`,
+    * default the first run slot, config.py:170-175): when set, the
+    * staff/group snapshot runs once per ITS slot, tracked separately
+    * from the customer/call slots (reference run_tick keeps three
+    * next-due cursors, runner.py:910-923). The check rides the main
+    * tick loop, so a staff slot strictly between main slots fires at
+    * the next main tick — at most one main-slot period late, exact for
+    * the reference's default (staff slot = first main slot). Cold
+    * start = immediate snapshot, like the reference's boot plan when
+    * staff never ran.
     */
   def runLoop(schedule: Seq[java.time.LocalTime] = Scheduler.defaultRunTimes,
       lastRun: Option[java.time.Instant] = None,
       shouldStop: () => Boolean = () => false,
       sleep: Long => Unit = s => Thread.sleep(s * 1000L),
       now: () => java.time.Instant = () => java.time.Instant.now(),
-      reporting: Boolean = true): Option[java.time.Instant] =
+      reporting: Boolean = true,
+      staffGroupSchedule: Option[Seq[java.time.LocalTime]] = None)
+      : Option[java.time.Instant] = {
+    var staffLast: Option[java.time.Instant] = None
     graft.incremental.Daemon.run(
       graft.incremental.Daemon.Config(schedule), lastRun, now, sleep,
       shouldStop, { at =>
         val ms = at.toEpochMilli
         runCustomer(ms)
         runCall(ms)
+        staffGroupSchedule.foreach { sg =>
+          if (!Scheduler.ranInCurrentSlot(staffLast, at, sg)) {
+            runStaffGroup()
+            staffLast = Some(at)
+          }
+        }
         if (reporting)
-          refreshReporting(
+          try refreshReporting(
             at.atZone(java.time.ZoneOffset.ofHours(7)).toLocalDate)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"reporting refresh failed (ingest already committed): " +
+                s"${e.getMessage}")
+          }
       })._2
+  }
 
   /** Staff + group snapshots (reference runner.py:355-415): staff
     * staged then schema-adaptively merged on (tenant, name); group is a

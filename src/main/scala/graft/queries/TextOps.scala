@@ -2931,10 +2931,17 @@ object TextOps {
     QueryDef("q180b_compressibility_proxy",
       (s, dir) => {
         val st = call_function("char_ngram_stats", col("text"), lit(4))
+        // coalesce(…, 0): a NULL text yields a null stats struct, and a
+        // null total_g would fall through every when() into the
+        // "high" band — while the oracle's CASE folds NULL length to
+        // total_g = 0 = 'short'. Degenerate bodies must band 'short'
+        // in BOTH engines.
         docs(s, dir)
           .select(col("doc_id"), col("lang"),
-            st.getField("n_grams").cast("long").as("total_g"),
-            st.getField("n_distinct").cast("long").as("distinct_g"))
+            coalesce(st.getField("n_grams").cast("long"), lit(0L))
+              .as("total_g"),
+            coalesce(st.getField("n_distinct").cast("long"), lit(0L))
+              .as("distinct_g"))
           .withColumn("band",
             when(col("total_g") === 0, "short")
               .when(col("distinct_g") * 20 < col("total_g") * 11, "low")

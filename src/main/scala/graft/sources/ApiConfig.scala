@@ -41,6 +41,35 @@ object ApiConfig {
         HttpDocFetcher.Config(baseUrl, acc.email, acc.password, timeoutSec),
         tenant)
     }
+
+    /** The per-tenant transport config (credentials + endpoint), for
+      * the snapshot client and other single-request faces.
+      */
+    def httpConfigFor(tenant: String): HttpDocFetcher.Config = {
+      val acc = findAccount(tenant).getOrElse(throw new RuntimeException(
+        s"no account configured for tenant '$tenant'"))
+      HttpDocFetcher.Config(baseUrl, acc.email, acc.password, timeoutSec)
+    }
+
+    /** ONE fetcher serving every configured tenant — the face
+      * [[graft.pipelines.BatchRunner]] wants (it passes `tenant` per
+      * call). Routes each request to that tenant's credentialed
+      * [[fetcherFor]] client, built lazily per JVM (the case class
+      * serializes into slice tasks; the client cache does not).
+      */
+    def dispatchingFetcher: PagedSource.DocFetcher = new Api.Dispatch(this)
+  }
+
+  object Api {
+    private final class Dispatch(api: Api) extends PagedSource.DocFetcher {
+      @transient private lazy val cache =
+        new java.util.concurrent.ConcurrentHashMap[String, PagedSource.DocFetcher]()
+      override def fetchPage(entity: String, tenant: String,
+          timeField: String, fromMs: Long, toMs: Long, page: Int,
+          pageSize: Int): PagedSource.Page =
+        cache.computeIfAbsent(tenant, t => api.fetcherFor(t))
+          .fetchPage(entity, tenant, timeField, fromMs, toMs, page, pageSize)
+    }
   }
 
   def fromEnv(env: Map[String, String] = sys.env,

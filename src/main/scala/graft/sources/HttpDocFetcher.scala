@@ -107,7 +107,7 @@ final class HttpDocFetcher(cfg: HttpDocFetcher.Config,
     * the caller untouched. GETs and the login POST are idempotent, so
     * the retry is safe.
     */
-  private def sendWithRetry(req: HttpRequest): HttpResponse[String] = {
+  private[sources] def sendWithRetry(req: HttpRequest): HttpResponse[String] = {
     var attempt = 0
     while (true) {
       val resOrErr: Either[java.io.IOException, HttpResponse[String]] =
@@ -135,7 +135,7 @@ final class HttpDocFetcher(cfg: HttpDocFetcher.Config,
     * per key, so racers block on the first login instead of stampeding
     * the auth endpoint.
     */
-  private def token(tenant: String): String = {
+  private[sources] def token(tenant: String): String = {
     val key = (cfg.baseUrl, tenant)
     HttpDocFetcher.tokens.compute(key, (_, cached) => {
       val now = clock()

@@ -102,4 +102,25 @@ class CharNgramStatsSpec extends SparkSpec {
     assert(ratio(junk.trim) < ratio(prose),
       "repetitive text must score a lower distinct-gram ratio than prose")
   }
+
+  test("q180b bands a NULL text as 'short', matching the oracle's CASE") {
+    // Regression: char_ngram_stats(NULL) is a null struct, so every
+    // when() condition on total_g was null and the otherwise branch
+    // banded a null body 'high' — while DuckDB's CASE folds length(NULL)
+    // to total_g = 0 = 'short'. The gate fixture has no null texts, so
+    // only this spec guards the divergence.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q180b_null").toString
+    df("doc_id BIGINT, lang STRING, text STRING",
+      Row(Long.box(1), "en", "the quick brown fox jumps the fence"),
+      Row(Long.box(2), "en", null),
+      Row(Long.box(3), "en", "abc")) // shorter than the 4-gram window
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q180b_compressibility_proxy")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out(("en", "short")) == 2L,
+      s"null text and sub-window text must both band 'short', got $out")
+    assert(out.values.sum == 3L, "every doc lands in exactly one band")
+  }
 }

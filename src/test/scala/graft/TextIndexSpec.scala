@@ -420,4 +420,53 @@ class TextIndexSpec extends SparkSpec {
       "both raced appends must serve")
     assert(!new java.io.File(path + ".merge-lock").exists())
   }
+
+  test("doclens coverage survives compact of an appended index") {
+    // Regression: coverage used to be judged against the LEDGER's batch
+    // set, which keeps folded append ids forever — so compacting an
+    // index that ever had appends failed the subsetOf check for good
+    // and silently demoted delete()/indexedIds() to the O(index)
+    // postings scan. Coverage is now judged against the postings' own
+    // on-disk batch dirs, which compact folds in lockstep with the
+    // sidecar.
+    val path = tmp("cover_compact")
+    TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
+    TextIndex.append(appendCorpus, "doc_id", "text", path, "b1")
+    assert(TextIndex.doclensCover(spark, path),
+      "sidecar covers build+append before compact")
+    TextIndex.compact(spark, path)
+    assert(TextIndex.doclensCover(spark, path),
+      "sidecar must STILL cover after compact folds both stores to " +
+        "batch=build (the ledger's folded ids are history, not coverage)")
+    // And the covered path keeps producing correct victim stats.
+    TextIndex.delete(spark, path, df("doc_id BIGINT", Row(Long.box(1))), "d1")
+    val delRow = spark.read.parquet(path + "__meta")
+      .filter(col("batch") === "del:d1").head()
+    assert(delRow.getLong(1) == -1L)
+    // A pre-sidecar index (sidecar dir absent) still reports uncovered.
+    val legacy = tmp("cover_legacy")
+    TextIndex.write(corpus, "doc_id", "text", legacy, nShards = 4)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+    }
+    rmrf(new java.io.File(legacy + "__doclens"))
+    assert(!TextIndex.doclensCover(spark, legacy))
+  }
+
+  test("delete casts caller id type to the indexed doc type") {
+    // Regression: xxhash64 is type-sensitive, so an INT-typed victim id
+    // against a BIGINT-keyed sidecar used to compute the wrong dbucket,
+    // prune to the wrong partitions, and commit an EMPTY tombstone
+    // batch — a silent missed delete.
+    val path = tmp("del_cast")
+    TextIndex.write(corpus, "doc_id", "text", path, nShards = 4)
+    TextIndex.delete(spark, path, df("doc_id INT", Row(Int.box(2))), "d1")
+    val delRow = spark.read.parquet(path + "__meta")
+      .filter(col("batch") === "del:d1").head()
+    assert(delRow.getLong(1) == -1L,
+      "an int-typed id must still find its bigint-keyed victim")
+    assert(!TextIndex.searchBM25(spark, path, Seq("query"), 10)
+      .collect().map(_.getLong(0)).contains(2L),
+      "the victim must actually stop serving")
+  }
 }

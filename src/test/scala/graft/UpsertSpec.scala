@@ -401,6 +401,48 @@ class UpsertSpec extends SparkSpec {
     assert(!lock.exists())
   }
 
+  test("waiters racing one expired lease admit exactly one writer at a time") {
+    // Regression for the lease-takeover TOCTOU: waiter B reads an
+    // expired lease, waiter A breaks the same lock and re-creates it
+    // with a FRESH lease, then B's stale delete removes A's LIVE lock —
+    // admitting a third writer while A is still writing. The break now
+    // goes through a create-exclusive claim file with a re-read under
+    // the claim, so N threads hammering one expired lock must serialize
+    // perfectly: at no instant may two bodies overlap.
+    val dir = java.nio.file.Files.createTempDirectory("upsert_lockrace").toString + "/t"
+    new java.io.File(dir).mkdirs()
+    val lock = new java.io.File(dir + ".merge-lock")
+    java.nio.file.Files.writeString(lock.toPath,
+      s"pid=999 app=dead-writer lease_expires_at=${System.currentTimeMillis() - 1000}")
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 6).map { _ =>
+      new Thread(() => {
+        start.await()
+        try Upsert.withWriterLock(spark, dir, waitMs = 30000, leaseMs = 60000) {
+          val now = active.incrementAndGet()
+          maxActive.updateAndGet(m => math.max(m, now))
+          Thread.sleep(40) // hold the critical section long enough to expose overlap
+          active.decrementAndGet()
+          ran.incrementAndGet()
+          ()
+        } catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join(60000))
+    assert(errs.isEmpty, s"no waiter may fail, got: ${errs.peek()}")
+    assert(ran.get() == 6, s"all 6 bodies must eventually run, got ${ran.get()}")
+    assert(maxActive.get() == 1,
+      s"two writers overlapped inside the lock (maxActive=${maxActive.get()})")
+    assert(!lock.exists() && !new java.io.File(dir + ".merge-lock.claim").exists(),
+      "lock and claim must both be released at the end")
+  }
+
   test("a merge that fails mid-flight still releases its writer lock") {
     val dir = java.nio.file.Files.createTempDirectory("upsert_lockrel").toString
     val init = df("k BIGINT, v STRING, d STRING",
