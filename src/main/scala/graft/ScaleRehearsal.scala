@@ -163,6 +163,9 @@ object ScaleRehearsal {
         k = 4, n = 3, bandWidth = 2, bandIdx)
       graft.operators.TextIndex.write(docs, "doc_id", "text", textIdx,
         nShards = 16)
+      val winIdx = s"$work/winidx_$tag"
+      graft.operators.Dedup.windowIndexWrite(existing, "doc_id", "text",
+        minTokens = 4, winIdx)
       // Erase victims: a FIXED 100-doc id set (copy-0), whatever n is.
       val victims = docs.filter(col("doc_id") < 100L).select("doc_id")
         .localCheckpoint(true)
@@ -184,7 +187,29 @@ object ScaleRehearsal {
         }),
         ("bm25_after_erase (q201)", () =>
           graft.operators.TextIndex.searchBM25(spark, textIdx,
-            Seq("spark", "query", "merge"), k = 10).count()))
+            Seq("spark", "query", "merge"), k = 10).count()),
+        // q212 family: the window-digest index's three lifecycle faces
+        // against a FIXED batch as the index grows. Probe+append are
+        // the O(batch + probed shard digests) claim — time must stay
+        // near-flat (the probe's only index-sized term is a columnar
+        // scan of the 16-byte digest column in the batch's shards).
+        // Compact is HONESTLY O(index): its time exponent ~1 is the
+        // documented rewrite cost, its value (distinct digests) the
+        // linear yardstick.
+        ("windowidx_probe (q212)", () =>
+          graft.operators.Dedup.incrementalExactSubstringDedup(spark,
+              winIdx, incoming, "doc_id", "text")
+            .agg(sum(col("removed_tokens")).cast("long")).head().getLong(0)),
+        ("windowidx_append (q212)", () => {
+          graft.operators.Dedup.windowIndexAppend(incoming, "doc_id",
+            "text", winIdx, "bS")
+          spark.read.parquet(winIdx + "__meta")
+            .filter(col("batch") === "bS").head().getLong(1)
+        }),
+        ("windowidx_compact (q212)", () => {
+          graft.operators.Dedup.windowIndexCompact(spark, winIdx)
+          spark.read.parquet(winIdx).count()
+        }))
     }
 
     /** In-place cluster split (q214): the index grows with n but the
@@ -391,7 +416,20 @@ object ScaleRehearsal {
     sb.append("  growing index. Value = tombstone rows (flat). The time metric\n")
     sb.append("  is the contract: O(deleted), never an index scan — text victim\n")
     sb.append("  stats come from the doc-bucketed __doclens sidecar (pruned to\n")
-    sb.append("  the victims' <=DocLenBuckets buckets), band/IVF deletes write ids only.\n\n")
+    sb.append("  the victims' <=DocLenBuckets buckets), band/IVF deletes write ids only.\n")
+    sb.append("- `windowidx_probe` / `windowidx_append`: a FIXED 500-doc batch\n")
+    sb.append("  deduped against / appended into a growing window-digest index\n")
+    sb.append("  (q212). Value is the batch's own removal mass / window count —\n")
+    sb.append("  flat by construction (replica windows are disjoint). Time is\n")
+    sb.append("  the O(batch + probed shard digests) claim: the only index-sized\n")
+    sb.append("  term is a columnar scan of the 16-byte digest column in the\n")
+    sb.append("  batch's shards (shard-pruned probe read); grow n_shards with\n")
+    sb.append("  the corpus to hold the probed fraction constant.\n")
+    sb.append("- `windowidx_compact`: HONESTLY O(index) — the fold rewrites every\n")
+    sb.append("  live digest row, so its time exponent is ~1 by design and its\n")
+    sb.append("  value (distinct digests) is the linear yardstick. Compaction is\n")
+    sb.append("  a lifecycle cost amortized across the appends it folds, not a\n")
+    sb.append("  probe-path cost.\n\n")
     sb.append("Excluded metrics, and why: VERIFIED simhash pair counts are not a\n")
     sb.append("linearity diagnostic under replica corpora — the Caesar transform\n")
     sb.append("preserves Jaccard exactly but re-draws every token hash, and for\n")

@@ -1484,8 +1484,18 @@ object Dedup {
     val meta = readWindowMeta(spark, path)
     val inc = windowDigests(incoming, id, body, meta.minTokens)
       .localCheckpoint(true) // probe join AND self-dup aggregate
+    // Probe read pruned to the shards the incoming digests hash into —
+    // a bounded collect (≤ n_shards values, the TextIndex bucket-list
+    // discipline). A batch that hashes into few shards probes a
+    // FRACTION of the index; one that touches every shard degrades to
+    // one columnar scan of the 16-byte digest column. Growing n_shards
+    // with the corpus keeps the probed fraction small at scale.
+    val probeShards = inc
+      .select(pmod(xxhash64(col("dig")), lit(meta.nShards)).as("s"))
+      .distinct().collect().map(r => Long.box(r.getLong(0))).toSeq
     val idx = spark.read.parquet(path)
-      .filter(col("batch").cast("string").isin(meta.batches.toSeq: _*))
+      .filter(col("shard").isin(probeShards: _*) &&
+        col("batch").cast("string").isin(meta.batches.toSeq: _*))
       .select(col("dig"))
     val corpusHit = inc.join(idx, Seq("dig"), "left_semi")
       .select(col(id), col("pos"))

@@ -1496,17 +1496,24 @@ object Similarity {
     * maintenance face a growing or drifting index needs between full
     * rebuilds, completing the incremental story (append / delete /
     * compact / SPLIT): when the drift ledger or the cluster-size
-    * histogram flags `cluster`, 2-means its rows locally and rewrite
-    * just that cluster's bytes under two new cluster ids. O(|cluster|):
-    * the rest of the index is never read, let alone rewritten — at
-    * 100 TB a hot cluster splits in minutes while a rebuild is hours.
+    * histogram flags `cluster` — [[ivfMaintenancePlan]] IS that
+    * flagging policy, and [[ivfMaintain]] folds a whole plan through
+    * this — 2-means its rows locally and rewrite just that cluster's
+    * bytes under two new cluster ids. O(|cluster|): the rest of the
+    * index is never read, let alone rewritten — at 100 TB a hot
+    * cluster splits in minutes while a rebuild is hours. The writer
+    * lease is renewed at every stage boundary
+    * ([[Upsert.renewWriterLease]]); if one STAGE of a giant cluster
+    * can outrun the lease, size `-Dgraft.lockLeaseMs` to the longest
+    * stage.
     *
     * Returns the UPDATED centroid frame (`cluster` replaced by
     * `newIdA`/`newIdB`, centroids = the float means of each side's
     * actual members), which the caller must use for subsequent probes —
     * centroids are caller-owned, the ivfWrite/ivfSearch contract.
-    * Float layout only: 2-means needs raw vectors; re-splitting an
-    * SQ8/PQ index re-reads its float source (the standard posture).
+    * Float layout here; the SQ8/PQ layouts split via the re-read-
+    * float-source path ([[ivfSplitClusterSq8]]/[[ivfSplitClusterPq]] —
+    * 2-means needs raw vectors, quantized payloads cannot seed it).
     * Tombstoned ids are dropped during the rewrite (a split doubles as
     * a cluster-local compact, mirroring [[ivfCompact]]).
     *
@@ -1575,9 +1582,17 @@ object Similarity {
         // A step that empties one side would degenerate the split —
         // keep the last 2-sided iterate instead.
         if (next.count() == 2) two = next
+        // Heartbeat: at 100 TB a hot cluster's Lloyd steps are long
+        // Spark jobs, and a split that outruns the fixed lock lease
+        // invites takeover mid-rewrite. Renewing at every stage
+        // boundary bounds lease staleness to ONE stage; if a single
+        // stage can exceed the lease, size -Dgraft.lockLeaseMs to the
+        // longest stage (see [[Upsert.renewWriterLease]]).
+        Upsert.renewWriterLease(spark, path)
       }
       val assigned = assignNearest(rows, idCol, vecCol, two)
         .localCheckpoint(true) // written AND averaged for the result
+      Upsert.renewWriterLease(spark, path) // fresh lease for the rewrite
       val (observed, commit) = observeTightness(assigned, path, tag,
         overwrite = false)
       observed.select(col(idCol), col(vecCol), col("cluster"))
@@ -1589,6 +1604,251 @@ object Similarity {
       updatedCents(memberMeans(assigned))
       }
     }
+
+  /** One advised split: `cluster` holds `rows` live vectors against a
+    * corpus median of `medianRows`; split it into `newIdA`/`newIdB`
+    * (allocated above the existing numeric max, two per split).
+    */
+  final case class SplitPlan(cluster: Any, rows: Long, medianRows: Long,
+      newIdA: Long, newIdB: Long)
+
+  /** The maintenance verdict [[ivfMaintenancePlan]] composes from the
+    * index's own sidecars: which clusters to split now (size policy),
+    * and whether the frozen centroids have drifted enough that a
+    * re-train beats more splitting (drift policy).
+    */
+  final case class MaintenancePlan(splits: Seq[SplitPlan],
+      medianRows: Long, maxDrift: Option[Double], rebuildAdvised: Boolean)
+
+  /** "Which cluster, when" — the POLICY that composes the sidecars the
+    * incremental IVF tier already maintains (cluster-partitioned live
+    * rows, the `_stats` drift ledger) into actionable maintenance,
+    * closing the loop [[ivfSplitCluster]] left manual:
+    *
+    *  - SPLIT policy: a cluster whose live row count exceeds
+    *    `sizeFactor` × the median cluster size is flagged (largest
+    *    first, at most `maxSplits` per cycle — each split halves a
+    *    hot spot and shifts the median, so plans are cheap to recompute
+    *    between cycles). An unsplit hot cluster is a probe-latency
+    *    cliff: every query probing it scans `rows/median`× more bytes
+    *    than a typical probe.
+    *  - REBUILD policy: when any appended batch's assignment-tightness
+    *    drift exceeds `driftMax` (the [[ivfStats]] ledger, positive =
+    *    frozen centroids describe that batch worse than the build
+    *    corpus), splitting no longer addresses the cause — the advice
+    *    is a re-train, exactly the trigger the ledger was built for.
+    *
+    * Cost: one id+partition-column scan of the live index for the
+    * histogram (no vector bytes), one broadcast-sized ledger read; the
+    * collected histogram is one row per cluster — bounded by the
+    * centroid count, the same budget every probe ranking already
+    * spends. New cluster ids are allocated above the existing numeric
+    * maximum (two per split); non-numeric cluster-id schemes must pick
+    * ids manually via [[ivfSplitCluster]].
+    *
+    * Execute with [[ivfMaintain]] (float layout) or by folding
+    * [[ivfSplitClusterSq8]]/[[ivfSplitClusterPq]] over `splits` for
+    * quantized layouts.
+    */
+  def ivfMaintenancePlan(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, sizeFactor: Double = 2.0,
+      driftMax: Double = 0.05, maxSplits: Int = 8): MaintenancePlan = {
+    require(sizeFactor > 1.0, s"sizeFactor must exceed 1, got $sizeFactor")
+    require(maxSplits >= 1, s"maxSplits must be >= 1, got $maxSplits")
+    val sizes = readLive(spark, path, idCol)
+      .groupBy("cluster").agg(count_distinct(col(idCol)).as("n"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    require(sizes.nonEmpty, s"empty index at $path — nothing to maintain")
+    val ordered = sizes.map(_._2).sorted
+    val median = ordered(ordered.length / 2)
+    val flagged = sizes.filter(_._2 > sizeFactor * median.toDouble)
+      .sortBy(-_._2).take(maxSplits)
+    def asLong(c: Any): Option[Long] = c match {
+      case n: java.lang.Number => Some(n.longValue())
+      case s: String => s.toLongOption
+      case _ => None
+    }
+    val splits =
+      if (flagged.isEmpty) Seq.empty[SplitPlan]
+      else {
+        val numeric = sizes.map(s => asLong(s._1))
+        require(numeric.forall(_.isDefined),
+          "cluster ids are not numeric — allocate split ids manually " +
+            "via ivfSplitCluster")
+        var next = numeric.flatten.max + 1
+        flagged.map { case (c, n) =>
+          val p = SplitPlan(c, n, median, next, next + 1); next += 2; p
+        }.toSeq
+      }
+    // Drift verdict from the ledger (absent when the build never
+    // recorded its baseline or nothing was appended — then there is
+    // simply no drift evidence).
+    val statsP = new org.apache.hadoop.fs.Path(path + "_stats")
+    val sfs = statsP.getFileSystem(spark.sessionState.newHadoopConf())
+    val maxDrift =
+      if (!sfs.exists(statsP)) None
+      else {
+        val r = ivfStats(spark, path)
+          .filter(col("batch") =!= "build" && col("drift").isNotNull)
+          .agg(max(col("drift"))).head()
+        if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      }
+    MaintenancePlan(splits, median, maxDrift,
+      rebuildAdvised = maxDrift.exists(_ > driftMax))
+  }
+
+  /** Execute a [[MaintenancePlan]] on a FLOAT index: fold the advised
+    * splits through [[ivfSplitCluster]], converting each allocated id
+    * to the centroid frame's cluster type, and return the updated
+    * centroid frame the caller must probe with from now on. Each split
+    * is individually crash-safe (the DEVIATIONS §11 protocol); a crash
+    * mid-plan leaves the earlier splits committed and the plan
+    * re-computable.
+    */
+  def ivfMaintain(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, centroidDf: DataFrame,
+      plan: MaintenancePlan, steps: Int = 3): DataFrame = {
+    val dt = centroidDf.schema("cluster").dataType
+    def conv(x: Long): Any = dt match {
+      case org.apache.spark.sql.types.LongType => x
+      case org.apache.spark.sql.types.IntegerType => x.toInt
+      case org.apache.spark.sql.types.ShortType => x.toShort
+      case org.apache.spark.sql.types.StringType => x.toString
+      case other => throw new IllegalArgumentException(
+        s"cannot allocate split ids for cluster type $other — " +
+          "split manually via ivfSplitCluster")
+    }
+    plan.splits.foldLeft(centroidDf)((cents, sp) =>
+      ivfSplitCluster(spark, path, idCol, vecCol, cents, sp.cluster,
+        conv(sp.newIdA), conv(sp.newIdB), steps))
+  }
+
+  /** Shared core of the QUANTIZED-layout splits ([[ivfSplitClusterSq8]]
+    * / [[ivfSplitClusterPq]]): the float split's exact protocol
+    * (claim-locked, batch-dir + ledger-row commit, replay-idempotent,
+    * doubles as a cluster-local compact) with the 2-means running on
+    * vectors RE-READ FROM THE FLOAT SOURCE — the documented posture for
+    * splitting an index that stores only quantized payloads (the
+    * [[ivfSplitCluster]] scaladoc's "re-read-float-source path"). The
+    * caller's `floatSource` must cover every live member id (checked
+    * loudly — a partial source would silently drop vectors) and carry
+    * one row per id. `payload` renders (member float rows, observed
+    * assignment, new centroids) into the layout's physical rows; the
+    * OBSERVED frame must appear exactly once in the rendered plan (its
+    * metrics row is the commit payload), so encoders read the raw
+    * member rows and join the assignment — [[ivfAppendPq]]'s shape.
+    */
+  private def splitClusterFromSource(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, centroidDf: DataFrame,
+      floatSource: DataFrame, cluster: Any, newIdA: Any, newIdB: Any,
+      steps: Int,
+      payload: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame =
+    Upsert.withWriterLock(spark, path) {
+      val tag = s"split-$cluster-$newIdA-$newIdB"
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      IndexCommit.requireSaneBatchId(tag)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val srcDir = new org.apache.hadoop.fs.Path(path, s"cluster=$cluster")
+      val src = floatSource.select(col(idCol), col(vecCol))
+      def updatedCents(two: DataFrame): DataFrame =
+        centroidDf.filter(!(col("cluster") <=> lit(cluster)))
+          .unionByName(two)
+      def sourceMeans(members: DataFrame): DataFrame =
+        centroids(members.select(col(idCol), col("cluster")).distinct()
+          .join(src, idCol).select(col("cluster"), col(vecCol)),
+          "cluster", vecCol)
+      if (committedBatches(spark, path).contains(tag)) {
+        // Replay after a crash in the commit→delete window: finish the
+        // source delete, rebuild the two centroids from the committed
+        // members' SOURCE vectors (the index rows are codes).
+        if (fs.exists(srcDir)) fs.delete(srcDir, true)
+        updatedCents(sourceMeans(
+          spark.read.parquet(path)
+            .filter(col("batch").cast("string") === tag)))
+      } else {
+      IndexCommit.dropOrphanDirs(spark, path, s"cluster=*/batch=$tag")
+      val liveIds = readLive(spark, path, idCol)
+        .filter(col("cluster") <=> lit(cluster))
+        .select(col(idCol)).distinct()
+        .localCheckpoint(true) // coverage check + the member join
+      val missing = liveIds.join(src, Seq(idCol), "left_anti").count()
+      require(missing == 0,
+        s"$missing live members of cluster $cluster are absent from the " +
+          "float source — aborting split (rewriting without them would " +
+          "drop vectors)")
+      val rows = src.join(liveIds, Seq(idCol), "left_semi")
+        .localCheckpoint(true) // seeds + Lloyd steps + the write read it
+      val n = rows.count()
+      require(n >= 2, s"cluster $cluster has $n live rows — nothing to split")
+      val aRow = rows.orderBy(col(idCol)).limit(1).collect()(0)
+      val aVec = aRow.getSeq[Float](1)
+      val bRow = rows.filter(col(idCol) =!= lit(aRow.get(0)))
+        .orderBy(cosineNative(col(vecCol), array(aVec.map(lit): _*))
+          .asc_nulls_last, col(idCol))
+        .limit(1).collect()(0)
+      val cSchema = StructType(Seq(
+        StructField("cluster", centroidDf.schema("cluster").dataType),
+        StructField("centroid", ArrayType(FloatType))))
+      var two = spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(newIdA, aVec),
+        org.apache.spark.sql.Row(newIdB, bRow.getSeq[Float](1))), cSchema)
+      for (_ <- 1 to steps) {
+        val next = kmeansStep(rows, idCol, vecCol, two).localCheckpoint(true)
+        if (next.count() == 2) two = next
+        Upsert.renewWriterLease(spark, path) // stage-boundary heartbeat
+      }
+      val assigned = assignNearest(rows, idCol, vecCol, two)
+        .localCheckpoint(true) // written AND averaged for the result
+      Upsert.renewWriterLease(spark, path)
+      val (observed, commit) = observeTightness(assigned, path, tag,
+        overwrite = false)
+      payload(rows, observed, two)
+        .withColumn("batch", lit(tag))
+        .repartition(col("cluster"))
+        .write.mode("append").partitionBy("cluster", "batch").parquet(path)
+      commit() // the ledger row: the split is now durable
+      if (fs.exists(srcDir)) fs.delete(srcDir, true)
+      updatedCents(centroids(
+        assigned.select(col("cluster"), col(vecCol)), "cluster", vecCol))
+      }
+    }
+
+  /** [[ivfSplitCluster]] for the SQ8 layout: members' float vectors are
+    * re-read from `floatSource` (the corpus the index was built from —
+    * int8 payloads cannot seed a 2-means), the split rows land in the
+    * build's exact SQ8 shape ([[quantizeInt8]] + hoisted self-norm).
+    * Same commit protocol, replay idempotence, and heartbeat as the
+    * float split; returns the updated centroid frame.
+    */
+  def ivfSplitClusterSq8(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, centroidDf: DataFrame,
+      floatSource: DataFrame, cluster: Any, newIdA: Any, newIdB: Any,
+      steps: Int = 3): DataFrame =
+    splitClusterFromSource(spark, path, idCol, vecCol, centroidDf,
+      floatSource, cluster, newIdA, newIdB, steps,
+      (_, observed, _) => quantizeInt8(observed, vecCol)
+        .select(col(idCol), col("qvec"), col("scale"),
+          int8SelfNorm(col("qvec")).as("nrm2"), col("cluster")))
+
+  /** [[ivfSplitCluster]] for the PQ-code layout: float vectors re-read
+    * from `floatSource`, codes re-emitted with the FROZEN build
+    * codebook ([[ivfAppendPq]]'s posture — only the coarse routing
+    * changes, the fine quantizer is untouched). Returns the updated
+    * centroid frame.
+    */
+  def ivfSplitClusterPq(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, centroidDf: DataFrame,
+      floatSource: DataFrame, codebook: DataFrame, m: Int, subDim: Int,
+      cluster: Any, newIdA: Any, newIdB: Any, steps: Int = 3): DataFrame =
+    splitClusterFromSource(spark, path, idCol, vecCol, centroidDf,
+      floatSource, cluster, newIdA, newIdB, steps,
+      (rows, observed, _) => pqEncode(rows, idCol, vecCol,
+          codebook, m, subDim)
+        .withColumnRenamed("cluster", "code")
+        .join(observed.select(col(idCol), col("cluster")), idCol)
+        .select(col(idCol), col("sub"), col("code"), col("cluster")))
 
   /** Margin-criterion bitext mining (Artetxe & Schwenk 2019, the
     * LASER/CCMatrix parallel-pair miner): mine aligned pairs across two

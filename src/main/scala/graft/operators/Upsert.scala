@@ -226,6 +226,47 @@ object Upsert {
     finally fs.delete(hLock, false)
   }
 
+  /** Heartbeat for long-running lock bodies: rewrite `path`'s writer
+    * lock with a FRESH lease, extending the current holder's tenure by
+    * `leaseMs` (default: the same `-Dgraft.lockLeaseMs` the acquire
+    * used). A protected operation whose runtime scales with data — a
+    * 100 TB cluster split, a full compact — can outrun a fixed lease,
+    * and an expired lease invites takeover while the holder is still
+    * writing (the documented lease tradeoff); calling this at stage
+    * boundaries bounds the staleness to ONE stage instead of the whole
+    * body. Must only be called INSIDE a [[withWriterLock]] body for the
+    * same path, and BEFORE the current lease expires — renewing an
+    * already-expired lease races any waiter that has begun a
+    * claim-guarded break, which is exactly the window renewal exists to
+    * avoid. If no stage boundary comes often enough, size
+    * `-Dgraft.lockLeaseMs` to the longest single stage instead.
+    */
+  private[graft] def renewWriterLease(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      leaseMs: Long = sys.props.get("graft.lockLeaseMs").map(_.toLong)
+        .getOrElse(15L * 60 * 1000)): Unit = {
+    val hLock = new org.apache.hadoop.fs.Path(path + ".merge-lock")
+    val fs = hLock.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(hLock),
+      s"renewWriterLease($path): no lock held — call inside withWriterLock")
+    val content =
+      (s"pid=${ProcessHandle.current().pid()} " +
+        s"app=${spark.sparkContext.applicationId} " +
+        s"at=${java.time.Instant.now()} " +
+        s"lease_expires_at=${System.currentTimeMillis() + leaseMs}")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (fs.getUri.getScheme == null || fs.getUri.getScheme == "file")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(hLock.toUri.getPath), content,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+        java.nio.file.StandardOpenOption.WRITE)
+    else {
+      val out = fs.create(hLock, true)
+      try out.write(content) finally out.close()
+    }
+    ()
+  }
+
   /** Pure relational merge: returns the post-MERGE state of `target`.
     *
     * @param target       current target table

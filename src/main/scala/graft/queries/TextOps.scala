@@ -3138,6 +3138,129 @@ object TextOps {
         }
         Seq("spark query merge", "join hash scan", "stream window batch")
           .map(block).mkString(" UNION ALL ") + " ORDER BY query"
+      }),
+
+    // ---- retrieval eval SERVED THROUGH THE INDEX (q216) ------------------
+    // q215 scores its three queries by a brute corpus scan; a real
+    // retrieval stack serves them from the persisted BM25 index
+    // ([[graft.operators.TextIndex.searchBM25]]). This gate closes the
+    // loop: the SAME three queries run through the index's
+    // partition-pruned serving path, graded with the same whole-corpus
+    // ideal and integer rank discounts — and the oracle is q215's exact
+    // scan-side restatement, so a hash match PROVES index-served
+    // metrics == scan-served metrics. (The two paths may lawfully
+    // diverge only when fewer than 10 docs contain any query term or a
+    // candidate scores negative — then the scan's zero-score filler
+    // docs outrank it; neither occurs on this corpus, and a future
+    // fixture regression would fail the gate loudly, which is the
+    // point.) Serving cost: |terms| shards per query, never the corpus;
+    // the corpus scan here only grades the 10 served docs and builds
+    // the ideal — eval bookkeeping, not the serving path.
+    QueryDef("q216_retrieval_eval_served",
+      (s, dir) => {
+        val queries = Seq(
+          "spark query merge", "join hash scan", "stream window batch")
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_tidx_q216_${java.lang.Integer.toHexString(dir.hashCode)}/index"
+        graft.operators.TextIndex.write(docs(s, dir), "doc_id", "text", path)
+        val perQuery = queries.map { q =>
+          val terms = q.split(' ').toSeq
+          val served = graft.operators.TextIndex
+            .searchBM25(s, path, terms, k = 10)
+            .select(col("doc").as("doc_id"), col("bm25"))
+          val ws = words(col("text"))
+          val graded = docs(s, dir).select(col("doc_id"),
+            terms.map(t =>
+              when(size(filter(ws, x => x === lit(t))) > 0, 1L)
+                .otherwise(0L)).reduce(_ + _).as("grade"))
+            .localCheckpoint(true) // served top-10 grading AND the ideal
+          val top = served.join(graded, "doc_id")
+            .withColumn("rank", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("bm25").desc, col("doc_id"))))
+            .withColumn("w", floor(lit(27720) / (col("rank") + 1))
+              .cast("long"))
+          val ideal = graded
+            .orderBy(col("grade").desc, col("doc_id")).limit(10)
+            .withColumn("rank", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("grade").desc, col("doc_id"))))
+            .agg(sum(col("grade") *
+              floor(lit(27720) / (col("rank") + 1)).cast("long"))
+              .as("idcg_scaled"))
+          top.agg(
+              sum(when(col("grade") > 0, 1L).otherwise(0L)).as("p10_hits"),
+              coalesce(floor(lit(27720) /
+                min(when(col("grade") > 0, col("rank")))).cast("long"),
+                lit(0L)).as("mrr_scaled"),
+              sum(col("grade") * col("w")).as("dcg_scaled"))
+            .crossJoin(ideal)
+            .select(lit(q).as("query"), col("p10_hits"), col("mrr_scaled"),
+              col("dcg_scaled"), col("idcg_scaled"),
+              when(col("idcg_scaled") > 0,
+                floor(col("dcg_scaled").cast("double") * 1000000.0 /
+                  col("idcg_scaled").cast("double")).cast("long"))
+                .otherwise(0L).as("ndcg_micro"))
+        }
+        perQuery.reduce(_ unionByName _).orderBy("query")
+      },
+      Some {
+        // q215's scan-side oracle, verbatim: parity with the serving
+        // path is exactly what this gate asserts.
+        def block(q: String): String = {
+          val terms = q.split(' ').toSeq
+          val tfCols = terms.zipWithIndex.map { case (t, i) =>
+            s"len(list_filter(string_split(text,' '), x -> x = '$t')) AS tf_$i"
+          }.mkString(", ")
+          val dfCols = terms.indices.map(i =>
+            s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+            .mkString(", ")
+          val bm25 = terms.indices.map(i =>
+            s"""round(ln((CAST(n_docs AS DOUBLE) - df_$i + 0.5)
+                 / (df_$i + 0.5) + 1.0), 9)
+               * (CAST(tf_$i AS DOUBLE) * 2.2)
+               / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                  CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))""")
+            .mkString(" + ")
+          val grade = terms.indices.map(i =>
+            s"(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+          s"""(
+          WITH base AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
+                               $tfCols
+                        FROM documents),
+          c AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl, $dfCols
+                FROM base),
+          g AS (SELECT doc_id, $bm25 AS bm25,
+                       CAST($grade AS BIGINT) AS grade
+                FROM base, c),
+          top AS (SELECT doc_id, grade,
+                         row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                           AS rnk
+                  FROM g ORDER BY bm25 DESC, doc_id LIMIT 10),
+          ideal AS (SELECT grade,
+                           row_number() OVER (ORDER BY grade DESC, doc_id)
+                             AS rnk
+                    FROM g ORDER BY grade DESC, doc_id LIMIT 10),
+          idcg AS (SELECT CAST(SUM(grade * (27720 // (rnk + 1))) AS BIGINT)
+                     AS idcg_scaled FROM ideal),
+          m AS (SELECT CAST(SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS p10_hits,
+                       COALESCE(27720 // MIN(CASE WHEN grade > 0
+                         THEN rnk END), 0) AS mrr_scaled,
+                       CAST(SUM(grade * (27720 // (rnk + 1))) AS BIGINT) AS dcg_scaled
+                FROM top)
+          SELECT '$q' AS query, CAST(p10_hits AS BIGINT) AS p10_hits,
+                 CAST(mrr_scaled AS BIGINT) AS mrr_scaled,
+                 CAST(dcg_scaled AS BIGINT) AS dcg_scaled,
+                 CAST(idcg_scaled AS BIGINT) AS idcg_scaled,
+                 CASE WHEN idcg_scaled > 0
+                   THEN CAST(floor(CAST(dcg_scaled AS DOUBLE) * 1000000.0
+                     / CAST(idcg_scaled AS DOUBLE)) AS BIGINT)
+                   ELSE 0 END AS ndcg_micro
+          FROM m, idcg)"""
+        }
+        Seq("spark query merge", "join hash scan", "stream window batch")
+          .map(block).mkString(" UNION ALL ") + " ORDER BY query"
       }))
 
 }

@@ -22,10 +22,13 @@ import graft.sources.PagedSource.{AuthExpired, ResultWindowTooLarge}
 class CallioStub(t0: Long, nDocs: Int,
     tokenUses: Int = Int.MaxValue,
     windowLimitMs: Long = Long.MaxValue,
-    flakyFirst: Int = 0) {
+    flakyFirst: Int = 0,
+    flakyEvery: Int = 0) {
 
   // First `flakyFirst` page requests answer 500 (transient backend
-  // blip), then the stub behaves.
+  // blip), then the stub behaves. `flakyEvery` = N > 0 additionally
+  // 500s every Nth page request FOREVER — the recurring-burst soak
+  // knob (a retry is a new request, so bursts are 1 deep).
   private val flakyLeft = new AtomicInteger(flakyFirst)
 
   val loginCount = new AtomicInteger(0)
@@ -49,39 +52,54 @@ class CallioStub(t0: Long, nDocs: Int,
     respond(ex, 200, s"""{"token":"$tok"}""")
   })
 
-  server.createContext("/customer", (ex: HttpExchange) => {
-    pageRequests.incrementAndGet()
-    if (flakyLeft.getAndDecrement() > 0) respond(ex, 500, "backend blip")
-    else {
-    val tok = Option(ex.getRequestHeaders.getFirst("token")).getOrElse("")
-    val uses = tokenUsesLeft.get(tok)
-    if (uses == null || uses.decrementAndGet() < 0) respond(ex, 401, "unauthorized")
-    else {
-      val q = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
-        .filter(_.contains("=")).map { kv =>
-          val Array(k, v) = kv.split("=", 2); k -> v
-        }.toMap
-      val from = q("from").toLong
-      val to = q("to").toLong // INCLUSIVE, like the reference API
-      val page = q("page").toInt
-      val pageSize = q("pageSize").toInt
-      if (to - from + 1 > windowLimitMs)
-        respond(ex, 400, "Result window is too large for this index")
+  private def pageContext(path: String, docJson: (Int, Long) => String)
+      : Unit = {
+    server.createContext(path, (ex: HttpExchange) => {
+      val reqNo = pageRequests.incrementAndGet()
+      if (flakyLeft.getAndDecrement() > 0) respond(ex, 500, "backend blip")
+      else if (flakyEvery > 0 && reqNo % flakyEvery == 0)
+        respond(ex, 500, "recurring backend blip")
       else {
-        val window = (0 until nDocs).map(i => t0 + i * 60000L)
-          .filter(ts => ts >= from && ts <= to).sortBy(-_)
-        val slice = window.slice((page - 1) * pageSize, page * pageSize)
-        val docs = slice.map { ts =>
-          val i = ((ts - t0) / 60000L).toInt
-          s"""{"_id":"d$i","updateTime":$ts,"v":$i}"""
+      val tok = Option(ex.getRequestHeaders.getFirst("token")).getOrElse("")
+      val uses = tokenUsesLeft.get(tok)
+      if (uses == null || uses.decrementAndGet() < 0) respond(ex, 401, "unauthorized")
+      else {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+          .filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2); k -> v
+          }.toMap
+        val from = q("from").toLong
+        val to = q("to").toLong // INCLUSIVE, like the reference API
+        val page = q("page").toInt
+        val pageSize = q("pageSize").toInt
+        if (to - from + 1 > windowLimitMs)
+          respond(ex, 400, "Result window is too large for this index")
+        else {
+          val window = (0 until nDocs).map(i => t0 + i * 60000L)
+            .filter(ts => ts >= from && ts <= to).sortBy(-_)
+          val slice = window.slice((page - 1) * pageSize, page * pageSize)
+          val docs = slice.map { ts =>
+            val i = ((ts - t0) / 60000L).toInt
+            docJson(i, ts)
+          }
+          val hasNext = page * pageSize < window.size
+          respond(ex, 200,
+            s"""{"docs":[${docs.mkString(",")}],"hasNextPage":$hasNext,"totalDocs":${window.size}}""")
         }
-        val hasNext = page * pageSize < window.size
-        respond(ex, 200,
-          s"""{"docs":[${docs.mkString(",")}],"hasNextPage":$hasNext,"totalDocs":${window.size}}""")
       }
-    }
-    }
-  })
+      }
+    })
+    ()
+  }
+
+  pageContext("/customer",
+    (i, ts) => s"""{"_id":"d$i","updateTime":$ts,"v":$i}""")
+  pageContext("/call",
+    (i, ts) => s"""{"_id":"call$i","createTime":$ts,"startTime":$ts,""" +
+      s""""endTime":${ts + 30000},"billDuration":${if (i % 3 == 0) 0 else 25},""" +
+      s""""toNumber":"09${i % 50}",""" +
+      s""""fromUser":{"_id":"u${i % 5}","name":"NV${i % 5}"},""" +
+      s""""fromGroup":{"_id":"g${i % 3}"}}""")
 
   server.start()
   def baseUrl: String = s"http://127.0.0.1:${server.getAddress.getPort}"
@@ -237,6 +255,86 @@ class HttpDocFetcherSpec extends SparkSpec {
       // though the server treats `to` inclusively.
       val p = bare.fetchPage("customer", "t1", "updateTime", T0, T0 + 60000L, 1, 10)
       assert(p.docs.size == 1 && p.docs.head.contains(s""""updateTime":$T0"""))
+    }
+  }
+
+  test("daemon soak: 3 ticks through a flaky transport — 5xx bursts, 401 storms, window refusals") {
+    // The full production loop (BatchRunner.runLoop over the HTTP
+    // transport) against a stub that misbehaves CONTINUOUSLY: every 7th
+    // page request 500s (absorbed by the bounded transport retry),
+    // tokens die after 5 uses (constant 401 storm → refresh-once
+    // retries), and any window wider than 20 min is refused with the
+    // reference's 400 body (every 30-min slice must split-recover).
+    // After three simulated slots the warehouse must look exactly as if
+    // the transport had been healthy: no duplicate ids, monotone
+    // checkpoints, and an audit trail that RECORDS the refusals.
+    // tokenUses = 60: tokens keep dying all run long (≥5 forced
+    // re-logins) but 60 exceeds the ~32 requests that can interleave
+    // between one task's refresh and its retry, so the refresh-ONCE
+    // contract always heals a 401 within the attempt — every tick
+    // succeeds first try and the warehouse counts are exact. (A storm
+    // harsher than the refresh-once budget fails the task, and the
+    // daemon's in-slot retry heals THAT — DaemonSpec's covered path.)
+    val soakT0 = 1704844800000L // 2024-01-10T00:00:00Z; 1 doc/minute
+    withStub(new CallioStub(soakT0, 300, tokenUses = 60,
+        windowLimitMs = 20 * 60000L, flakyEvery = 7)) { stub =>
+      HttpDocFetcher.clearTokenCache()
+      val wh = java.nio.file.Files.createTempDirectory("soak_wh").toString
+      val cfg = graft.pipelines.BatchRunner.Config(wh, tenants = Seq("PK"),
+        daysIfEmpty = 1, sliceMs = 1800000L, minSliceMs = 300000L,
+        pageSize = 10)
+      // retries = 8: with parallel slice tasks sharing one global
+      // request counter, an every-7th-request 500 can land on ONE
+      // task's retries several times in a row (observed 4-deep) — the
+      // deeper budget makes transport-level absorption deterministic,
+      // so every tick succeeds on its FIRST attempt and the warehouse
+      // counts below are exact. (Daemon-level in-slot retry after a
+      // transport give-up is DaemonSpec's covered path.)
+      val fetcher = HttpDocFetcher.retrying(
+        cfgFor(stub).copy(retryBackoffMs = 10, maxTransientRetries = 8), "PK")
+      val runner = new graft.pipelines.BatchRunner(spark, fetcher,
+        new graft.sources.FixtureSources.Snapshots, cfg)
+      runner.bootstrap()
+      // Simulated clock: boot 02:00 (cold catch-up tick), slots at
+      // 02:30 and 04:00 → exactly 3 ticks, then stop.
+      var simNow = soakT0 + 2 * 3600000L
+      val stopAt = soakT0 + 4 * 3600000L + 600000L
+      val last = runner.runLoop(
+        schedule = Seq(java.time.LocalTime.of(2, 30),
+          java.time.LocalTime.of(4, 0)),
+        lastRun = None,
+        shouldStop = () => simNow >= stopAt,
+        sleep = s => simNow += s * 1000L,
+        now = () => java.time.Instant.ofEpochMilli(simNow),
+        reporting = false)
+      assert(last.contains(java.time.Instant.ofEpochMilli(
+        soakT0 + 4 * 3600000L)), s"last successful run must be the 04:00 slot, got $last")
+      // No duplicate ids after 401/5xx/window recovery, across 3 ticks.
+      val cust = spark.read.parquet(s"$wh/customer")
+      assert(cust.count() == 240 &&
+        cust.select("_id").distinct().count() == 240,
+        "customer: every doc before 04:00 exactly once")
+      val calls = spark.read.parquet(s"$wh/call_log")
+      assert(calls.count() == 240 &&
+        calls.select("_id").distinct().count() == 240,
+        "call_log: every doc before 04:00 exactly once")
+      // Checkpoints are monotone and land on the last ingested minute.
+      val ckEnd = soakT0 + 239 * 60000L
+      assert(runner.checkpoints.getCheckpoint("customer", "PK").contains(ckEnd))
+      assert(runner.checkpoints.getCheckpoint("call_log", "PK").contains(ckEnd))
+      // The audit log recorded the lifecycle AND the refusals: 3 call
+      // appends (one per tick), 3 customer merges, and the result-window
+      // flag surfaced as rows, never swallowed.
+      val modes = spark.read.parquet(s"$wh/update_log")
+        .groupBy("mode").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(modes.getOrElse("APPEND", 0L) == 3L, s"modes: $modes")
+      assert(modes.getOrElse("MERGED", 0L) == 3L, s"modes: $modes")
+      assert(modes.getOrElse("RESULT_WINDOW_LIMIT", 0L) > 0L,
+        s"window refusals must be audited, got $modes")
+      // The 401 storm really happened (and was healed): many re-logins.
+      assert(stub.loginCount.get() > 3,
+        s"token storm must force re-logins, saw ${stub.loginCount.get()}")
     }
   }
 }

@@ -938,6 +938,131 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  /** Maintenance fixture: blobs A (ids 1-20, ≈ +e1) and B (ids 21-40,
+    * ≈ −e1) PLANTED under one merged centroid (their mean ≈ (0,0,.5,0)
+    * — it describes neither blob), plus two small clusters C/D. A
+    * query at e1 ranks C's centroid (cos ≈ 0.2) above the merged
+    * centroid (cos 0) — so nprobe=1 reads the WRONG cluster and recall
+    * is 0 until the hot cluster splits and a child centroid lands on
+    * blob A. This is exactly the probe-latency/recall cliff the
+    * maintenance policy exists to catch.
+    */
+  private def maintVec(x: Double, y: Double, z: Double, w: Double) =
+    Seq(x, y, z, w).map(_.toFloat)
+  private def maintCorpus = {
+    val rows =
+      (1L to 20L).map(i => Row(Long.box(i), maintVec(1, 0, 0.5, 0))) ++
+      (21L to 40L).map(i => Row(Long.box(i), maintVec(-1, 0, 0.5, 0))) ++
+      (41L to 44L).map(i => Row(Long.box(i), maintVec(0.2, 0, 0, 0.98))) ++
+      (45L to 48L).map(i => Row(Long.box(i), maintVec(0, 1, 0, 0)))
+    df("vec_id BIGINT, embedding ARRAY<FLOAT>", rows: _*)
+  }
+  private def maintCents(e: org.apache.spark.sql.DataFrame) =
+    Similarity.centroids(
+      e.withColumn("cluster",
+        when(col("vec_id") <= 40, 0)
+          .when(col("vec_id") <= 44, 1).otherwise(2).cast("int"))
+        .select(col("cluster"), col("embedding")),
+      "cluster", "embedding").localCheckpoint(true)
+
+  test("ivfMaintenancePlan flags the planted hot cluster; ivfMaintain splits it and recall improves") {
+    val e = maintCorpus.localCheckpoint(true)
+    val cents = maintCents(e)
+    val p = tmpIndex("maint")
+    Similarity.ivfWrite(e, "vec_id", "embedding", cents, p)
+    Similarity.ivfRecordBuildStats(e, "vec_id", "embedding", cents, p)
+    // The policy: sizes are (40, 4, 4) → median 4, factor 2 → only the
+    // merged cluster crosses, ids allocated above the numeric max.
+    val plan = Similarity.ivfMaintenancePlan(spark, p, "vec_id")
+    assert(plan.medianRows == 4L)
+    assert(plan.splits.map(s => (s.cluster, s.rows)) == Seq((0, 40L)),
+      s"exactly the planted hot cluster must be flagged, got ${plan.splits}")
+    assert(plan.splits.head.newIdA == 3L && plan.splits.head.newIdB == 4L)
+    assert(plan.maxDrift.isEmpty && !plan.rebuildAdvised,
+      "nothing appended: no drift evidence, no rebuild advice")
+    // Recall cliff before: nprobe=1 probes the small decoy cluster.
+    val q = Seq(1f, 0f, 0f, 0f)
+    def recallAt1(c: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.ivfSearch(spark, p, "vec_id", "embedding", c,
+        q, k = 10, nprobe = 1).collect().map(_.getLong(0)).toSet
+      val want = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        array(q.map(lit): _*), 10).collect().map(_.getLong(0)).toSet
+      got.intersect(want).size.toDouble / want.size
+    }
+    val before = recallAt1(cents)
+    val after = recallAt1(
+      Similarity.ivfMaintain(spark, p, "vec_id", "embedding", cents, plan)
+        .localCheckpoint(true))
+    assert(before == 0.0, s"fixture must start at the cliff, got $before")
+    assert(after == 1.0, s"split must land a child centroid on the blob, got $after")
+    // Post-split the plan is quiet: sizes (20, 20, 4, 4) → median 20...
+    // wait — median of [4,4,20,20] is 20, nothing exceeds 40.
+    assert(Similarity.ivfMaintenancePlan(spark, p, "vec_id").splits.isEmpty,
+      "a split must quench its own advice")
+  }
+
+  test("quantized-layout splits: SQ8/PQ via the re-read-float-source path") {
+    val e = maintCorpus.localCheckpoint(true)
+    val cents = maintCents(e)
+    val q = Seq(1f, 0f, 0f, 0f)
+    // --- SQ8 ---
+    val p8 = tmpIndex("maint_sq8")
+    Similarity.ivfWriteSq8(e, "vec_id", "embedding", cents, p8)
+    val full8 = Similarity.ivfSearchSq8(spark, p8, "vec_id", cents, q,
+      k = 48, nprobe = 3).collect().map(_.getLong(0)).toSet
+    val cents8 = Similarity.ivfSplitClusterSq8(spark, p8, "vec_id",
+      "embedding", cents, e, cluster = 0, newIdA = 3, newIdB = 4)
+      .localCheckpoint(true)
+    assert(cents8.select("cluster").collect().map(_.getInt(0)).toSet ==
+      Set(1, 2, 3, 4))
+    val post8 = spark.read.parquet(p8)
+    assert(post8.filter(col("cluster") === 0).count() == 0)
+    assert(post8.filter(col("cluster") === 3).count() > 0 &&
+      post8.filter(col("cluster") === 4).count() > 0,
+      "an SQ8 split must populate BOTH children")
+    assert(post8.filter(col("cluster").isin(3, 4))
+      .select("vec_id").collect().map(_.getLong(0)).toSet ==
+      (1L to 40L).toSet, "children hold exactly the old members")
+    assert(Similarity.ivfSearchSq8(spark, p8, "vec_id", cents8, q,
+      k = 48, nprobe = 4).collect().map(_.getLong(0)).toSet == full8,
+      "full-probe SQ8 served set must survive the split")
+    // SQ8 layout columns intact (qvec/scale/nrm2, no float vector)
+    assert(post8.columns.toSet ==
+      Set("vec_id", "qvec", "scale", "nrm2", "cluster", "batch"))
+    // recall at nprobe=1 jumps for the blob query, as in the float test
+    assert(Similarity.ivfSearchSq8(spark, p8, "vec_id", cents8, q,
+      k = 10, nprobe = 1).collect().map(_.getLong(0)).toSet ==
+      (1L to 10L).toSet)
+    // a partial float source must abort loudly, never drop vectors
+    intercept[IllegalArgumentException] {
+      Similarity.ivfSplitClusterSq8(spark, p8, "vec_id", "embedding",
+        cents8, e.filter(col("vec_id") =!= 1L), cluster = 3,
+        newIdA = 5, newIdB = 6)
+    }
+    // --- PQ ---
+    val pq = tmpIndex("maint_pq")
+    val cb = Similarity.pqCodebook(e, "embedding", m = 1, subDim = 4)
+      .localCheckpoint(true)
+    Similarity.ivfWritePq(e, "vec_id", "embedding", cents, cb,
+      m = 1, subDim = 4, pq)
+    val fullPq = Similarity.ivfSearchPq(spark, pq, "vec_id", cents, cb,
+      q, k = 48, nprobe = 3).collect().map(_.getLong(0)).toSet
+    val centsPq = Similarity.ivfSplitClusterPq(spark, pq, "vec_id",
+      "embedding", cents, e, cb, m = 1, subDim = 4,
+      cluster = 0, newIdA = 3, newIdB = 4).localCheckpoint(true)
+    val postPq = spark.read.parquet(pq)
+    assert(postPq.filter(col("cluster") === 0).count() == 0)
+    assert(postPq.filter(col("cluster").isin(3, 4))
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet ==
+      (1L to 40L).toSet)
+    // every member kept its m=1 code row (the PQ row shape)
+    assert(postPq.filter(col("cluster").isin(3, 4)).count() == 40,
+      "each member must carry one code row per subspace")
+    assert(Similarity.ivfSearchPq(spark, pq, "vec_id", centsPq, cb, q,
+      k = 48, nprobe = 4).collect().map(_.getLong(0)).toSet == fullPq,
+      "full-probe PQ served set must survive the split")
+  }
+
   // ---- bitext margin mining ------------------------------------------
 
   /** 10-dim fixture: dims 1-4 are tiny constants that put EVERY vector

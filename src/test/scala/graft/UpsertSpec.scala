@@ -443,6 +443,41 @@ class UpsertSpec extends SparkSpec {
       "lock and claim must both be released at the end")
   }
 
+  test("renewWriterLease: a heartbeat keeps a short lease from being broken") {
+    // A long-running protected body (a 100 TB cluster split) can outrun
+    // its lease; the heartbeat rewrites the lock with a fresh expiry so
+    // waiters keep waiting instead of breaking in mid-write.
+    val dir = java.nio.file.Files.createTempDirectory("upsert_renew").toString + "/t"
+    new java.io.File(dir).mkdirs()
+    // Renewing without holding the lock is a caller bug, loudly.
+    intercept[IllegalArgumentException] {
+      Upsert.renewWriterLease(spark, dir)
+    }
+    @volatile var waiterOutcome: Option[Throwable] = None
+    val waiter = new Thread(() => {
+      try {
+        Upsert.withWriterLock(spark, dir, waitMs = 500, leaseMs = 60000)(())
+        waiterOutcome = None
+      } catch { case t: Throwable => waiterOutcome = Some(t) }
+    })
+    Upsert.withWriterLock(spark, dir, waitMs = 1000, leaseMs = 400) {
+      Thread.sleep(250)
+      Upsert.renewWriterLease(spark, dir, leaseMs = 60000)
+      waiter.start()
+      // Hold well past the ORIGINAL 400 ms expiry: without the renewal
+      // the waiter would break the lease and run; with it the waiter
+      // must exhaust its budget and fail loudly.
+      Thread.sleep(900)
+    }
+    waiter.join(10000)
+    assert(waiterOutcome.exists(
+      _.isInstanceOf[Upsert.ConcurrentWriterException]),
+      s"the waiter must time out on the RENEWED lease, got $waiterOutcome")
+    // After release the path is free again.
+    Upsert.withWriterLock(spark, dir, waitMs = 1000, leaseMs = 60000)(())
+    assert(!new java.io.File(dir + ".merge-lock").exists())
+  }
+
   test("a merge that fails mid-flight still releases its writer lock") {
     val dir = java.nio.file.Files.createTempDirectory("upsert_lockrel").toString
     val init = df("k BIGINT, v STRING, d STRING",
