@@ -167,7 +167,23 @@ object Cli {
           else Set(args.job)
         if (selected("customer")) runner.runCustomer(ms)
         if (selected("call")) runner.runCall(ms)
-        if (selected("staffgroup")) runner.runStaffGroup()
+        if (selected("staffgroup")) {
+          // Once-mode slot guard (reference runner.py:986-999): skip
+          // the snapshot when BOTH staff and group already completed
+          // inside the current staff/group slot — the audit log's
+          // `updated_at` (wall clock, like the reference's) vs the
+          // slot boundary derived from the injected clock.
+          val sg = staffGroupSchedule(env, sched)
+          val slotStart = graft.incremental.Scheduler
+            .previousOrCurrentScheduled(at, sg)
+          val already = Seq("staff", "group").forall(t =>
+            runner.checkpoints.getLastRunAny(t)
+              .exists(ts => !ts.toInstant.isBefore(slotStart)))
+          if (already)
+            System.err.println(
+              s"skipping staff/group snapshot; already completed for slot $slotStart")
+          else runner.runStaffGroup()
+        }
         // Post-job reporting refresh for the slot's VN7 civil date —
         // best-effort like the reference (runner.py:1006-1012): a
         // reporting failure must not fail an ingest that already

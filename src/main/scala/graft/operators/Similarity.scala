@@ -1782,6 +1782,13 @@ object Similarity {
         .localCheckpoint(true) // seeds + Lloyd steps + the write read it
       val n = rows.count()
       require(n >= 2, s"cluster $cluster has $n live rows — nothing to split")
+      // One row per id, checked on the CLUSTER-BOUNDED member frame (an
+      // O(corpus) distinct on the raw source would defeat the
+      // O(cluster) split): duplicate source rows would silently write
+      // duplicate index rows.
+      require(rows.select(col(idCol)).distinct().count() == n,
+        s"float source carries duplicate ids for cluster $cluster members " +
+          "— deduplicate it (one row per id) before splitting")
       val aRow = rows.orderBy(col(idCol)).limit(1).collect()(0)
       val aVec = aRow.getSeq[Float](1)
       val bRow = rows.filter(col(idCol) =!= lit(aRow.get(0)))
@@ -1845,6 +1852,31 @@ object Similarity {
     splitClusterFromSource(spark, path, idCol, vecCol, centroidDf,
       floatSource, cluster, newIdA, newIdB, steps,
       (rows, observed, _) => pqEncode(rows, idCol, vecCol,
+          codebook, m, subDim)
+        .withColumnRenamed("cluster", "code")
+        .join(observed.select(col(idCol), col("cluster")), idCol)
+        .select(col(idCol), col("sub"), col("code"), col("cluster")))
+
+  /** [[ivfSplitCluster]] for the RESIDUAL-encoded PQ layout, completing
+    * the four-layout split ladder (float/SQ8/PQ/residual-PQ — every
+    * layout now has the full append/delete/compact/split maintenance
+    * story). Residual codes depend on the vector's OWN coarse centroid
+    * (r = v − c), so unlike the plain-PQ split the members' codes MUST
+    * be recomputed against the two child centroids — with the FROZEN
+    * residual codebook ([[ivfAppendPqResidual]]'s posture; the fine
+    * quantizer never re-trains between rebuilds). Serving through
+    * [[ivfSearchPqResidual]] with the returned centroids stays exact in
+    * its coarse term automatically, because that term comes from the
+    * caller-held centroid frame this returns.
+    */
+  def ivfSplitClusterPqResidual(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, centroidDf: DataFrame,
+      floatSource: DataFrame, codebook: DataFrame, m: Int, subDim: Int,
+      cluster: Any, newIdA: Any, newIdB: Any, steps: Int = 3): DataFrame =
+    splitClusterFromSource(spark, path, idCol, vecCol, centroidDf,
+      floatSource, cluster, newIdA, newIdB, steps,
+      (rows, observed, two) => pqEncode(
+          residualVectors(rows, idCol, vecCol, two), idCol, "residual",
           codebook, m, subDim)
         .withColumnRenamed("cluster", "code")
         .join(observed.select(col(idCol), col("cluster")), idCol)

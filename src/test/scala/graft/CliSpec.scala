@@ -71,6 +71,32 @@ class CliSpec extends SparkSpec {
       "--job customer must not run the call job")
   }
 
+  test("once mode skips a staff/group snapshot already completed in the slot") {
+    // Reference runner.py:986-999: once-mode re-invocations inside one
+    // staff/group slot must not re-pull the snapshot. Real wall clock
+    // here: the audit log's updated_at and the slot boundary must be
+    // on the same clock for the guard to be meaningful.
+    val wh = java.nio.file.Files.createTempDirectory("cli_skip").toString
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counting = new graft.pipelines.BatchRunner.SnapshotFetcher {
+      private val inner = new FixtureSources.Snapshots
+      override def fetchAll(s: org.apache.spark.sql.SparkSession,
+          entity: String, tenant: String) = {
+        calls.incrementAndGet(); inner.fetchAll(s, entity, tenant)
+      }
+    }
+    def runOnce(): Int = Cli.run(Seq("--job", "staffgroup"), env(wh), spark,
+      fetcher = Some(new FixtureSources.Paged(T0, 10, version = 1)),
+      snapshots = Some(counting),
+      now = () => java.time.Instant.now())
+    assert(runOnce() == 0)
+    val after1 = calls.get()
+    assert(after1 > 0, "fresh warehouse: the snapshot must run")
+    assert(runOnce() == 0)
+    assert(calls.get() == after1,
+      "second once-run in the same slot must skip the snapshot")
+  }
+
   test("daemon mode: cold start fires a catch-up tick, then sleeps between slots") {
     val wh = java.nio.file.Files.createTempDirectory("cli_daemon").toString
     val at = java.time.Instant.ofEpochMilli(T0 + 120 * 60000L)

@@ -92,6 +92,31 @@ class CallioStub(t0: Long, nDocs: Int,
     ()
   }
 
+  // Full-snapshot endpoints (reference api.py:326-385): staff under
+  // /user returns a {"docs":[...]} envelope; group under /user-group
+  // returns a BARE top-level array — both payload shapes the reference
+  // tolerates, so the client must too. Same token/401 discipline as
+  // the paged contexts.
+  val staffRequests = new AtomicInteger(0)
+  private def snapshotContext(path: String, body: String): Unit = {
+    server.createContext(path, (ex: HttpExchange) => {
+      staffRequests.incrementAndGet()
+      val tok = Option(ex.getRequestHeaders.getFirst("token")).getOrElse("")
+      val uses = tokenUsesLeft.get(tok)
+      if (uses == null || uses.decrementAndGet() < 0)
+        respond(ex, 401, "unauthorized")
+      else respond(ex, 200, body)
+    })
+    ()
+  }
+  snapshotContext("/user",
+    """{"docs":[
+      {"_id":"u0","name":"NV0","group":{"_id":"g0"},"updateTime":1},
+      {"_id":"u1","name":"NV1","group":{"_id":"g1"},"updateTime":1},
+      {"_id":"u2","name":"  ","updateTime":1}]}""")
+  snapshotContext("/user-group",
+    """[{"_id":"g0","name":"Team 0"},{"_id":"g1","name":"Team 1"}]""")
+
   pageContext("/customer",
     (i, ts) => s"""{"_id":"d$i","updateTime":$ts,"v":$i}""")
   pageContext("/call",
@@ -255,6 +280,37 @@ class HttpDocFetcherSpec extends SparkSpec {
       // though the server treats `to` inclusively.
       val p = bare.fetchPage("customer", "t1", "updateTime", T0, T0 + 60000L, 1, 10)
       assert(p.docs.size == 1 && p.docs.head.contains(s""""updateTime":$T0"""))
+    }
+  }
+
+  test("snapshot client: docs envelope AND bare array; 401 refresh-once; transforms compose") {
+    withStub(new CallioStub(T0, 10, tokenUses = 1)) { stub =>
+      HttpDocFetcher.clearTokenCache()
+      val snaps = new graft.sources.HttpSnapshotFetcher(
+        _ => cfgFor(stub))
+      // staff: {"docs": [...]} envelope → rows with a nested group
+      // struct that staffTransform's asJsonString flattens.
+      val staff = graft.pipelines.CallioIngest.staffNameFilter(
+        graft.pipelines.CallioIngest.staffTransform(
+          snaps.fetchAll(spark, "staff", "PK"), "PK"))
+      val staffRows = staff.collect()
+        .map(r => r.getAs[String]("_id") -> r.getAs[String]("group_id")).toMap
+      assert(staffRows == Map("u0" -> "g0", "u1" -> "g1"),
+        s"blank-name u2 filtered, group._id flattened; got $staffRows")
+      // group: BARE top-level array payload (the reference's other
+      // shape) → groupTransform rows. tokenUses=1 means this second
+      // fetch arrives with a dead token: the client must refresh-once
+      // inline and succeed.
+      val group = graft.pipelines.CallioIngest.groupTransform(
+        snaps.fetchAll(spark, "group", "PK"), "PK")
+      assert(group.collect().map(_.getAs[String]("group_id")).toSet ==
+        Set("g0", "g1"))
+      assert(stub.loginCount.get() >= 2,
+        "the dead token must force an inline re-login")
+      // unknown entity fails loudly, never a silent empty frame
+      intercept[IllegalArgumentException] {
+        snaps.fetchAll(spark, "bogus", "PK")
+      }
     }
   }
 

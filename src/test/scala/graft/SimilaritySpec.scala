@@ -1061,6 +1061,33 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfSearchPq(spark, pq, "vec_id", centsPq, cb, q,
       k = 48, nprobe = 4).collect().map(_.getLong(0)).toSet == fullPq,
       "full-probe PQ served set must survive the split")
+    // --- residual PQ (codes depend on the member's own centroid, so a
+    // split must RE-ENCODE against the children) ---
+    val pr = tmpIndex("maint_pqr")
+    val rcb = Similarity.pqResidualCodebook(e, "vec_id", "embedding",
+      cents, m = 1, subDim = 4).localCheckpoint(true)
+    Similarity.ivfWritePqResidual(e, "vec_id", "embedding", cents, rcb,
+      m = 1, subDim = 4, pr)
+    val fullPr = Similarity.ivfSearchPqResidual(spark, pr, "vec_id",
+      cents, rcb, q, k = 48, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val centsPr = Similarity.ivfSplitClusterPqResidual(spark, pr,
+      "vec_id", "embedding", cents, e, rcb, m = 1, subDim = 4,
+      cluster = 0, newIdA = 3, newIdB = 4).localCheckpoint(true)
+    val postPr = spark.read.parquet(pr)
+    assert(postPr.filter(col("cluster") === 0).count() == 0)
+    assert(postPr.filter(col("cluster").isin(3, 4))
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet ==
+      (1L to 40L).toSet)
+    assert(Similarity.ivfSearchPqResidual(spark, pr, "vec_id", centsPr,
+      rcb, q, k = 48, nprobe = 4).collect().map(_.getLong(0)).toSet ==
+      fullPr, "full-probe residual-PQ served set must survive the split")
+    // The blob query's top hits stay the blob: the re-encoded residuals
+    // against the child centroid keep scores ⟨q,c⟩+⟨q,r̂⟩ ≈ ⟨q,v⟩.
+    assert(Similarity.ivfSearchPqResidual(spark, pr, "vec_id", centsPr,
+      rcb, q, k = 10, nprobe = 1).collect().map(_.getLong(0)).toSet
+      .subsetOf((1L to 20L).toSet),
+      "nprobe=1 after split must serve from the blob-A child")
   }
 
   // ---- bitext margin mining ------------------------------------------
