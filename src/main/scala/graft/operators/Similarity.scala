@@ -1643,16 +1643,21 @@ object Similarity {
     * collected histogram is one row per cluster — bounded by the
     * centroid count, the same budget every probe ranking already
     * spends. New cluster ids are allocated above the existing numeric
-    * maximum (two per split); non-numeric cluster-id schemes must pick
-    * ids manually via [[ivfSplitCluster]].
+    * maximum across BOTH the live index and the caller's centroid
+    * frame — the frame can hold ids the histogram cannot see (an empty
+    * k-means cluster, a fully-tombstoned one), and allocating into one
+    * of those would silently merge a split child with an existing
+    * centroid. Non-numeric cluster-id schemes must pick ids manually
+    * via [[ivfSplitCluster]].
     *
     * Execute with [[ivfMaintain]] (float layout) or by folding
-    * [[ivfSplitClusterSq8]]/[[ivfSplitClusterPq]] over `splits` for
-    * quantized layouts.
+    * [[ivfSplitClusterSq8]]/[[ivfSplitClusterPq]]/
+    * [[ivfSplitClusterPqResidual]] over `splits` for quantized layouts.
     */
   def ivfMaintenancePlan(spark: org.apache.spark.sql.SparkSession,
-      path: String, idCol: String, sizeFactor: Double = 2.0,
-      driftMax: Double = 0.05, maxSplits: Int = 8): MaintenancePlan = {
+      path: String, idCol: String, centroidDf: DataFrame,
+      sizeFactor: Double = 2.0, driftMax: Double = 0.05,
+      maxSplits: Int = 8): MaintenancePlan = {
     require(sizeFactor > 1.0, s"sizeFactor must exceed 1, got $sizeFactor")
     require(maxSplits >= 1, s"maxSplits must be >= 1, got $maxSplits")
     val sizes = readLive(spark, path, idCol)
@@ -1671,7 +1676,9 @@ object Similarity {
     val splits =
       if (flagged.isEmpty) Seq.empty[SplitPlan]
       else {
-        val numeric = sizes.map(s => asLong(s._1))
+        val centIds = centroidDf.select(col("cluster")).collect()
+          .map(r => asLong(r.get(0))).toSeq // bounded: one row per centroid
+        val numeric = sizes.map(s => asLong(s._1)) ++ centIds
         require(numeric.forall(_.isDefined),
           "cluster ids are not numeric — allocate split ids manually " +
             "via ivfSplitCluster")
@@ -1762,11 +1769,21 @@ object Similarity {
       if (committedBatches(spark, path).contains(tag)) {
         // Replay after a crash in the commit→delete window: finish the
         // source delete, rebuild the two centroids from the committed
-        // members' SOURCE vectors (the index rows are codes).
+        // members' SOURCE vectors (the index rows are codes). Coverage
+        // is checked HERE TOO: a partial source would silently rebuild
+        // the child centroids from a subset — the same defect the
+        // first-run path aborts on loudly.
         if (fs.exists(srcDir)) fs.delete(srcDir, true)
-        updatedCents(sourceMeans(
-          spark.read.parquet(path)
-            .filter(col("batch").cast("string") === tag)))
+        val members = spark.read.parquet(path)
+          .filter(col("batch").cast("string") === tag)
+          .select(col(idCol), col("cluster")).distinct()
+          .localCheckpoint(true) // coverage check AND the means join
+        val missing = members.join(src, Seq(idCol), "left_anti").count()
+        require(missing == 0,
+          s"$missing committed members of split batch $tag are absent " +
+            "from the float source — aborting replay (child centroids " +
+            "would be rebuilt from a subset)")
+        updatedCents(sourceMeans(members))
       } else {
       IndexCommit.dropOrphanDirs(spark, path, s"cluster=*/batch=$tag")
       val liveIds = readLive(spark, path, idCol)
@@ -1809,16 +1826,26 @@ object Similarity {
       val assigned = assignNearest(rows, idCol, vecCol, two)
         .localCheckpoint(true) // written AND averaged for the result
       Upsert.renewWriterLease(spark, path)
+      // The centroids the RETURNED frame will hold — the member means
+      // under the final assignment, computed BEFORE the write so a
+      // payload whose encoding references its cluster's centroid
+      // (residual PQ) can reference EXACTLY these: the serving path's
+      // coarse term comes from the caller-held frame, so encoding
+      // against any other reference (e.g. the last Lloyd iterate, which
+      // equals the means only at convergence) would leave a per-cluster
+      // bias ⟨q, mean(c) − iterate(c)⟩ in every served score.
+      val finalCents = centroids(
+        assigned.select(col("cluster"), col(vecCol)), "cluster", vecCol)
+        .localCheckpoint(true) // payload AND the returned frame
       val (observed, commit) = observeTightness(assigned, path, tag,
         overwrite = false)
-      payload(rows, observed, two)
+      payload(rows, observed, finalCents)
         .withColumn("batch", lit(tag))
         .repartition(col("cluster"))
         .write.mode("append").partitionBy("cluster", "batch").parquet(path)
       commit() // the ledger row: the split is now durable
       if (fs.exists(srcDir)) fs.delete(srcDir, true)
-      updatedCents(centroids(
-        assigned.select(col("cluster"), col(vecCol)), "cluster", vecCol))
+      updatedCents(finalCents)
       }
     }
 
@@ -1875,12 +1902,29 @@ object Similarity {
       cluster: Any, newIdA: Any, newIdB: Any, steps: Int = 3): DataFrame =
     splitClusterFromSource(spark, path, idCol, vecCol, centroidDf,
       floatSource, cluster, newIdA, newIdB, steps,
-      (rows, observed, two) => pqEncode(
-          residualVectors(rows, idCol, vecCol, two), idCol, "residual",
-          codebook, m, subDim)
-        .withColumnRenamed("cluster", "code")
-        .join(observed.select(col(idCol), col("cluster")), idCol)
-        .select(col(idCol), col("sub"), col("code"), col("cluster")))
+      (rows, observed, finalCents) => {
+        // Residuals against the centroids the RETURNED frame holds (see
+        // the finalCents note in the core): the row's storage cluster
+        // and its residual reference MUST be the same centroid the
+        // serving path's coarse term reads, or every score carries a
+        // per-cluster offset. One observed reference: this frame is
+        // checkpointed and then feeds both the encode and the cluster
+        // carry (the CollectMetrics node must execute exactly once).
+        val res = observed
+          // assignNearest keeps the assignment's own `centroid` column —
+          // project it away before joining the final centroids in.
+          .select(col(idCol), col(vecCol), col("cluster"))
+          .join(broadcast(finalCents), "cluster")
+          .select(col(idCol), col("cluster"),
+            zip_with(col(vecCol), col("centroid"),
+              (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
+              .as("residual"))
+          .localCheckpoint(true)
+        pqEncode(res, idCol, "residual", codebook, m, subDim)
+          .withColumnRenamed("cluster", "code")
+          .join(res.select(col(idCol), col("cluster")), idCol)
+          .select(col(idCol), col("sub"), col("code"), col("cluster"))
+      })
 
   /** Margin-criterion bitext mining (Artetxe & Schwenk 2019, the
     * LASER/CCMatrix parallel-pair miner): mine aligned pairs across two

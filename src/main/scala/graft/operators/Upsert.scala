@@ -45,11 +45,12 @@ object Upsert {
     extends IllegalStateException(msg)
 
   /** Create-exclusive writer lock on a table root, with LEASE-WAIT
-    * serialization. `fs.create(p, false)` is atomic on HDFS and
-    * object-store semantics vary but stay create-exclusive under the
-    * Hadoop contract; on RawLocalFileSystem it is check-then-create —
-    * adequate for the design this enforces (the failure mode it guards
-    * is *operational* double scheduling, not sub-millisecond races).
+    * serialization. `fs.create(p, false)` is atomic on HDFS; on the
+    * LOCAL filesystem Hadoop implements overwrite=false as
+    * check-then-create — NOT atomic (two racers can both "win"; the
+    * UpsertSpec 6-thread lease race reproduces it), so local paths
+    * acquire via NIO `CREATE_NEW` (kernel O_EXCL) instead — see
+    * `createExclusive` below.
     *
     * Concurrency contract (the streaming sinks and any double-scheduled
     * batch ingest are the consumers):
@@ -83,6 +84,21 @@ object Upsert {
         .getOrElse(60000L),
       leaseMs = sys.props.get("graft.lockLeaseMs").map(_.toLong)
         .getOrElse(15L * 60 * 1000))(body)
+
+  /** Lock-file content, single-sourced: `leaseRe` in [[withWriterLock]]
+    * parses it and [[renewWriterLease]] matches ownership on its
+    * prefix — two hand-built copies of the format would drift.
+    */
+  private def lockOwnerTag(
+      spark: org.apache.spark.sql.SparkSession): String =
+    s"pid=${ProcessHandle.current().pid()} " +
+      s"app=${spark.sparkContext.applicationId}"
+
+  private def lockContent(spark: org.apache.spark.sql.SparkSession,
+      leaseMs: Long): String =
+    s"${lockOwnerTag(spark)} " +
+      s"at=${java.time.Instant.now()} " +
+      s"lease_expires_at=${System.currentTimeMillis() + leaseMs}"
 
   private[graft] def withWriterLock[T](
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -133,12 +149,6 @@ object Upsert {
           if (held) false else throw e
         }
       }
-
-    def lockContent(): String =
-      s"pid=${ProcessHandle.current().pid()} " +
-        s"app=${spark.sparkContext.applicationId} " +
-        s"at=${java.time.Instant.now()} " +
-        s"lease_expires_at=${System.currentTimeMillis() + leaseMs}"
 
     def readFile(p: org.apache.hadoop.fs.Path): String =
       try {
@@ -197,15 +207,18 @@ object Upsert {
 
     var acquired = false
     while (!acquired) {
-      if (createExclusive(hLock, lockContent())) acquired = true
+      if (createExclusive(hLock, lockContent(spark, leaseMs))) acquired = true
       else {
         val holder = holderInfo()
         val expired = leaseRe.findFirstMatchIn(holder)
           .exists(_.group(1).toLong < System.currentTimeMillis())
-        if (expired) {
+        if (expired && System.currentTimeMillis() < deadline) {
           // Presumed-dead holder: break the lock (claim-guarded, see
           // breakExpired) and re-race for the create. Create-exclusive
-          // still admits exactly one winner.
+          // still admits exactly one winner. The deadline applies HERE
+          // TOO: a wedged break (e.g. an orphaned lease-less claim
+          // file) must fail loudly within waitMs, never hang writers
+          // forever.
           breakExpired(holder)
         } else if (System.currentTimeMillis() < deadline) {
           Thread.sleep(pollMs)
@@ -240,6 +253,11 @@ object Upsert {
     * claim-guarded break, which is exactly the window renewal exists to
     * avoid. If no stage boundary comes often enough, size
     * `-Dgraft.lockLeaseMs` to the longest single stage instead.
+    * Renewal verifies OWNERSHIP first (pid+app prefix of the on-disk
+    * content): a writer whose lease already lapsed and was taken over
+    * fails loudly instead of clobbering the new holder's lock. Two
+    * threads of ONE JVM share that tag and are not distinguished —
+    * in-process callers already serialize on the lock itself.
     */
   private[graft] def renewWriterLease(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -249,12 +267,26 @@ object Upsert {
     val fs = hLock.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(hLock),
       s"renewWriterLease($path): no lock held — call inside withWriterLock")
-    val content =
-      (s"pid=${ProcessHandle.current().pid()} " +
-        s"app=${spark.sparkContext.applicationId} " +
-        s"at=${java.time.Instant.now()} " +
-        s"lease_expires_at=${System.currentTimeMillis() + leaseMs}")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // Ownership check before the rewrite: if THIS writer's lease already
+    // lapsed and a waiter took over, the lock on disk belongs to the
+    // NEW holder — overwriting it would re-admit the overtaken writer
+    // and run two writers concurrently (exactly what the lock exists to
+    // prevent). Fail loudly instead: the overtaken body must abort.
+    val current =
+      try {
+        val in = fs.open(hLock)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      } catch { case _: Throwable => "<unreadable>" }
+    if (!current.startsWith(lockOwnerTag(spark)))
+      throw new ConcurrentWriterException(
+        s"renewWriterLease($path): the lock is now held by [$current], " +
+          s"not this writer [${lockOwnerTag(spark)}] — this writer's " +
+          "lease expired and was taken over mid-body. Abort: continuing " +
+          "would run two writers into one target.")
+    val content = lockContent(spark, leaseMs)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (fs.getUri.getScheme == null || fs.getUri.getScheme == "file")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(hLock.toUri.getPath), content,

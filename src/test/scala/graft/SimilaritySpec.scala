@@ -973,13 +973,24 @@ class SimilaritySpec extends SparkSpec {
     Similarity.ivfRecordBuildStats(e, "vec_id", "embedding", cents, p)
     // The policy: sizes are (40, 4, 4) → median 4, factor 2 → only the
     // merged cluster crosses, ids allocated above the numeric max.
-    val plan = Similarity.ivfMaintenancePlan(spark, p, "vec_id")
+    val plan = Similarity.ivfMaintenancePlan(spark, p, "vec_id", cents)
     assert(plan.medianRows == 4L)
     assert(plan.splits.map(s => (s.cluster, s.rows)) == Seq((0, 40L)),
       s"exactly the planted hot cluster must be flagged, got ${plan.splits}")
     assert(plan.splits.head.newIdA == 3L && plan.splits.head.newIdB == 4L)
     assert(plan.maxDrift.isEmpty && !plan.rebuildAdvised,
       "nothing appended: no drift evidence, no rebuild advice")
+    // Id allocation respects centroid-frame ids the live histogram
+    // cannot see: an EMPTY cluster (its centroid exists, no live rows)
+    // must still block its id from being re-allocated to a split child.
+    val centsWithEmpty = cents.unionByName(
+      df("cluster INT, centroid ARRAY<FLOAT>",
+        Row(Int.box(9), maintVec(0, 0, 0, 1))))
+    val planSkipping9 = Similarity.ivfMaintenancePlan(spark, p, "vec_id",
+      centsWithEmpty)
+    assert(planSkipping9.splits.nonEmpty &&
+      planSkipping9.splits.forall(s => s.newIdA > 9 && s.newIdB > 9),
+      s"allocated ids must clear the empty centroid's id 9, got $planSkipping9")
     // Recall cliff before: nprobe=1 probes the small decoy cluster.
     val q = Seq(1f, 0f, 0f, 0f)
     def recallAt1(c: org.apache.spark.sql.DataFrame): Double = {
@@ -990,15 +1001,15 @@ class SimilaritySpec extends SparkSpec {
       got.intersect(want).size.toDouble / want.size
     }
     val before = recallAt1(cents)
-    val after = recallAt1(
-      Similarity.ivfMaintain(spark, p, "vec_id", "embedding", cents, plan)
-        .localCheckpoint(true))
+    val split = Similarity.ivfMaintain(spark, p, "vec_id", "embedding",
+      cents, plan).localCheckpoint(true)
+    val after = recallAt1(split)
     assert(before == 0.0, s"fixture must start at the cliff, got $before")
     assert(after == 1.0, s"split must land a child centroid on the blob, got $after")
-    // Post-split the plan is quiet: sizes (20, 20, 4, 4) → median 20...
-    // wait — median of [4,4,20,20] is 20, nothing exceeds 40.
-    assert(Similarity.ivfMaintenancePlan(spark, p, "vec_id").splits.isEmpty,
-      "a split must quench its own advice")
+    // Post-split the plan is quiet: sizes (20, 20, 4, 4) → median 20,
+    // threshold 40 — the split quenches its own advice.
+    assert(Similarity.ivfMaintenancePlan(spark, p, "vec_id", split)
+      .splits.isEmpty, "a split must quench its own advice")
   }
 
   test("quantized-layout splits: SQ8/PQ via the re-read-float-source path") {
@@ -1088,6 +1099,49 @@ class SimilaritySpec extends SparkSpec {
       rcb, q, k = 10, nprobe = 1).collect().map(_.getLong(0)).toSet
       .subsetOf((1L to 20L).toSet),
       "nprobe=1 after split must serve from the blob-A child")
+  }
+
+  test("residual-PQ split ≡ rebuild with the returned centroids (scores exact)") {
+    // Regression: residuals used to be encoded against the LAST LLOYD
+    // ITERATE while the returned frame (and therefore the serving
+    // path's coarse term) held the member MEANS — a per-cluster score
+    // bias ⟨q, mean(c) − iterate(c)⟩ invisible on fixtures where
+    // 2-means converges (iterate == means). Here the hot cluster is
+    // NON-uniform and the split runs steps = 0, so the iterate (the
+    // raw seeds) differs from the means decisively; serving the split
+    // index must still be row-identical to serving a fresh rebuild
+    // that encodes against the returned centroids.
+    def v(x: Double, y: Double, z: Double) =
+      Seq(x, y, z, 0.0).map(_.toFloat)
+    val zs = Seq(0.0, 0.1, 0.2, 0.8, 0.9, 1.0)
+    val e = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      (zs.zipWithIndex.map { case (z, i) =>
+        Row(Long.box(i + 1), v(1, 0, z)) } ++
+        Seq(Row(Long.box(7), v(0, 1, 0)), Row(Long.box(8), v(0, 1, 0)))): _*)
+      .localCheckpoint(true)
+    val cents = Similarity.centroids(
+      e.withColumn("cluster",
+        when(col("vec_id") <= 6, 0).otherwise(1).cast("int"))
+        .select(col("cluster"), col("embedding")),
+      "cluster", "embedding").localCheckpoint(true)
+    val rcb = Similarity.pqResidualCodebook(e, "vec_id", "embedding",
+      cents, m = 1, subDim = 4).localCheckpoint(true)
+    val pSplit = tmpIndex("resid_split")
+    Similarity.ivfWritePqResidual(e, "vec_id", "embedding", cents, rcb,
+      m = 1, subDim = 4, pSplit)
+    val centsAfter = Similarity.ivfSplitClusterPqResidual(spark, pSplit,
+      "vec_id", "embedding", cents, e, rcb, m = 1, subDim = 4,
+      cluster = 0, newIdA = 2, newIdB = 3, steps = 0)
+      .localCheckpoint(true)
+    val pRebuild = tmpIndex("resid_rebuild")
+    Similarity.ivfWritePqResidual(e, "vec_id", "embedding", centsAfter,
+      rcb, m = 1, subDim = 4, pRebuild)
+    val q = Seq(1f, 0f, 0.15f, 0f)
+    def serve(path: String) = Similarity.ivfSearchPqResidual(spark, path,
+      "vec_id", centsAfter, rcb, q, k = 8, nprobe = 3).collect().toSeq
+    assert(serve(pSplit) == serve(pRebuild),
+      "split-then-serve must be row-identical (ids AND scores) to " +
+        "rebuild-with-returned-centroids-then-serve")
   }
 
   // ---- bitext margin mining ------------------------------------------
