@@ -171,6 +171,19 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE partition coalescing assumes stage cost ∝ shuffle BYTES; the
+      // engine's hot aggregates violate that (posexplode fans a vector
+      // row into 64, and DECIMAL(38,18) accumulation is ~10x a double
+      // add), so the default 1 MB floor folds a byte-light but
+      // CPU-heavy stage onto 1-2 cores. A 1 KB floor keeps such stages
+      // wide; at production scale post-shuffle partitions are >> 1 MB
+      // and the floor never binds (coalescing still targets
+      // max(bytes/parallelism, floor) under parallelismFirst — same-JVM
+      // A/B ladder in OPTIMIZATION_r15.md: 1m→64k 0.88, 64k→16k 0.90,
+      // 16k→1k 0.90 on the top-30 subset). Env override for cluster
+      // deploys that want the stock floor.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1k"))
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Managed-table warehouse (bucketed tables) outside the repo; a

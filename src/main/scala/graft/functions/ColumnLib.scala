@@ -118,6 +118,31 @@ object ColumnLib {
     Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
       .find(n => !df.columns.contains(n)).get
 
+  /** Repartition a NARROW input to the session's shuffle parallelism
+    * before per-row-heavy work (tokenize/shingle/signature pipelines),
+    * and do NOTHING when the input is already wide. A single parquet
+    * row group — the whole bench fixture, or any small ingest batch —
+    * plans as ONE scan task, so every expensive map stage fed straight
+    * off it runs serially no matter how many cores exist; AQE cannot
+    * help (it only splits post-shuffle stages). At production scale a
+    * scan carries ≥ one split per 128 MB and the guard makes this a
+    * no-op, so the extra exchange is never paid where the data is big
+    * (guide §2.5 "input skew: one huge unsplittable file … repartition
+    * immediately after the read"). Gate (for A/B and for deployments
+    * that want the raw plan): spark.graft.widenNarrowScans=false.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    if (!df.sparkSession.conf
+        .get("spark.graft.widenNarrowScans", "true").toBoolean) df
+    else {
+      val target = df.sparkSession.sessionState.conf.numShufflePartitions
+      // Planned input parallelism; planning only, no job. Inputs already
+      // within 2x of the target gain too little to justify an exchange.
+      if (df.rdd.getNumPartitions * 2 > target) df
+      else df.repartition(target)
+    }
+  }
+
   /** Keep the first row per key under `ordering` (descending-first wins).
     * `ordering` must be a total order within each key group for
     * deterministic output; callers append a unique tiebreaker.

@@ -319,7 +319,11 @@ object Dedup {
       k: Int, n: Int, bandWidth: Int, nShards: Int, path: String,
       batch: String, overwrite: Boolean): Long = {
     val obs = org.apache.spark.sql.Observation()
-    lshBands(minhashSignatures(docs.select(col(id), col(body)), id, body, k, n),
+    // Widen a narrow input before the k·n-hash signature stage — it is
+    // the build's hot map work and would otherwise run on the scan's
+    // (possibly single) split; no-op on wide production scans.
+    lshBands(minhashSignatures(graft.functions.ColumnLib.widen(
+          docs.select(col(id), col(body))), id, body, k, n),
         id, k, bandWidth)
       .withColumn("shard", pmod(xxhash64(col("band_key")), lit(nShards)))
       .withColumn("batch", lit(batch))
@@ -1269,8 +1273,14 @@ object Dedup {
       minTokens: Int = 20): DataFrame = {
     require(minTokens >= 2, s"need minTokens >= 2, got $minTokens")
     // (id, 1-based token pos, digest) — feeds the keeper aggregate AND
-    // the mark join; checkpointed so the shingle pass runs once.
-    val grams = windowDigests(docs, id, body, minTokens).localCheckpoint(true)
+    // the mark join; checkpointed so the shingle pass runs once. The
+    // corpus-sized one-shot path widens a narrow input before the
+    // shingle+md5 fan-out (same-JVM A/B: 0.85x; the per-BATCH window
+    // index paths stay unwidened — their inputs are small and the
+    // extra exchange measured net slower there).
+    val grams = windowDigests(
+      graft.functions.ColumnLib.widen(docs.select(col(id), col(body))),
+      id, body, minTokens).localCheckpoint(true)
     val keepers = grams.groupBy("dig").agg(count(lit(1)).as("__cnt"),
       min(struct(col(id).as("kid"), col("pos").as("kpos"))).as("__k"))
     val marked = grams.join(keepers, "dig")

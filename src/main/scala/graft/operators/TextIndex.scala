@@ -88,6 +88,11 @@ object TextIndex {
     */
   private def tokenize(docs: DataFrame, id: String, body: String)
       : (DataFrame, DataFrame, DataFrame) = {
+    // NOT widened: the same-JVM A/B that landed widen() for the
+    // signature-heavy builds measured the tokenize variant NET SLOWER
+    // (q201 +28%, q206 +30%, q212 +40% — the split/size map work is
+    // too cheap to amortize the extra exchange; the heavy aggregates
+    // below parallelize at their own shuffles).
     val base = docs.select(col(id).as("doc"), words(col(body)).as("__ws"))
       .select(col("doc"), col("__ws"), size(col("__ws")).cast("long").as("dl"))
       .localCheckpoint(true) // postings AND doclens AND stats: one scan
@@ -159,27 +164,35 @@ object TextIndex {
         batch, nDocs, sumDl, nPostings, nTokens, nShards)),
       org.apache.spark.sql.types.StructType.fromDDL(metaSchema))
 
-  private def writeMetaRow(postings: DataFrame, batchStats: DataFrame,
-      batch: String, nShards: Int, path: String, overwrite: Boolean): Unit = {
-    // Postings are already materialized under the shard write; this
-    // aggregate re-reads the (cheap, localCheckpointed) lineage once.
-    val p = postings.agg(count(lit(1)).as("n_postings"),
-      count_distinct(col("token")).as("n_tokens")).head()
+  private def writeMetaRow(spark: SparkSession, counts: (Long, Long),
+      batchStats: DataFrame, batch: String, nShards: Int, path: String,
+      overwrite: Boolean): Unit = {
     val b = batchStats.head()
-    metaRow(postings.sparkSession, batch,
+    metaRow(spark, batch,
       b.getLong(0), if (b.isNullAt(1)) 0L else b.getLong(1),
-      p.getLong(0), p.getLong(1), nShards)
+      counts._1, counts._2, nShards)
       .coalesce(1)
       .write.mode(if (overwrite) "overwrite" else "append")
       .parquet(s"${path}__meta")
   }
 
+  /** Shard write; returns (n_postings, n_tokens) observed ON the write
+    * job itself (the [[Dedup.writeBandRows]] Observation discipline) —
+    * the ledger counts previously cost a second full
+    * explode→groupBy→join pass over the tokenized corpus per build.
+    * n_tokens rides an observe on the df subtree (one row per token),
+    * since COUNT(DISTINCT) is not observable.
+    */
   private def writePostings(postings: DataFrame, batch: String,
-      nShards: Int, path: String, overwrite: Boolean): Unit = {
+      nShards: Int, path: String, overwrite: Boolean): (Long, Long) = {
+    val obsP = org.apache.spark.sql.Observation()
+    val obsT = org.apache.spark.sql.Observation()
     val df = postings.groupBy("token").agg(count(lit(1)).as("df"))
+      .observe(obsT, count(lit(1)).as("n_tokens"))
     postings.join(df, "token")
       .withColumn("shard", pmod(xxhash64(col("token")), lit(nShards)))
       .withColumn("batch", lit(batch))
+      .observe(obsP, count(lit(1)).as("n_postings"))
       .repartition(col("shard"))
       // static: a REBUILD is a snapshot — under the engine's dynamic
       // overwrite default, stale shard/batch dirs from a previous index
@@ -187,18 +200,22 @@ object TextIndex {
       .write.mode(if (overwrite) "overwrite" else "append")
       .option("partitionOverwriteMode", "static")
       .partitionBy("shard", "batch").parquet(path)
+    (obsP.get("n_postings").asInstanceOf[Long],
+      obsT.get("n_tokens").asInstanceOf[Long])
   }
 
   def write(docs: DataFrame, id: String, body: String, path: String,
       nShards: Int = 16): Unit = {
     require(nShards >= 1, s"need nShards >= 1, got $nShards")
     val (postings, doclens, stats) = tokenize(docs, id, body)
-    writePostings(postings, "build", nShards, path, overwrite = true)
+    val counts = writePostings(postings, "build", nShards, path,
+      overwrite = true)
     writeDoclens(doclens, "build", path, overwrite = true)
     // nShards rides in the ledger: serving and appends MUST hash with
     // the build's shard count — a mismatch would silently prune live
     // postings. A rebuild overwrites the ledger = resets the baseline.
-    writeMetaRow(postings, stats, "build", nShards, path, overwrite = true)
+    writeMetaRow(docs.sparkSession, counts, stats, "build", nShards, path,
+      overwrite = true)
   }
 
   /** Append a document batch into an existing index — the frozen-layout
@@ -226,10 +243,11 @@ object TextIndex {
       IndexCommit.dropOrphanDirs(spark, doclenPath(path),
         s"dbucket=*/batch=$batch")
       val (postings, doclens, stats) = tokenize(docs, id, body)
-      writePostings(postings, batch, meta.nShards, path, overwrite = false)
+      val counts = writePostings(postings, batch, meta.nShards, path,
+        overwrite = false)
       writeDoclens(doclens, batch, path, overwrite = false)
       // COMMIT POINT: the batch exists once this row is durable.
-      writeMetaRow(postings, stats, batch, meta.nShards, path,
+      writeMetaRow(spark, counts, stats, batch, meta.nShards, path,
         overwrite = false)
     }
 

@@ -79,6 +79,22 @@ class ColumnLibSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("widen widens a narrow input, no-ops on wide, honors the gate") {
+    val target = spark.sessionState.conf.numShufflePartitions
+    val narrow = df("v BIGINT", (1 to 64).map(i => Row(Long.box(i))): _*)
+      .coalesce(1)
+    assert(widen(narrow).rdd.getNumPartitions == target,
+      "a 1-partition input must widen to the session parallelism")
+    val wide = df("v BIGINT", (1 to 64).map(i => Row(Long.box(i))): _*)
+      .repartition(target)
+    assert(widen(wide) eq wide, "an already-wide input must pass through")
+    spark.conf.set("spark.graft.widenNarrowScans", "false")
+    try assert(widen(narrow) eq narrow, "the conf gate must disable widen")
+    finally spark.conf.unset("spark.graft.widenNarrowScans")
+    // Row preservation: widening must never change the row multiset.
+    assert(rowSet(widen(narrow)) == rowSet(narrow))
+  }
+
   test("latestWins preserves a pre-existing __rn input column") {
     val d = df("k STRING, t BIGINT, __rn STRING",
       Row("a", Long.box(1), "keep-old"),
