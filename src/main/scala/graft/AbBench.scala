@@ -36,9 +36,15 @@ object AbBench {
       }
     val tA = Array.fill(named.size)(Double.MaxValue)
     val tB = Array.fill(named.size)(Double.MaxValue)
-    (1 to reps).foreach { _ =>
+    (1 to reps).foreach { rep =>
       named.zipWithIndex.foreach { case ((name, fn), i) =>
-        Seq((valA, tA), (valB, tB)).foreach { case (v, acc) =>
+        // Alternate the variant order per rep: the SECOND execution of
+        // a query free-rides the first's JIT/codegen/page-cache warmth
+        // (measured ~20% — a fixed order would hand that advantage to
+        // one variant every time; alternating gives each variant one
+        // second-position sample for the per-variant min to pick up).
+        val pair = Seq((valA, tA), (valB, tB))
+        (if (rep % 2 == 1) pair else pair.reverse).foreach { case (v, acc) =>
           setConf(v)
           val t0 = System.nanoTime()
           try {

@@ -171,20 +171,28 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE partition coalescing assumes stage cost ∝ shuffle BYTES; the
-      // engine's hot aggregates violate that (posexplode fans a vector
-      // row into 64, and DECIMAL(38,18) accumulation is ~10x a double
-      // add), so the default 1 MB floor folds a byte-light but
-      // CPU-heavy stage onto 1-2 cores. A 1 KB floor keeps such stages
-      // wide; at production scale post-shuffle partitions are >> 1 MB
-      // and the floor never binds (coalescing still targets
-      // max(bytes/parallelism, floor) under parallelismFirst — same-JVM
-      // A/B ladder in OPTIMIZATION_r15.md: 1m→64k 0.88, 64k→16k 0.90,
-      // 16k→1k 0.90 on the top-30 subset). Env override for cluster
-      // deploys that want the stock floor.
+      // AQE coalescing floor, stock default. Round-15 swept 1m→1k:
+      // order-corrected same-JVM A/Bs showed NO reproducible net win
+      // (heavy gates ~0.95, cheap tail ~1.1-1.6 at small floors, full
+      // suite 1.00) — the apparent early wins were run-order warmth
+      // bias (OPTIMIZATION_r15.md "Measurement honesty"). The knob
+      // stays: a deploy whose post-shuffle stages are byte-light but
+      // CPU-dense (decimal over posexplode) can lower it per workload.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1k"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1m"))
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // Output committer algorithm, stock default (v1). Round-15
+      // A/B'd v2 (task-commit renames, no serial job-commit merge):
+      // the naive same-JVM A/B said 0.87, the order-REVERSED A/B said
+      // v1 0.78 — i.e. whatever ran second won, and the order-corrected
+      // A/B landed at 1.09. No proven win at 16-32 dirs/write, so the
+      // safer v1 stays; the knob remains for deploys with hundreds of
+      // partition dirs per write, where v2's parallel task-commit
+      // renames do matter (this engine tolerates v2's weaker
+      // job-failure atomicity — index writes commit via ledger rows,
+      // compacts via rewriteInPlace's directory swap).
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        sys.env.getOrElse("SPARK_GRAFT_COMMITTER_ALGO", "1"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Managed-table warehouse (bucketed tables) outside the repo; a
       // cluster deployment overrides this to its real warehouse path.

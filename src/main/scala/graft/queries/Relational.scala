@@ -31,6 +31,10 @@ object Relational {
     // (reference runner.py:608-637).
     QueryDef("q01_agg",
       (s, dir) => {
+        // NOT widened: the single-row-group scan does run the partial
+        // aggregate serially here, but the order-corrected A/B measured
+        // widening at 1.12x — shuffling the wide lineitem rows costs
+        // more than the recovered parallelism (r15).
         t(s, dir, "lineitem")
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
