@@ -639,6 +639,14 @@ object Dedup {
     * stays the same.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Convergence detection rides the round's checkpoint job itself
+    // (an Observation on the materialization — Dataset.checkpoint runs
+    // through withAction, so query-level metrics fire) instead of a
+    // separate join-probe job per round: one job per CC round, not
+    // two. Gate spark.graft.ccFusedConvergence=false restores the
+    // probe for the same-JVM A/B.
+    val fused = pairs.sparkSession.conf
+      .get("spark.graft.ccFusedConvergence", "true").toBoolean
     // Materialize the edge list once: it is referenced by every
     // iteration's join AND convergence probe, and its lineage is the
     // caller's whole candidate-generation pipeline — without the cut,
@@ -655,10 +663,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("node").as("src"), col("label")), "src")
         .groupBy(col("dst").as("node")).agg(min(col("label")).as("nbr"))
+      // `__old` (this round's input label) rides along so the fused
+      // path can count changed rows IN the checkpoint job; the probe
+      // path never selects it, so column pruning removes it there and
+      // the plan is unchanged. Every node appears exactly once (left
+      // join from `labels`), so "any row with label <> __old" is
+      // exactly the old probe's "any node whose label changed".
       val propagated = labels.alias("l")
         .join(nbrMin.alias("p"), Seq("node"), "left")
         .select(col("node"),
-          least(col("l.label"), coalesce(col("p.nbr"), col("l.label"))).as("label"))
+          least(col("l.label"), coalesce(col("p.nbr"), col("l.label"))).as("label"),
+          col("l.label").as("__old"))
       // Pointer jumping: follow label → label(label) once per round
       // (min-propagation keeps the invariant label(x) <= x, so the hop
       // only ever improves). One-hop propagation alone needs diameter
@@ -666,21 +681,34 @@ object Dedup {
       // The hop reads the PREVIOUS round's (checkpointed) label map, so
       // the un-materialized `propagated` plan is referenced exactly
       // once — a self-join would execute the edge join twice per round.
-      val updated = propagated.alias("a")
+      val jumped = propagated.alias("a")
         .join(labels
             .select(col("node").as("label"), col("label").as("ll")).alias("b"),
           Seq("label"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      converged = updated.alias("u")
-        .join(labels.alias("l"), "node")
-        .filter(col("u.label") =!= col("l.label"))
-        .limit(1).isEmpty
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"),
+          col("__old"))
+      val updated = if (fused) {
+        val obs = org.apache.spark.sql.Observation()
+        val u = jumped
+          .observe(obs, coalesce(sum(when(col("label") =!= col("__old"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_changed"))
+          .select("node", "label")
+          .localCheckpoint(true)
+        converged = obs.get("n_changed").asInstanceOf[Long] == 0L
+        u
+      } else {
+        val u = jumped.select("node", "label").localCheckpoint(true)
+        converged = u.alias("u")
+          .join(labels.alias("l"), "node")
+          .filter(col("u.label") =!= col("l.label"))
+          .limit(1).isEmpty
+        u
+      }
       // The previous round's label buffer has served its last reader
-      // (the pointer-jump hop and the convergence probe above) — free
-      // it now rather than banking one leaked buffer per iteration on
-      // the ContextCleaner.
+      // (the pointer-jump hop and, in probe mode, the convergence
+      // probe above) — free it now rather than banking one leaked
+      // buffer per iteration on the ContextCleaner.
       release(labels)
       labels = updated
       i += 1

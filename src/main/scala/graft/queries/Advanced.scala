@@ -1123,6 +1123,14 @@ object Advanced {
           .distinct().localCheckpoint(true)
         val l1 = items.groupBy("i").agg(count(lit(1)).as("n_i"))
           .filter(col("n_i") >= 2).select("i")
+        // NOT widened: round-16 tried pinning the triple join's
+        // parallelism with a user repartition on `o` (the C(basket,3)
+        // fan-out stage byte-coalesces onto ~3 tasks while its cost is
+        // CPU), but the order-corrected same-JVM A/B came back 1.03 —
+        // at this scale the fan-out stage is ~0.5 s and the extra
+        // user exchange (which also opts the join out of AQE skew
+        // splitting) costs what the width buys. Re-try only with
+        // evidence the fan-out stage dominates.
         val fi = items.join(l1, Seq("i"), "left_semi")
         val tri = fi.alias("a")
           .join(fi.alias("b"),

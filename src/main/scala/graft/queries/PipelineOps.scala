@@ -457,17 +457,14 @@ object PipelineOps {
     QueryDef("q205_forget_e2e",
       (s, dir) => {
         import graft.operators.{Dedup, Similarity, TextIndex}
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
         // The three artifact pipelines are INDEPENDENT (own paths, own
         // locks) and each underfills the cluster on its own — submit
         // their jobs concurrently at every phase boundary (Spark
         // sessions accept jobs from multiple threads; this is the
-        // driver-side analog of the fixed-N widening).
+        // driver-side analog of the fixed-N widening). Routed through
+        // the gated fork so the concurrentSubtrees A/B covers it.
         def par[T](xs: (() => T)*): Seq[T] =
-          Await.result(Future.sequence(xs.map(f => Future(f()))),
-            Duration.Inf)
+          xs.map(f => graft.functions.ColumnLib.fork(s)(f())).map(_())
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), col("label"))
@@ -500,23 +497,52 @@ object PipelineOps {
           () => TextIndex.compact(s, pText),
           () => Dedup.bandIndexCompact(s, pBand),
           () => Similarity.ivfCompact(s, pIvf))
-        def leak(p: String, idCol: String, bad: DataFrame): Long =
-          s.read.parquet(p)
-            .join(bad.select(col(bad.columns.head).as(idCol)),
-              Seq(idCol), "left_semi")
-            .count()
-        val out = Seq(
-          ("band_index", before("band_index"), rows(pBand),
-            leak(pBand, "doc_id", badDocs)),
-          ("text_index", before("text_index"), rows(pText),
-            leak(pText, "doc", badDocs)),
-          ("vector_index", before("vector_index"), rows(pIvf),
-            leak(pIvf, "vec_id", badVecs)))
-        s.createDataFrame(
-            java.util.List.of(out.map(r => Row(r._1, r._2, r._3, r._4)): _*),
-            StructType.fromDDL(
-              "artifact STRING, n_before LONG, n_after LONG, n_leaked LONG"))
-          .orderBy("artifact")
+        if (s.conf.get("spark.graft.fusedGateCounts", "true").toBoolean) {
+          // The post-compact row and leak counts need no more driver
+          // actions at all: fold each artifact's (n_after, n_leaked)
+          // into ONE aggregate over its post-compact bytes — the leak
+          // ids are unique, so a left join marks each index row at
+          // most once and count(hit) ≡ the old semi-join count — and
+          // return the UNION lazily, so the bench's single final
+          // action computes all three scans as sibling stages of one
+          // job instead of six serial driver actions (guide §1.5/§5 —
+          // driver-gap overhead; profiled ~1-2 s of inter-job gaps).
+          def after(artifact: String, p: String, idCol: String,
+              bad: DataFrame, nBefore: Long): DataFrame =
+            s.read.parquet(p)
+              .join(bad.select(col(bad.columns.head).as(idCol),
+                  lit(1).as("__hit")), Seq(idCol), "left")
+              .agg(count(lit(1)).as("n_after"),
+                coalesce(sum(col("__hit")), lit(0)).cast("long")
+                  .as("n_leaked"))
+              .select(lit(artifact).as("artifact"),
+                lit(nBefore).as("n_before"), col("n_after"),
+                col("n_leaked"))
+          after("band_index", pBand, "doc_id", badDocs, before("band_index"))
+            .unionByName(after("text_index", pText, "doc", badDocs,
+              before("text_index")))
+            .unionByName(after("vector_index", pIvf, "vec_id", badVecs,
+              before("vector_index")))
+            .orderBy("artifact")
+        } else {
+          def leak(p: String, idCol: String, bad: DataFrame): Long =
+            s.read.parquet(p)
+              .join(bad.select(col(bad.columns.head).as(idCol)),
+                Seq(idCol), "left_semi")
+              .count()
+          val out = Seq(
+            ("band_index", before("band_index"), rows(pBand),
+              leak(pBand, "doc_id", badDocs)),
+            ("text_index", before("text_index"), rows(pText),
+              leak(pText, "doc", badDocs)),
+            ("vector_index", before("vector_index"), rows(pIvf),
+              leak(pIvf, "vec_id", badVecs)))
+          s.createDataFrame(
+              java.util.List.of(out.map(r => Row(r._1, r._2, r._3, r._4)): _*),
+              StructType.fromDDL(
+                "artifact STRING, n_before LONG, n_after LONG, n_leaked LONG"))
+            .orderBy("artifact")
+        }
       },
       Some("""
         WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),

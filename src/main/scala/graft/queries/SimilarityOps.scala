@@ -132,8 +132,23 @@ object SimilarityOps {
       .select(col("cluster"),
         transform(col("pairs"), p => p.getField("c")).as("centroid"))
 
-  private def labelCentsDecimal(e: DataFrame): DataFrame =
-    decimalGridCentroids(e, "label")
+  /** [[decimalGridCentroids]] over the label seed, MATERIALIZED: every
+    * consumer site (q54/q58/q67/q86/q88/q89/q131/q183/q202/q206/q214)
+    * passes the centroid table to an index build AND one or more
+    * searches, each of which is its own Spark action — without the cut
+    * the corpus-wide explode+groupBy re-executes once per action
+    * (q58's three probe sweeps paid it four times). The table is tiny
+    * (nlist rows), so the materialization is a small job and every
+    * later consumer reads 16 rows instead of re-aggregating the corpus
+    * (guide §1.2 — don't compute things twice). Gate for the same-JVM
+    * A/B: spark.graft.ckptCentroids=false restores the lazy plan.
+    */
+  private def labelCentsDecimal(e: DataFrame): DataFrame = {
+    val c = decimalGridCentroids(e, "label")
+    if (e.sparkSession.conf.get("spark.graft.ckptCentroids", "true").toBoolean)
+      c.localCheckpoint(true)
+    else c
+  }
 
   /** Portable final ranking shared by the q54/q58/q59 IVF gates: the
     * decimal-exact cosine of each candidate id against vec 0, rounded
@@ -325,7 +340,10 @@ object SimilarityOps {
       // residual encodings, the probe query) re-derive this
       // scan+explode 5+ times — cut there, not for single-pass gates
       .transform(cutIf(cut))
-    val cd = labelCentsDecimal(e)
+    // Raw (un-checkpointed) centroids: the exploded `cd` below is the
+    // only consumer and is itself cut — labelCentsDecimal's
+    // materialization would just add a blocking job in front of it.
+    val cd = decimalGridCentroids(e, "label")
       .select(col("cluster"), posexplode(col("centroid")).as(Seq("pos", "cf")))
       .select(col("cluster"), col("pos"), col("cf").cast(DoubleType).as("c"))
       .localCheckpoint(true) // bounded (clusters × dims); read 3x below
@@ -690,20 +708,46 @@ object SimilarityOps {
 
   private def pqPartsFromVec(vecs: DataFrame, vecCol: String): PqExParts = {
     val m = PqM; val w = PqW
+    val narrowCkpt = vecs.sparkSession.conf
+      .get("spark.graft.pqNarrowCkpt", "true").toBoolean
     val b = (j: Int, i: Int) => element_at(col(vecCol), j * w + i)
     val bkArr = array((0 until m).map { j =>
       concat(
         when(b(j, 1) > b(j, 3), "1").otherwise("0"),
         when(b(j, 2) > b(j, 4), "1").otherwise("0"))
     }: _*)
-    val ex = vecs.select(col("vec_id"), bkArr.as("__bk"),
+    // src feeds BOTH the exploded training stream and the map-side code
+    // assignment below. Default (narrowCkpt): materialize the packed
+    // (vec_id, array) frame ONCE — ~6x fewer bytes than the exploded
+    // 6-column form the old checkpoint carried (the 64 elements stay
+    // one array cell instead of 64 rows of (id, pos, v, sub, lpos,
+    // cluster)), and the residual/rotated callers' join/rotation
+    // lineage is cut here instead of being re-executed by the code-
+    // assignment pass (guide §2.3 materialize fewer bytes, §1.2 don't
+    // compute twice). widenMaterialized then re-spreads the buffer when
+    // AQE's byte-based coalescing folded the byte-light producing join
+    // onto 1-3 partitions: the q171 profile showed the residual ex
+    // checkpoint as 1.3 s on ONE task with 31 cores idle — the
+    // downstream explode+decimal work is CPU-heavy per byte. At
+    // production scale the buffer is already wide → no-op.
+    // Old path (gate false, kept for the same-JVM A/B): checkpoint the
+    // exploded frame and derive codes from the raw input.
+    val src =
+      if (narrowCkpt)
+        graft.functions.ColumnLib.widenMaterialized(
+          vecs.select(col("vec_id"), col(vecCol)).localCheckpoint(true))
+      else vecs
+    val exPlan = src.select(col("vec_id"), bkArr.as("__bk"),
         posexplode(col(vecCol)).as(Seq("pos", "__vf")))
       .withColumn("v", col("__vf").cast(DoubleType))
       .withColumn("sub", floor(col("pos") / w).cast(IntegerType))
       .withColumn("lpos", col("pos") - col("sub") * w)
       .withColumn("cluster", element_at(col("__bk"), col("sub") + 1))
       .select("vec_id", "pos", "v", "sub", "lpos", "cluster")
-      .localCheckpoint(true) // read by codebook, query AND yardstick
+    // read by codebook, query AND yardstick — narrowCkpt consumers
+    // re-derive the explode from the packed buffer (cheap, wide map
+    // work); the old path materializes the exploded rows themselves.
+    val ex = if (narrowCkpt) exPlan else exPlan.localCheckpoint(true)
     val cb = ex.groupBy("sub", "cluster", "lpos")
       .agg((round(sum(col("v").cast(D)).cast(DoubleType) /
         count(lit(1)).cast(DoubleType), 9)).cast(FloatType).as("c"))
@@ -727,7 +771,7 @@ object SimilarityOps {
       .agg(sort_array(collect_list(struct(col("cluster"), col("carr"))))
         .as("cands"))
     val dzero = lit(java.math.BigDecimal.ZERO).cast(D)
-    val codes = vecs.select(col("vec_id"),
+    val codes = src.select(col("vec_id"),
         transform(col(vecCol), x => x.cast(DoubleType)).as("__vd"),
         explode(array((0 until m).map(j => lit(j)): _*)).as("sub"))
       .withColumn("varr", slice(col("__vd"), col("sub") * w + 1, lit(w)))
@@ -1960,6 +2004,18 @@ object SimilarityOps {
           .select(col("vec_id"), col("pos"), col("vf").cast(DoubleType).as("v"))
         val q = ex.filter(col("vec_id") === 0)
           .select(col("pos"), col("v").as("qv"))
+        // Yardstick: the corpus-wide exact top-10 — independent of the
+        // whole ADC chain, so its blocking materialization runs
+        // CONCURRENTLY with the PQ training below (guide §2.6; the
+        // q171/q205 posture).
+        val exF = graft.functions.ColumnLib.fork(s)(
+          ex.join(broadcast(q), "pos")
+            .groupBy("vec_id")
+            .agg(sum((col("v") * col("qv")).cast(D)).as("sd"))
+            .select(col("vec_id"),
+              round(col("sd").cast(DoubleType), 9).as("dot"))
+            .orderBy(col("dot").desc, col("vec_id"))
+            .limit(10).select("vec_id").localCheckpoint(true))
         // Stage 1: ADC shortlist k' = 4k from the probed clusters
         // (k' rows; read twice below — once for the ADC-only cut,
         // once as the re-rank candidate set).
@@ -1977,13 +2033,7 @@ object SimilarityOps {
           .select(col("vec_id"), round(col("sd").cast(DoubleType), 9).as("dot"))
           .orderBy(col("dot").desc, col("vec_id"))
           .limit(10).select("vec_id")
-        // Yardstick: the corpus-wide exact top-10.
-        val exactTop = ex.join(broadcast(q), "pos")
-          .groupBy("vec_id")
-          .agg(sum((col("v") * col("qv")).cast(D)).as("sd"))
-          .select(col("vec_id"), round(col("sd").cast(DoubleType), 9).as("dot"))
-          .orderBy(col("dot").desc, col("vec_id"))
-          .limit(10).select("vec_id").localCheckpoint(true)
+        val exactTop = exF()
         def recallRow(method: String, top: DataFrame): DataFrame =
           exactTop.join(top.withColumn("hit", lit(1)), Seq("vec_id"), "left")
             .agg(coalesce(sum(col("hit")), lit(0)).cast(LongType).as("hits"),
@@ -2306,23 +2356,23 @@ object SimilarityOps {
     // adoption argument for residual encoding as a verified number.
     QueryDef("q171_residual_pq",
       (s, dir) => {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
+        import graft.functions.ColumnLib.fork
+        // The raw PQ training does not read the coarse parts at all —
+        // start it FIRST so it overlaps the coarse stage's two blocking
+        // cuts as well as everything below (guide §2.6).
+        val rawF = fork(s)(pqParts(s, dir))
         val parts = coarseParts(s, dir, cut = true)
-        // The yardstick and the two PQ trainings are independent
+        // The yardstick and the residual training are independent
         // subtrees over the shared (already-cut) coarse parts, each a
         // chain of blocking materializations that underfills the
         // cluster — build them concurrently (the q205 posture).
-        val candidatesF = Future {
+        val candidatesF = fork(s)(
           parts.assign
             .join(broadcast(parts.probes), Seq("cluster"), "left_semi")
             .select("vec_id")
-            .localCheckpoint(true) // shared by yardstick + both variants
-        }
-        val rawF = Future(pqParts(s, dir))
-        val resF = Future(pqResidualParts(s, dir, parts))
-        val candidates = Await.result(candidatesF, Duration.Inf)
+            .localCheckpoint(true)) // shared by yardstick + both variants
+        val resF = fork(s)(pqResidualParts(s, dir, parts))
+        val candidates = candidatesF()
         val q = parts.ex.filter(col("vec_id") === 0)
           .select(col("pos"), col("v").as("qv"))
         // Yardstick: exact top-10 WITHIN the probed candidates — both
@@ -2349,8 +2399,8 @@ object SimilarityOps {
               round(col("hits").cast(DoubleType) /
                 col("total").cast(DoubleType), 9).as("recall"))
         }
-        val raw = Await.result(rawF, Duration.Inf)
-        val res = Await.result(resF, Duration.Inf)
+        val raw = rawF()
+        val res = resF()
         // Mean squared reconstruction error over the WHOLE corpus in
         // floored micro units — the fidelity number that separates
         // the encodings even when a 10-deep recall cut ties: the
@@ -2626,17 +2676,26 @@ object SimilarityOps {
     // [[pqPartsFromEx]] stage.
     QueryDef("q198_rotated_pq",
       (s, dir) => {
+        import graft.functions.ColumnLib.fork
         val e = emb(s, dir)
-        val raw = pqPartsFromVec(e, "embedding")
-        val rot = pqPartsFromVec(
-          Similarity.srhtRotate(e, "vec_id", "embedding", "srht7"), "rotated")
-        val exactTop = raw.ex.join(broadcast(raw.q), "pos")
+        // The raw and rotated trainings are INDEPENDENT chains of
+        // blocking materializations that each underfill the cluster —
+        // overlap them, and overlap the exact yardstick with whatever
+        // of the rotated chain is still running (guide §2.6; the
+        // q171/q205 posture).
+        val rawF = fork(s)(pqPartsFromVec(e, "embedding"))
+        val rotF = fork(s)(pqPartsFromVec(
+          Similarity.srhtRotate(e, "vec_id", "embedding", "srht7"), "rotated"))
+        val raw = rawF()
+        val exF = fork(s)(raw.ex.join(broadcast(raw.q), "pos")
           .groupBy("vec_id")
           .agg(sum((col("v") * col("qv")).cast(D)).as("sd"))
           .select(col("vec_id"), round(col("sd").cast(DoubleType), 9).as("dot"))
           .orderBy(col("dot").desc, col("vec_id"))
           .limit(10).select("vec_id")
-          .localCheckpoint(true) // read by both recall rows
+          .localCheckpoint(true)) // read by both recall rows
+        val rot = rotF()
+        val exactTop = exF()
         def gateRow(method: String, p: PqExParts): DataFrame = {
           val top = pqAdcScoresFromEx(p)
             .orderBy(col("score").desc, col("vec_id"))
@@ -2759,9 +2818,7 @@ object SimilarityOps {
     QueryDef("q206_hybrid_rrf",
       (s, dir) => {
         import graft.operators.{Retrieval, TextIndex}
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
+        import graft.functions.ColumnLib.fork
         val terms = Seq("spark", "merge")
         val tpath = sys.props("java.io.tmpdir") +
           s"/graft_tidx_q206_${java.lang.Integer.toHexString(dir.hashCode)}/index"
@@ -2772,12 +2829,13 @@ object SimilarityOps {
         val vpath = sys.props("java.io.tmpdir") +
           s"/graft_ivf_q206_${java.lang.Integer.toHexString(dir.hashCode)}/index"
         // The two index builds are independent (own paths) and each
-        // underfills the cluster — submit their jobs concurrently.
-        Await.result(Future.sequence(Seq(
-          Future(TextIndex.write(graft.Tables.table(s, dir, "documents")
-            .select(col("doc_id"), col("text")), "doc_id", "text", tpath)),
-          Future(Similarity.ivfWrite(e, "vec_id", "embedding", cents,
-            vpath)))), Duration.Inf)
+        // underfills the cluster — submit their jobs concurrently
+        // (routed through the gated fork so the A/B covers it).
+        val bT = fork(s)(TextIndex.write(graft.Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text")), "doc_id", "text", tpath))
+        val bV = fork(s)(Similarity.ivfWrite(e, "vec_id", "embedding", cents,
+          vpath))
+        bT(); bV()
         val textTop = TextIndex.searchBM25(s, tpath, terms, k = 20)
         val vecTop = decimalRerankTop10(e,
           Similarity.ivfSearch(s, vpath, "vec_id", "embedding", cents,

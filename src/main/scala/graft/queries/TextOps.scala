@@ -3022,7 +3022,10 @@ object TextOps {
       (s, dir) => {
         val queries = Seq(
           "spark query merge", "join hash scan", "stream window batch")
-        val perQuery = queries.map { q =>
+        // The three per-query eval subtrees are independent and each
+        // contains a blocking grade-table cut — build them concurrently
+        // (guide §2.6; the q171/q205 posture, gated fork).
+        val perQuery = queries.map { q => graft.functions.ColumnLib.fork(s) {
           val terms = q.split(' ').toSeq
           val ws = words(col("text"))
           val base = docs(s, dir).select(
@@ -3080,7 +3083,7 @@ object TextOps {
                 floor(col("dcg_scaled").cast("double") * 1000000.0 /
                   col("idcg_scaled").cast("double")).cast("long"))
                 .otherwise(0L).as("ndcg_micro"))
-        }
+        } }.map(_())
         perQuery.reduce(_ unionByName _).orderBy("query")
       },
       Some {
@@ -3163,7 +3166,10 @@ object TextOps {
         val path = sys.props("java.io.tmpdir") +
           s"/graft_tidx_q216_${java.lang.Integer.toHexString(dir.hashCode)}/index"
         graft.operators.TextIndex.write(docs(s, dir), "doc_id", "text", path)
-        val perQuery = queries.map { q =>
+        // The three per-query eval subtrees are independent and each
+        // contains a blocking grade-table cut — build them concurrently
+        // (guide §2.6; the q171/q205 posture, gated fork).
+        val perQuery = queries.map { q => graft.functions.ColumnLib.fork(s) {
           val terms = q.split(' ').toSeq
           val served = graft.operators.TextIndex
             .searchBM25(s, path, terms, k = 10)
@@ -3201,7 +3207,7 @@ object TextOps {
                 floor(col("dcg_scaled").cast("double") * 1000000.0 /
                   col("idcg_scaled").cast("double")).cast("long"))
                 .otherwise(0L).as("ndcg_micro"))
-        }
+        } }.map(_())
         perQuery.reduce(_ unionByName _).orderBy("query")
       },
       Some {

@@ -381,6 +381,26 @@ class DedupSpec extends SparkSpec {
     assert(comp.size == 10)
   }
 
+  test("connectedComponents: fused convergence detection matches the probe path") {
+    // Path graph (worst case for round count) plus a triangle: the
+    // fused path (Observation on the checkpoint job) must converge in
+    // the same rounds to the same labels as the join-probe path.
+    val pairs = df("id1 BIGINT, id2 BIGINT",
+      ((0L until 9L).map(i => Row(Long.box(i), Long.box(i + 1))) :+
+        Row(Long.box(30), Long.box(31)) :+ Row(Long.box(31), Long.box(32)) :+
+        Row(Long.box(30), Long.box(32))): _*)
+    val fused = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.ccFusedConvergence", "false")
+    try {
+      val probed = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fused == probed,
+        "fused and probe convergence must produce identical components")
+    } finally spark.conf.set("spark.graft.ccFusedConvergence", "true")
+    assert(fused.values.toSet == Set(0L, 30L))
+  }
+
   test("lshCandidatePairs: repeated input ids never emit self-pairs") {
     val d = df("doc_id BIGINT, text STRING",
       Row(Long.box(1), "the quick brown fox jumps over the lazy dog"),
