@@ -163,9 +163,14 @@ object Engine {
         graft.functions.expressions.DeflateLen(children(0))))
   }
 
-  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
-    SparkSession.builder()
-      .master(master)
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder = {
+    val b = SparkSession.builder()
+    // Respect an externally provided master (spark-submit --master sets
+    // the spark.master system property): the `master` argument is the
+    // LOCAL default, not an override — hard-setting it would silently
+    // turn a cluster deployment into a driver-local run.
+    if (!sys.props.contains("spark.master")) b.master(master)
+    b
       .withExtensions(extensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
@@ -199,6 +204,7 @@ object Engine {
       .config("spark.sql.warehouse.dir",
         sys.props("java.io.tmpdir") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
+  }
 
   /** Standard local session: `local[cpus]` with one shuffle partition per
     * core (local mode has no reason to over-partition; a cluster deploy

@@ -1284,14 +1284,17 @@ object SimilarityOps {
         // work ending in a cluster repartition, so the fixture
         // widening in e would shuffle twice for nothing (measured
         // ~0.5 s; the decimal yardstick below keeps the widened e).
-        Similarity.ivfWrite(embNarrow(s, dir), "vec_id", "embedding",
-          cents, path)
         // The exact full-scan baseline feeds all three union branches;
         // as with q57, plan-tree reuse does not happen across union
         // children, so materialize the 10-row result once instead of
-        // paying the full decimal scan per branch.
-        val exact = decimalRerankTop10(e, e.select("vec_id"))
-          .select("vec_id").localCheckpoint(true)
+        // paying the full decimal scan per branch — and the build and
+        // the yardstick are independent, so overlap them (guide §2.6).
+        import graft.functions.ColumnLib.fork
+        val exF = fork(s)(decimalRerankTop10(e, e.select("vec_id"))
+          .select("vec_id").localCheckpoint(true))
+        Similarity.ivfWrite(embNarrow(s, dir), "vec_id", "embedding",
+          cents, path)
+        val exact = exF()
         def stats(nprobe: Int): DataFrame = {
           val probed = Similarity.ivfSearch(s, path, "vec_id", "embedding",
             cents, qvec, k = 50, nprobe = nprobe)
@@ -1413,6 +1416,9 @@ object SimilarityOps {
         // Two kmeansSteps (assign → means), eagerly materialized: the
         // learned table is ≤ 16 rows but its lineage is the full Lloyd
         // chain, and ivfWrite + ivfSearch would otherwise re-run it.
+        // (Round-16 tried forking the independent probe-vector fetch
+        // alongside this chain: A/B 1.04 — the head() job is too small
+        // to pay for; reverted.)
         val learned = cent(assign(cent(assign(cent(seed)))))
           .localCheckpoint(true)
         val qvec = e.filter(col("vec_id") === 0)
@@ -1667,13 +1673,19 @@ object SimilarityOps {
         val base = sys.props("java.io.tmpdir") +
           s"/graft_ivf_q88_${java.lang.Integer.toHexString(dir.hashCode)}"
         // Both builds read the BARE scan (q58's rationale); the
-        // decimal recall yardstick keeps the widened e.
+        // decimal recall yardstick keeps the widened e. The two builds
+        // (own paths) and the exact yardstick are independent — overlap
+        // them (guide §2.6, gated fork).
+        import graft.functions.ColumnLib.fork
         val eN = embNarrow(s, dir)
-        Similarity.ivfWrite(eN, "vec_id", "embedding", cents, s"$base/float")
-        Similarity.ivfWriteSq8(eN.select("vec_id", "embedding"),
-          "vec_id", "embedding", cents, s"$base/sq8")
-        val exact = decimalRerankTop10(e, e.select("vec_id"))
-          .select("vec_id").localCheckpoint(true)
+        val bF = fork(s)(
+          Similarity.ivfWrite(eN, "vec_id", "embedding", cents, s"$base/float"))
+        val b8F = fork(s)(Similarity.ivfWriteSq8(eN.select("vec_id", "embedding"),
+          "vec_id", "embedding", cents, s"$base/sq8"))
+        val exF = fork(s)(decimalRerankTop10(e, e.select("vec_id"))
+          .select("vec_id").localCheckpoint(true))
+        bF(); b8F()
+        val exact = exF()
         def recallRow(method: String, top: DataFrame): DataFrame =
           exact.join(top.select(col("vec_id"), lit(1).as("hit")),
               Seq("vec_id"), "left")
